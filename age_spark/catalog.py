@@ -1,0 +1,154 @@
+"""Graph catalog: graphs, labels, label_id allocation, graphid packing.
+
+Mirrors the reference's catalog semantics (ag_graph/ag_label tables and the
+int64 graphid encoding) without its storage machinery:
+
+- reference: ``sql/age_main.sql:54-81`` (catalog tables),
+  ``src/include/utils/graphid.h:29-62`` (id packing),
+  ``src/backend/commands/label_commands.c:362-366`` (per-label sequences).
+
+A ``graphid`` packs a 16-bit label id and a 48-bit entry id into one int64:
+
+    graphid = (label_id << 48) | entry_id
+
+so the label of an entity is recoverable from its id alone (used by MATCH to
+filter already-bound vertices by label without a join —
+``cypher_clause.c:5272 filter_vertices_on_label_id``), and every join/filter in
+the engine stays a plain LongType operation — critical at 100 TB (no string
+keys ever shuffle).
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from dataclasses import dataclass, field
+
+ENTRY_ID_BITS = 48
+ENTRY_ID_MASK = (1 << ENTRY_ID_BITS) - 1
+MAX_LABEL_ID = (1 << 16) - 1
+
+# Name rules follow the reference's name_validation.c:
+# graph/label names: start with letter or underscore, then word chars; the
+# reference caps at 63 bytes (PG NAMEDATALEN).
+_NAME_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_]{0,62}$")
+
+VERTEX_KIND = "v"
+EDGE_KIND = "e"
+
+
+class CatalogError(ValueError):
+    pass
+
+
+def validate_name(name: str, what: str = "name") -> str:
+    if not isinstance(name, str) or not _NAME_RE.match(name):
+        raise CatalogError(f"invalid {what}: {name!r}")
+    return name
+
+
+def pack_graphid(label_id: int, entry_id: int) -> int:
+    """graphid = label_id << 48 | entry_id  (graphid.h:46-50 make_graphid)."""
+    if not (0 <= label_id <= MAX_LABEL_ID):
+        raise CatalogError(f"label_id out of range: {label_id}")
+    if not (0 <= entry_id <= ENTRY_ID_MASK):
+        raise CatalogError(f"entry_id out of range: {entry_id}")
+    return (label_id << ENTRY_ID_BITS) | entry_id
+
+
+def label_id_of(graphid: int) -> int:
+    """GET_LABEL_ID (graphid.h:59)."""
+    return (graphid >> ENTRY_ID_BITS) & MAX_LABEL_ID
+
+
+def entry_id_of(graphid: int) -> int:
+    """GET_ENTRY_ID (graphid.h:60)."""
+    return graphid & ENTRY_ID_MASK
+
+
+@dataclass
+class LabelMeta:
+    name: str
+    label_id: int
+    kind: str  # 'v' or 'e'
+    next_entry_id: int = 1  # per-label sequence (label_commands.c:362-366)
+
+    def allocate(self, n: int) -> int:
+        """Reserve n entry ids; return the first. Single-writer batch model
+        (SURVEY §7.3: reserve ranges per job)."""
+        first = self.next_entry_id
+        self.next_entry_id += n
+        if self.next_entry_id > ENTRY_ID_MASK:
+            raise CatalogError(f"label {self.name}: entry id space exhausted")
+        return first
+
+
+@dataclass
+class GraphMeta:
+    name: str
+    labels: dict[str, LabelMeta] = field(default_factory=dict)
+    next_label_id: int = 1
+
+    def label(self, name: str) -> LabelMeta:
+        try:
+            return self.labels[name]
+        except KeyError:
+            raise CatalogError(f"label {name!r} does not exist in graph {self.name!r}") from None
+
+    def has_label(self, name: str) -> bool:
+        return name in self.labels
+
+    def create_label(self, name: str, kind: str) -> LabelMeta:
+        validate_name(name, "label name")
+        if name in self.labels:
+            existing = self.labels[name]
+            if existing.kind != kind:
+                raise CatalogError(f"label {name!r} already exists with kind {existing.kind!r}")
+            return existing
+        if self.next_label_id > MAX_LABEL_ID:
+            raise CatalogError("label id space exhausted")
+        meta = LabelMeta(name=name, label_id=self.next_label_id, kind=kind)
+        self.next_label_id += 1
+        self.labels[name] = meta
+        return meta
+
+    def vertex_labels(self) -> list[LabelMeta]:
+        return [m for m in self.labels.values() if m.kind == VERTEX_KIND]
+
+    def edge_labels(self) -> list[LabelMeta]:
+        return [m for m in self.labels.values() if m.kind == EDGE_KIND]
+
+    # ---- (de)serialization: the engine catalog is small JSON metadata ----
+    def to_dict(self) -> dict:
+        return {
+            "name": self.name,
+            "next_label_id": self.next_label_id,
+            "labels": [
+                {
+                    "name": m.name,
+                    "label_id": m.label_id,
+                    "kind": m.kind,
+                    "next_entry_id": m.next_entry_id,
+                }
+                for m in self.labels.values()
+            ],
+        }
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "GraphMeta":
+        g = cls(name=d["name"], next_label_id=d["next_label_id"])
+        for ld in d["labels"]:
+            g.labels[ld["name"]] = LabelMeta(
+                name=ld["name"],
+                label_id=ld["label_id"],
+                kind=ld["kind"],
+                next_entry_id=ld["next_entry_id"],
+            )
+        return g
+
+    def to_json(self) -> str:
+        return json.dumps(self.to_dict(), indent=1)
+
+    @classmethod
+    def from_json(cls, s: str) -> "GraphMeta":
+        return cls.from_dict(json.loads(s))

@@ -1,0 +1,400 @@
+"""Graph storage: per-label typed DataFrames + unified scan views.
+
+The reference stores one heap table per vertex/edge label
+(``src/backend/commands/label_commands.c:550-609``) with a fixed 2/4-column
+schema whose ``properties`` column is a schemaless agtype document. Our Spark
+design keeps the per-label tables but makes properties **columnar and typed**:
+each label's DataFrame carries flat, natively-typed property columns. This is
+the Spark-first translation of AGE's GIN-indexed agtype documents — property
+predicates compile to native Column expressions that reach the Parquet scan as
+pushed filters, and whole-stage codegen applies (no JSON parsing, no Python in
+the hot path).
+
+"Match any label" (the reference's table-inheritance trick,
+``label_commands.c:205-209``) becomes a union-all over per-label DataFrames
+with schema merging (missing property -> NULL).
+
+Physical schemas (FIXTURES.md):
+  vertex label table: id BIGINT (packed graphid) + property columns
+  edge   label table: id BIGINT, start_id BIGINT, end_id BIGINT + props
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Iterable, Optional
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .catalog import (
+    EDGE_KIND,
+    ENTRY_ID_BITS,
+    VERTEX_KIND,
+    CatalogError,
+    GraphMeta,
+    pack_graphid,
+    validate_name,
+)
+
+VERTEX_RESERVED = ("id",)
+EDGE_RESERVED = ("id", "start_id", "end_id")
+
+
+def _widen(a: T.DataType, b: T.DataType) -> T.DataType:
+    """Common type for schema-merge across labels (missing -> null)."""
+    if a == b:
+        return a
+    numeric_rank = {
+        T.ByteType(): 0, T.ShortType(): 1, T.IntegerType(): 2,
+        T.LongType(): 3, T.FloatType(): 4, T.DoubleType(): 5,
+    }
+    if a in numeric_rank and b in numeric_rank:
+        return a if numeric_rank[a] >= numeric_rank[b] else b
+    return T.StringType()
+
+
+def merge_property_schema(dfs: Iterable[DataFrame], reserved: tuple[str, ...]) -> list[tuple[str, T.DataType]]:
+    """Merged (name, type) list over all property columns, sorted by name for
+    deterministic struct layout."""
+    merged: dict[str, T.DataType] = {}
+    for df in dfs:
+        for f in df.schema.fields:
+            if f.name in reserved:
+                continue
+            if f.name in merged:
+                merged[f.name] = _widen(merged[f.name], f.dataType)
+            else:
+                merged[f.name] = f.dataType
+    return sorted(merged.items())
+
+
+class Graph:
+    """A named property graph: per-label vertex/edge DataFrames + catalog.
+
+    Mutation methods return a NEW Graph snapshot (clause-by-clause snapshot
+    semantics give read-your-writes without the reference's CID machinery —
+    SURVEY §2.7).
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        meta: GraphMeta,
+        vertex_dfs: Optional[dict[str, DataFrame]] = None,
+        edge_dfs: Optional[dict[str, DataFrame]] = None,
+    ):
+        self.spark = spark
+        self.meta = meta
+        self.vertex_dfs: dict[str, DataFrame] = dict(vertex_dfs or {})
+        self.edge_dfs: dict[str, DataFrame] = dict(edge_dfs or {})
+
+    @property
+    def name(self) -> str:
+        return self.meta.name
+
+    # ------------------------------------------------------------------ DDL
+    def create_vlabel(self, label: str) -> None:
+        meta = self.meta.create_label(label, VERTEX_KIND)
+        if label not in self.vertex_dfs:
+            self.vertex_dfs[label] = self.spark.createDataFrame(
+                [], T.StructType([T.StructField("id", T.LongType(), False)])
+            )
+        return meta
+
+    def create_elabel(self, label: str) -> None:
+        meta = self.meta.create_label(label, EDGE_KIND)
+        if label not in self.edge_dfs:
+            self.edge_dfs[label] = self.spark.createDataFrame(
+                [],
+                T.StructType(
+                    [
+                        T.StructField("id", T.LongType(), False),
+                        T.StructField("start_id", T.LongType(), False),
+                        T.StructField("end_id", T.LongType(), False),
+                    ]
+                ),
+            )
+        return meta
+
+    def drop_label(self, label: str) -> None:
+        m = self.meta.label(label)
+        if m.kind == VERTEX_KIND:
+            self.vertex_dfs.pop(label, None)
+        else:
+            self.edge_dfs.pop(label, None)
+        del self.meta.labels[label]
+
+    # ------------------------------------------------------------- loading
+    def add_vertices(self, label: str, df: DataFrame, id_col: Optional[str] = None) -> None:
+        """Register vertices for `label` from a source DataFrame.
+
+        ``id_col``: natural integer key used as the 48-bit entry id (mirrors
+        ``load_labels_from_file(..., id_field_exists=true)``,
+        ``src/backend/utils/load/age_load.c:565``). If None, entry ids are
+        allocated from the label sequence via a global row_number — a narrow
+        one-time shuffle at load, after which every downstream op keys on a
+        plain int64.
+        """
+        meta = self.create_vlabel(label)
+        packed = self._pack_ids(df, meta, id_col)
+        self.vertex_dfs[label] = self._append(self.vertex_dfs.get(label), packed, VERTEX_RESERVED)
+
+    def add_edges(
+        self,
+        label: str,
+        df: DataFrame,
+        start_col: str = "start_id",
+        end_col: str = "end_id",
+        start_label: Optional[str] = None,
+        end_label: Optional[str] = None,
+        id_col: Optional[str] = None,
+    ) -> None:
+        """Register edges. ``start_col``/``end_col`` hold either packed
+        graphids (start_label/end_label None) or natural entry ids local to
+        the given endpoint labels, packed here by shifting in the label id —
+        the direct-pack fast path of the reference's edge loader
+        (``age_load.c:653`` resolves (entry_id, label) -> graphid)."""
+        meta = self.create_elabel(label)
+        out = df
+        if start_label is not None:
+            sid = self.meta.label(start_label).label_id
+            out = out.withColumn(
+                "start_id", (F.lit(sid).cast("long") * F.lit(1 << ENTRY_ID_BITS) + F.col(start_col).cast("long"))
+            )
+        elif start_col != "start_id":
+            out = out.withColumn("start_id", F.col(start_col).cast("long"))
+        if end_label is not None:
+            eid = self.meta.label(end_label).label_id
+            out = out.withColumn(
+                "end_id", (F.lit(eid).cast("long") * F.lit(1 << ENTRY_ID_BITS) + F.col(end_col).cast("long"))
+            )
+        elif end_col != "end_id":
+            out = out.withColumn("end_id", F.col(end_col).cast("long"))
+        drop = [c for c in (start_col, end_col) if c not in ("start_id", "end_id")]
+        if drop:
+            out = out.drop(*drop)
+        packed = self._pack_ids(out, meta, id_col)
+        self.edge_dfs[label] = self._append(self.edge_dfs.get(label), packed, EDGE_RESERVED)
+
+    def _pack_ids(self, df: DataFrame, meta, id_col: Optional[str]) -> DataFrame:
+        shift = F.lit(meta.label_id).cast("long") * F.lit(1 << ENTRY_ID_BITS)
+        if id_col is not None:
+            out = df.withColumn("id", shift + F.col(id_col).cast("long"))
+            if id_col != "id":
+                out = out.drop(id_col)
+            return out
+        # Allocate from the per-label sequence. zipWithIndex-style global
+        # numbering: per-partition counts + cumulative offsets (one tiny
+        # driver-side count per partition; no global sort/shuffle).
+        n = df.count()
+        first = meta.allocate(max(n, 1))
+        rdd = df.rdd
+        counts = rdd.mapPartitionsWithIndex(
+            lambda i, it: [(i, sum(1 for _ in it))]
+        ).collect()
+        offsets = {}
+        acc = first
+        for i, c in sorted(counts):
+            offsets[i] = acc
+            acc += c
+        schema = df.schema
+        shift_v = meta.label_id << ENTRY_ID_BITS
+
+        def number(i, it):
+            base = offsets.get(i, 0)
+            for j, row in enumerate(it):
+                yield (*row, shift_v | (base + j))
+
+        new_schema = T.StructType(list(schema.fields) + [T.StructField("id", T.LongType(), False)])
+        return self.spark.createDataFrame(rdd.mapPartitionsWithIndex(number), new_schema)
+
+    def _append(self, existing: Optional[DataFrame], new: DataFrame, reserved) -> DataFrame:
+        if existing is None or len(existing.columns) <= len(reserved) and existing.rdd.isEmpty():
+            return new
+        return union_by_merged_schema([existing, new])
+
+    # --------------------------------------------------------------- scans
+    def vertex_property_schema(self, labels: Optional[list[str]] = None) -> list[tuple[str, T.DataType]]:
+        dfs = [self.vertex_dfs[m.name] for m in self._vlabels(labels)]
+        return merge_property_schema(dfs, VERTEX_RESERVED)
+
+    def edge_property_schema(self, labels: Optional[list[str]] = None) -> list[tuple[str, T.DataType]]:
+        dfs = [self.edge_dfs[m.name] for m in self._elabels(labels)]
+        return merge_property_schema(dfs, EDGE_RESERVED)
+
+    def _vlabels(self, labels):
+        if labels is None:
+            return self.meta.vertex_labels()
+        out = []
+        for name in labels:
+            m = self.meta.label(name)
+            if m.kind != VERTEX_KIND:
+                raise CatalogError(f"label {name!r} is not a vertex label")
+            out.append(m)
+        return out
+
+    def _elabels(self, labels):
+        if labels is None:
+            return self.meta.edge_labels()
+        out = []
+        for name in labels:
+            m = self.meta.label(name)
+            if m.kind != EDGE_KIND:
+                raise CatalogError(f"label {name!r} is not an edge label")
+            out.append(m)
+        return out
+
+    def scan_vertices(self, labels: Optional[list[str]] = None) -> DataFrame:
+        """Unified vertex view: id, label, properties STRUCT<merged schema>.
+
+        One label -> a single per-label scan (no union, filters push to
+        parquet); many labels -> union-all (the Spark replacement for the
+        reference's table inheritance, ``cypher_clause.c:6973-7004``).
+        """
+        metas = self._vlabels(labels)
+        if not metas:
+            return self._empty_vertices()
+        schema = self.vertex_property_schema([m.name for m in metas])
+        parts = []
+        for m in metas:
+            df = self.vertex_dfs[m.name]
+            have = {f.name: f.dataType for f in df.schema.fields}
+            props = [
+                (F.col(nm).cast(dt) if nm in have else F.lit(None).cast(dt)).alias(nm)
+                for nm, dt in schema
+            ]
+            cols = [F.col("id"), F.lit(m.name).alias("label")]
+            if props:
+                cols.append(F.struct(*props).alias("properties"))
+            else:
+                cols.append(F.struct(F.lit(None).cast("string").alias("_none")).alias("properties"))
+            parts.append(df.select(*cols))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def scan_edges(self, labels: Optional[list[str]] = None) -> DataFrame:
+        """Unified edge view: id, start_id, end_id, label, properties."""
+        metas = self._elabels(labels)
+        if not metas:
+            return self._empty_edges()
+        schema = self.edge_property_schema([m.name for m in metas])
+        parts = []
+        for m in metas:
+            df = self.edge_dfs[m.name]
+            have = {f.name: f.dataType for f in df.schema.fields}
+            props = [
+                (F.col(nm).cast(dt) if nm in have else F.lit(None).cast(dt)).alias(nm)
+                for nm, dt in schema
+            ]
+            cols = [
+                F.col("id"),
+                F.col("start_id"),
+                F.col("end_id"),
+                F.lit(m.name).alias("label"),
+            ]
+            if props:
+                cols.append(F.struct(*props).alias("properties"))
+            else:
+                cols.append(F.struct(F.lit(None).cast("string").alias("_none")).alias("properties"))
+            parts.append(df.select(*cols))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def _empty_vertices(self) -> DataFrame:
+        return self.spark.createDataFrame(
+            [],
+            T.StructType(
+                [
+                    T.StructField("id", T.LongType()),
+                    T.StructField("label", T.StringType()),
+                    T.StructField(
+                        "properties", T.StructType([T.StructField("_none", T.StringType())])
+                    ),
+                ]
+            ),
+        )
+
+    def _empty_edges(self) -> DataFrame:
+        return self.spark.createDataFrame(
+            [],
+            T.StructType(
+                [
+                    T.StructField("id", T.LongType()),
+                    T.StructField("start_id", T.LongType()),
+                    T.StructField("end_id", T.LongType()),
+                    T.StructField("label", T.StringType()),
+                    T.StructField(
+                        "properties", T.StructType([T.StructField("_none", T.StringType())])
+                    ),
+                ]
+            ),
+        )
+
+    # ----------------------------------------------------------- snapshots
+    def snapshot(
+        self,
+        vertex_dfs: Optional[dict[str, DataFrame]] = None,
+        edge_dfs: Optional[dict[str, DataFrame]] = None,
+    ) -> "Graph":
+        """New Graph sharing the catalog, with some label tables replaced."""
+        v = dict(self.vertex_dfs)
+        e = dict(self.edge_dfs)
+        if vertex_dfs:
+            v.update(vertex_dfs)
+        if edge_dfs:
+            e.update(edge_dfs)
+        return Graph(self.spark, self.meta, v, e)
+
+    # ------------------------------------------------------------- storage
+    def save(self, path: str, mode: str = "overwrite") -> None:
+        """Write per-label parquet + catalog.json (the Spark analogue of the
+        reference's one-heap-table-per-label layout)."""
+        os.makedirs(path, exist_ok=True)
+        with open(os.path.join(path, "catalog.json"), "w") as f:
+            f.write(self.meta.to_json())
+        for label, df in self.vertex_dfs.items():
+            df.write.mode(mode).parquet(os.path.join(path, f"v_{label}"))
+        for label, df in self.edge_dfs.items():
+            df.write.mode(mode).parquet(os.path.join(path, f"e_{label}"))
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str) -> "Graph":
+        with open(os.path.join(path, "catalog.json")) as f:
+            meta = GraphMeta.from_json(f.read())
+        v, e = {}, {}
+        for m in meta.labels.values():
+            prefix = "v_" if m.kind == VERTEX_KIND else "e_"
+            df = spark.read.parquet(os.path.join(path, prefix + m.name))
+            (v if m.kind == VERTEX_KIND else e)[m.name] = df
+        return cls(spark, meta, v, e)
+
+
+def union_by_merged_schema(dfs: list[DataFrame]) -> DataFrame:
+    """Union DataFrames whose schemas may differ; missing columns become
+    NULL, conflicting types widen."""
+    merged = merge_property_schema(dfs, ())
+    parts = []
+    for df in dfs:
+        have = {f.name: f.dataType for f in df.schema.fields}
+        cols = [
+            (F.col(nm).cast(dt) if nm in have else F.lit(None).cast(dt)).alias(nm)
+            for nm, dt in merged
+        ]
+        parts.append(df.select(*cols))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def create_graph(spark: SparkSession, name: str) -> Graph:
+    """API parity with the reference's ``create_graph(name)``
+    (``src/backend/commands/graph_commands.c:47``)."""
+    validate_name(name, "graph name")
+    return Graph(spark, GraphMeta(name=name))
