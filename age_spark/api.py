@@ -1,0 +1,115 @@
+"""Public API: the Spark-native equivalent of the reference's SQL surface.
+
+Reference entry point: ``SELECT * FROM cypher('graph', $$ ... $$) AS (...)``
+(``sql/age_query.sql:49``, ``parser/cypher_analyze.c:383``). Ours:
+
+    from age_spark import AgeSession
+    age = AgeSession(spark)
+    g = age.create_graph("g")
+    g = age.load_vertices(g, "Person", df, id_col="pid")
+    res = age.cypher(g, "MATCH (n:Person) RETURN n.name AS name", params={})
+    res.df            # the result DataFrame (lazy — nothing ran yet)
+    res.graph         # graph snapshot after any write clauses
+
+``cypher()`` never collects: it compiles the query to a DataFrame and hands
+it back; Catalyst plans it together with whatever the caller does next.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .catalog import GraphMeta
+from .cypher import parse_cypher
+from .compiler import compile_query
+from .compiler.context import QueryContext
+from .graph import Graph, create_graph
+
+
+@dataclass
+class CypherResult:
+    df: DataFrame
+    graph: Graph
+
+
+class AgeSession:
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+
+    # ---- DDL (graph_commands.c:47-299 parity)
+    def create_graph(self, name: str) -> Graph:
+        return create_graph(self.spark, name)
+
+    def load_graph(self, path: str) -> Graph:
+        return Graph.load(self.spark, path)
+
+    # ---- loaders (age_load.c parity, §2.1)
+    def load_vertices(
+        self, graph: Graph, label: str, df: DataFrame, id_col: Optional[str] = None
+    ) -> Graph:
+        graph.add_vertices(label, df, id_col=id_col)
+        return graph
+
+    def load_edges(
+        self,
+        graph: Graph,
+        label: str,
+        df: DataFrame,
+        start_col: str = "start_id",
+        end_col: str = "end_id",
+        start_label: Optional[str] = None,
+        end_label: Optional[str] = None,
+        id_col: Optional[str] = None,
+    ) -> Graph:
+        graph.add_edges(
+            label, df, start_col=start_col, end_col=end_col,
+            start_label=start_label, end_label=end_label, id_col=id_col,
+        )
+        return graph
+
+    def load_vertices_from_csv(
+        self, graph: Graph, label: str, path: str, id_col: Optional[str] = None
+    ) -> Graph:
+        """CSV bulk load (load_labels_from_file, age_load.c:565): header row,
+        schema inference on (typed columns beat agtype re-parsing)."""
+        df = self.spark.read.csv(path, header=True, inferSchema=True)
+        return self.load_vertices(graph, label, df, id_col=id_col)
+
+    def load_edges_from_csv(
+        self,
+        graph: Graph,
+        label: str,
+        path: str,
+        start_label: str,
+        end_label: str,
+    ) -> Graph:
+        """CSV edge load (load_edges_from_file, age_load.c:653). Expected
+        columns: start_id, start_vertex_type, end_id, end_vertex_type, then
+        properties (fixture format regress/age_load/data/edges.csv)."""
+        df = self.spark.read.csv(path, header=True, inferSchema=True)
+        drop = [c for c in ("start_vertex_type", "end_vertex_type") if c in df.columns]
+        if drop:
+            df = df.drop(*drop)
+        return self.load_edges(
+            graph, label, df,
+            start_col="start_id", end_col="end_id",
+            start_label=start_label, end_label=end_label,
+        )
+
+    # ---- query
+    def cypher(self, graph: Graph, query: str, params: Optional[dict] = None) -> CypherResult:
+        ast = parse_cypher(query)
+        ctx = QueryContext(spark=self.spark, graph=graph, params=params or {})
+        df, ctx = compile_query(ctx, ast)
+        return CypherResult(df=df, graph=ctx.graph)
+
+    def explain(self, graph: Graph, query: str, params: Optional[dict] = None) -> str:
+        """EXPLAIN parity (cypher_gram.y:376-423): the physical plan is
+        Catalyst's, so EXPLAIN is the DataFrame's formatted plan."""
+        res = self.cypher(graph, query, params)
+        return res.df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
+            res.df._jdf.queryExecution(), "formatted"
+        )

@@ -1,0 +1,742 @@
+"""Clause chain -> DataFrame pipeline.
+
+The reference's analyzer turns each Cypher clause into a nested SELECT whose
+FROM is the previous clause (``transform_cypher_clause``,
+``src/backend/parser/cypher_clause.c:519``; chaining via
+``transform_prev_cypher_clause``). Our equivalent: each clause is a function
+``(DataFrame, Env) -> (DataFrame, Env)`` and the chain is ordinary DataFrame
+composition — Catalyst collapses the nesting exactly like PG's subquery
+pull-up does for the reference.
+
+Implicit grouping (``RETURN a, count(b)`` groups by a) follows
+``cypher_clause.c:3519-3534`` / ``parser/cypher_parse_agg.c``: every
+non-aggregate projection item becomes a grouping key.
+
+EXISTS/COUNT subqueries and pattern predicates are *lifted*: computed as
+helper columns via semi/left joins keyed on the shared variables (the Spark
+shape of the reference's sublink + bool_or strategy,
+``cypher_clause.c:1728/4333``), then the expression tree references the
+helper column.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, replace as dc_replace
+from typing import Optional
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..cypher import ast as A
+from .context import (
+    EDGE,
+    EDGE_LIST,
+    PATH,
+    SCALAR,
+    VERTEX,
+    Binding,
+    CompileError,
+    Env,
+    QueryContext,
+)
+from .exprs import (
+    AGG_FNS,
+    ExprScope,
+    compile_expr,
+    contains_aggregate,
+    dtype_of,
+)
+from .patterns import compile_match_patterns
+
+
+@dataclass
+class State:
+    df: Optional[DataFrame]
+    env: Env
+
+
+def _unit_df(ctx: QueryContext) -> DataFrame:
+    return ctx.spark.range(1).select(F.lit(0).alias("_unit"))
+
+
+# ------------------------------------------------------------ AST rewriting
+
+
+def transform_expr(e, fn):
+    """Bottom-up rebuild; fn applied to every node (returning a replacement
+    or the node itself)."""
+    if e is None:
+        return None
+    if isinstance(e, A.Unary):
+        e = A.Unary(e.op, transform_expr(e.expr, fn))
+    elif isinstance(e, A.Binary):
+        e = A.Binary(e.op, transform_expr(e.left, fn), transform_expr(e.right, fn))
+    elif isinstance(e, A.Prop):
+        e = A.Prop(transform_expr(e.expr, fn), e.key)
+    elif isinstance(e, A.Index):
+        e = A.Index(transform_expr(e.expr, fn), transform_expr(e.index, fn))
+    elif isinstance(e, A.Slice):
+        e = A.Slice(transform_expr(e.expr, fn), transform_expr(e.lo, fn), transform_expr(e.hi, fn))
+    elif isinstance(e, A.ListLit):
+        e = A.ListLit([transform_expr(x, fn) for x in e.items])
+    elif isinstance(e, A.MapLit):
+        e = A.MapLit([(k, transform_expr(v, fn)) for k, v in e.items])
+    elif isinstance(e, A.IsNull):
+        e = A.IsNull(transform_expr(e.expr, fn), e.negated)
+    elif isinstance(e, A.CaseExpr):
+        e = A.CaseExpr(
+            transform_expr(e.operand, fn),
+            [(transform_expr(c, fn), transform_expr(r, fn)) for c, r in e.whens],
+            transform_expr(e.default, fn),
+        )
+    elif isinstance(e, A.ListComp):
+        e = A.ListComp(e.var, transform_expr(e.source, fn), transform_expr(e.where, fn), transform_expr(e.projection, fn))
+    elif isinstance(e, A.PredFn):
+        e = A.PredFn(e.kind, e.var, transform_expr(e.source, fn), transform_expr(e.where, fn))
+    elif isinstance(e, A.Reduce):
+        e = A.Reduce(e.acc, transform_expr(e.init, fn), e.var, transform_expr(e.source, fn), transform_expr(e.expr, fn))
+    elif isinstance(e, A.FuncCall):
+        e = A.FuncCall(e.name, [transform_expr(a, fn) for a in e.args], e.distinct)
+    return fn(e)
+
+
+def expr_vars(e) -> set[str]:
+    out: set[str] = set()
+
+    def fn(x):
+        if isinstance(x, A.Var):
+            out.add(x.name)
+        return x
+
+    transform_expr(e, fn)
+    return out
+
+
+def pattern_vars(pats: list[A.PathPattern]) -> set[str]:
+    out: set[str] = set()
+    for p in pats:
+        if p.var:
+            out.add(p.var)
+        for el in p.elements:
+            if el.var:
+                out.add(el.var)
+    return out
+
+
+# ------------------------------------------------------- subquery lifting
+
+
+def lift_subqueries(ctx: QueryContext, st: State, e):
+    """Replace ExistsSubquery/CountSubquery/PatternPred nodes with references
+    to helper columns computed via joins. Returns (new_state, new_expr)."""
+    if e is None:
+        return st, None
+
+    pending: list[tuple[object, str]] = []
+
+    def detect(x):
+        if isinstance(x, (A.ExistsSubquery, A.CountSubquery, A.PatternPred)):
+            name = ctx.fresh("_sq")
+            pending.append((x, name))
+            if isinstance(x, A.CountSubquery):
+                return A.FuncCall("coalesce", [A.Var(name), A.Lit(0)])
+            return A.FuncCall("coalesce", [A.Var(name), A.Lit(False)])
+        return x
+
+    new_e = transform_expr(e, detect)
+    for node, name in pending:
+        st = _attach_subquery(ctx, st, node, name)
+    return st, new_e
+
+
+def _attach_subquery(ctx: QueryContext, st: State, node, out_name: str) -> State:
+    if isinstance(node, A.PatternPred):
+        pats, where = [node.pattern], None
+        want_count = False
+    elif isinstance(node, A.ExistsSubquery):
+        pats, where = node.patterns, node.where
+        want_count = False
+    else:
+        pats, where = node.patterns, node.where
+        want_count = True
+
+    df, env = st.df, st.env
+    if df is None:
+        df = _unit_df(ctx)
+
+    shared = sorted(
+        v for v in (pattern_vars(pats) | (expr_vars(where) if where else set()))
+        if env.get(v) is not None
+    )
+    keys = []
+    for v in shared:
+        b = env.require(v)
+        if b.kind in (VERTEX, EDGE):
+            keys.append((v, "id"))
+        else:
+            keys.append((v, None))
+
+    if shared:
+        seed = df.select(*[F.col(v) for v in shared]).distinct()
+    else:
+        seed = _unit_df(ctx)
+
+    env_sub = Env({v: env.require(v) for v in shared})
+    sub_df, sub_env, _ = compile_match_patterns(ctx, seed if shared else None, env_sub, pats)
+    sub_st = State(sub_df, sub_env)
+    if where is not None:
+        sub_st, w = lift_subqueries(ctx, sub_st, where)
+        scope = ExprScope(ctx, sub_st.df, sub_st.env)
+        sub_st = State(sub_st.df.filter(compile_expr(scope, w).cast("boolean")), sub_st.env)
+    sub_df = sub_st.df
+
+    key_cols = []
+    for v, fld in keys:
+        c = F.col(v).getField(fld) if fld else F.col(v)
+        key_cols.append(c.alias(f"_key_{v}"))
+
+    if want_count:
+        if key_cols:
+            agg = sub_df.select(*key_cols).groupBy(*[f"_key_{v}" for v, _ in keys]).agg(
+                F.count(F.lit(1)).alias(out_name)
+            )
+        else:
+            agg = sub_df.agg(F.count(F.lit(1)).alias(out_name))
+    else:
+        if key_cols:
+            agg = sub_df.select(*key_cols).distinct().withColumn(out_name, F.lit(True))
+        else:
+            agg = sub_df.limit(1).select(F.lit(True).alias(out_name))
+
+    if keys:
+        cond = None
+        for v, fld in keys:
+            left = F.col(v).getField(fld) if fld else F.col(v)
+            c = left.eqNullSafe(F.col(f"_key_{v}"))
+            cond = c if cond is None else (cond & c)
+        out = df.join(agg, cond, "left").drop(*[f"_key_{v}" for v, _ in keys])
+    else:
+        out = df.crossJoin(agg) if want_count else df.crossJoin(
+            agg.select(F.coalesce(F.first(out_name), F.lit(False)).alias(out_name))
+        )
+    new_env = st.env.bind(Binding(out_name, SCALAR, hidden=True))
+    return State(out, new_env)
+
+
+# ------------------------------------------------------------- aggregates
+
+
+def _agg_column(ctx: QueryContext, node: A.FuncCall, arg_col: Optional[Column]) -> Column:
+    name = node.name
+    if name == "count":
+        if not node.args or isinstance(node.args[0], A.Star):
+            return F.count(F.lit(1))
+        if node.distinct:
+            return F.count_distinct(arg_col)
+        return F.count(arg_col)
+    if name == "sum":
+        return F.sum(arg_col)
+    if name == "avg":
+        return F.avg(arg_col)
+    if name == "min":
+        return F.min(arg_col)
+    if name == "max":
+        return F.max(arg_col)
+    if name == "collect":
+        # never NULL: empty list for no input (agtype.c:12108)
+        return F.collect_set(arg_col) if node.distinct else F.collect_list(arg_col)
+    if name == "stdev":
+        # n=1 -> 0 not NULL (age_aggregate.sql:42)
+        return F.coalesce(F.stddev_samp(arg_col), F.lit(0.0))
+    if name == "stdevp":
+        return F.coalesce(F.stddev_pop(arg_col), F.lit(0.0))
+    if name == "percentilecont":
+        return F.percentile(arg_col, F.lit(_const_float(ctx, node.args[1])))
+    if name == "percentiledisc":
+        return F.percentile_approx(arg_col, F.lit(_const_float(ctx, node.args[1])), F.lit(2147483647))
+    raise CompileError(f"unknown aggregate {name}")
+
+
+def _const_float(ctx: QueryContext, e) -> float:
+    if isinstance(e, A.Lit) and isinstance(e.value, (int, float)):
+        return float(e.value)
+    if isinstance(e, A.Param):
+        return float(ctx.params[e.name])
+    raise CompileError("percentile requires a constant fraction")
+
+
+def collect_agg_nodes(e) -> list[A.FuncCall]:
+    out = []
+
+    def fn(x):
+        if isinstance(x, A.FuncCall) and x.name in AGG_FNS:
+            out.append(x)
+        return x
+
+    transform_expr(e, fn)
+    return out
+
+
+# ------------------------------------------------------------- projection
+
+
+def _derive_alias(item: A.ReturnItem, i: int) -> str:
+    if item.alias:
+        return item.alias
+    if isinstance(item.expr, A.Var):
+        return item.expr.name
+    if isinstance(item.expr, A.Prop):
+        return item.expr.key
+    return f"col{i}"
+
+
+def _binding_kind_of_item(env: Env, df: DataFrame, expr, alias: str) -> Binding:
+    if isinstance(expr, A.Var):
+        b = env.get(expr.name)
+        if b is not None:
+            return Binding(alias, b.kind, b.labels)
+    dt = df.schema[alias].dataType if alias in df.columns else None
+    return Binding(alias, _infer_kind(dt))
+
+
+def _infer_kind(dt) -> str:
+    if isinstance(dt, T.StructType):
+        names = {f.name for f in dt.fields}
+        if {"id", "label", "properties"} <= names:
+            return EDGE if "start_id" in names else VERTEX
+        if {"nodes", "edges"} <= names:
+            return PATH
+    return SCALAR
+
+
+def _const_int(ctx: QueryContext, e) -> int:
+    if isinstance(e, A.Lit) and isinstance(e.value, int):
+        return e.value
+    if isinstance(e, A.Param):
+        return int(ctx.params[e.name])
+    raise CompileError("SKIP/LIMIT must be a constant integer")
+
+
+def compile_projection(
+    ctx: QueryContext,
+    st: State,
+    items: list[A.ReturnItem],
+    distinct: bool,
+    star: bool,
+    order_by: list[A.OrderItem],
+    skip,
+    limit,
+    where,
+    is_with: bool,
+) -> State:
+    df = st.df if st.df is not None else _unit_df(ctx)
+    env = st.env
+    state = State(df, env)
+
+    if star:
+        star_items = [A.ReturnItem(A.Var(n), n) for n in env.visible_names()]
+        items = star_items + items
+    if not items:
+        raise CompileError("empty projection")
+
+    # lift subqueries out of item / order / where expressions
+    new_items = []
+    for it in items:
+        state, ne = lift_subqueries(ctx, state, it.expr)
+        new_items.append(A.ReturnItem(ne, it.alias))
+    items = new_items
+    new_order = []
+    for ob in order_by:
+        state, ne = lift_subqueries(ctx, state, ob.expr)
+        new_order.append(A.OrderItem(ne, ob.asc))
+    order_by = new_order
+    df, env = state.df, state.env
+
+    aliases = []
+    seen = set()
+    for i, it in enumerate(items):
+        a = _derive_alias(it, i)
+        while a in seen:
+            a = a + "_"
+        seen.add(a)
+        aliases.append(a)
+
+    has_agg = any(contains_aggregate(it.expr) for it in items) or any(
+        contains_aggregate(ob.expr) for ob in order_by
+    )
+
+    if has_agg:
+        out_df, out_env = _project_aggregate(ctx, df, env, items, aliases, order_by, distinct)
+    else:
+        out_df, out_env = _project_plain(ctx, df, env, items, aliases, order_by, distinct)
+
+    state = State(out_df, out_env)
+
+    if skip is not None:
+        state = State(state.df.offset(_const_int(ctx, skip)), state.env)
+    if limit is not None:
+        state = State(state.df.limit(_const_int(ctx, limit)), state.env)
+
+    if where is not None:
+        state, w = lift_subqueries(ctx, state, where)
+        scope = ExprScope(ctx, state.df, state.env)
+        state = State(state.df.filter(compile_expr(scope, w).cast("boolean")), state.env)
+        # drop any helper cols the lifting added
+        keep = [c for c in state.df.columns if not c.startswith("_sq")]
+        state = State(state.df.select(*keep), state.env)
+
+    return state
+
+
+def _sort_cols(order_specs: list[tuple[Column, bool]]) -> list[Column]:
+    # Cypher/agtype ordering: NULLs sort largest (agtype_util.c:271-310)
+    out = []
+    for c, asc in order_specs:
+        out.append(c.asc_nulls_last() if asc else c.desc_nulls_first())
+    return out
+
+
+def _project_plain(ctx, df, env, items, aliases, order_by, distinct):
+    scope = ExprScope(ctx, df, env)
+    proj_cols = {}
+    for i, it in enumerate(items):
+        proj_cols[f"_p{i}"] = compile_expr(scope, it.expr)
+    work = df
+    for name, c in proj_cols.items():
+        work = work.withColumn(name, c)
+
+    # final bindings
+    new_env = Env({})
+    for i, (it, alias) in enumerate(zip(items, aliases)):
+        b = _binding_kind_of_item(env, work, it.expr, alias)
+        new_env = new_env.bind(Binding(alias, b.kind, b.labels))
+
+    alias_to_p = { alias: f"_p{i}" for i, alias in enumerate(aliases) }
+    item_ast_to_p = []
+    for i, it in enumerate(items):
+        item_ast_to_p.append((it.expr, f"_p{i}"))
+
+    if distinct:
+        sel = work.select(*[F.col(f"_p{i}").alias(a) for i, a in enumerate(aliases)]).distinct()
+        if order_by:
+            scope2 = ExprScope(ctx, sel, new_env)
+            specs = []
+            for ob in order_by:
+                c = _order_col_on_projected(scope2, ob.expr, aliases, items)
+                specs.append((c, ob.asc))
+            sel = sel.orderBy(*_sort_cols(specs))
+        return sel, new_env
+
+    if order_by:
+        specs = []
+        scope_ord = ExprScope(ctx, work, env)
+        for ob in order_by:
+            c = None
+            if isinstance(ob.expr, A.Var) and ob.expr.name in alias_to_p:
+                c = F.col(alias_to_p[ob.expr.name])
+            else:
+                for ast_e, pcol in item_ast_to_p:
+                    if ast_e == ob.expr:
+                        c = F.col(pcol)
+                        break
+            if c is None:
+                c = compile_expr(scope_ord, ob.expr)
+            specs.append((c, ob.asc))
+        work = work.orderBy(*_sort_cols(specs))
+    out = work.select(*[F.col(f"_p{i}").alias(a) for i, a in enumerate(aliases)])
+    return out, new_env
+
+
+def _order_col_on_projected(scope, expr, aliases, items):
+    if isinstance(expr, A.Var) and expr.name in aliases:
+        return F.col(expr.name)
+    for it, alias in zip(items, aliases):
+        if it.expr == expr:
+            return F.col(alias)
+    return compile_expr(scope, expr)
+
+
+def _project_aggregate(ctx, df, env, items, aliases, order_by, distinct):
+    scope = ExprScope(ctx, df, env)
+
+    # 1) grouping keys = non-aggregate items (implicit grouping, §2.5)
+    key_idx = [i for i, it in enumerate(items) if not contains_aggregate(it.expr)]
+    key_cols = {}
+    for i in key_idx:
+        key_cols[f"_k{i}"] = compile_expr(scope, items[i].expr)
+
+    # 2) aggregate nodes across items + order-by
+    agg_nodes: list[A.FuncCall] = []
+    for it in items:
+        agg_nodes.extend(collect_agg_nodes(it.expr))
+    for ob in order_by:
+        agg_nodes.extend(collect_agg_nodes(ob.expr))
+    uniq: list[A.FuncCall] = []
+    for n in agg_nodes:
+        if not any(n == u for u in uniq):
+            uniq.append(n)
+
+    pre = df
+    for name, c in key_cols.items():
+        pre = pre.withColumn(name, c)
+    arg_names: list[Optional[str]] = []
+    for j, node in enumerate(uniq):
+        if node.args and not isinstance(node.args[0], A.Star):
+            an = f"_aa{j}"
+            pre = pre.withColumn(an, compile_expr(ExprScope(ctx, pre, env), node.args[0]))
+            arg_names.append(an)
+        else:
+            arg_names.append(None)
+
+    aggs = []
+    for j, node in enumerate(uniq):
+        arg_col = F.col(arg_names[j]) if arg_names[j] else None
+        aggs.append(_agg_column(ctx, node, arg_col).alias(f"_a{j}"))
+
+    if key_idx:
+        grouped = pre.groupBy(*[F.col(f"_k{i}") for i in key_idx]).agg(*aggs)
+    else:
+        grouped = pre.agg(*aggs)
+
+    # 3) rewrite item/order ASTs onto the grouped columns
+    helper_env = Env({})
+    for i in key_idx:
+        helper_env = helper_env.bind(Binding(f"_k{i}", SCALAR))
+    for j in range(len(uniq)):
+        helper_env = helper_env.bind(Binding(f"_a{j}", SCALAR))
+
+    def rewrite(e):
+        def fn(x):
+            if isinstance(x, A.FuncCall) and x.name in AGG_FNS:
+                for j, u in enumerate(uniq):
+                    if x == u:
+                        return A.Var(f"_a{j}")
+            return x
+
+        return transform_expr(e, fn)
+
+    scope_g = ExprScope(ctx, grouped, helper_env)
+    final_cols = []
+    for i, (it, alias) in enumerate(zip(items, aliases)):
+        if i in key_idx:
+            final_cols.append(F.col(f"_k{i}").alias(alias))
+        else:
+            final_cols.append(compile_expr(scope_g, rewrite(it.expr)).alias(alias))
+
+    ord_specs = []
+    for jo, ob in enumerate(order_by):
+        expr = ob.expr
+        c = None
+        if isinstance(expr, A.Var):
+            for i, a in enumerate(aliases):
+                if a == expr.name:
+                    c = F.col(f"_k{i}") if i in key_idx else compile_expr(scope_g, rewrite(items[i].expr))
+                    break
+        if c is None:
+            for i, it in enumerate(items):
+                if it.expr == expr:
+                    c = F.col(f"_k{i}") if i in key_idx else compile_expr(scope_g, rewrite(it.expr))
+                    break
+        if c is None:
+            c = compile_expr(scope_g, rewrite(expr))
+        ord_specs.append((c, ob.asc))
+
+    work = grouped.select(*final_cols, *[c.alias(f"_o{j}") for j, (c, _) in enumerate(ord_specs)])
+    if ord_specs:
+        work = work.orderBy(*_sort_cols([(F.col(f"_o{j}"), asc) for j, (_, asc) in enumerate(ord_specs)]))
+    out = work.select(*aliases)
+    if distinct:
+        out = out.distinct()
+
+    new_env = Env({})
+    for i, (it, alias) in enumerate(zip(items, aliases)):
+        if i in key_idx:
+            b = _binding_kind_of_item(env, out, it.expr, alias)
+            new_env = new_env.bind(Binding(alias, b.kind, b.labels))
+        else:
+            new_env = new_env.bind(Binding(alias, _infer_kind(out.schema[alias].dataType)))
+    return out, new_env
+
+
+# ---------------------------------------------------------------- clauses
+
+
+def compile_match(ctx: QueryContext, st: State, m: A.Match) -> State:
+    if m.optional:
+        return _compile_optional_match(ctx, st, m)
+    df, env, mst = compile_match_patterns(ctx, st.df, st.env, m.patterns)
+    state = State(df, env)
+    if m.where is not None:
+        state, w = lift_subqueries(ctx, state, m.where)
+        scope = ExprScope(ctx, state.df, state.env)
+        state = State(state.df.filter(compile_expr(scope, w).cast("boolean")), state.env)
+    mst.df = state.df
+    mst.drop_helpers()
+    return State(mst.df, state.env)
+
+
+def _compile_optional_match(ctx: QueryContext, st: State, m: A.Match) -> State:
+    """OPTIONAL MATCH = LATERAL LEFT JOIN of the pattern
+    (``transform_cypher_optional_match_clause``, ``cypher_clause.c:3995``).
+
+    Correlation runs through the shared variables only, so we seed the
+    optional side with the DISTINCT projection of those variables and left
+    join the result back on entity ids — no row-id generation, deterministic
+    under recomputation."""
+    if st.df is None:
+        # no prior rows: plain MATCH but preserving zero-row -> still zero
+        return compile_match(ctx, st, A.Match(m.patterns, False, m.where))
+    outer_vars = set(st.env.names())
+    used = (pattern_vars(m.patterns) | (expr_vars(m.where) if m.where else set()))
+    shared = sorted(v for v in used if v in outer_vars)
+
+    seed = st.df.select(*[F.col(v) for v in shared]).distinct() if shared else None
+    env_sub = Env({v: st.env.require(v) for v in shared})
+    sub_df, sub_env, mst = compile_match_patterns(ctx, seed, env_sub, m.patterns)
+    sub_state = State(sub_df, sub_env)
+    if m.where is not None:
+        sub_state, w = lift_subqueries(ctx, sub_state, m.where)
+        scope = ExprScope(ctx, sub_state.df, sub_state.env)
+        sub_state = State(sub_state.df.filter(compile_expr(scope, w).cast("boolean")), sub_state.env)
+    mst.df = sub_state.df
+    mst.drop_helpers()
+    sub_df = mst.df
+
+    new_vars = [n for n in sub_state.env.names() if n not in shared and not n.startswith("_sq")]
+    sel = []
+    join_keys = []
+    for v in shared:
+        b = st.env.require(v)
+        if b.kind in (VERTEX, EDGE):
+            sel.append(F.col(v).getField("id").alias(f"_j_{v}"))
+            join_keys.append((v, "id"))
+        else:
+            sel.append(F.col(v).alias(f"_j_{v}"))
+            join_keys.append((v, None))
+    for v in new_vars:
+        sel.append(F.col(v))
+    sub_out = sub_df.select(*sel)
+
+    cond = None
+    for v, fld in join_keys:
+        left = F.col(v).getField(fld) if fld else F.col(v)
+        c = left.eqNullSafe(F.col(f"_j_{v}"))
+        cond = c if cond is None else (cond & c)
+    if cond is None:
+        out = st.df.crossJoin(sub_out) if not sub_out.isEmpty() else st.df
+        # no shared vars and empty optional side: keep outer rows with nulls
+        if sub_out.isEmpty():
+            for v in new_vars:
+                out = out.withColumn(v, F.lit(None).cast(sub_df.schema[v].dataType))
+    else:
+        out = st.df.join(sub_out, cond, "left").drop(*[f"_j_{v}" for v, _ in join_keys])
+
+    env = st.env
+    for v in new_vars:
+        b = sub_state.env.require(v)
+        env = env.bind(b)
+    return State(out, env)
+
+
+def compile_unwind(ctx: QueryContext, st: State, u: A.Unwind) -> State:
+    df = st.df if st.df is not None else _unit_df(ctx)
+    scope = ExprScope(ctx, df, st.env)
+    col = compile_expr(scope, u.expr)
+    # explode (not explode_outer): NULL/empty list yields no rows, matching
+    # age_unnest (agtype.c:13042)
+    out = df.select("*", F.explode(col).alias(u.var))
+    dt = out.schema[u.var].dataType
+    env = st.env.bind(Binding(u.var, _infer_kind(dt)))
+    return State(out, env)
+
+
+# ----------------------------------------------------------------- driver
+
+
+def compile_single(ctx: QueryContext, q: A.SingleQuery) -> tuple[DataFrame, QueryContext]:
+    from ..runtime import mutate
+
+    st = State(None, Env({}))
+    returned = False
+    for clause in q.clauses:
+        if isinstance(clause, A.Match):
+            st = compile_match(ctx, st, clause)
+        elif isinstance(clause, A.Unwind):
+            st = compile_unwind(ctx, st, clause)
+        elif isinstance(clause, A.With):
+            st = compile_projection(
+                ctx, st, clause.items, clause.distinct, clause.star,
+                clause.order_by, clause.skip, clause.limit, clause.where, True,
+            )
+        elif isinstance(clause, A.Return):
+            st = compile_projection(
+                ctx, st, clause.items, clause.distinct, clause.star,
+                clause.order_by, clause.skip, clause.limit, None, False,
+            )
+            returned = True
+        elif isinstance(clause, A.Create):
+            st, ctx = mutate.compile_create(ctx, st, clause)
+        elif isinstance(clause, A.SetClause):
+            st, ctx = mutate.compile_set(ctx, st, clause.items)
+        elif isinstance(clause, A.RemoveClause):
+            st, ctx = mutate.compile_remove(ctx, st, clause)
+        elif isinstance(clause, A.Delete):
+            st, ctx = mutate.compile_delete(ctx, st, clause)
+        elif isinstance(clause, A.Merge):
+            st, ctx = mutate.compile_merge(ctx, st, clause)
+        elif isinstance(clause, A.CallProc):
+            st = compile_call(ctx, st, clause)
+        else:
+            raise CompileError(f"unsupported clause {type(clause).__name__}")
+    if not returned:
+        # write-only query: execute side effects, return empty frame
+        if st.df is not None:
+            st.df.count()
+        empty = ctx.spark.createDataFrame([], T.StructType([]))
+        return empty, ctx
+    return st.df, ctx
+
+
+def compile_query(ctx: QueryContext, q: A.UnionQuery) -> tuple[DataFrame, QueryContext]:
+    df, ctx = compile_single(ctx, q.parts[0])
+    for part, keep_all in zip(q.parts[1:], q.alls):
+        nxt, ctx = compile_single(ctx, part)
+        df = df.unionByName(nxt)
+        if not keep_all:
+            df = df.distinct()
+    return df, ctx
+
+
+# -------------------------------------------------------------- CALL procs
+
+PROCEDURES = {}
+
+
+def procedure(name):
+    def deco(f):
+        PROCEDURES[name] = f
+        return f
+    return deco
+
+
+def compile_call(ctx: QueryContext, st: State, c: A.CallProc) -> State:
+    from ..runtime import procedures as _procs  # registers built-ins
+
+    impl = PROCEDURES.get(c.name.lower())
+    if impl is None:
+        raise CompileError(f"unknown procedure {c.name}")
+    scope = ExprScope(ctx, st.df if st.df is not None else _unit_df(ctx), st.env)
+    args = [compile_expr(scope, a) for a in c.args]
+    out = impl(ctx, c.args, args)
+    if st.df is not None:
+        out = st.df.crossJoin(out)
+    env = st.env
+    for f in out.schema.fields:
+        if env.get(f.name) is None:
+            env = env.bind(Binding(f.name, _infer_kind(f.dataType)))
+    state = State(out, env)
+    if c.yield_items:
+        items = [A.ReturnItem(it.expr, it.alias) for it in c.yield_items]
+        state = compile_projection(ctx, state, items, False, False, [], None, None, c.where, True)
+    return state

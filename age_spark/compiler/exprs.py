@@ -1,0 +1,782 @@
+"""Cypher expression -> native Spark Column compiler.
+
+Mirrors the surface of the reference's expression layer
+(``src/backend/parser/cypher_expr.c`` + the ``age_*`` function bodies in
+``src/backend/utils/adt/agtype.c`` — see SURVEY §2.8) but compiles to
+**native Column expressions** so everything stays inside whole-stage codegen.
+Where the reference evaluates one universal dynamic type (agtype) at runtime,
+we do lightweight static type dispatch at compile time via the DataFrame's
+resolved schema (``dtype_of``): the hot path never leaves the JVM and never
+parses JSON.
+
+Non-standard semantics pinned by the reference's regression suite
+(``regress/sql/expr.sql``) and kept here:
+  - ``substring``/``left``/``right`` are 0-based (``agtype.c:9181``)
+  - ``range(a, b[, step])`` is inclusive of b (``agtype.c:12937``)
+  - ``split`` uses a literal (non-regex) delimiter (``agtype.c:9399``)
+  - list index is 0-based, negatives count from the end; slices clamp
+    (``agtype.c:4452, 4766``)
+  - int/int division truncates (PG semantics)
+"""
+
+from __future__ import annotations
+
+import re as _re
+from dataclasses import dataclass, field
+from typing import Callable, Optional
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..cypher import ast as A
+from .context import EDGE, EDGE_LIST, PATH, SCALAR, VERTEX, Binding, CompileError, Env, QueryContext
+
+# ------------------------------------------------------------------- scope
+
+
+@dataclass
+class ExprScope:
+    ctx: QueryContext
+    df: Optional[DataFrame]
+    env: Env
+    lambda_vars: dict[str, Column] = field(default_factory=dict)
+    lambda_types: dict[str, T.DataType] = field(default_factory=dict)
+
+    def child(self, more_vars: dict[str, Column], more_types: dict[str, T.DataType]) -> "ExprScope":
+        lv = dict(self.lambda_vars)
+        lv.update(more_vars)
+        lt = dict(self.lambda_types)
+        lt.update(more_types)
+        return ExprScope(self.ctx, self.df, self.env, lv, lt)
+
+
+def dtype_of(scope: ExprScope, col: Column) -> Optional[T.DataType]:
+    """Resolve a Column's static type against the current DataFrame (driver-
+    side schema-only analysis; no job runs). None if unresolvable (e.g.,
+    references a lambda variable)."""
+    try:
+        df = scope.df
+        if df is None:
+            df = scope.ctx.spark.range(1)
+        return df.select(col.alias("_t")).schema[0].dataType
+    except Exception:
+        return None
+
+
+# ------------------------------------------------- literals & params
+
+
+def literal_to_column(value) -> Column:
+    if isinstance(value, dict):
+        if not value:
+            return F.struct(F.lit(None).cast("string").alias("_none"))
+        return F.struct(*[literal_to_column(v).alias(k) for k, v in value.items()])
+    if isinstance(value, (list, tuple)):
+        if not value:
+            return F.expr("array()")
+        return F.array(*[literal_to_column(v) for v in value])
+    return F.lit(value)
+
+
+# ------------------------------------------------------------- aggregates
+
+AGG_FNS = {
+    "count", "sum", "avg", "min", "max", "collect", "stdev", "stdevp",
+    "percentilecont", "percentiledisc",
+}
+
+
+def contains_aggregate(e) -> bool:
+    found = False
+
+    def walk(x):
+        nonlocal found
+        if found or x is None:
+            return
+        if isinstance(x, A.FuncCall):
+            if x.name in AGG_FNS:
+                found = True
+                return
+            for a in x.args:
+                walk(a)
+        elif isinstance(x, A.Unary):
+            walk(x.expr)
+        elif isinstance(x, A.Binary):
+            walk(x.left); walk(x.right)
+        elif isinstance(x, A.Prop):
+            walk(x.expr)
+        elif isinstance(x, A.Index):
+            walk(x.expr); walk(x.index)
+        elif isinstance(x, A.Slice):
+            walk(x.expr); walk(x.lo); walk(x.hi)
+        elif isinstance(x, A.ListLit):
+            for a in x.items:
+                walk(a)
+        elif isinstance(x, A.MapLit):
+            for _, v in x.items:
+                walk(v)
+        elif isinstance(x, A.IsNull):
+            walk(x.expr)
+        elif isinstance(x, A.CaseExpr):
+            walk(x.operand)
+            for c, r in x.whens:
+                walk(c); walk(r)
+            walk(x.default)
+        elif isinstance(x, A.ListComp):
+            walk(x.source); walk(x.where); walk(x.projection)
+        elif isinstance(x, A.PredFn):
+            walk(x.source); walk(x.where)
+        elif isinstance(x, A.Reduce):
+            walk(x.init); walk(x.source); walk(x.expr)
+
+    walk(e)
+    return found
+
+
+# --------------------------------------------------------------- numerics
+
+_INTEGRAL = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+_NUMERIC = _INTEGRAL + (T.FloatType, T.DoubleType, T.DecimalType)
+
+
+def _is_integral(dt) -> bool:
+    return isinstance(dt, _INTEGRAL)
+
+
+def _is_string(dt) -> bool:
+    return isinstance(dt, T.StringType)
+
+
+def _is_array(dt) -> bool:
+    return isinstance(dt, T.ArrayType)
+
+
+def _is_struct(dt) -> bool:
+    return isinstance(dt, T.StructType)
+
+
+def _is_map(dt) -> bool:
+    return isinstance(dt, T.MapType)
+
+
+def _entity_fields(dt: T.StructType) -> set[str]:
+    return {f.name for f in dt.fields}
+
+
+# ---------------------------------------------------------------- compile
+
+
+def compile_expr(scope: ExprScope, e: A.Expr) -> Column:
+    if isinstance(e, A.Lit):
+        if e.value is None:
+            return F.lit(None)
+        return F.lit(e.value)
+    if isinstance(e, A.Param):
+        if e.name not in scope.ctx.params:
+            raise CompileError(f"parameter ${e.name} not supplied")
+        return literal_to_column(scope.ctx.params[e.name])
+    if isinstance(e, A.Var):
+        if e.name in scope.lambda_vars:
+            return scope.lambda_vars[e.name]
+        scope.env.require(e.name)
+        return F.col(e.name)
+    if isinstance(e, A.Prop):
+        return _compile_prop(scope, e)
+    if isinstance(e, A.Index):
+        return _compile_index(scope, e)
+    if isinstance(e, A.Slice):
+        return _compile_slice(scope, e)
+    if isinstance(e, A.ListLit):
+        if not e.items:
+            return F.expr("array()")
+        return F.array(*[compile_expr(scope, i) for i in e.items])
+    if isinstance(e, A.MapLit):
+        if not e.items:
+            return F.struct(F.lit(None).cast("string").alias("_none"))
+        return F.struct(*[compile_expr(scope, v).alias(k) for k, v in e.items])
+    if isinstance(e, A.MapProjection):
+        return _compile_map_projection(scope, e)
+    if isinstance(e, A.Unary):
+        c = compile_expr(scope, e.expr)
+        if e.op == "not":
+            return ~c.cast("boolean")
+        if e.op == "-":
+            return -c
+        return c
+    if isinstance(e, A.Binary):
+        return _compile_binary(scope, e)
+    if isinstance(e, A.IsNull):
+        c = compile_expr(scope, e.expr)
+        return c.isNotNull() if e.negated else c.isNull()
+    if isinstance(e, A.CaseExpr):
+        return _compile_case(scope, e)
+    if isinstance(e, A.ListComp):
+        return _compile_listcomp(scope, e)
+    if isinstance(e, A.PredFn):
+        return _compile_predfn(scope, e)
+    if isinstance(e, A.Reduce):
+        return _compile_reduce(scope, e)
+    if isinstance(e, A.FuncCall):
+        return _compile_func(scope, e)
+    if isinstance(e, (A.ExistsSubquery, A.CountSubquery, A.PatternPred)):
+        raise CompileError(
+            "pattern/EXISTS subquery must be lifted before expression compilation"
+        )
+    raise CompileError(f"unsupported expression: {type(e).__name__}")
+
+
+# ---- property access
+
+
+def _deref_entity(scope: ExprScope, base: Column, dt: T.DataType, key: str) -> Column:
+    """x.key where x is a struct: entity structs auto-deref into properties
+    (``agtype.c:4482 agtype_access_operator`` derefs vertex/edge)."""
+    if _is_struct(dt):
+        names = _entity_fields(dt)
+        if key in names:
+            return base.getField(key)
+        if "properties" in names and "id" in names:
+            pdt = next(f.dataType for f in dt.fields if f.name == "properties")
+            if _is_struct(pdt) and key in _entity_fields(pdt):
+                return base.getField("properties").getField(key)
+        return F.lit(None)
+    if _is_map(dt):
+        return base.getItem(key)
+    return F.lit(None)
+
+
+def _compile_prop(scope: ExprScope, e: A.Prop) -> Column:
+    base = compile_expr(scope, e.expr)
+    dt = None
+    if isinstance(e.expr, A.Var) and e.expr.name in scope.lambda_types:
+        dt = scope.lambda_types[e.expr.name]
+    else:
+        dt = dtype_of(scope, base)
+    if dt is None:
+        # unresolvable (lambda without type hint): best-effort struct access
+        return base.getField(e.key)
+    return _deref_entity(scope, base, dt, e.key)
+
+
+def _compile_index(scope: ExprScope, e: A.Index) -> Column:
+    base = compile_expr(scope, e.expr)
+    idx = compile_expr(scope, e.index)
+    dt = dtype_of(scope, base)
+    if dt is not None and _is_map(dt):
+        return F.element_at(base, idx)
+    if dt is not None and _is_struct(dt):
+        if isinstance(e.index, A.Lit) and isinstance(e.index.value, str):
+            return _deref_entity(scope, base, dt, e.index.value)
+        raise CompileError("struct subscript requires a constant string key")
+    # list: 0-based, negative counts from end (agtype.c:4452)
+    i = idx.cast("int")
+    return F.when(i >= 0, F.get(base, i)).otherwise(F.get(base, F.size(base) + i))
+
+
+def _compile_slice(scope: ExprScope, e: A.Slice) -> Column:
+    base = compile_expr(scope, e.expr)
+    n = F.size(base)
+    lo = compile_expr(scope, e.lo).cast("int") if e.lo is not None else F.lit(0)
+    hi = compile_expr(scope, e.hi).cast("int") if e.hi is not None else n
+    lo = F.when(lo < 0, F.greatest(n + lo, F.lit(0))).otherwise(F.least(lo, n))
+    hi = F.when(hi < 0, F.greatest(n + hi, F.lit(0))).otherwise(F.least(hi, n))
+    length = F.greatest(hi - lo, F.lit(0))
+    return F.slice(base, lo + 1, length)
+
+
+def _compile_map_projection(scope: ExprScope, e: A.MapProjection) -> Column:
+    b = scope.env.require(e.var)
+    base = F.col(e.var)
+    dt = dtype_of(scope, base)
+    fields: list[Column] = []
+    for kind, payload in e.items:
+        if kind == "prop":
+            fields.append(_deref_entity(scope, base, dt, payload).alias(payload))
+        elif kind == "all":
+            pdt = dt
+            if b.kind in (VERTEX, EDGE) and _is_struct(dt):
+                base_p = base.getField("properties")
+                pdt = next(f.dataType for f in dt.fields if f.name == "properties")
+                for f2 in pdt.fields:
+                    if f2.name != "_none":
+                        fields.append(base_p.getField(f2.name).alias(f2.name))
+            elif _is_struct(pdt):
+                for f2 in pdt.fields:
+                    fields.append(base.getField(f2.name).alias(f2.name))
+        elif kind == "var":
+            fields.append(F.col(payload).alias(payload))
+        else:  # expr
+            key, sub = payload
+            fields.append(compile_expr(scope, sub).alias(key))
+    return F.struct(*fields)
+
+
+# ---- binary ops
+
+
+def _numeric_binary(op: str, l: Column, r: Column, ldt, rdt) -> Column:
+    if op == "+":
+        return l + r
+    if op == "-":
+        return l - r
+    if op == "*":
+        return l * r
+    if op == "/":
+        if ldt is not None and rdt is not None and _is_integral(ldt) and _is_integral(rdt):
+            return (l / r).cast("long")  # int/int truncates (PG div semantics)
+        return l / r
+    if op == "%":
+        return l % r
+    if op == "^":
+        return F.pow(l, r)
+    raise CompileError(f"unknown arithmetic op {op}")
+
+
+def _compile_binary(scope: ExprScope, e: A.Binary) -> Column:
+    op = e.op
+    l = compile_expr(scope, e.left)
+    r = compile_expr(scope, e.right)
+    if op in ("and", "or"):
+        lb, rb = l.cast("boolean"), r.cast("boolean")
+        return lb & rb if op == "and" else lb | rb
+    if op == "xor":
+        return l.cast("boolean") != r.cast("boolean")
+    if op == "=":
+        return l == r
+    if op == "<>":
+        return l != r
+    if op in ("<", "<=", ">", ">="):
+        return {"<": l < r, "<=": l <= r, ">": l > r, ">=": l >= r}[op]
+    if op == "in":
+        return F.array_contains(r, l)
+    if op == "starts with":
+        return l.startswith(r)
+    if op == "ends with":
+        return l.endswith(r)
+    if op == "contains":
+        return l.contains(r)
+    if op == "=~":
+        return F.regexp_like(l, r)
+    if op in ("+", "-", "*", "/", "%", "^"):
+        ldt, rdt = dtype_of(scope, l), dtype_of(scope, r)
+        if op == "+":
+            if (ldt is not None and _is_string(ldt)) or (rdt is not None and _is_string(rdt)):
+                return F.concat(l.cast("string"), r.cast("string"))
+            if ldt is not None and _is_array(ldt):
+                if rdt is not None and _is_array(rdt):
+                    return F.concat(l, r)
+                return F.concat(l, F.array(r))  # list + elem appends (agtype_ops.c:145)
+        return _numeric_binary(op, l, r, ldt, rdt)
+    raise CompileError(f"unknown binary op {op}")
+
+
+def _compile_case(scope: ExprScope, e: A.CaseExpr) -> Column:
+    out = None
+    for cond, res in e.whens:
+        c = compile_expr(scope, cond)
+        if e.operand is not None:
+            c = compile_expr(scope, e.operand) == c
+        else:
+            c = c.cast("boolean")
+        rcol = compile_expr(scope, res)
+        out = F.when(c, rcol) if out is None else out.when(c, rcol)
+    if out is None:
+        raise CompileError("CASE requires at least one WHEN")
+    if e.default is not None:
+        out = out.otherwise(compile_expr(scope, e.default))
+    return out
+
+
+def _elem_type(scope: ExprScope, src_col: Column) -> Optional[T.DataType]:
+    dt = dtype_of(scope, src_col)
+    return dt.elementType if isinstance(dt, T.ArrayType) else None
+
+
+def _compile_listcomp(scope: ExprScope, e: A.ListComp) -> Column:
+    src = compile_expr(scope, e.source)
+    et = _elem_type(scope, src)
+    out = src
+    if e.where is not None:
+        out = F.filter(out, lambda x: compile_expr(
+            scope.child({e.var: x}, {e.var: et} if et else {}), e.where).cast("boolean"))
+    if e.projection is not None:
+        out = F.transform(out, lambda x: compile_expr(
+            scope.child({e.var: x}, {e.var: et} if et else {}), e.projection))
+    return out
+
+
+def _compile_predfn(scope: ExprScope, e: A.PredFn) -> Column:
+    src = compile_expr(scope, e.source)
+    et = _elem_type(scope, src)
+
+    def pred(x):
+        return compile_expr(scope.child({e.var: x}, {e.var: et} if et else {}), e.where).cast("boolean")
+
+    if e.kind == "all":
+        return F.forall(src, pred)
+    if e.kind == "any":
+        return F.exists(src, pred)
+    if e.kind == "none":
+        return ~F.exists(src, pred)
+    if e.kind == "single":
+        return F.size(F.filter(src, pred)) == 1
+    raise CompileError(f"unknown predicate function {e.kind}")
+
+
+def _compile_reduce(scope: ExprScope, e: A.Reduce) -> Column:
+    src = compile_expr(scope, e.source)
+    init = compile_expr(scope, e.init)
+    et = _elem_type(scope, src)
+    idt = dtype_of(scope, init)
+
+    def merge(acc, x):
+        types = {}
+        if et is not None:
+            types[e.var] = et
+        if idt is not None:
+            types[e.acc] = idt
+        return compile_expr(scope.child({e.acc: acc, e.var: x}, types), e.expr)
+
+    return F.aggregate(src, init, merge)
+
+
+# ---- function registry
+
+FuncImpl = Callable[[ExprScope, list, list[Column]], Column]
+FUNCTIONS: dict[str, FuncImpl] = {}
+
+
+def fn(name: str):
+    def deco(f: FuncImpl):
+        FUNCTIONS[name] = f
+        return f
+    return deco
+
+
+def _compile_func(scope: ExprScope, e: A.FuncCall) -> Column:
+    name = e.name
+    if name in AGG_FNS:
+        raise CompileError(
+            f"aggregate {name}() must appear in a RETURN/WITH projection"
+        )
+    impl = FUNCTIONS.get(name)
+    if impl is None:
+        raise CompileError(f"unknown function {name}()")
+    cols = [compile_expr(scope, a) for a in e.args if not isinstance(a, A.Star)]
+    return impl(scope, e.args, cols)
+
+
+@fn("id")
+def _fn_id(scope, args, cols):
+    return cols[0].getField("id")
+
+
+@fn("start_id")
+def _fn_start_id(scope, args, cols):
+    return cols[0].getField("start_id")
+
+
+@fn("end_id")
+def _fn_end_id(scope, args, cols):
+    return cols[0].getField("end_id")
+
+
+@fn("label")
+def _fn_label(scope, args, cols):
+    return cols[0].getField("label")
+
+
+@fn("type")
+def _fn_type(scope, args, cols):
+    return cols[0].getField("label")
+
+
+@fn("properties")
+def _fn_properties(scope, args, cols):
+    return cols[0].getField("properties")
+
+
+@fn("keys")
+def _fn_keys(scope, args, cols):
+    c = cols[0]
+    dt = dtype_of(scope, c)
+    if dt is not None and _is_struct(dt):
+        names = _entity_fields(dt)
+        if "properties" in names and "id" in names:
+            pdt = next(f.dataType for f in dt.fields if f.name == "properties")
+            c = c.getField("properties")
+            dt = pdt
+        items = [
+            F.when(c.getField(f2.name).isNotNull(), F.lit(f2.name))
+            for f2 in dt.fields
+            if f2.name != "_none"
+        ]
+        if not items:
+            return F.expr("array()").cast("array<string>")
+        return F.array_compact(F.array(*items))
+    if dt is not None and _is_map(dt):
+        return F.map_keys(c)
+    raise CompileError("keys() requires a map or entity")
+
+
+@fn("head")
+def _fn_head(scope, args, cols):
+    return F.get(cols[0], 0)
+
+
+@fn("last")
+def _fn_last(scope, args, cols):
+    return F.element_at(cols[0], -1)
+
+
+@fn("tail")
+def _fn_tail(scope, args, cols):
+    c = cols[0]
+    return F.slice(c, 2, F.greatest(F.size(c) - 1, F.lit(0)))
+
+
+@fn("size")
+def _fn_size(scope, args, cols):
+    c = cols[0]
+    dt = dtype_of(scope, c)
+    if dt is not None and _is_string(dt):
+        return F.length(c)
+    return F.size(c)
+
+
+@fn("length")
+def _fn_length(scope, args, cols):
+    c = cols[0]
+    dt = dtype_of(scope, c)
+    if dt is not None and _is_struct(dt) and "edges" in _entity_fields(dt):
+        return F.size(c.getField("edges"))  # path length = #edges (agtype.c:6705)
+    if dt is not None and _is_string(dt):
+        return F.length(c)
+    return F.size(c)
+
+
+@fn("nodes")
+def _fn_nodes(scope, args, cols):
+    return cols[0].getField("nodes")
+
+
+@fn("relationships")
+def _fn_relationships(scope, args, cols):
+    return cols[0].getField("edges")
+
+
+@fn("exists")
+def _fn_exists(scope, args, cols):
+    return cols[0].isNotNull()
+
+
+@fn("isempty")
+def _fn_isempty(scope, args, cols):
+    c = cols[0]
+    dt = dtype_of(scope, c)
+    if dt is not None and _is_string(dt):
+        return F.length(c) == 0
+    return F.size(c) == 0
+
+
+@fn("coalesce")
+def _fn_coalesce(scope, args, cols):
+    return F.coalesce(*cols)
+
+
+# -- conversions (agtype.c:6741-8085)
+
+def _to_integer(c: Column, dt) -> Column:
+    if dt is not None and _is_integral(dt):
+        return c
+    if dt is not None and isinstance(dt, (T.FloatType, T.DoubleType, T.DecimalType)):
+        return c.cast("long")
+    if dt is not None and isinstance(dt, T.BooleanType):
+        return c.cast("long")
+    return F.coalesce(c.try_cast("long"), c.try_cast("double").cast("long"))
+
+
+def _to_float(c: Column, dt) -> Column:
+    return c.try_cast("double") if dt is None or _is_string(dt) else c.cast("double")
+
+
+def _to_boolean(c: Column, dt) -> Column:
+    if dt is not None and isinstance(dt, T.BooleanType):
+        return c
+    if dt is not None and _is_integral(dt):
+        return c != 0
+    lc = F.lower(c.cast("string"))
+    return F.when(lc == "true", F.lit(True)).when(lc == "false", F.lit(False))
+
+
+@fn("tointeger")
+def _fn_tointeger(scope, args, cols):
+    return _to_integer(cols[0], dtype_of(scope, cols[0]))
+
+
+@fn("tofloat")
+def _fn_tofloat(scope, args, cols):
+    return _to_float(cols[0], dtype_of(scope, cols[0]))
+
+
+@fn("toboolean")
+def _fn_toboolean(scope, args, cols):
+    return _to_boolean(cols[0], dtype_of(scope, cols[0]))
+
+
+@fn("tostring")
+def _fn_tostring(scope, args, cols):
+    return cols[0].cast("string")
+
+
+@fn("tointegerlist")
+def _fn_tointegerlist(scope, args, cols):
+    return F.transform(cols[0], lambda x: F.coalesce(x.try_cast("long"), x.try_cast("double").cast("long")))
+
+
+@fn("tofloatlist")
+def _fn_tofloatlist(scope, args, cols):
+    return F.transform(cols[0], lambda x: x.try_cast("double"))
+
+
+@fn("tobooleanlist")
+def _fn_tobooleanlist(scope, args, cols):
+    return F.transform(cols[0], lambda x: _to_boolean(x, None))
+
+
+@fn("tostringlist")
+def _fn_tostringlist(scope, args, cols):
+    return F.transform(cols[0], lambda x: x.cast("string"))
+
+
+# -- strings (agtype.c:8234-9547; 0-based offsets!)
+
+@fn("toupper")
+def _fn_toupper(scope, args, cols):
+    return F.upper(cols[0])
+
+
+@fn("tolower")
+def _fn_tolower(scope, args, cols):
+    return F.lower(cols[0])
+
+
+@fn("trim")
+def _fn_trim(scope, args, cols):
+    return F.trim(cols[0])
+
+
+@fn("ltrim")
+def _fn_ltrim(scope, args, cols):
+    return F.ltrim(cols[0])
+
+
+@fn("rtrim")
+def _fn_rtrim(scope, args, cols):
+    return F.rtrim(cols[0])
+
+
+@fn("reverse")
+def _fn_reverse(scope, args, cols):
+    return F.reverse(cols[0])
+
+
+@fn("left")
+def _fn_left(scope, args, cols):
+    return F.substring(cols[0], 1, cols[1])
+
+
+@fn("right")
+def _fn_right(scope, args, cols):
+    c, n = cols[0], cols[1]
+    return F.substring(c, F.greatest(F.length(c) - n + 1, F.lit(1)).cast("int"), F.length(c))
+
+
+@fn("substring")
+def _fn_substring(scope, args, cols):
+    c = cols[0]
+    start = cols[1].cast("int") + 1  # 0-based in Cypher (agtype.c:9181)
+    if len(cols) > 2:
+        return F.substring(c, start, cols[2].cast("int"))
+    return F.substring(c, start, F.length(c))
+
+
+@fn("split")
+def _fn_split(scope, args, cols):
+    # AGE split is literal-delimiter (agtype.c:9399); Spark's is regex
+    if isinstance(args[1], A.Lit) and isinstance(args[1].value, str):
+        return F.split(cols[0], _re.escape(args[1].value))
+    return F.split(cols[0], F.regexp_replace(cols[1], r"([.*+?^${}()|\[\]\\])", r"\\$1"))
+
+
+@fn("replace")
+def _fn_replace(scope, args, cols):
+    return F.replace(cols[0], cols[1], cols[2])
+
+
+# -- lists
+
+@fn("range")
+def _fn_range(scope, args, cols):
+    step = cols[2] if len(cols) > 2 else F.lit(1)
+    return F.sequence(cols[0].cast("long"), cols[1].cast("long"), step.cast("long"))
+
+
+# -- math (agtype.c:9849-10923)
+
+for _name, _f in [
+    ("abs", F.abs), ("ceil", F.ceil), ("floor", F.floor), ("sqrt", F.sqrt),
+    ("exp", F.exp), ("log", F.log), ("log10", F.log10), ("sin", F.sin),
+    ("cos", F.cos), ("tan", F.tan), ("asin", F.asin), ("acos", F.acos),
+    ("atan", F.atan), ("degrees", F.degrees), ("radians", F.radians),
+    ("sign", F.signum),
+]:
+    def _mk(f):
+        def impl(scope, args, cols):
+            return f(cols[0])
+        return impl
+    FUNCTIONS[_name] = _mk(_f)
+
+
+@fn("cot")
+def _fn_cot(scope, args, cols):
+    return F.lit(1.0) / F.tan(cols[0])
+
+
+@fn("atan2")
+def _fn_atan2(scope, args, cols):
+    return F.atan2(cols[0], cols[1])
+
+
+@fn("round")
+def _fn_round(scope, args, cols):
+    if len(cols) > 1:
+        return F.round(cols[0], cols[1])
+    return F.round(cols[0], 0)
+
+
+@fn("pi")
+def _fn_pi(scope, args, cols):
+    return F.lit(3.141592653589793)
+
+
+@fn("e")
+def _fn_e(scope, args, cols):
+    return F.lit(2.718281828459045)
+
+
+@fn("rand")
+def _fn_rand(scope, args, cols):
+    return F.rand()
+
+
+@fn("timestamp")
+def _fn_timestamp(scope, args, cols):
+    # epoch-ms INTEGER; AGE has no temporal types (agtype.c:10924)
+    return F.unix_millis(F.current_timestamp())
+
+
+@fn("sqrt2")
+def _fn_sqrt2(scope, args, cols):  # pragma: no cover - convenience
+    return F.sqrt(cols[0])

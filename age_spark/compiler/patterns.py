@@ -1,0 +1,366 @@
+"""MATCH pattern -> join synthesis.
+
+The reference has no custom join executor: ``transform_match_*``
+(``src/backend/parser/cypher_clause.c:4624-5906``) emits equality quals
+between edge ``start_id``/``end_id`` and vertex ``id`` columns and lets the
+planner pick the join strategy (``make_path_join_quals``
+``cypher_clause.c:6220``). We do exactly the same thing one level up: every
+pattern element becomes an equi-join between DataFrames keyed on packed
+int64 graphids, and Catalyst/AQE picks broadcast vs shuffle joins.
+
+Scale notes:
+  - joins are always equi-joins on LongType ids — sort-merge/hash friendly,
+    AQE-skew-splittable; never an OR-join (undirected edges are expanded to
+    a union of the two orientations instead, keeping the join hashable).
+  - label + property constraints are applied on the per-label scan BEFORE
+    the join so they push down to parquet.
+  - a label filter on an already-bound variable is an arithmetic filter on
+    the packed id ((id >> 48) == label_id), not a join — mirrors
+    ``filter_vertices_on_label_id`` (``cypher_clause.c:5272``).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..cypher import ast as A
+from .context import (
+    EDGE,
+    EDGE_LIST,
+    PATH,
+    SCALAR,
+    VERTEX,
+    Binding,
+    CompileError,
+    Env,
+    QueryContext,
+)
+from .exprs import ExprScope, compile_expr
+
+ENTRY_ID_BITS = 48
+
+
+def entity_struct_cols(kind: str) -> list[str]:
+    if kind == "vertex":
+        return ["id", "label", "properties"]
+    return ["id", "start_id", "end_id", "label", "properties"]
+
+
+def vertex_struct(df_cols_prefix: str = "") -> Column:
+    return F.struct(
+        F.col("id"), F.col("label"), F.col("properties")
+    )
+
+
+def edge_struct() -> Column:
+    return F.struct(
+        F.col("id"), F.col("start_id"), F.col("end_id"), F.col("label"), F.col("properties")
+    )
+
+
+def _props_filter(scope: ExprScope, struct_col: Column, props: A.Expr, struct_dt) -> Column:
+    """(n {k: v, ...}) -> conjunction of per-key equalities
+    (``create_property_constraints``, ``cypher_clause.c:5530-5640``)."""
+    from .exprs import _deref_entity  # late import to avoid cycle
+
+    if isinstance(props, A.Param):
+        pval = scope.ctx.params.get(props.name)
+        if not isinstance(pval, dict):
+            raise CompileError(f"property parameter ${props.name} must be a map")
+        items = [(k, A.Lit(v)) for k, v in pval.items()]
+    elif isinstance(props, A.MapLit):
+        items = props.items
+    else:
+        raise CompileError("unsupported property constraint")
+    cond = F.lit(True)
+    for k, vexpr in items:
+        cond = cond & (_deref_entity(scope, struct_col, struct_dt, k) == compile_expr(scope, vexpr))
+    return cond
+
+
+class MatchState:
+    """Builds up one MATCH clause: df + env + bookkeeping for uniqueness."""
+
+    def __init__(self, ctx: QueryContext, df: Optional[DataFrame], env: Env):
+        self.ctx = ctx
+        self.df = df
+        self.env = env
+        self.edge_bindings: list[Binding] = []  # for edge-uniqueness quals
+        self.helpers: list[str] = []  # helper cols to drop at clause end
+
+    # ----- scans
+    def _vertex_scan(self, name: str, labels: list[str], props: Optional[A.Expr]) -> DataFrame:
+        g = self.ctx.graph
+        scan = g.scan_vertices(labels or None)
+        out = scan.select(
+            F.struct(F.col("id"), F.col("label"), F.col("properties")).alias(name)
+        )
+        if props is not None:
+            dt = out.schema[0].dataType
+            scope = ExprScope(self.ctx, out, Env({}))
+            out = out.filter(_props_filter(scope, F.col(name), props, dt))
+        return out
+
+    def _edge_scan(
+        self, name: str, types: list[str], direction: str, props: Optional[A.Expr]
+    ) -> DataFrame:
+        """Edge scan with orientation columns `_src`/`_dst`. Undirected
+        patterns union both orientations so the downstream join stays a
+        plain equi-join (hashable) instead of an OR-of-quals
+        (cf. the reference's two-qual list, ``make_edge_quals``
+        ``cypher_clause.c:5208``)."""
+        g = self.ctx.graph
+        scan = g.scan_edges(types or None)
+        if props is not None:
+            est = scan.select(
+                F.struct(F.col("id"), F.col("start_id"), F.col("end_id"), F.col("label"), F.col("properties")).alias("_e")
+            )
+            dt = est.schema[0].dataType
+            scope = ExprScope(self.ctx, est, Env({}))
+            scan = scan.filter(
+                _props_filter(scope, F.struct(F.col("id"), F.col("start_id"), F.col("end_id"), F.col("label"), F.col("properties")), props, dt)
+            )
+        e = F.struct(
+            F.col("id"), F.col("start_id"), F.col("end_id"), F.col("label"), F.col("properties")
+        ).alias(name)
+        src, dst = f"_src_{name}", f"_dst_{name}"
+        if direction == "out":
+            return scan.select(e, F.col("start_id").alias(src), F.col("end_id").alias(dst))
+        if direction == "in":
+            return scan.select(e, F.col("end_id").alias(src), F.col("start_id").alias(dst))
+        fwd = scan.select(e, F.col("start_id").alias(src), F.col("end_id").alias(dst))
+        rev = scan.select(e, F.col("end_id").alias(src), F.col("start_id").alias(dst))
+        return fwd.unionByName(rev)
+
+    # ----- nodes
+    def bind_node(self, node: A.NodePattern) -> str:
+        name = node.var or self.ctx.fresh()
+        hidden = node.var is None
+        existing = self.env.get(name)
+        if existing is not None:
+            if existing.kind != VERTEX:
+                raise CompileError(f"variable `{name}` already bound to a non-vertex")
+            # bound-variable label filter: arithmetic on packed id, no join
+            if node.labels:
+                ids = [self.ctx.graph.meta.label(l).label_id for l in node.labels]
+                idcol = F.col(name).getField("id")
+                cond = F.shiftright(idcol, ENTRY_ID_BITS).isin(ids)
+                self.df = self.df.filter(cond)
+            if node.props is not None:
+                dt = self.df.select(F.col(name)).schema[0].dataType
+                scope = ExprScope(self.ctx, self.df, self.env)
+                self.df = self.df.filter(_props_filter(scope, F.col(name), node.props, dt))
+            return name
+        scan = self._vertex_scan(name, node.labels, node.props)
+        if self.df is None:
+            self.df = scan
+        else:
+            self.df = self.df.crossJoin(scan)
+        self.env = self.env.bind(Binding(name, VERTEX, tuple(node.labels), hidden=hidden))
+        return name
+
+    def bind_node_at(self, node: A.NodePattern, dst_col: str) -> str:
+        """Bind the far-side node of an edge hop, joined on its id."""
+        name = node.var or self.ctx.fresh()
+        hidden = node.var is None
+        existing = self.env.get(name)
+        if existing is not None:
+            self.df = self.df.filter(F.col(dst_col) == F.col(name).getField("id"))
+            if node.labels:
+                ids = [self.ctx.graph.meta.label(l).label_id for l in node.labels]
+                self.df = self.df.filter(
+                    F.shiftright(F.col(name).getField("id"), ENTRY_ID_BITS).isin(ids)
+                )
+            if node.props is not None:
+                dt = self.df.select(F.col(name)).schema[0].dataType
+                scope = ExprScope(self.ctx, self.df, self.env)
+                self.df = self.df.filter(_props_filter(scope, F.col(name), node.props, dt))
+            return name
+        scan = self._vertex_scan(name, node.labels, node.props)
+        self.df = self.df.join(scan, F.col(dst_col) == F.col(name).getField("id"))
+        self.env = self.env.bind(Binding(name, VERTEX, tuple(node.labels), hidden=hidden))
+        return name
+
+    # ----- edges
+    def bind_edge(self, rel: A.RelPattern, from_var: str) -> tuple[str, str]:
+        """Join one edge hop; returns (edge_var, dst_helper_col)."""
+        name = rel.var or self.ctx.fresh()
+        hidden = rel.var is None
+        if self.env.get(name) is not None:
+            raise CompileError(f"edge variable `{name}` reused — not supported")
+        if rel.varlen is not None:
+            return self._bind_vle(rel, name, from_var, hidden)
+        scan = self._edge_scan(name, rel.types, rel.direction, rel.props)
+        src, dst = f"_src_{name}", f"_dst_{name}"
+        self.df = self.df.join(scan, F.col(src) == F.col(from_var).getField("id"))
+        self.helpers += [src, dst]
+        b = Binding(name, EDGE, tuple(rel.types), hidden=hidden)
+        self.env = self.env.bind(b)
+        self.edge_bindings.append(b)
+        return name, dst
+
+    def _bind_vle(self, rel: A.RelPattern, name: str, from_var: str, hidden: bool) -> tuple[str, str]:
+        from ..runtime.vle import vle_pairs
+
+        lo, hi = rel.varlen
+        lo = 1 if lo is None and hi is not None else (lo if lo is not None else 1)
+        seeds = self.df.select(F.col(from_var).getField("id").alias("src")).distinct()
+        pairs = vle_pairs(
+            self.ctx.graph,
+            types=rel.types or None,
+            direction=rel.direction,
+            min_hops=lo,
+            max_hops=hi,
+            seeds=seeds,
+        )
+        dst = f"_dst_{name}"
+        pairs = pairs.select(
+            F.col("src").alias(f"_vsrc_{name}"),
+            F.col("dst").alias(dst),
+            F.col("edges").alias(name),
+            F.col("nodes").alias(f"_vnodes_{name}"),
+        )
+        self.df = self.df.join(
+            pairs, F.col(f"_vsrc_{name}") == F.col(from_var).getField("id")
+        )
+        self.helpers += [f"_vsrc_{name}", dst, f"_vnodes_{name}"]
+        b = Binding(name, EDGE_LIST, tuple(rel.types), hidden=hidden)
+        self.env = self.env.bind(b)
+        self.edge_bindings.append(b)
+        return name, dst
+
+    # ----- uniqueness (Cypher: all edges within one MATCH are distinct;
+    # `_ag_enforce_edge_uniqueness`, age_vle.c:2557)
+    def apply_edge_uniqueness(self, prior_edges: list[Binding]):
+        all_edges = prior_edges + self.edge_bindings
+        new = set(b.name for b in self.edge_bindings)
+        for i in range(len(all_edges)):
+            for j in range(i + 1, len(all_edges)):
+                b1, b2 = all_edges[i], all_edges[j]
+                if b1.name not in new and b2.name not in new:
+                    continue  # pair already constrained by a previous MATCH? no — same clause only
+                cond = self._uniq_cond(b1, b2)
+                if cond is not None:
+                    self.df = self.df.filter(cond)
+
+    def _uniq_cond(self, b1: Binding, b2: Binding) -> Optional[Column]:
+        c1, c2 = F.col(b1.name), F.col(b2.name)
+        if b1.kind == EDGE and b2.kind == EDGE:
+            return c1.getField("id") != c2.getField("id")
+        if b1.kind == EDGE and b2.kind == EDGE_LIST:
+            return ~F.exists(c2, lambda x: x.getField("id") == c1.getField("id"))
+        if b1.kind == EDGE_LIST and b2.kind == EDGE:
+            return ~F.exists(c1, lambda x: x.getField("id") == c2.getField("id"))
+        if b1.kind == EDGE_LIST and b2.kind == EDGE_LIST:
+            ids1 = F.transform(c1, lambda x: x.getField("id"))
+            ids2 = F.transform(c2, lambda x: x.getField("id"))
+            return ~F.arrays_overlap(ids1, ids2)
+        return None
+
+    def drop_helpers(self):
+        if self.helpers and self.df is not None:
+            keep = [c for c in self.df.columns if c not in set(self.helpers)]
+            self.df = self.df.select(*keep)
+            self.helpers = []
+
+
+def normalize_vertex(ctx: QueryContext, col: Column, cur_dt: T.StructType) -> Column:
+    """Re-cast a vertex struct to the graph-global merged schema so structs
+    from different label scans can live in one ARRAY (path columns)."""
+    schema = ctx.graph.vertex_property_schema(None)
+    cur_props = next((f.dataType for f in cur_dt.fields if f.name == "properties"), None)
+    have = {f.name: f.dataType for f in cur_props.fields} if isinstance(cur_props, T.StructType) else {}
+    props = [
+        (col.getField("properties").getField(nm).cast(dt) if nm in have else F.lit(None).cast(dt)).alias(nm)
+        for nm, dt in schema
+    ] or [F.lit(None).cast("string").alias("_none")]
+    return F.struct(
+        col.getField("id").alias("id"),
+        col.getField("label").alias("label"),
+        F.struct(*props).alias("properties"),
+    )
+
+
+def normalize_edge(ctx: QueryContext, col: Column, cur_dt: T.StructType) -> Column:
+    schema = ctx.graph.edge_property_schema(None)
+    cur_props = next((f.dataType for f in cur_dt.fields if f.name == "properties"), None)
+    have = {f.name: f.dataType for f in cur_props.fields} if isinstance(cur_props, T.StructType) else {}
+    props = [
+        (col.getField("properties").getField(nm).cast(dt) if nm in have else F.lit(None).cast(dt)).alias(nm)
+        for nm, dt in schema
+    ] or [F.lit(None).cast("string").alias("_none")]
+    return F.struct(
+        col.getField("id").alias("id"),
+        col.getField("start_id").alias("start_id"),
+        col.getField("end_id").alias("end_id"),
+        col.getField("label").alias("label"),
+        F.struct(*props).alias("properties"),
+    )
+
+
+def compile_match_patterns(
+    ctx: QueryContext,
+    df: Optional[DataFrame],
+    env: Env,
+    patterns: list[A.PathPattern],
+) -> tuple[DataFrame, Env, MatchState]:
+    """Compile a list of comma-separated path patterns into joins."""
+    st = MatchState(ctx, df, env)
+    for path in patterns:
+        _compile_one_path(st, path)
+    st.apply_edge_uniqueness([])
+    return st.df, st.env, st
+
+
+def _compile_one_path(st: MatchState, path: A.PathPattern):
+    elems = path.elements
+    node_vars: list[str] = []
+    edge_vars: list[tuple[str, str]] = []  # (name, kind)
+    cur = st.bind_node(elems[0])
+    node_vars.append(cur)
+    i = 1
+    while i < len(elems):
+        rel: A.RelPattern = elems[i]
+        nxt: A.NodePattern = elems[i + 1]
+        ename, dst_col = st.bind_edge(rel, cur)
+        ekind = EDGE_LIST if rel.varlen is not None else EDGE
+        edge_vars.append((ename, ekind))
+        cur = st.bind_node_at(nxt, dst_col)
+        node_vars.append(cur)
+        i += 2
+    if path.var is not None:
+        _materialize_path(st, path.var, node_vars, edge_vars)
+
+
+def _materialize_path(st: MatchState, pvar: str, node_vars: list[str], edge_vars: list[tuple[str, str]]):
+    """p = (...) — path column STRUCT<nodes ARRAY<vertex>, edges ARRAY<edge>>.
+
+    The reference materializes AGTV_PATH scalars (``_agtype_build_path``,
+    ``agtype.c:2081``); our path value carries normalized entity structs.
+    For VLE segments the interior vertices come from the VLE accumulator.
+    """
+    ctx = st.ctx
+    df = st.df
+    node_cols = []
+    for nv in node_vars:
+        dt = df.select(F.col(nv)).schema[0].dataType
+        node_cols.append(normalize_vertex(ctx, F.col(nv), dt))
+    edge_parts = []
+    for ename, ekind in edge_vars:
+        dt = df.select(F.col(ename)).schema[0].dataType
+        if ekind == EDGE:
+            edge_parts.append(F.array(normalize_edge(ctx, F.col(ename), dt)))
+        else:
+            et = dt.elementType
+            edge_parts.append(F.transform(F.col(ename), lambda x, _dt=et: normalize_edge(ctx, x, _dt)))
+    edges_col = F.concat(*edge_parts) if edge_parts else F.expr("array()")
+    path_col = F.struct(
+        F.array(*node_cols).alias("nodes"),
+        (edges_col if edge_parts else F.lit(None).cast("array<string>")).alias("edges"),
+    )
+    st.df = df.withColumn(pvar, path_col)
+    st.env = st.env.bind(Binding(pvar, PATH))

@@ -43,16 +43,40 @@ EDGE_RESERVED = ("id", "start_id", "end_id")
 
 
 def _widen(a: T.DataType, b: T.DataType) -> T.DataType:
-    """Common type for schema-merge across labels (missing -> null)."""
+    """Common type for schema-merge across labels (missing -> null).
+    Structs/arrays merge recursively (field union); numerics widen."""
     if a == b:
         return a
+    if isinstance(a, T.StructType) and isinstance(b, T.StructType):
+        fields: dict[str, T.DataType] = {}
+        order: list[str] = []
+        for f in list(a.fields) + list(b.fields):
+            if f.name in fields:
+                fields[f.name] = _widen(fields[f.name], f.dataType)
+            else:
+                fields[f.name] = f.dataType
+                order.append(f.name)
+        return T.StructType([T.StructField(n, fields[n], True) for n in order])
+    if isinstance(a, T.ArrayType) and isinstance(b, T.ArrayType):
+        return T.ArrayType(_widen(a.elementType, b.elementType), True)
+    an, bn = _strip_nullability(a), _strip_nullability(b)
+    if an == bn:
+        return an
     numeric_rank = {
         T.ByteType(): 0, T.ShortType(): 1, T.IntegerType(): 2,
         T.LongType(): 3, T.FloatType(): 4, T.DoubleType(): 5,
     }
-    if a in numeric_rank and b in numeric_rank:
-        return a if numeric_rank[a] >= numeric_rank[b] else b
+    if an in numeric_rank and bn in numeric_rank:
+        return an if numeric_rank[an] >= numeric_rank[bn] else bn
     return T.StringType()
+
+
+def _strip_nullability(dt: T.DataType) -> T.DataType:
+    if isinstance(dt, T.StructType):
+        return T.StructType([T.StructField(f.name, _strip_nullability(f.dataType), True) for f in dt.fields])
+    if isinstance(dt, T.ArrayType):
+        return T.ArrayType(_strip_nullability(dt.elementType), True)
+    return dt
 
 
 def merge_property_schema(dfs: Iterable[DataFrame], reserved: tuple[str, ...]) -> list[tuple[str, T.DataType]]:
@@ -375,15 +399,37 @@ class Graph:
         return cls(spark, meta, v, e)
 
 
+def conform_col(col: Column, src: T.DataType, dst: T.DataType) -> Column:
+    """Recursively reshape a column to a target (merged) type: structs gain
+    missing fields as NULLs, arrays conform element-wise, scalars cast."""
+    if src == dst:
+        return col
+    if isinstance(dst, T.StructType):
+        src_fields = {f.name: f.dataType for f in src.fields} if isinstance(src, T.StructType) else {}
+        parts = []
+        for f in dst.fields:
+            if f.name in src_fields:
+                parts.append(conform_col(col.getField(f.name), src_fields[f.name], f.dataType).alias(f.name))
+            else:
+                parts.append(F.lit(None).cast(f.dataType).alias(f.name))
+        return F.when(col.isNotNull(), F.struct(*parts)).otherwise(F.lit(None).cast(dst))
+    if isinstance(dst, T.ArrayType) and isinstance(src, T.ArrayType):
+        et_src, et_dst = src.elementType, dst.elementType
+        if et_src == et_dst:
+            return col
+        return F.transform(col, lambda x: conform_col(x, et_src, et_dst))
+    return col.cast(dst)
+
+
 def union_by_merged_schema(dfs: list[DataFrame]) -> DataFrame:
     """Union DataFrames whose schemas may differ; missing columns become
-    NULL, conflicting types widen."""
+    NULL, conflicting types widen (deep for structs/arrays)."""
     merged = merge_property_schema(dfs, ())
     parts = []
     for df in dfs:
         have = {f.name: f.dataType for f in df.schema.fields}
         cols = [
-            (F.col(nm).cast(dt) if nm in have else F.lit(None).cast(dt)).alias(nm)
+            (conform_col(F.col(nm), have[nm], dt) if nm in have else F.lit(None).cast(dt)).alias(nm)
             for nm, dt in merged
         ]
         parts.append(df.select(*cols))

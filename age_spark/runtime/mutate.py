@@ -1,0 +1,478 @@
+"""Write clauses: CREATE / SET / REMOVE / DELETE / MERGE.
+
+The reference implements these as CustomScan plan nodes inserting/updating
+heap tuples per input row (``src/backend/executor/cypher_create.c`` etc.,
+SURVEY §2.7). In Spark's batch model each write clause is a **snapshot
+transformation**: it produces (a) the clause's result DataFrame (with created
+entities bound, so later clauses and RETURN see them) and (b) a new Graph
+snapshot with updated per-label tables. Clause-by-clause snapshotting gives
+the reference's read-your-writes (CID) semantics without tuple visibility
+machinery.
+
+ID allocation (``executor/cypher_create.c:154``: ids from per-label
+sequences): we reserve a contiguous range from the label's catalog sequence
+sized by the clause's input row count, then number rows densely with a
+zipWithIndex pass — one action per write clause, ids deterministic.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..catalog import ENTRY_ID_BITS
+from ..cypher import ast as A
+from ..compiler.context import (
+    EDGE,
+    SCALAR,
+    VERTEX,
+    Binding,
+    CompileError,
+    Env,
+    QueryContext,
+)
+from ..compiler.exprs import ExprScope, compile_expr
+from ..graph import union_by_merged_schema
+
+DEFAULT_VLABEL = "_ag_label_vertex"  # parity: include/commands/label_commands.h:25
+DEFAULT_ELABEL = "_ag_label_edge"
+
+_ROWID = "_rowid"
+
+
+def _with_rowid(df: DataFrame) -> DataFrame:
+    """Dense global row numbering without a global sort: RDD zipWithIndex
+    (per-partition counts + offsets)."""
+    schema = T.StructType(list(df.schema.fields) + [T.StructField(_ROWID, T.LongType(), False)])
+    rdd = df.rdd.zipWithIndex().map(lambda t: tuple(t[0]) + (t[1],))
+    return df.sparkSession.createDataFrame(rdd, schema)
+
+
+def _unit_df(ctx: QueryContext) -> DataFrame:
+    return ctx.spark.range(1).select(F.lit(0).alias("_unit"))
+
+
+def _eval_props(ctx: QueryContext, df: DataFrame, env: Env, props) -> list[tuple[str, Column]]:
+    if props is None:
+        return []
+    scope = ExprScope(ctx, df, env)
+    if isinstance(props, A.Param):
+        pval = ctx.params.get(props.name)
+        if not isinstance(pval, dict):
+            raise CompileError(f"property parameter ${props.name} must be a map")
+        from ..compiler.exprs import literal_to_column
+        return [(k, literal_to_column(v)) for k, v in pval.items()]
+    if isinstance(props, A.MapLit):
+        return [(k, compile_expr(scope, v)) for k, v in props.items]
+    raise CompileError("unsupported properties expression in pattern")
+
+
+def compile_create(ctx: QueryContext, st, clause: A.Create):
+    from ..compiler.clauses import State
+
+    df = st.df if st.df is not None else _unit_df(ctx)
+    env = st.env
+    df = _with_rowid(df)
+    n_rows = df.count()
+    graph = ctx.graph
+
+    new_vertex_rows: dict[str, list[DataFrame]] = {}
+    new_edge_rows: dict[str, list[DataFrame]] = {}
+
+    for path in clause.patterns:
+        elems = path.elements
+        # bind/create first node
+        prev_var, df, env = _create_node(
+            ctx, graph, df, env, elems[0], n_rows, new_vertex_rows
+        )
+        i = 1
+        while i < len(elems):
+            rel: A.RelPattern = elems[i]
+            node: A.NodePattern = elems[i + 1]
+            nxt_var, df, env = _create_node(
+                ctx, graph, df, env, node, n_rows, new_vertex_rows
+            )
+            df, env = _create_edge(
+                ctx, graph, df, env, rel, prev_var, nxt_var, n_rows, new_edge_rows
+            )
+            prev_var = nxt_var
+            i += 2
+
+    # build the new snapshot
+    vupd, eupd = {}, {}
+    for label, parts in new_vertex_rows.items():
+        base = graph.vertex_dfs.get(label)
+        allparts = ([base] if base is not None and "id" in base.columns and len(base.columns) > 0 else []) + parts
+        vupd[label] = union_by_merged_schema(allparts).localCheckpoint(eager=False)
+    for label, parts in new_edge_rows.items():
+        base = graph.edge_dfs.get(label)
+        allparts = ([base] if base is not None else []) + parts
+        eupd[label] = union_by_merged_schema(allparts).localCheckpoint(eager=False)
+    newgraph = graph.snapshot(vertex_dfs=vupd, edge_dfs=eupd)
+
+    df = df.drop(_ROWID)
+    return State(df, env), ctx.with_graph(newgraph)
+
+
+def _create_node(ctx, graph, df, env, node: A.NodePattern, n_rows, sink):
+    name = node.var or ctx.fresh()
+    if env.get(name) is not None:
+        if node.labels or node.props:
+            raise CompileError(f"variable `{name}` already bound; CREATE cannot relabel it")
+        return name, df, env
+    label = node.labels[0] if node.labels else DEFAULT_VLABEL
+    meta = graph.create_vlabel(label) or graph.meta.label(label)
+    first = meta.allocate(max(n_rows, 1))
+    shift = meta.label_id << ENTRY_ID_BITS
+    idcol = (F.lit(shift).cast("long") + F.lit(first) + F.col(_ROWID)).alias("id")
+    props = _eval_props(ctx, df, env, node.props)
+    struct_fields = [idcol.alias("id"), F.lit(label).alias("label")]
+    if props:
+        struct_fields.append(F.struct(*[c.alias(k) for k, c in props]).alias("properties"))
+    else:
+        struct_fields.append(
+            F.struct(F.lit(None).cast("string").alias("_none")).alias("properties")
+        )
+    df = df.withColumn(name, F.struct(*struct_fields))
+    # rows to append to the label table (flat columns)
+    row_cols = [F.col(name).getField("id").alias("id")] + [
+        F.col(name).getField("properties").getField(k).alias(k) for k, _ in props
+    ]
+    sink.setdefault(label, []).append(df.select(*row_cols))
+    env = env.bind(Binding(name, VERTEX, (label,), hidden=node.var is None))
+    return name, df, env
+
+
+def _create_edge(ctx, graph, df, env, rel: A.RelPattern, a: str, b: str, n_rows, sink):
+    if rel.direction == "both":
+        raise CompileError("CREATE requires a directed relationship")
+    if rel.varlen is not None:
+        raise CompileError("CREATE cannot use variable-length relationships")
+    name = rel.var or ctx.fresh()
+    if env.get(name) is not None:
+        raise CompileError(f"edge variable `{name}` already bound")
+    label = rel.types[0] if rel.types else DEFAULT_ELABEL
+    meta = graph.create_elabel(label) or graph.meta.label(label)
+    first = meta.allocate(max(n_rows, 1))
+    shift = meta.label_id << ENTRY_ID_BITS
+    idcol = F.lit(shift).cast("long") + F.lit(first) + F.col(_ROWID)
+    if rel.direction == "out":
+        s, d = a, b
+    else:
+        s, d = b, a
+    props = _eval_props(ctx, df, env, rel.props)
+    struct_fields = [
+        idcol.alias("id"),
+        F.col(s).getField("id").alias("start_id"),
+        F.col(d).getField("id").alias("end_id"),
+        F.lit(label).alias("label"),
+    ]
+    if props:
+        struct_fields.append(F.struct(*[c.alias(k) for k, c in props]).alias("properties"))
+    else:
+        struct_fields.append(
+            F.struct(F.lit(None).cast("string").alias("_none")).alias("properties")
+        )
+    df = df.withColumn(name, F.struct(*struct_fields))
+    row_cols = [
+        F.col(name).getField("id").alias("id"),
+        F.col(name).getField("start_id").alias("start_id"),
+        F.col(name).getField("end_id").alias("end_id"),
+    ] + [F.col(name).getField("properties").getField(k).alias(k) for k, _ in props]
+    sink.setdefault(label, []).append(df.select(*row_cols))
+    env = env.bind(Binding(name, EDGE, (label,), hidden=rel.var is None))
+    return df, env
+
+
+# --------------------------------------------------------------------- SET
+
+
+def compile_set(ctx: QueryContext, st, items: list[A.SetItem]):
+    """SET n.p = expr / SET n += map / SET n = map; NULL value removes the
+    key (``executor/cypher_set.c:99 update_entity_tuple``). Updates both the
+    label tables (new snapshot) and the in-flight variable struct (the
+    reference re-points in-flight variables, ``cypher_set.c:286-400``)."""
+    from ..compiler.clauses import State
+
+    df, env = st.df, st.env
+    if df is None:
+        raise CompileError("SET requires bound variables")
+    graph = ctx.graph
+
+    per_var: dict[str, list[tuple[str, Column]]] = {}
+    scope = ExprScope(ctx, df, env)
+    for it in items:
+        b = env.require(it.var)
+        if b.kind not in (VERTEX, EDGE):
+            raise CompileError(f"SET target `{it.var}` is not an entity")
+        if it.kind == "prop":
+            per_var.setdefault(it.var, []).append((it.key, compile_expr(scope, it.expr)))
+        elif it.kind in ("replace", "merge"):
+            if not isinstance(it.expr, A.MapLit):
+                raise CompileError("SET n = / += requires a literal map in this version")
+            kvs = [(k, compile_expr(scope, v)) for k, v in it.expr.items]
+            if it.kind == "replace":
+                per_var.setdefault(it.var, []).append(("__replace__", F.lit(True)))
+            per_var.setdefault(it.var, []).extend(kvs)
+
+    vupd: dict[str, DataFrame] = {}
+    eupd: dict[str, DataFrame] = {}
+    for var, kvs in per_var.items():
+        b = env.require(var)
+        replace_all = any(k == "__replace__" for k, _ in kvs)
+        kvs = [(k, c) for k, c in kvs if k != "__replace__"]
+        upd = df.select(
+            F.col(var).getField("id").alias("_uid"),
+            *[c.alias(f"_nv_{k}") for k, c in kvs],
+        ).groupBy("_uid").agg(*[F.last(f"_nv_{k}").alias(f"_nv_{k}") for k, _ in kvs])
+
+        tables = graph.vertex_dfs if b.kind == VERTEX else graph.edge_dfs
+        labels = list(b.labels) if b.labels else list(tables.keys())
+        upd_schema = {f.name: f.dataType for f in upd.schema.fields}
+        for label in labels:
+            base = tables[label]
+            joined = base.join(upd.withColumnRenamed("_uid", "_uid2"), base["id"] == F.col("_uid2"), "left")
+            matched = F.col("_uid2").isNotNull()
+            reserved = ("id",) if b.kind == VERTEX else ("id", "start_id", "end_id")
+            out_cols = []
+            existing = [f.name for f in base.schema.fields]
+            new_keys = [k for k, _ in kvs if k not in existing]
+            for cname in existing:
+                if cname in reserved:
+                    out_cols.append(F.col(cname))
+                    continue
+                if replace_all and not any(k == cname for k, _ in kvs):
+                    out_cols.append(
+                        F.when(matched, F.lit(None)).otherwise(F.col(cname)).alias(cname)
+                    )
+                elif any(k == cname for k, _ in kvs):
+                    nv = F.col(f"_nv_{cname}")
+                    tgt = _widen_pair(base.schema[cname].dataType, upd_schema[f"_nv_{cname}"])
+                    out_cols.append(
+                        F.when(matched, nv.cast(tgt)).otherwise(F.col(cname).cast(tgt)).alias(cname)
+                    )
+                else:
+                    out_cols.append(F.col(cname))
+            for k in new_keys:
+                out_cols.append(
+                    F.when(matched, F.col(f"_nv_{k}")).otherwise(F.lit(None)).alias(k)
+                )
+            newtab = joined.select(*out_cols)
+            (vupd if b.kind == VERTEX else eupd)[label] = newtab
+
+    newgraph = graph.snapshot(vertex_dfs=vupd, edge_dfs=eupd)
+
+    # re-point in-flight structs
+    for var, kvs in per_var.items():
+        b = env.require(var)
+        kvs2 = [(k, c) for k, c in kvs if k != "__replace__"]
+        cur = F.col(var)
+        dt = df.schema[var].dataType
+        pdt = next(f.dataType for f in dt.fields if f.name == "properties")
+        existing = [f.name for f in pdt.fields]
+        newprops = []
+        for k in existing:
+            rep = next((c for kk, c in kvs2 if kk == k), None)
+            if rep is not None:
+                newprops.append(rep.alias(k))
+            else:
+                newprops.append(cur.getField("properties").getField(k).alias(k))
+        for k, c in kvs2:
+            if k not in existing:
+                newprops.append(c.alias(k))
+        fields = [cur.getField("id").alias("id")]
+        if b.kind == EDGE:
+            fields += [cur.getField("start_id").alias("start_id"), cur.getField("end_id").alias("end_id")]
+        fields += [cur.getField("label").alias("label"), F.struct(*newprops).alias("properties")]
+        df = df.withColumn(var, F.struct(*fields))
+
+    return State(df, env), ctx.with_graph(newgraph)
+
+
+def _widen_pair(a, b):
+    from ..graph import _widen
+    return _widen(a, b)
+
+
+def compile_remove(ctx: QueryContext, st, clause: A.RemoveClause):
+    items = [A.SetItem("prop", it.var, it.key, A.Lit(None)) for it in clause.items]
+    return compile_set(ctx, st, items)
+
+
+# ------------------------------------------------------------------ DELETE
+
+
+def compile_delete(ctx: QueryContext, st, clause: A.Delete):
+    from ..compiler.clauses import State
+
+    df, env = st.df, st.env
+    if df is None:
+        raise CompileError("DELETE requires bound variables")
+    graph = ctx.graph
+
+    v_ids: list[DataFrame] = []
+    e_ids: list[DataFrame] = []
+    for e in clause.exprs:
+        if not isinstance(e, A.Var):
+            raise CompileError("DELETE expects variables")
+        b = env.require(e.name)
+        ids = df.select(F.col(e.name).getField("id").alias("_did")).distinct()
+        if b.kind == VERTEX:
+            v_ids.append(ids)
+        elif b.kind == EDGE:
+            e_ids.append(ids)
+        else:
+            raise CompileError(f"cannot DELETE `{e.name}` of kind {b.kind}")
+
+    vdel = None
+    for d in v_ids:
+        vdel = d if vdel is None else vdel.unionByName(d).distinct()
+    edel = None
+    for d in e_ids:
+        edel = d if edel is None else edel.unionByName(d).distinct()
+
+    eupd: dict[str, DataFrame] = {}
+    if vdel is not None:
+        vdel = vdel.localCheckpoint(eager=False)
+        if clause.detach:
+            # cascade: remove edges touching deleted vertices
+            # (process_edges_by_index, cypher_delete.c:578)
+            for label, tab in graph.edge_dfs.items():
+                t = tab.join(vdel, tab["start_id"] == F.col("_did"), "left_anti")
+                t = t.join(vdel, t["end_id"] == F.col("_did"), "left_anti")
+                eupd[label] = t
+        else:
+            # error if any connected edge remains (cypher_delete.c:632)
+            for label, tab in graph.edge_dfs.items():
+                pending = eupd.get(label, tab)
+                hit = pending.join(
+                    vdel,
+                    (pending["start_id"] == F.col("_did")) | (pending["end_id"] == F.col("_did")),
+                    "left_semi",
+                )
+                if edel is not None:
+                    hit = hit.join(edel, hit["id"] == edel["_did"], "left_anti")
+                if not hit.isEmpty():
+                    raise CompileError(
+                        "Cannot delete a vertex that still has edges; use DETACH DELETE"
+                    )
+    vupd: dict[str, DataFrame] = {}
+    if vdel is not None:
+        for label, tab in graph.vertex_dfs.items():
+            vupd[label] = tab.join(vdel, tab["id"] == F.col("_did"), "left_anti")
+    if edel is not None:
+        edel = edel.localCheckpoint(eager=False)
+        for label, tab in graph.edge_dfs.items():
+            base = eupd.get(label, tab)
+            eupd[label] = base.join(edel, base["id"] == F.col("_did"), "left_anti")
+
+    newgraph = graph.snapshot(vertex_dfs=vupd, edge_dfs=eupd)
+    return State(df, env), ctx.with_graph(newgraph)
+
+
+# ------------------------------------------------------------------- MERGE
+
+
+def compile_merge(ctx: QueryContext, st, clause: A.Merge):
+    """MERGE: per input row, match the pattern; if found bind it, else create
+    the whole path once per distinct key (``executor/cypher_merge.c:640``;
+    created-path dedup :594-637). Batch realization: OPTIONAL-MATCH the
+    pattern, split found/missing, CREATE for the distinct missing keys, join
+    created entities back, union the branches."""
+    from ..compiler.clauses import State, _compile_optional_match
+
+    df, env = st.df, st.env
+    if df is None:
+        df, env = _unit_df(ctx), Env({})
+    pat = clause.pattern
+
+    # 1) optional-match the pattern against the current snapshot
+    opt = _compile_optional_match(ctx, State(df, env), A.Match([pat], True, None))
+    pat_vars = [v for v in _pattern_var_names(ctx, pat) if env.get(v) is None]
+    if not pat_vars:
+        raise CompileError("MERGE pattern introduces no new variables")
+    anchor = pat_vars[0]
+    found = opt.df.filter(F.col(anchor).isNotNull())
+    missing = opt.df.filter(F.col(anchor).isNull()).drop(*pat_vars)
+
+    if missing.isEmpty():
+        out = found
+        st2 = State(out, opt.env)
+        if clause.on_match:
+            st2, ctx = compile_set(ctx, st2, clause.on_match)
+        return st2, ctx
+
+    # 2) distinct creation keys: bound vars referenced + property values
+    bound_refs = sorted(v for v in _pattern_var_names(ctx, pat) if env.get(v) is not None)
+    key_cols = [F.col(v) for v in bound_refs]
+    prop_keys = _pattern_prop_exprs(ctx, missing, env, pat)
+    key_names = [f"_mk{i}" for i in range(len(prop_keys))]
+    sel = key_cols + [c.alias(n) for (c, n) in zip(prop_keys, key_names)]
+    dedup = missing.select(*sel).distinct() if sel else _unit_df(ctx)
+
+    env_dd = Env({v: env.require(v) for v in bound_refs})
+    created_state, ctx = compile_create(ctx, State(dedup, env_dd), A.Create([pat]))
+
+    # 3) join created rows back to the full missing set on the keys
+    join_cond = None
+    cmp_df = missing
+    for i, c in enumerate(prop_keys):
+        cc = c.eqNullSafe(F.col(f"_mk{i}"))
+        join_cond = cc if join_cond is None else (join_cond & cc)
+    for v in bound_refs:
+        b = env.require(v)
+        left = F.col(v).getField("id") if b.kind in (VERTEX, EDGE) else F.col(v)
+        right_name = f"_mb_{v}"
+        created_side = created_state.df.withColumn(
+            right_name,
+            F.col(v).getField("id") if b.kind in (VERTEX, EDGE) else F.col(v),
+        )
+        created_state = State(created_side, created_state.env)
+        cc = left.eqNullSafe(F.col(right_name))
+        join_cond = cc if join_cond is None else (join_cond & cc)
+    created_df = created_state.df
+    keep = pat_vars + [f"_mk{i}" for i in range(len(prop_keys))] + [
+        f"_mb_{v}" for v in bound_refs
+    ]
+    keep = [c for c in keep if c in created_df.columns]
+    created_sel = created_df.select(*keep)
+    if join_cond is not None:
+        created_rows = missing.join(created_sel, join_cond)
+    else:
+        created_rows = missing.crossJoin(created_sel)
+    created_rows = created_rows.drop(
+        *[c for c in created_rows.columns if c.startswith("_mk") or c.startswith("_mb_")]
+    )
+
+    st_created = State(created_rows, opt.env)
+    if clause.on_create:
+        st_created, ctx = compile_set(ctx, st_created, clause.on_create)
+    st_found = State(found, opt.env)
+    if clause.on_match and not found.isEmpty():
+        st_found, ctx = compile_set(ctx, st_found, clause.on_match)
+
+    cols = st_found.df.columns
+    out = union_by_merged_schema([st_found.df, st_created.df.select(*cols)])
+    return State(out, opt.env), ctx
+
+
+def _pattern_var_names(ctx, pat: A.PathPattern) -> list[str]:
+    out = []
+    for el in pat.elements:
+        if el.var:
+            out.append(el.var)
+    return out
+
+
+def _pattern_prop_exprs(ctx, df, env, pat: A.PathPattern) -> list[Column]:
+    scope = ExprScope(ctx, df, env)
+    out = []
+    for el in pat.elements:
+        props = getattr(el, "props", None)
+        if isinstance(props, A.MapLit):
+            for _, v in props.items:
+                out.append(compile_expr(scope, v))
+    return out

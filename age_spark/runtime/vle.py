@@ -1,0 +1,265 @@
+"""Variable-length edges (VLE) + shortest paths as iterative DataFrame BFS.
+
+The reference implements `-[e*min..max]->` as a C depth-first enumerator over
+an in-memory whole-graph adjacency cache (``src/backend/utils/adt/age_vle.c``:
+design note at :20-75, DFS at :1045/:1190) — a single-node algorithm that
+cannot scale past RAM. Our engine replaces it with **frontier-expansion via
+joins**: each hop is one equi-join of the frontier against the edge table, so
+Spark distributes the traversal and AQE handles skew. Semantics kept from the
+reference (``age_vle.c:27-39``):
+
+  - **edge-isomorphism**: no edge repeats within one path; vertices MAY
+    repeat (openCypher-mandated; vertex-visited pruning would be incorrect).
+  - zero-hop lower bound (``[*0..]``) yields the start vertex itself with an
+    empty edge list (zero container, ``age_vle.c:1699``).
+  - undirected traversal unions both edge orientations.
+  - unbounded ``[*]`` terminates by edge depletion; we additionally cap depth
+    at ``DEFAULT_MAX_HOPS`` (documented deviation — on cycle-rich 100 TB
+    graphs unbounded enumeration is factorial, the cap is the scale-safe
+    choice; raise it per-query when needed).
+
+Per-hop state is (src, cur, edges ARRAY<edge>, nodes ARRAY<vertex>); the
+uniqueness filter is an ARRAY containment check evaluated JVM-side.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+DEFAULT_MAX_HOPS = 30
+
+
+def _oriented_edges(graph, types, direction: str) -> DataFrame:
+    scan = graph.scan_edges(types)
+    e = F.struct(
+        F.col("id"), F.col("start_id"), F.col("end_id"), F.col("label"), F.col("properties")
+    ).alias("_e")
+    fwd = scan.select(e, F.col("start_id").alias("_s"), F.col("end_id").alias("_d"))
+    if direction == "out":
+        return fwd
+    rev = scan.select(e, F.col("end_id").alias("_s"), F.col("start_id").alias("_d"))
+    if direction == "in":
+        return rev
+    return fwd.unionByName(rev)
+
+
+def vle_pairs(
+    graph,
+    types: Optional[list[str]],
+    direction: str,
+    min_hops: int,
+    max_hops: Optional[int],
+    seeds: Optional[DataFrame] = None,
+) -> DataFrame:
+    """All (src, dst, edges, nodes, hops) paths with hop count in
+    [min_hops, max_hops]. ``nodes`` holds the interior vertices (between the
+    endpoints), used for path materialization.
+
+    ``seeds``: DataFrame with a single column ``src`` restricting origins —
+    the Spark analogue of the reference's terminal-qual rewrite (#2420):
+    seeding from the bound side keeps the frontier proportional to the
+    actual match, not the whole graph.
+    """
+    spark = graph.spark
+    edges = _oriented_edges(graph, types, direction)
+    edge_dt = edges.schema["_e"].dataType
+
+    if seeds is None:
+        seeds = graph.scan_vertices(None).select(F.col("id").alias("src"))
+    seeds = seeds.distinct()
+
+    vprops = graph.vertex_property_schema(None)
+    vertex_dt_ddl = _vertex_ddl(graph)
+
+    frontier = seeds.select(
+        F.col("src"),
+        F.col("src").alias("cur"),
+        F.expr("array()").cast(f"array<{edge_dt.simpleString()}>").alias("edges"),
+        F.expr("array()").cast(f"array<{vertex_dt_ddl}>").alias("nodes"),
+    )
+
+    hard_max = max_hops if max_hops is not None else DEFAULT_MAX_HOPS
+    results: list[DataFrame] = []
+    if min_hops <= 0:
+        results.append(
+            frontier.select(
+                "src", F.col("cur").alias("dst"), "edges", "nodes", F.lit(0).alias("hops")
+            )
+        )
+
+    # interior vertex structs come from joining the vertex table on arrival
+    vtable = graph.scan_vertices(None).select(
+        F.col("id").alias("_vid"),
+        F.struct(F.col("id"), F.col("label"), F.col("properties")).alias("_v"),
+    )
+
+    for hop in range(1, hard_max + 1):
+        joined = frontier.join(edges, frontier["cur"] == edges["_s"])
+        # edge-isomorphism: the new edge must not already be on the path
+        joined = joined.filter(
+            ~F.exists(F.col("edges"), lambda x: x.getField("id") == F.col("_e").getField("id"))
+        )
+        is_last = hop == hard_max
+        nxt = joined.select(
+            F.col("src"),
+            F.col("_d").alias("cur"),
+            F.concat(F.col("edges"), F.array(F.col("_e"))).alias("edges"),
+            F.col("nodes"),
+        )
+        if not is_last:
+            # append the arrival vertex to the interior-node list for paths
+            # that continue; for emission at this hop the arrival vertex is
+            # the endpoint (not interior), so emit BEFORE appending.
+            pass
+        if hop >= min_hops:
+            results.append(
+                nxt.select(
+                    "src", F.col("cur").alias("dst"), "edges", "nodes", F.lit(hop).alias("hops")
+                )
+            )
+        if hop < hard_max:
+            nxt = nxt.join(vtable, nxt["cur"] == vtable["_vid"]).select(
+                F.col("src"),
+                F.col("cur"),
+                F.col("edges"),
+                F.concat(F.col("nodes"), F.array(F.col("_v"))).alias("nodes"),
+            )
+            # cut lineage growth: each hop is a fresh plan over materialized
+            # state, not a 2^k nested plan (critical for deep traversals)
+            nxt = nxt.localCheckpoint(eager=False)
+            if max_hops is None:
+                # unbounded: stop when the frontier drains
+                if nxt.isEmpty():
+                    frontier = nxt
+                    break
+        frontier = nxt
+
+    if not results:
+        return frontier.select(
+            "src", F.col("cur").alias("dst"), "edges", "nodes", F.lit(0).alias("hops")
+        ).limit(0)
+    out = results[0]
+    for r in results[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+def _vertex_ddl(graph) -> str:
+    vprops = graph.vertex_property_schema(None)
+    if vprops:
+        inner = ",".join(f"`{n}`:{t.simpleString()}" for n, t in vprops)
+    else:
+        inner = "`_none`:string"
+    return f"struct<id:bigint,label:string,properties:struct<{inner}>>"
+
+
+def shortest_path_pairs(
+    graph,
+    start_filter,
+    end_filter,
+    types: Optional[list[str]] = None,
+    direction: str = "out",
+    min_hops: int = 0,
+    max_hops: Optional[int] = None,
+    all_paths: bool = False,
+) -> DataFrame:
+    """Unweighted shortest path(s) between vertex sets — BFS with early stop.
+
+    Mirrors ``shortest_path``/``all_shortest_paths``
+    (``age_vle.c:3877/3892``, ``sp_compute_paths``): level-synchronous BFS
+    from the start set; at the first level where a target is reached, emit
+    the path(s) and stop. ``all_paths=False`` keeps one path per (src, dst)
+    pair; True keeps all minimal-length paths.
+
+    start_filter/end_filter: functions DataFrame->Column over the unified
+    vertex scan, selecting endpoints.
+    """
+    vscan = graph.scan_vertices(None)
+    starts = vscan.filter(start_filter(vscan)).select(F.col("id").alias("src"))
+    targets = vscan.filter(end_filter(vscan)).select(F.col("id").alias("_tgt"))
+    edges = _oriented_edges(graph, types, direction)
+    edge_dt = edges.schema["_e"].dataType
+    vddl = _vertex_ddl(graph)
+
+    frontier = starts.distinct().select(
+        F.col("src"),
+        F.col("src").alias("cur"),
+        F.expr("array()").cast(f"array<{edge_dt.simpleString()}>").alias("edges"),
+        F.expr("array()").cast(f"array<{vddl}>").alias("nodes"),
+    )
+    # BFS visited set per source (vertex-level pruning IS correct for
+    # shortest paths, unlike VLE): (src, vertex)
+    visited = frontier.select("src", F.col("cur").alias("vid"))
+
+    hard_max = max_hops if max_hops is not None else DEFAULT_MAX_HOPS
+    found_parts: list[DataFrame] = []
+
+    if min_hops <= 0:
+        hit0 = frontier.join(targets, frontier["cur"] == targets["_tgt"]).select(
+            "src", F.col("cur").alias("dst"), "edges", "nodes", F.lit(0).alias("hops")
+        )
+        found_parts.append(hit0)
+        # sources whose target is found at level 0 stop expanding
+        frontier = frontier.join(
+            hit0.select(F.col("src").alias("_fsrc")).distinct(),
+            frontier["src"] == F.col("_fsrc"),
+            "left_anti",
+        )
+
+    for hop in range(1, hard_max + 1):
+        if frontier.isEmpty():
+            break
+        joined = frontier.join(edges, frontier["cur"] == edges["_s"]).select(
+            F.col("src"),
+            F.col("_d").alias("cur"),
+            F.concat(F.col("edges"), F.array(F.col("_e"))).alias("edges"),
+            F.col("nodes"),
+        )
+        joined = joined.join(
+            visited,
+            (joined["src"] == visited["src"]) & (joined["cur"] == visited["vid"]),
+            "left_anti",
+        )
+        joined = joined.localCheckpoint(eager=False)
+        hits = joined.join(targets, joined["cur"] == targets["_tgt"])
+        if hop >= min_hops:
+            emitted = hits.select(
+                "src", F.col("cur").alias("dst"), "edges", "nodes", F.lit(hop).alias("hops")
+            )
+            if not all_paths:
+                emitted = emitted.withColumn(
+                    "_rn",
+                    F.row_number().over(
+                        Window.partitionBy("src", "dst")
+                        .orderBy(F.transform(F.col("edges"), lambda x: x.getField("id")))
+                    ),
+                ).filter(F.col("_rn") == 1).drop("_rn")
+            found_parts.append(emitted)
+            done_src = emitted.select(F.col("src").alias("_fsrc")).distinct()
+            joined = joined.join(done_src, joined["src"] == F.col("_fsrc"), "left_anti")
+        visited = visited.unionByName(
+            joined.select("src", F.col("cur").alias("vid"))
+        ).distinct().localCheckpoint(eager=False)
+        frontier = joined.join(
+            vscan.select(
+                F.col("id").alias("_vid"),
+                F.struct(F.col("id"), F.col("label"), F.col("properties")).alias("_v"),
+            ),
+            joined["cur"] == F.col("_vid"),
+        ).select(
+            "src", "cur", "edges",
+            F.concat(F.col("nodes"), F.array(F.col("_v"))).alias("nodes"),
+        )
+
+    if not found_parts:
+        return frontier.select(
+            "src", F.col("cur").alias("dst"), "edges", "nodes", F.lit(0).alias("hops")
+        ).limit(0)
+    out = found_parts[0]
+    for p in found_parts[1:]:
+        out = out.unionByName(p)
+    return out
