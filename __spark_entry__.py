@@ -1,10 +1,11 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry exercises one operator family from SURVEY.md §2
+(through the Cypher engine on the TPC-H-shaped demo graph) or one
+LLM-pipeline operator (age_spark.pipeline.* on documents/embeddings/events).
+``oracle_sql()`` holds the DuckDB twin; entries without an oracle are
+genuinely non-SQL-expressible (VLE enumeration, MinHash/SimHash internals,
+Pandas-UDF multimodal kernels) and get the driver's rows-only check.
 """
 
 from __future__ import annotations
@@ -12,27 +13,472 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_GRAPH_CACHE: dict = {}
+
+
+def _graph(spark: SparkSession, sf_dir: str):
+    key = (id(spark), sf_dir)
+    if key not in _GRAPH_CACHE:
+        from age_spark.demo import build_tpch_graph
+
+        _GRAPH_CACHE[key] = build_tpch_graph(spark, sf_dir)
+    return _GRAPH_CACHE[key]
+
+
+def _cypher(spark: SparkSession, sf_dir: str, q: str) -> DataFrame:
+    from age_spark import AgeSession
+
+    return AgeSession(spark).cypher(_graph(spark, sf_dir), q).df
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _events(spark, sf_dir):
+    # events.ts is parquet TIMESTAMP(NANOS): surfaced as epoch-ns LongType
+    # (matches the reference's temporal model — epoch integers, agtype.c:10924)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: 3-hop pattern match with edge-property filter + implicit
+    grouping, on sf0.001."""
+    return _cypher(
+        spark,
+        "/root/testdata/sf0.001",
+        'MATCH (c:Customer)-[:PLACED]->(o:Order)-[l:LINE]->(p:Part) '
+        'WHERE l.quantity > 45 '
+        'RETURN p.brand AS brand, count(*) AS n_lines, '
+        'round(sum(l.quantity), 2) AS sum_qty',
+    )
+
+
+# --------------------------------------------------------------- queries
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # ---- §2.1/§2.4 scans, filters, projections
+    q["g_scan_filter"] = lambda s, d: _cypher(
+        s, d,
+        'MATCH (c:Customer) WHERE c.acctbal > 5000.0 '
+        'RETURN c.name AS name, c.acctbal AS acctbal, c.mktsegment AS mktsegment',
+    )
+    q["g_orderby_limit"] = lambda s, d: _cypher(
+        s, d,
+        'MATCH (o:Order) RETURN o.totalprice AS totalprice, o.orderstatus AS orderstatus '
+        'ORDER BY totalprice DESC, orderstatus ASC LIMIT 10',
+    )
+    q["g_skip_limit"] = lambda s, d: _cypher(
+        s, d,
+        'MATCH (n:Nation) RETURN n.name AS name ORDER BY name SKIP 5 LIMIT 10',
+    )
+    q["g_distinct"] = lambda s, d: _cypher(
+        s, d, 'MATCH (c:Customer) RETURN DISTINCT c.mktsegment AS mktsegment',
+    )
+
+    # ---- §2.2 pattern joins
+    q["g_join2_agg"] = lambda s, d: _cypher(
+        s, d,
+        'MATCH (c:Customer)-[:FROM_NATION]->(n:Nation)-[:IN_REGION]->(r:Region) '
+        'RETURN r.name AS region, count(*) AS n_customers',
+    )
+    q["g_join3_edgeprops"] = lambda s, d: _cypher(
+        s, d,
+        'MATCH (c:Customer)-[:PLACED]->(o:Order)-[l:LINE]->(p:Part) '
+        'WHERE l.quantity > 45 '
+        'RETURN p.brand AS brand, count(*) AS n_lines, round(sum(l.quantity), 2) AS sum_qty',
+    )
+    q["g_undirected"] = lambda s, d: _cypher(
+        s, d,
+        'MATCH (n:Nation)-[e]-(x:Region) RETURN n.name AS nation, x.name AS region',
+    )
+    q["g_multi_pattern"] = lambda s, d: _cypher(
+        s, d,
+        'MATCH (c:Customer)-[:FROM_NATION]->(n:Nation), (sup:Supplier)-[:SUPP_NATION]->(n) '
+        'RETURN n.name AS nation, count(*) AS n_pairs',
+    )
+
+    # ---- §2.2 OPTIONAL MATCH / EXISTS
+    q["g_optional_match"] = lambda s, d: _cypher(
+        s, d,
+        'MATCH (c:Customer) OPTIONAL MATCH (c)-[:PLACED]->(o:Order) '
+        'RETURN c.name AS name, count(o) AS n_orders',
+    )
+    q["g_not_exists"] = lambda s, d: _cypher(
+        s, d,
+        'MATCH (c:Customer) WHERE NOT EXISTS { MATCH (c)-[:PLACED]->(o:Order) } '
+        'RETURN count(*) AS n_no_orders',
+    )
+    q["g_count_subquery"] = lambda s, d: _cypher(
+        s, d,
+        'MATCH (n:Nation) RETURN n.name AS nation, '
+        'COUNT { MATCH (c:Customer)-[:FROM_NATION]->(n) } AS n_customers',
+    )
+
+    # ---- §2.3 VLE (fixed-bound -> SQL-expressible as a 2-hop join)
+    q["g_vle_2hop"] = lambda s, d: _cypher(
+        s, d,
+        'MATCH (c:Customer)-[e*2..2]->(r:Region) '
+        'RETURN r.name AS region, count(*) AS n_paths',
+    )
+
+    # ---- §2.5 aggregates
+    q["g_agg_stats"] = lambda s, d: _cypher(
+        s, d,
+        'MATCH (c:Customer)-[:FROM_NATION]->(n:Nation) '
+        'RETURN n.name AS nation, count(*) AS n, round(sum(c.acctbal), 2) AS sum_bal, '
+        'round(avg(c.acctbal), 2) AS avg_bal, round(min(c.acctbal), 2) AS min_bal, '
+        'round(max(c.acctbal), 2) AS max_bal',
+    )
+    q["g_count_distinct"] = lambda s, d: _cypher(
+        s, d,
+        'MATCH (c:Customer) RETURN count(DISTINCT c.mktsegment) AS n_segments',
+    )
+    q["g_with_having"] = lambda s, d: _cypher(
+        s, d,
+        'MATCH (c:Customer)-[:FROM_NATION]->(n:Nation) '
+        'WITH n.name AS nation, count(*) AS cnt WHERE cnt > 20 '
+        'RETURN nation, cnt',
+    )
+    q["g_percentiles"] = lambda s, d: _cypher(
+        s, d,
+        'MATCH (o:Order) RETURN round(percentileCont(o.totalprice, 0.5), 2) AS median_price',
+    )
+
+    # ---- §2.4 UNWIND / UNION / CASE / expressions
+    q["g_unwind"] = lambda s, d: _cypher(
+        s, d,
+        'UNWIND range(1, 10) AS x WITH x WHERE x % 2 = 0 RETURN x, x * x AS sq',
+    )
+    q["g_union"] = lambda s, d: _cypher(
+        s, d,
+        'MATCH (r:Region) RETURN r.name AS name '
+        'UNION MATCH (n:Nation) RETURN n.name AS name',
+    )
+    q["g_case"] = lambda s, d: _cypher(
+        s, d,
+        'MATCH (c:Customer) RETURN CASE WHEN c.acctbal < 0.0 THEN \'neg\' '
+        'WHEN c.acctbal < 5000.0 THEN \'mid\' ELSE \'high\' END AS bucket, '
+        'count(*) AS n',
+    )
+    q["g_string_fns"] = lambda s, d: _cypher(
+        s, d,
+        'MATCH (r:Region) RETURN toLower(r.name) AS lo, substring(r.name, 0, 2) AS pre, '
+        'size(r.name) AS len, reverse(r.name) AS rev',
+    )
+    q["g_math_fns"] = lambda s, d: _cypher(
+        s, d,
+        'MATCH (o:Order) WHERE o.totalprice > 350000.0 '
+        'RETURN round(sqrt(o.totalprice), 4) AS sq, round(abs(o.totalprice * -1.0), 2) AS ab, '
+        'floor(o.totalprice / 1000.0) AS kbucket',
+    )
+    q["g_list_ops"] = lambda s, d: _cypher(
+        s, d,
+        'UNWIND [3, 1, 2] AS x RETURN x, [y IN range(1, x) | y * 10] AS lst, '
+        'size(range(1, x)) AS n',
+    )
+
+    # ---- rows-only graph ops (non-SQL-expressible: path values, unbounded VLE)
+    q["g_vle_unbounded"] = lambda s, d: _cypher(
+        s, d,
+        'MATCH (n:Nation {name: "JAPAN"})-[e*]->(x) RETURN count(*) AS n_paths',
+    )
+    q["g_path_value"] = lambda s, d: _cypher(
+        s, d,
+        'MATCH p = (c:Customer)-[:FROM_NATION]->(n:Nation) '
+        'RETURN length(p) AS len, size(nodes(p)) AS nn LIMIT 5',
+    )
+
+    # ---- pipeline: text analysis
+    q["p_token_count"] = lambda s, d: (
+        _docs(s, d).select(
+            "doc_id",
+            __import__("age_spark.pipeline.text", fromlist=["token_count"]).token_count(F.col("text")).alias("n_tokens"),
+        )
+    )
+    q["p_fingerprint"] = lambda s, d: (
+        _docs(s, d).select(
+            "doc_id",
+            __import__("age_spark.pipeline.text", fromlist=["fingerprint"]).fingerprint(F.col("text")).alias("fingerprint"),
+        )
+    )
+    q["p_lang_id"] = lambda s, d: (
+        _docs(s, d).select(
+            "doc_id",
+            __import__("age_spark.pipeline.text", fromlist=["predict_lang"]).predict_lang(F.col("text")).alias("pred_lang"),
+        )
+    )
+    q["p_quality"] = lambda s, d: (
+        __import__("age_spark.pipeline.text", fromlist=["quality_features"])
+        .quality_features(_docs(s, d))
+        .select("doc_id", "n_tokens", "alpha_ratio", "stop_ratio", "quality_score")
+    )
+
+    # ---- pipeline: dedup
+    q["p_exact_dedup"] = lambda s, d: (
+        __import__("age_spark.pipeline.dedup", fromlist=["exact_dedup"]).exact_dedup(_docs(s, d))
+    )
+    q["p_embed_near_pairs"] = lambda s, d: (
+        __import__("age_spark.pipeline.dedup", fromlist=["embedding_near_pairs"])
+        .embedding_near_pairs(_emb(s, d), threshold=0.8)
+    )
+    q["p_minhash_pairs"] = lambda s, d: (  # rows-only: seeded-hash internals
+        __import__("age_spark.pipeline.dedup", fromlist=["minhash_dedup_pairs"])
+        .minhash_dedup_pairs(_docs(s, d), threshold=0.5)
+    )
+    q["p_simhash_pairs"] = lambda s, d: (  # rows-only
+        __import__("age_spark.pipeline.dedup", fromlist=["simhash_near_pairs"])
+        .simhash_near_pairs(_docs(s, d), max_hamming=8)
+    )
+    q["p_ngram_jaccard"] = lambda s, d: (  # rows-only (shingle SQL too gnarly)
+        __import__("age_spark.pipeline.dedup", fromlist=["ngram_jaccard_pairs"])
+        .ngram_jaccard_pairs(_docs(s, d), threshold=0.4)
+    )
+
+    # ---- pipeline: similarity search
+    def _ann(s, d):
+        from age_spark.pipeline.similarity import brute_force_topk
+
+        emb = _emb(s, d)
+        qs = emb.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+        )
+        return brute_force_topk(emb, qs, k=5)
+
+    q["p_ann_topk"] = _ann
+
+    def _ann_lsh(s, d):  # rows-only: LSH bucket internals
+        from age_spark.pipeline.similarity import lsh_bucketed_topk
+
+        emb = _emb(s, d)
+        qs = emb.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+        )
+        return lsh_bucketed_topk(emb, qs, k=5, planes=6)
+
+    q["p_ann_lsh"] = _ann_lsh
+
+    # ---- pipeline: events (windowed / sessionized)
+    q["e_type_agg"] = lambda s, d: (
+        _events(s, d)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+    )
+
+    def _latest_event(s, d):
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+        return (
+            _events(s, d)
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("user_id", "event_id", "event_type")
+        )
+
+    q["e_latest_per_user"] = _latest_event
+
+    def _sessions(s, d):
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        ev = _events(s, d).withColumn("prev_ts", F.lag("ts").over(w))
+        new_sess = F.when(
+            F.col("prev_ts").isNull()
+            | (F.col("ts") - F.col("prev_ts") > 1800 * 1_000_000_000),
+            1,
+        ).otherwise(0)
+        return (
+            ev.withColumn("new_sess", new_sess)
+            .groupBy("user_id")
+            .agg(F.sum("new_sess").cast("bigint").alias("n_sessions"), F.count(F.lit(1)).alias("n_events"))
+        )
+
+    q["e_sessionize"] = _sessions
+
+    # ---- pipeline: multimodal plumbing (rows-only; Pandas-UDF kernel)
+    def _media(s, d):
+        from age_spark.pipeline.multimodal import attach_fake_media, extract_features
+
+        docs = _docs(s, d).limit(50)
+        out = extract_features(attach_fake_media(docs))
+        return out.select("doc_id", F.size("features").alias("feat_dim"))
+
+    q["m_media_features"] = _media
+
+    return q
+
+
+# ---------------------------------------------------------------- oracles
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    O: dict[str, str] = {}
+
+    O["g_scan_filter"] = (
+        "SELECT c_name AS name, c_acctbal AS acctbal, c_mktsegment AS mktsegment "
+        "FROM customer WHERE c_acctbal > 5000.0"
+    )
+    O["g_orderby_limit"] = (
+        "SELECT o_totalprice AS totalprice, o_orderstatus AS orderstatus "
+        "FROM orders ORDER BY totalprice DESC, orderstatus ASC LIMIT 10"
+    )
+    O["g_skip_limit"] = (
+        "SELECT n_name AS name FROM nation ORDER BY name OFFSET 5 LIMIT 10"
+    )
+    O["g_distinct"] = "SELECT DISTINCT c_mktsegment AS mktsegment FROM customer"
+    O["g_join2_agg"] = (
+        "SELECT r_name AS region, CAST(count(*) AS BIGINT) AS n_customers "
+        "FROM customer JOIN nation ON c_nationkey = n_nationkey "
+        "JOIN region ON n_regionkey = r_regionkey GROUP BY r_name"
+    )
+    O["g_join3_edgeprops"] = (
+        "SELECT p_brand AS brand, CAST(count(*) AS BIGINT) AS n_lines, "
+        "round(sum(l_quantity), 2) AS sum_qty "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+        "JOIN part ON l_partkey = p_partkey WHERE l_quantity > 45 GROUP BY p_brand"
+    )
+    O["g_undirected"] = (
+        "SELECT n_name AS nation, r_name AS region FROM nation "
+        "JOIN region ON n_regionkey = r_regionkey"
+    )
+    O["g_multi_pattern"] = (
+        "SELECT n_name AS nation, CAST(count(*) AS BIGINT) AS n_pairs "
+        "FROM customer JOIN nation ON c_nationkey = n_nationkey "
+        "JOIN supplier ON s_nationkey = n_nationkey GROUP BY n_name"
+    )
+    O["g_optional_match"] = (
+        "SELECT c_name AS name, CAST(count(o_orderkey) AS BIGINT) AS n_orders "
+        "FROM customer LEFT JOIN orders ON o_custkey = c_custkey GROUP BY c_name"
+    )
+    O["g_not_exists"] = (
+        "SELECT CAST(count(*) AS BIGINT) AS n_no_orders FROM customer "
+        "WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)"
+    )
+    O["g_count_subquery"] = (
+        "SELECT n_name AS nation, CAST("
+        "(SELECT count(*) FROM customer WHERE c_nationkey = n_nationkey) AS BIGINT"
+        ") AS n_customers FROM nation"
+    )
+    O["g_vle_2hop"] = (
+        "SELECT r_name AS region, CAST(count(*) AS BIGINT) AS n_paths "
+        "FROM customer JOIN nation ON c_nationkey = n_nationkey "
+        "JOIN region ON n_regionkey = r_regionkey GROUP BY r_name"
+    )
+    O["g_agg_stats"] = (
+        "SELECT n_name AS nation, CAST(count(*) AS BIGINT) AS n, "
+        "round(sum(c_acctbal), 2) AS sum_bal, round(avg(c_acctbal), 2) AS avg_bal, "
+        "round(min(c_acctbal), 2) AS min_bal, round(max(c_acctbal), 2) AS max_bal "
+        "FROM customer JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name"
+    )
+    O["g_count_distinct"] = (
+        "SELECT CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS n_segments FROM customer"
+    )
+    O["g_with_having"] = (
+        "SELECT n_name AS nation, CAST(count(*) AS BIGINT) AS cnt "
+        "FROM customer JOIN nation ON c_nationkey = n_nationkey "
+        "GROUP BY n_name HAVING count(*) > 20"
+    )
+    O["g_percentiles"] = (
+        "SELECT round(quantile_cont(o_totalprice, 0.5), 2) AS median_price FROM orders"
+    )
+    O["g_unwind"] = (
+        "SELECT CAST(x AS BIGINT) AS x, CAST(x * x AS BIGINT) AS sq "
+        "FROM generate_series(1, 10) t(x) WHERE x % 2 = 0"
+    )
+    O["g_union"] = (
+        "SELECT r_name AS name FROM region UNION SELECT n_name AS name FROM nation"
+    )
+    O["g_case"] = (
+        "SELECT CASE WHEN c_acctbal < 0.0 THEN 'neg' WHEN c_acctbal < 5000.0 THEN 'mid' "
+        "ELSE 'high' END AS bucket, CAST(count(*) AS BIGINT) AS n "
+        "FROM customer GROUP BY 1"
+    )
+    O["g_string_fns"] = (
+        "SELECT lower(r_name) AS lo, substr(r_name, 1, 2) AS pre, "
+        "CAST(length(r_name) AS INT) AS len, reverse(r_name) AS rev FROM region"
+    )
+    O["g_math_fns"] = (
+        "SELECT round(sqrt(o_totalprice), 4) AS sq, round(abs(o_totalprice * -1.0), 2) AS ab, "
+        "CAST(floor(o_totalprice / 1000.0) AS BIGINT) AS kbucket "
+        "FROM orders WHERE o_totalprice > 350000.0"
+    )
+
+    # pipeline
+    O["p_token_count"] = (
+        "SELECT doc_id, CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE "
+        "len(regexp_split_to_array(trim(text), '\\s+')) END AS INT) AS n_tokens "
+        "FROM documents"
+    )
+    O["p_fingerprint"] = (
+        "SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) "
+        "AS fingerprint FROM documents"
+    )
+    O["p_lang_id"] = _lang_oracle()
+    O["p_exact_dedup"] = (
+        "SELECT CAST(min(doc_id) AS BIGINT) AS keep_id, CAST(count(*) AS BIGINT) AS n_copies "
+        "FROM documents GROUP BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))"
+    )
+    O["p_embed_near_pairs"] = (
+        "SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
+        "round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine "
+        "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
+        "WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.8"
+    )
+    O["p_ann_topk"] = (
+        "WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5), "
+        "scored AS (SELECT q.query_id, e.vec_id, "
+        "  list_cosine_similarity(q.qv, e.embedding::DOUBLE[]) AS cos FROM q CROSS JOIN embeddings e), "
+        "ranked AS (SELECT query_id, vec_id, cos, "
+        "  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank FROM scored) "
+        "SELECT query_id, vec_id, round(cos, 6) AS cosine, CAST(rank AS INT) AS rank "
+        "FROM ranked WHERE rank <= 5"
+    )
+    O["e_type_agg"] = (
+        "SELECT event_type, CAST(count(*) AS BIGINT) AS n, round(sum(value), 2) AS sum_value, "
+        "round(avg(value), 4) AS avg_value FROM events GROUP BY event_type"
+    )
+    O["e_latest_per_user"] = (
+        "SELECT user_id, event_id, event_type FROM ("
+        "SELECT user_id, event_id, event_type, "
+        "row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn "
+        "FROM events) WHERE rn = 1"
+    )
+    O["e_sessionize"] = (
+        "SELECT user_id, CAST(sum(new_sess) AS BIGINT) AS n_sessions, "
+        "CAST(count(*) AS BIGINT) AS n_events FROM ("
+        "SELECT user_id, CASE WHEN prev_ts IS NULL "
+        "OR epoch_ns(ts) - epoch_ns(prev_ts) > 1800000000000 THEN 1 ELSE 0 END AS new_sess FROM ("
+        "SELECT user_id, ts, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts "
+        "FROM events)) GROUP BY user_id"
+    )
+    return O
+
+
+def _lang_oracle() -> str:
+    from age_spark.pipeline.text import LANG_MARKERS
+
+    counts = {
+        lang: f"len(regexp_extract_all(lower(text), '{rx}'))"
+        for lang, rx in LANG_MARKERS.items()
+    }
+    best = "greatest(" + ", ".join(counts.values()) + ")"
+    case = "CASE "
+    for lang in LANG_MARKERS:  # first language wins ties (en > de > fr > es)
+        case += f"WHEN {counts[lang]} > 0 AND {counts[lang]} = {best} THEN '{lang}' "
+    case += "ELSE 'und' END"
+    return f"SELECT doc_id, {case} AS pred_lang FROM documents"

@@ -82,6 +82,12 @@ class LabelMeta:
             raise CatalogError(f"label {self.name}: entry id space exhausted")
         return first
 
+    def bump(self, floor: int) -> None:
+        """Advance the sequence to at least `floor` (mirrors setval after a
+        load with id_field_exists — keeps future CREATE/MERGE allocations
+        from colliding with user-supplied entry ids)."""
+        self.next_entry_id = max(self.next_entry_id, floor)
+
 
 @dataclass
 class GraphMeta:

@@ -71,12 +71,13 @@ def _unquote(s: str) -> str:
 
 
 class Tok:
-    __slots__ = ("kind", "value", "pos")
+    __slots__ = ("kind", "value", "pos", "text")
 
-    def __init__(self, kind: str, value, pos: int):
+    def __init__(self, kind: str, value, pos: int, text: str = ""):
         self.kind = kind  # 'int','float','string','name','kw','param','op','eof'
         self.value = value
         self.pos = pos
+        self.text = text  # original spelling (keywords keep their case)
 
     def __repr__(self):
         return f"Tok({self.kind},{self.value!r})"
@@ -104,11 +105,11 @@ def tokenize(text: str) -> list[Tok]:
             toks.append(Tok("param", v[1:], m.start()))
         elif kind == "name":
             if v.startswith("`"):
-                toks.append(Tok("name", v[1:-1], m.start()))
+                toks.append(Tok("name", v[1:-1], m.start(), v[1:-1]))
             elif v.lower() in KEYWORDS:
-                toks.append(Tok("kw", v.lower(), m.start()))
+                toks.append(Tok("kw", v.lower(), m.start(), v))
             else:
-                toks.append(Tok("name", v, m.start()))
+                toks.append(Tok("name", v, m.start(), v))
         else:
             toks.append(Tok("op", v, m.start()))
     toks.append(Tok("eof", None, n))
@@ -165,9 +166,10 @@ class Parser:
     def expect_name(self) -> str:
         if self.cur.kind == "name":
             return self.advance().value
-        # allow non-reserved keywords as identifiers where unambiguous
-        if self.cur.kind == "kw" and self.cur.value in {"count", "exists", "any", "all", "none", "single", "reduce", "on", "yield", "call", "set"}:
-            return self.advance().value
+        # keywords double as identifiers in name position (labels, keys,
+        # aliases) — original spelling preserved
+        if self.cur.kind == "kw":
+            return self.advance().text
         self.err("expected identifier")
 
     def err(self, msg: str):
@@ -440,7 +442,7 @@ class Parser:
                 if self.cur.kind in ("name", "string"):
                     key = self.advance().value
                 elif self.cur.kind == "kw":
-                    key = self.advance().value
+                    key = self.advance().text
                 else:
                     self.err("expected map key")
                 self.expect_op(":")
@@ -540,7 +542,8 @@ class Parser:
         while True:
             if self.at_op(".") and self.peek().kind in ("name", "kw"):
                 self.advance()
-                e = A.Prop(e, self.advance().value)
+                t = self.advance()
+                e = A.Prop(e, t.text if t.kind == "kw" else t.value)
             elif self.at_op("["):
                 self.advance()
                 lo = None if self.at_op("..") else self.parse_expr()

@@ -1,0 +1,254 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash,
+embedding-cosine near-dup.
+
+Scale design (100 TB):
+  - exact dedup is a single hash-aggregate on a digest column (map-side
+    combined, one shuffle on the 128-bit digest — never on raw text).
+  - MinHash/LSH turns all-pairs similarity into an equi-join on (band,
+    bucket-hash): candidates collide only within buckets, so the shuffle is
+    proportional to candidate pairs, not n^2.
+  - n-gram Jaccard verification runs only on LSH candidates in the scale
+    path; the direct all-pairs variant here exists as the small-data oracle
+    twin.
+  - every hash is seeded xxhash64 — deterministic across runs/executors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def normalized(col: Column) -> Column:
+    return F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the smallest id per identical (normalized) text. One shuffle on
+    md5 digest; duplicate groups tracked with a count."""
+    d = df.select(F.col(id_col), F.md5(normalized(F.col(text_col))).alias("_digest"))
+    return (
+        d.groupBy("_digest")
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+        .select("keep_id", "n_copies")
+    )
+
+
+def word_shingles(col: Column, k: int = 3) -> Column:
+    """Distinct k-word shingles of the normalized text, as strings."""
+    toks = F.split(normalized(col), " ")
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)))
+    return F.array_distinct(F.when(n >= k, sh).otherwise(F.array(F.concat_ws(" ", toks))))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """All-pairs n-gram Jaccard >= threshold (id_a < id_b).
+
+    Candidate generation by shingle inverted index (explode + self-join on
+    shingle) — exact, but the index join is the n^2 risk at scale: prefer
+    minhash_lsh_candidates as the driver and this as the verifier.
+    """
+    sh = df.select(F.col(id_col).alias("id"), word_shingles(F.col(text_col), k).alias("sh"))
+    sh = sh.withColumn("sz", F.size("sh"))
+    inv = sh.select("id", "sz", F.explode("sh").alias("s"))
+    a = inv.alias("a")
+    b = inv.alias("b")
+    common = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(
+            F.count(F.lit(1)).alias("inter"),
+            F.first(F.col("a.sz")).alias("sz_a"),
+            F.first(F.col("b.sz")).alias("sz_b"),
+        )
+    )
+    jac = common.withColumn(
+        "jaccard", F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+    )
+    return jac.filter(F.col("jaccard") >= threshold).select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    num_hashes: int = 64, k: int = 3,
+) -> DataFrame:
+    """MinHash signature per doc: sig[i] = min over shingles of
+    xxhash64(shingle, seed=i). Arrays stay JVM-side (higher-order funcs)."""
+    sh = df.select(F.col(id_col).alias("id"), word_shingles(F.col(text_col), k).alias("sh"))
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda i: F.array_min(F.transform(F.col("sh"), lambda s: F.xxhash64(s, i))),
+    )
+    return sh.select("id", sig.alias("sig"))
+
+
+def _band_buckets(sig: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    """Explode a signature table into (id, band, bucket) rows."""
+    r = num_hashes // bands
+    return sig.select(
+        "id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(F.concat_ws(",", F.transform(
+                        F.slice(F.col("sig"), b * r + 1, r), lambda x: x.cast("string")
+                    ))).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+
+def minhash_lsh_candidates(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    num_hashes: int = 64, bands: int = 16, k: int = 3,
+) -> DataFrame:
+    """LSH banding: split the signature into `bands` rows of r hashes; docs
+    sharing any (band, band-hash) bucket become candidate pairs. The only
+    shuffle is the self-join keyed on the band bucket."""
+    sig = minhash_signatures(df, text_col, id_col, num_hashes, k)
+    banded = _band_buckets(sig, num_hashes, bands)
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    num_hashes: int = 64, bands: int = 16, k: int = 3, threshold: float = 0.7,
+) -> DataFrame:
+    """Scale-path near-dup: LSH candidates verified by signature-estimated
+    Jaccard (fraction of agreeing minhashes).
+
+    The signature table is computed ONCE and persisted (it is tiny relative
+    to the corpus: num_hashes longs per doc); banding, the candidate join,
+    and the verify joins all reuse it — without this, Catalyst re-evaluates
+    the full shingle+hash pipeline on every side of every join."""
+    sig = minhash_signatures(df, text_col, id_col, num_hashes, k).persist()
+    banded = _band_buckets(sig, num_hashes, bands)
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    sa = sig.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = sig.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
+    est = (
+        cand.join(sa, "id_a").join(sb, "id_b")
+        .withColumn(
+            "est_jaccard",
+            F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda z: z))
+            / F.lit(num_hashes),
+        )
+    )
+    return est.filter(F.col("est_jaccard") >= threshold).select(
+        "id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard")
+    )
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+            bits: int = 64, k: int = 3) -> DataFrame:
+    """64-bit SimHash over word shingles: bit j of the fingerprint is the
+    sign of sum over shingles of (+1/-1 from hash bit j)."""
+    from functools import reduce
+
+    sh = df.select(F.col(id_col).alias("id"), word_shingles(F.col(text_col), k).alias("sh"))
+    # one pass over the shingle hashes; bit positions unrolled at compile
+    # time (bits is a Python constant) so every shift amount is a literal
+    hashes = F.transform(F.col("sh"), lambda s: F.xxhash64(s))
+    sh = sh.withColumn("_h", hashes)
+    def _bit_sum(j: int):
+        def merge(acc, h):
+            return acc + F.when(
+                F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1
+            ).otherwise(-1)
+
+        return F.aggregate(F.col("_h"), F.lit(0).cast("long"), merge)
+
+    bit_cols = []
+    for j in range(bits):
+        s_j = _bit_sum(j)
+        weight = (1 << j) if j < 63 else -(1 << 63)
+        bit_cols.append(F.when(s_j > 0, F.lit(weight).cast("long")).otherwise(F.lit(0).cast("long")))
+    fp = reduce(lambda a, b: a.bitwiseOR(b), bit_cols)
+    return sh.select("id", fp.alias("simhash"))
+
+
+def simhash_near_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                       max_hamming: int = 3, k: int = 3) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance. Candidate generation by
+    16-bit band equality (any of 4 bands equal -> candidate), then exact
+    popcount verification."""
+    fps = simhash(df, text_col, id_col, 64, k)
+    banded = fps.select(
+        "id", "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("simhash"), b * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("chunk"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "simhash", F.col("bb.band").alias("band"), F.col("bb.chunk").alias("chunk"))
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.chunk") == F.col("b.chunk"))
+               & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                F.col("a.simhash").alias("h_a"), F.col("b.simhash").alias("h_b"))
+        .distinct()
+    )
+    ham = cand.withColumn("hamming", F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))))
+    return ham.filter(F.col("hamming") <= max_hamming).select("id_a", "id_b", "hamming")
+
+
+def embedding_near_pairs(
+    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs (id_a < id_b, cosine >= threshold).
+    Brute-force twin of the LSH path in similarity.py — O(n^2) candidate
+    join; at scale route through similarity.lsh_buckets first."""
+    from .similarity import cosine
+
+    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"))
+    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    out = pairs.withColumn("cosine", cosine(F.col("v_a"), F.col("v_b")))
+    return out.filter(F.col("cosine") >= threshold).select(
+        "id_a", "id_b", F.round("cosine", 6).alias("cosine")
+    )

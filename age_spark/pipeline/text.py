@@ -1,0 +1,98 @@
+"""Text analysis operators: token counting, quality scoring, language ID,
+document fingerprinting.
+
+All pure Column expressions (whole-stage codegen; no Python in the hot
+path). Each has an exact ANSI-SQL twin used by the DuckDB oracle — the
+semantics are deliberately regex/arithmetic-only so both engines agree
+bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# word-boundary marker sets for the n-gram/stopword language heuristic
+LANG_MARKERS = {
+    "en": r"\b(the|and|of|to|in|is|that|for|with|was)\b",
+    "de": r"\b(der|die|das|und|ist|nicht|mit|ein|eine|zu)\b",
+    "fr": r"\b(le|la|les|et|est|une|pour|dans|que|des)\b",
+    "es": r"\b(el|la|los|las|y|es|una|por|para|que)\b",
+}
+
+
+def token_count(col: Column) -> Column:
+    """Whitespace token count. size(split(trim(s), '\\s+')); empty -> 0."""
+    t = F.trim(col)
+    return F.when(F.length(t) == 0, F.lit(0)).otherwise(F.size(F.split(t, r"\s+")))
+
+
+def bpe_ish_token_count(col: Column) -> Column:
+    """Sub-word-ish token estimate: count of letter-runs, digit-runs and
+    punctuation marks (a BPE-flavored regex, no vocab needed)."""
+    return F.regexp_count(col, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"))
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length/punctuation/stopword-ratio quality signals + a composite score
+    in [0,1] (the heuristic-filter family used by large-scale corpus
+    curation pipelines)."""
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    n_tokens = token_count(t)
+    n_alpha = F.regexp_count(t, F.lit(r"[A-Za-z]"))
+    n_punct = F.regexp_count(t, F.lit(r"[.,;:!?]"))
+    n_stop = F.regexp_count(F.lower(t), F.lit(LANG_MARKERS["en"]))
+    alpha_ratio = F.when(n_chars > 0, n_alpha / n_chars).otherwise(F.lit(0.0))
+    punct_ratio = F.when(n_tokens > 0, n_punct / n_tokens).otherwise(F.lit(0.0))
+    stop_ratio = F.when(n_tokens > 0, n_stop / n_tokens).otherwise(F.lit(0.0))
+    mean_tok_len = F.when(n_tokens > 0, n_chars / n_tokens).otherwise(F.lit(0.0))
+    score = (
+        F.least(n_tokens / F.lit(100.0), F.lit(1.0)) * 0.25
+        + F.least(alpha_ratio * F.lit(1.25), F.lit(1.0)) * 0.35
+        + F.least(stop_ratio * F.lit(5.0), F.lit(1.0)) * 0.25
+        + F.when((mean_tok_len >= 3) & (mean_tok_len <= 10), F.lit(1.0)).otherwise(F.lit(0.0)) * 0.15
+    )
+    return df.select(
+        "*",
+        n_tokens.alias("n_tokens"),
+        F.round(alpha_ratio, 6).alias("alpha_ratio"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(stop_ratio, 6).alias("stop_ratio"),
+        F.round(score, 6).alias("quality_score"),
+    )
+
+
+def lang_scores(col: Column) -> dict[str, Column]:
+    low = F.lower(col)
+    return {lang: F.regexp_count(low, F.lit(rx)) for lang, rx in LANG_MARKERS.items()}
+
+
+def predict_lang(col: Column) -> Column:
+    """Marker-count argmax with deterministic tie-break (en>de>fr>es order);
+    zero markers -> 'und' (undetermined)."""
+    s = lang_scores(col)
+    best = F.greatest(*s.values())
+    out = F.lit("und")
+    # build reversed so earlier languages win ties
+    for lang in reversed(list(LANG_MARKERS)):
+        out = F.when((s[lang] > 0) & (s[lang] == best), F.lit(lang)).otherwise(out)
+    return out
+
+
+def fingerprint(col: Column) -> Column:
+    """Normalized content fingerprint: md5 of lowercased,
+    whitespace-collapsed text (stable across engines)."""
+    norm = F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
+    return F.md5(norm)
+
+
+def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    t = F.col(text_col)
+    return df.select(
+        "*",
+        token_count(t).alias("n_tokens"),
+        bpe_ish_token_count(t).alias("n_subtokens"),
+        predict_lang(t).alias("pred_lang"),
+        fingerprint(t).alias("fingerprint"),
+    )
