@@ -188,6 +188,138 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'size(range(1, x)) AS n',
     )
 
+    # ---- §2.3 shortest paths, §2.9 stats (CALL procedures)
+    q["g_shortest_path"] = lambda s, d: _cypher(
+        s, d,
+        'CALL shortest_path("Customer", "Region") YIELD src, dst, hops '
+        'RETURN hops, count(*) AS n',
+    )
+    q["g_graph_stats"] = lambda s, d: _cypher(
+        s, d,
+        'CALL graph_stats() YIELD num_vertices, num_edges RETURN num_vertices, num_edges',
+    )
+    q["g_vertex_stats"] = lambda s, d: _cypher(
+        s, d,
+        'CALL vertex_stats() YIELD id, label, in_degree, out_degree '
+        'WHERE label = "Nation" RETURN id, in_degree, out_degree',
+    )
+
+    # ---- §2.8 startNode/endNode (vertex lookup by endpoint id)
+    q["g_startnode"] = lambda s, d: _cypher(
+        s, d,
+        'MATCH (n:Nation)-[e:IN_REGION]->(r2:Region) '
+        'RETURN startNode(e).name AS nation, endNode(e).name AS region',
+    )
+
+    # ---- §2.1 generators + subgraph
+    def _complete(s, d):
+        from age_spark import AgeSession
+
+        age = AgeSession(s)
+        g = age.create_graph("k40")
+        age.create_complete_graph(g, 40, "REL", "Node")
+        return age.cypher(g, "MATCH (a:Node)-[e:REL]->(b:Node) RETURN count(*) AS n_edges").df
+
+    q["g_complete_graph"] = _complete
+
+    def _barbell(s, d):
+        from age_spark import AgeSession
+
+        age = AgeSession(s)
+        g = age.create_graph("bb10")
+        age.create_barbell_graph(g, 10, 0, "REL", "Node")
+        return age.cypher(g, "MATCH ()-[e:REL]->() RETURN count(*) AS n_edges").df
+
+    q["g_barbell_graph"] = _barbell
+
+    def _subgraph(s, d):
+        from age_spark import AgeSession
+
+        age = AgeSession(s)
+        sub = age.create_subgraph(
+            _graph(s, d), "mini", vertex_labels=["Customer", "Nation", "Region"]
+        )
+        return age.cypher(
+            sub,
+            "MATCH (c:Customer)-[:FROM_NATION]->(n:Nation)-[:IN_REGION]->(r:Region) "
+            "RETURN count(*) AS n",
+        ).df
+
+    q["g_subgraph"] = _subgraph
+
+    # ---- §2.7 write clauses round-trip (CREATE/SET/MERGE/DELETE)
+    def _writes(s, d):
+        from age_spark import AgeSession
+
+        age = AgeSession(s)
+        g = age.create_graph("w")
+        g = age.cypher(g, "UNWIND range(1, 10) AS i CREATE (n:N {k: i})").graph
+        g = age.cypher(g, "MATCH (n:N) WHERE n.k % 2 = 0 SET n.even = true").graph
+        g = age.cypher(g, "MATCH (n:N) WHERE n.k % 2 = 1 DETACH DELETE n").graph
+        g = age.cypher(g, 'MERGE (n:N {k: 2}) ON MATCH SET n.seen = true').graph
+        return age.cypher(
+            g, "MATCH (n:N) WHERE n.even RETURN count(*) AS n_even"
+        ).df
+
+    q["g_write_roundtrip"] = _writes
+
+    # ---- §2.8 expression surface
+    q["g_reduce_predicates"] = lambda s, d: _cypher(
+        s, d,
+        'RETURN reduce(acc = 0, x IN range(1, 100) | acc + x) AS total, '
+        'size([x IN range(1, 100) WHERE x % 3 = 0 | x]) AS n_div3, '
+        'all(x IN range(1, 10) WHERE x > 0) AS all_pos, '
+        'any(x IN range(1, 10) WHERE x > 8) AS has_big, '
+        'none(x IN range(1, 10) WHERE x > 10) AS none_over, '
+        'single(x IN range(1, 10) WHERE x = 5) AS one_five',
+    )
+    q["g_conversions"] = lambda s, d: _cypher(
+        s, d,
+        "RETURN toInteger('42') AS i, toFloat('2.5') AS f, toString(7) AS str7, "
+        "toBoolean('true') AS b, toInteger(3.9) AS trunc",
+    )
+    q["g_stdev"] = lambda s, d: _cypher(
+        s, d,
+        'MATCH (c:Customer) RETURN c.mktsegment AS seg, '
+        'round(stdev(c.acctbal), 4) AS sd, round(stdevp(c.acctbal), 4) AS sdp',
+    )
+    q["g_collect_size"] = lambda s, d: _cypher(
+        s, d,
+        'MATCH (c:Customer)-[:FROM_NATION]->(n:Nation) '
+        'RETURN n.name AS nation, size(collect(c.name)) AS n_names',
+    )
+    q["g_string_pred"] = lambda s, d: _cypher(
+        s, d,
+        "MATCH (n:Nation) WHERE n.name STARTS WITH 'A' OR n.name ENDS WITH 'N' "
+        "OR n.name CONTAINS 'APA' RETURN n.name AS name",
+    )
+    q["g_regex"] = lambda s, d: _cypher(
+        s, d,
+        "MATCH (c:Customer) WHERE c.name =~ 'Customer#00000[0-4].*' "
+        "RETURN count(*) AS n",
+    )
+    q["g_case_simple"] = lambda s, d: _cypher(
+        s, d,
+        "MATCH (n:Nation) RETURN CASE n.name WHEN 'JAPAN' THEN 'jp' "
+        "WHEN 'CHINA' THEN 'cn' ELSE 'other' END AS code, count(*) AS n",
+    )
+    q["g_in_coalesce"] = lambda s, d: _cypher(
+        s, d,
+        "MATCH (n:Nation) WHERE n.name IN ['JAPAN', 'CHINA', 'FRANCE'] "
+        "RETURN n.name AS name, coalesce(n.missing, 'none') AS fallback",
+    )
+    q["g_vle_range"] = lambda s, d: _cypher(
+        s, d,
+        'MATCH (c:Customer)-[e*1..2]->(x) RETURN count(*) AS n_paths',
+    )
+
+    # ---- events: tumbling window
+    q["e_tumbling"] = lambda s, d: (
+        _events(s, d)
+        .groupBy((F.col("ts") / F.lit(3600 * 1_000_000_000)).cast("long").alias("hour_bucket"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+    )
+
     # ---- rows-only graph ops (non-SQL-expressible: path values, unbounded VLE)
     q["g_vle_unbounded"] = lambda s, d: _cypher(
         s, d,
@@ -416,6 +548,74 @@ def oracle_sql() -> dict[str, str]:
         "SELECT round(sqrt(o_totalprice), 4) AS sq, round(abs(o_totalprice * -1.0), 2) AS ab, "
         "CAST(floor(o_totalprice / 1000.0) AS BIGINT) AS kbucket "
         "FROM orders WHERE o_totalprice > 350000.0"
+    )
+
+    O["g_shortest_path"] = (
+        "SELECT CAST(2 AS INT) AS hops, CAST(count(*) AS BIGINT) AS n FROM customer"
+    )
+    O["g_graph_stats"] = (
+        "SELECT CAST((SELECT count(*) FROM region) + (SELECT count(*) FROM nation) + "
+        "(SELECT count(*) FROM customer) + (SELECT count(*) FROM supplier) + "
+        "(SELECT count(*) FROM part) + (SELECT count(*) FROM orders) AS BIGINT) AS num_vertices, "
+        "CAST((SELECT count(*) FROM nation) + (SELECT count(*) FROM customer) + "
+        "(SELECT count(*) FROM supplier) + (SELECT count(*) FROM orders) + "
+        "(SELECT count(*) FROM lineitem) AS BIGINT) AS num_edges"
+    )
+    O["g_vertex_stats"] = (
+        # id = label_id(Nation)=2 << 48 | nationkey — checks graphid packing parity
+        "SELECT CAST(2 * 281474976710656 + n_nationkey AS BIGINT) AS id, "
+        "CAST((SELECT count(*) FROM customer WHERE c_nationkey = n_nationkey) + "
+        "(SELECT count(*) FROM supplier WHERE s_nationkey = n_nationkey) AS BIGINT) AS in_degree, "
+        "CAST(1 AS BIGINT) AS out_degree FROM nation"
+    )
+    O["g_startnode"] = (
+        "SELECT n_name AS nation, r_name AS region FROM nation "
+        "JOIN region ON n_regionkey = r_regionkey"
+    )
+    O["g_complete_graph"] = "SELECT CAST(780 AS BIGINT) AS n_edges"
+    O["g_barbell_graph"] = "SELECT CAST(91 AS BIGINT) AS n_edges"
+    O["g_subgraph"] = "SELECT CAST(count(*) AS BIGINT) AS n FROM customer"
+    O["g_write_roundtrip"] = "SELECT CAST(5 AS BIGINT) AS n_even"
+    O["g_reduce_predicates"] = (
+        "SELECT CAST(5050 AS BIGINT) AS total, CAST(33 AS INT) AS n_div3, "
+        "TRUE AS all_pos, TRUE AS has_big, TRUE AS none_over, TRUE AS one_five"
+    )
+    O["g_conversions"] = (
+        "SELECT CAST(42 AS BIGINT) AS i, CAST(2.5 AS DOUBLE) AS f, '7' AS str7, "
+        "TRUE AS b, CAST(3 AS BIGINT) AS trunc"
+    )
+    O["g_stdev"] = (
+        "SELECT c_mktsegment AS seg, round(stddev_samp(c_acctbal), 4) AS sd, "
+        "round(stddev_pop(c_acctbal), 4) AS sdp FROM customer GROUP BY 1"
+    )
+    O["g_collect_size"] = (
+        "SELECT n_name AS nation, CAST(count(*) AS INT) AS n_names "
+        "FROM customer JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name"
+    )
+    O["g_string_pred"] = (
+        "SELECT n_name AS name FROM nation WHERE n_name LIKE 'A%' "
+        "OR n_name LIKE '%N' OR n_name LIKE '%APA%'"
+    )
+    O["g_regex"] = (
+        "SELECT CAST(count(*) AS BIGINT) AS n FROM customer "
+        "WHERE regexp_matches(c_name, 'Customer#00000[0-4].*')"
+    )
+    O["g_case_simple"] = (
+        "SELECT CASE n_name WHEN 'JAPAN' THEN 'jp' WHEN 'CHINA' THEN 'cn' "
+        "ELSE 'other' END AS code, CAST(count(*) AS BIGINT) AS n FROM nation GROUP BY 1"
+    )
+    O["g_in_coalesce"] = (
+        "SELECT n_name AS name, 'none' AS fallback FROM nation "
+        "WHERE n_name IN ('JAPAN', 'CHINA', 'FRANCE')"
+    )
+    O["g_vle_range"] = (
+        "SELECT CAST((SELECT count(*) FROM orders) + (SELECT count(*) FROM lineitem) + "
+        "2 * (SELECT count(*) FROM customer) AS BIGINT) AS n_paths"
+    )
+    O["e_tumbling"] = (
+        "SELECT CAST(epoch_ns(ts) // 3600000000000 AS BIGINT) AS hour_bucket, "
+        "CAST(count(*) AS BIGINT) AS n, round(sum(value), 2) AS sum_value "
+        "FROM events GROUP BY 1"
     )
 
     # pipeline

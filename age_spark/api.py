@@ -99,6 +99,29 @@ class AgeSession:
             start_label=start_label, end_label=end_label,
         )
 
+    # ---- generators & subgraph (graph_generation.c:47/206, age_subgraph.sql:45)
+    def create_complete_graph(
+        self, graph: Graph, n: int, edge_label: str, vertex_label: Optional[str] = None
+    ) -> Graph:
+        from .generators import create_complete_graph
+
+        return create_complete_graph(graph, n, edge_label, vertex_label)
+
+    def create_barbell_graph(
+        self, graph: Graph, n: int, bridge_size: int, edge_label: str,
+        vertex_label: Optional[str] = None,
+    ) -> Graph:
+        from .generators import create_barbell_graph
+
+        return create_barbell_graph(graph, n, bridge_size, edge_label, vertex_label)
+
+    def create_subgraph(
+        self, from_graph: Graph, new_name: str, **kwargs
+    ) -> Graph:
+        from .generators import create_subgraph
+
+        return create_subgraph(from_graph, new_name, **kwargs)
+
     # ---- query
     def cypher(self, graph: Graph, query: str, params: Optional[dict] = None) -> CypherResult:
         ast = parse_cypher(query)

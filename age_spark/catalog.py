@@ -72,21 +72,35 @@ class LabelMeta:
     label_id: int
     kind: str  # 'v' or 'e'
     next_entry_id: int = 1  # per-label sequence (label_commands.c:362-366)
+    # deferred floor computations (thunks returning a max user-supplied
+    # entry id, or None for an empty load); resolved on first allocate()
+    pending_floors: list = field(default_factory=list)
 
     def allocate(self, n: int) -> int:
         """Reserve n entry ids; return the first. Single-writer batch model
         (SURVEY §7.3: reserve ranges per job)."""
+        self._resolve_pending()
         first = self.next_entry_id
         self.next_entry_id += n
         if self.next_entry_id > ENTRY_ID_MASK:
             raise CatalogError(f"label {self.name}: entry id space exhausted")
         return first
 
-    def bump(self, floor: int) -> None:
-        """Advance the sequence to at least `floor` (mirrors setval after a
-        load with id_field_exists — keeps future CREATE/MERGE allocations
-        from colliding with user-supplied entry ids)."""
-        self.next_entry_id = max(self.next_entry_id, floor)
+    def bump_lazy(self, thunk) -> None:
+        """Register a deferred sequence floor (mirrors setval after a load
+        with id_field_exists — keeps CREATE/MERGE allocations from colliding
+        with user-supplied entry ids). Deferred so pure loads never pay a
+        Spark action; the max-scan runs only if a write later allocates."""
+        self.pending_floors.append(thunk)
+
+    def _resolve_pending(self) -> None:
+        if not self.pending_floors:
+            return
+        for t in self.pending_floors:
+            mx = t()
+            if mx is not None:
+                self.next_entry_id = max(self.next_entry_id, mx + 1)
+        self.pending_floors = []
 
 
 @dataclass
@@ -118,6 +132,13 @@ class GraphMeta:
         self.labels[name] = meta
         return meta
 
+    def renamed(self, new_name: str) -> "GraphMeta":
+        """Same catalog under a new graph name (label metas — and so the id
+        space — are shared: used by subgraph extraction, where ids carry
+        over)."""
+        validate_name(new_name, "graph name")
+        return GraphMeta(name=new_name, labels=dict(self.labels), next_label_id=self.next_label_id)
+
     def vertex_labels(self) -> list[LabelMeta]:
         return [m for m in self.labels.values() if m.kind == VERTEX_KIND]
 
@@ -126,6 +147,8 @@ class GraphMeta:
 
     # ---- (de)serialization: the engine catalog is small JSON metadata ----
     def to_dict(self) -> dict:
+        for m in self.labels.values():
+            m._resolve_pending()  # persisted sequences must be collision-safe
         return {
             "name": self.name,
             "next_label_id": self.next_label_id,

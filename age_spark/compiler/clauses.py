@@ -129,7 +129,10 @@ def pattern_vars(pats: list[A.PathPattern]) -> set[str]:
 
 def lift_subqueries(ctx: QueryContext, st: State, e):
     """Replace ExistsSubquery/CountSubquery/PatternPred nodes with references
-    to helper columns computed via joins. Returns (new_state, new_expr)."""
+    to helper columns computed via joins, and startNode()/endNode() calls
+    with vertex structs fetched by a left join on the endpoint id (the Spark
+    shape of ``age_startnode``/``age_endnode``, ``agtype.c:6261/6327`` —
+    which do a by-graphid heap lookup). Returns (new_state, new_expr)."""
     if e is None:
         return st, None
 
@@ -142,12 +145,34 @@ def lift_subqueries(ctx: QueryContext, st: State, e):
             if isinstance(x, A.CountSubquery):
                 return A.FuncCall("coalesce", [A.Var(name), A.Lit(0)])
             return A.FuncCall("coalesce", [A.Var(name), A.Lit(False)])
+        if isinstance(x, A.FuncCall) and x.name in ("startnode", "endnode") and len(x.args) == 1:
+            name = ctx.fresh("_vn")
+            pending.append((x, name))
+            return A.Var(name)
         return x
 
     new_e = transform_expr(e, detect)
     for node, name in pending:
-        st = _attach_subquery(ctx, st, node, name)
+        if isinstance(node, A.FuncCall):
+            st = _attach_vertex_lookup(ctx, st, node, name)
+        else:
+            st = _attach_subquery(ctx, st, node, name)
     return st, new_e
+
+
+def _attach_vertex_lookup(ctx: QueryContext, st: State, node: A.FuncCall, out_name: str) -> State:
+    df = st.df if st.df is not None else _unit_df(ctx)
+    scope = ExprScope(ctx, df, st.env)
+    edge_col = compile_expr(scope, node.args[0])
+    fld = "start_id" if node.name == "startnode" else "end_id"
+    vscan = ctx.graph.scan_vertices(None).select(
+        F.struct(F.col("id"), F.col("label"), F.col("properties")).alias(out_name)
+    )
+    out = df.join(
+        vscan, edge_col.getField(fld) == F.col(out_name).getField("id"), "left"
+    )
+    env = st.env.bind(Binding(out_name, VERTEX, hidden=True))
+    return State(out, env)
 
 
 def _attach_subquery(ctx: QueryContext, st: State, node, out_name: str) -> State:

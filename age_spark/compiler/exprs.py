@@ -430,6 +430,22 @@ def _compile_reduce(scope: ExprScope, e: A.Reduce) -> Column:
     et = _elem_type(scope, src)
     idt = dtype_of(scope, init)
 
+    # F.aggregate requires merge-result type == init type; probe the merge
+    # type with stand-in columns (driver-side schema analysis, no job) and
+    # widen the init to match (e.g. INT literal init + BIGINT list -> BIGINT)
+    probe_types = {}
+    if et is not None:
+        probe_types[e.var] = et
+    if idt is not None:
+        probe_types[e.acc] = idt
+    probe = compile_expr(
+        scope.child({e.acc: init, e.var: F.get(src, 0)}, probe_types), e.expr
+    )
+    rdt = dtype_of(scope, probe)
+    if rdt is not None and idt is not None and rdt != idt:
+        init = init.cast(rdt)
+        idt = rdt
+
     def merge(acc, x):
         types = {}
         if et is not None:

@@ -205,9 +205,7 @@ class Graph:
     def _pack_ids(self, df: DataFrame, meta, id_col: Optional[str]) -> DataFrame:
         shift = F.lit(meta.label_id).cast("long") * F.lit(1 << ENTRY_ID_BITS)
         if id_col is not None:
-            mx = df.agg(F.max(F.col(id_col).cast("long"))).first()[0]
-            if mx is not None:
-                meta.bump(mx + 1)
+            meta.bump_lazy(lambda df=df, c=id_col: df.agg(F.max(F.col(c).cast("long"))).first()[0])
             out = df.withColumn("id", shift + F.col(id_col).cast("long"))
             if id_col != "id":
                 out = out.drop(id_col)

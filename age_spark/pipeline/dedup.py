@@ -78,37 +78,60 @@ def ngram_jaccard_pairs(
     )
 
 
+_MERSENNE_P = (1 << 31) - 1  # a*h+b stays < 2^62: no int64 overflow
+
+
+def _perm_coeffs(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) coefficients for the universal-hash permutation
+    family sig_i = min((a_i * h + b_i) mod p) — standard MinHash construction
+    (one base hash per shingle, cheap multiply-add per permutation)."""
+    import random
+
+    rnd = random.Random(0x5EED)
+    return [(rnd.randrange(1, _MERSENNE_P), rnd.randrange(0, _MERSENNE_P)) for _ in range(num_hashes)]
+
+
 def minhash_signatures(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     num_hashes: int = 64, k: int = 3,
 ) -> DataFrame:
-    """MinHash signature per doc: sig[i] = min over shingles of
-    xxhash64(shingle, seed=i). Arrays stay JVM-side (higher-order funcs)."""
-    sh = df.select(F.col(id_col).alias("id"), word_shingles(F.col(text_col), k).alias("sh"))
-    sig = F.transform(
-        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda i: F.array_min(F.transform(F.col("sh"), lambda s: F.xxhash64(s, i))),
-    )
-    return sh.select("id", sig.alias("sig"))
+    """MinHash signature per doc.
+
+    Scale path: explode shingles to rows, hash each ONCE (xxhash64), then
+    num_hashes min-aggregates over permuted hashes — a single codegen'd
+    hash-aggregate with map-side partial combine; the shuffle carries one
+    row of num_hashes longs per doc. (A nested transform-in-transform
+    formulation computed 64 full hash passes per row in interpreted eval.)"""
+    inv = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_shingles(F.col(text_col), k)).alias("s"),
+    ).select("id", (F.abs(F.xxhash64("s")) % _MERSENNE_P).alias("h"))
+    aggs = [
+        F.min((F.col("h") * a + b) % _MERSENNE_P).alias(f"m{i}")
+        for i, (a, b) in enumerate(_perm_coeffs(num_hashes))
+    ]
+    wide = inv.groupBy("id").agg(*aggs)
+    return wide.select("id", F.array(*[F.col(f"m{i}") for i in range(num_hashes)]).alias("sig"))
 
 
 def _band_buckets(sig: DataFrame, num_hashes: int, bands: int) -> DataFrame:
-    """Explode a signature table into (id, band, bucket) rows."""
+    """Explode a signature table into (id, band, bucket) rows.
+
+    Band boundaries are Python constants, so the bucket hash is unrolled at
+    compile time into one flat ``xxhash64(sig[i], ..., band)`` per band —
+    plain codegen-friendly expressions (a nested transform-in-transform
+    formulation here fell back to interpreted eval and was ~40x slower)."""
     r = num_hashes // bands
-    return sig.select(
-        "id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.xxhash64(F.concat_ws(",", F.transform(
-                        F.slice(F.col("sig"), b * r + 1, r), lambda x: x.cast("string")
-                    ))).alias("bucket"),
-                ),
-            )
-        ).alias("bb"),
-    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    bb = F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(*[F.get(F.col("sig"), b * r + j) for j in range(r)], F.lit(b)).alias("bucket"),
+        )
+        for b in range(bands)
+    ])
+    return sig.select("id", F.explode(bb).alias("bb")).select(
+        "id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
 
 
 def minhash_lsh_candidates(
@@ -177,29 +200,32 @@ def minhash_dedup_pairs(
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
             bits: int = 64, k: int = 3) -> DataFrame:
     """64-bit SimHash over word shingles: bit j of the fingerprint is the
-    sign of sum over shingles of (+1/-1 from hash bit j)."""
+    sign of sum over shingles of (+1/-1 from hash bit j).
+
+    Explode shingles to rows and take `bits` sum-aggregates of ±1 — one
+    codegen'd hash-aggregate with map-side combine (same shape as MinHash:
+    the shuffle carries `bits` longs per doc, never the shingles)."""
     from functools import reduce
 
-    sh = df.select(F.col(id_col).alias("id"), word_shingles(F.col(text_col), k).alias("sh"))
-    # one pass over the shingle hashes; bit positions unrolled at compile
-    # time (bits is a Python constant) so every shift amount is a literal
-    hashes = F.transform(F.col("sh"), lambda s: F.xxhash64(s))
-    sh = sh.withColumn("_h", hashes)
-    def _bit_sum(j: int):
-        def merge(acc, h):
-            return acc + F.when(
-                F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1
-            ).otherwise(-1)
-
-        return F.aggregate(F.col("_h"), F.lit(0).cast("long"), merge)
-
+    inv = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_shingles(F.col(text_col), k)).alias("s"),
+    ).select("id", F.xxhash64("s").alias("h"))
+    aggs = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"s{j}")
+        for j in range(bits)
+    ]
+    wide = inv.groupBy("id").agg(*aggs)
     bit_cols = []
     for j in range(bits):
-        s_j = _bit_sum(j)
         weight = (1 << j) if j < 63 else -(1 << 63)
-        bit_cols.append(F.when(s_j > 0, F.lit(weight).cast("long")).otherwise(F.lit(0).cast("long")))
+        bit_cols.append(
+            F.when(F.col(f"s{j}") > 0, F.lit(weight).cast("long")).otherwise(F.lit(0).cast("long"))
+        )
     fp = reduce(lambda a, b: a.bitwiseOR(b), bit_cols)
-    return sh.select("id", fp.alias("simhash"))
+    return wide.select("id", fp.alias("simhash"))
 
 
 def simhash_near_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",

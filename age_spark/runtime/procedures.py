@@ -35,6 +35,57 @@ def graph_stats(ctx: QueryContext, arg_asts, arg_cols) -> DataFrame:
     )
 
 
+def _endpoint_filter(arg_ast):
+    """Build a vertex filter from a constant procedure argument: a string is
+    a label match, an integer is a packed-graphid match (the reference's SRF
+    takes graphids; the label form is our CALL-friendly extension)."""
+    from ..cypher import ast as A
+
+    if isinstance(arg_ast, A.Lit) and isinstance(arg_ast.value, str):
+        val = arg_ast.value
+        return lambda df: F.col("label") == F.lit(val)
+    if isinstance(arg_ast, A.Lit) and isinstance(arg_ast.value, int):
+        val = arg_ast.value
+        return lambda df: F.col("id") == F.lit(val)
+    raise ValueError("shortest_path endpoints must be constant labels or graphids")
+
+
+def _shortest(ctx: QueryContext, arg_asts, all_paths: bool) -> DataFrame:
+    """shortest_path/all_shortest_paths (age_vle.c:3877/3892) as a CALL-able:
+    CALL shortest_path(<start label|id>, <end label|id> [, edge_label [, dir]])
+    YIELD src, dst, hops."""
+    from ..cypher import ast as A
+    from .vle import shortest_path_pairs
+
+    if len(arg_asts) < 2:
+        raise ValueError("shortest_path requires start and end arguments")
+    types = None
+    direction = "out"
+    if len(arg_asts) > 2 and isinstance(arg_asts[2], A.Lit) and arg_asts[2].value is not None:
+        types = [arg_asts[2].value]
+    if len(arg_asts) > 3 and isinstance(arg_asts[3], A.Lit):
+        direction = arg_asts[3].value
+    out = shortest_path_pairs(
+        ctx.graph,
+        _endpoint_filter(arg_asts[0]),
+        _endpoint_filter(arg_asts[1]),
+        types=types,
+        direction=direction,
+        all_paths=all_paths,
+    )
+    return out.select("src", "dst", "hops")
+
+
+@procedure("shortest_path")
+def shortest_path_proc(ctx: QueryContext, arg_asts, arg_cols) -> DataFrame:
+    return _shortest(ctx, arg_asts, all_paths=False)
+
+
+@procedure("all_shortest_paths")
+def all_shortest_paths_proc(ctx: QueryContext, arg_asts, arg_cols) -> DataFrame:
+    return _shortest(ctx, arg_asts, all_paths=True)
+
+
 @procedure("vertex_stats")
 def vertex_stats(ctx: QueryContext, arg_asts, arg_cols) -> DataFrame:
     """Per-vertex degrees: in/out degree + self loops
