@@ -389,6 +389,16 @@ def compile_merge(ctx: QueryContext, st, clause: A.Merge):
         df, env = _unit_df(ctx), Env({})
     pat = clause.pattern
 
+    # MERGE implicitly creates missing labels (the reference's transform
+    # creates label tables up front, cypher_clause.c:8362 path)
+    for el in pat.elements:
+        if isinstance(el, A.NodePattern):
+            for lb in el.labels or [DEFAULT_VLABEL]:
+                ctx.graph.create_vlabel(lb)
+        elif isinstance(el, A.RelPattern):
+            for tp in el.types or [DEFAULT_ELABEL]:
+                ctx.graph.create_elabel(tp)
+
     # 1) optional-match the pattern against the current snapshot
     opt = _compile_optional_match(ctx, State(df, env), A.Match([pat], True, None))
     pat_vars = [v for v in _pattern_var_names(ctx, pat) if env.get(v) is None]

@@ -1,0 +1,316 @@
+"""Per-clause golden-semantics conformance tests.
+
+Modeled on the reference's regression corpus (regress/sql/cypher_match.sql,
+expr.sql, cypher_vle.sql, cypher_merge.sql ... — SURVEY §5): a small fixture
+graph, exact expected outputs inline. Pins the semantics the reference's
+golden files pin: direction handling, edge-uniqueness, OPTIONAL MATCH scoping,
+UNWIND null/empty, 0-based substring, stdev n=1 -> 0, SET NULL removes a key,
+MERGE intra-statement dedup, VLE bounds and zero-hop, shortest-path
+unreachability.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from age_spark import AgeSession
+
+
+@pytest.fixture(scope="module")
+def social(spark):
+    """alice->bob->carol, alice->carol, carol->dave, dave->alice (cycle),
+    eve isolated; one LIKES alice->dave."""
+    age = AgeSession(spark)
+    g = age.create_graph("social")
+    people = spark.createDataFrame(
+        [
+            (1, "alice", 30),
+            (2, "bob", 25),
+            (3, "carol", 35),
+            (4, "dave", None),
+            (5, "eve", 28),
+        ],
+        "pid long, name string, age long",
+    )
+    g.add_vertices("Person", people, id_col="pid")
+    knows = spark.createDataFrame(
+        [(1, 1, 2, 2010), (2, 2, 3, 2012), (3, 1, 3, 2015), (4, 3, 4, 2020), (5, 4, 1, 2021)],
+        "kid long, s long, t long, since long",
+    )
+    g.add_edges("KNOWS", knows, start_col="s", end_col="t",
+                start_label="Person", end_label="Person", id_col="kid")
+    likes = spark.createDataFrame([(1, 1, 4)], "lid long, s long, t long")
+    g.add_edges("LIKES", likes, start_col="s", end_col="t",
+                start_label="Person", end_label="Person", id_col="lid")
+    return age, g
+
+
+def rows(age, g, q, params=None):
+    return sorted(
+        tuple(r) for r in age.cypher(g, q, params=params).df.collect()
+    )
+
+
+# ---------------------------------------------------------------- MATCH
+
+
+def test_directed_out(social):
+    age, g = social
+    assert rows(age, g, "MATCH (a:Person {name:'alice'})-[:KNOWS]->(b) RETURN b.name AS n") == [
+        ("bob",), ("carol",)]
+
+
+def test_directed_in(social):
+    age, g = social
+    assert rows(age, g, "MATCH (a:Person {name:'alice'})<-[:KNOWS]-(b) RETURN b.name AS n") == [
+        ("dave",)]
+
+
+def test_undirected(social):
+    age, g = social
+    assert rows(age, g, "MATCH (a:Person {name:'alice'})-[:KNOWS]-(b) RETURN b.name AS n") == [
+        ("bob",), ("carol",), ("dave",)]
+
+
+def test_no_label_scan(social):
+    age, g = social
+    assert rows(age, g, "MATCH (n) RETURN count(*) AS c") == [(5,)]
+
+
+def test_any_edge_label(social):
+    age, g = social
+    assert rows(age, g, "MATCH (a {name:'alice'})-[e]->(b) RETURN b.name AS n") == [
+        ("bob",), ("carol",), ("dave",)]
+
+
+def test_edge_uniqueness_two_hops(social):
+    # a-[e1]->b-[e2]->c requires e1 <> e2: alice->bob->carol, alice->carol->dave,
+    # bob->carol->dave, carol->dave->alice, dave->alice->{bob,carol}
+    age, g = social
+    assert rows(age, g,
+        "MATCH (a)-[e1:KNOWS]->(b)-[e2:KNOWS]->(c) RETURN a.name AS a, c.name AS c") == [
+        ("alice", "carol"), ("alice", "dave"), ("bob", "dave"),
+        ("carol", "alice"), ("dave", "bob"), ("dave", "carol")]
+
+
+def test_multi_pattern_cross(social):
+    age, g = social
+    # two independent patterns = cross product (5 persons x 1 liker)
+    assert rows(age, g,
+        "MATCH (n:Person), (a)-[:LIKES]->(b) RETURN count(*) AS c") == [(5,)]
+
+
+def test_edge_props(social):
+    age, g = social
+    assert rows(age, g,
+        "MATCH (a)-[e:KNOWS]->(b) WHERE e.since > 2014 RETURN a.name AS a, b.name AS b, e.since AS y") == [
+        ("alice", "carol", 2015), ("carol", "dave", 2020), ("dave", "alice", 2021)]
+
+
+def test_optional_match_null(social):
+    age, g = social
+    assert rows(age, g,
+        "MATCH (p:Person) OPTIONAL MATCH (p)-[:LIKES]->(x) "
+        "RETURN p.name AS p, x.name AS x") == [
+        ("alice", "dave"), ("bob", None), ("carol", None), ("dave", None), ("eve", None)]
+
+
+def test_exists_pattern_where(social):
+    age, g = social
+    assert rows(age, g,
+        "MATCH (p:Person) WHERE EXISTS { MATCH (p)-[:LIKES]->(q) } RETURN p.name AS n") == [
+        ("alice",)]
+
+
+# ------------------------------------------------------- projection / agg
+
+
+def test_unwind_empty_drops_row(social):
+    age, g = social
+    assert rows(age, g, "UNWIND [] AS x RETURN x") == []
+    assert rows(age, g, "WITH [1, 2] AS l UNWIND l AS x RETURN x") == [(1,), (2,)]
+
+
+def test_orderby_nulls_last(social):
+    age, g = social
+    got = [r[0] for r in age.cypher(
+        g, "MATCH (p:Person) RETURN p.age AS a ORDER BY a ASC").df.collect()]
+    assert got == [25, 28, 30, 35, None]
+
+
+def test_skip_limit(social):
+    age, g = social
+    got = [r[0] for r in age.cypher(
+        g, "MATCH (p:Person) RETURN p.name AS n ORDER BY n SKIP 1 LIMIT 2").df.collect()]
+    assert got == ["bob", "carol"]
+
+
+def test_union_dedup_vs_all(social):
+    age, g = social
+    assert rows(age, g,
+        "MATCH (p:Person) RETURN 'x' AS t UNION MATCH (p:Person) RETURN 'x' AS t") == [("x",)]
+    assert len(rows(age, g,
+        "MATCH (p:Person) RETURN 'x' AS t UNION ALL MATCH (p:Person) RETURN 'x' AS t")) == 10
+
+
+def test_implicit_grouping(social):
+    age, g = social
+    assert rows(age, g,
+        "MATCH (a)-[:KNOWS]->(b) RETURN a.name AS a, count(*) AS c") == [
+        ("alice", 2), ("bob", 1), ("carol", 1), ("dave", 1)]
+
+
+def test_stdev_single_value_is_zero(social):
+    age, g = social
+    assert rows(age, g,
+        "MATCH (p:Person {name:'bob'}) RETURN stdev(p.age) AS s") == [(0.0,)]
+
+
+def test_collect_skips_nulls(social):
+    age, g = social
+    assert rows(age, g,
+        "MATCH (p:Person) RETURN size(collect(p.age)) AS n") == [(4,)]
+
+
+def test_with_where_chained(social):
+    age, g = social
+    assert rows(age, g,
+        "MATCH (a)-[:KNOWS]->(b) WITH a.name AS n, count(*) AS c WHERE c > 1 RETURN n, c") == [
+        ("alice", 2)]
+
+
+# ----------------------------------------------------------- expressions
+
+
+def test_substring_zero_based(social):
+    age, g = social
+    assert rows(age, g, "RETURN substring('hello', 1, 3) AS s") == [("ell",)]
+
+
+def test_left_right_split(social):
+    age, g = social
+    assert rows(age, g,
+        "RETURN left('hello', 2) AS l, right('hello', 2) AS r, split('a.b.c', '.') AS sp") == [
+        ("he", "lo", ["a", "b", "c"])]
+
+
+def test_list_index_and_slice(social):
+    age, g = social
+    assert rows(age, g,
+        "WITH [10, 20, 30, 40] AS l RETURN l[0] AS a, l[-1] AS b, l[1..3] AS c, l[-2..] AS d") == [
+        (10, 40, [20, 30], [30, 40])]
+
+
+def test_case_and_null_propagation(social):
+    age, g = social
+    assert rows(age, g,
+        "MATCH (p:Person) RETURN p.name AS n, "
+        "CASE WHEN p.age IS NULL THEN 'unknown' WHEN p.age < 30 THEN 'young' ELSE 'adult' END AS b") == [
+        ("alice", "adult"), ("bob", "young"), ("carol", "adult"),
+        ("dave", "unknown"), ("eve", "young")]
+
+
+def test_arithmetic_null_propagates(social):
+    age, g = social
+    assert rows(age, g,
+        "MATCH (p:Person {name:'dave'}) RETURN p.age + 1 AS a, p.age * 2 AS b") == [(None, None)]
+
+
+def test_int_division_truncates(social):
+    age, g = social
+    assert rows(age, g, "RETURN 7 / 2 AS d, 7 % 2 AS m, 2 ^ 10 AS p") == [(3, 1, 1024.0)]
+
+
+def test_parameters(social):
+    age, g = social
+    assert rows(age, g,
+        "MATCH (p:Person) WHERE p.name = $who RETURN p.age AS a",
+        params={"who": "carol"}) == [(35,)]
+
+
+# ------------------------------------------------------------------ VLE
+
+
+def test_vle_bounds(social):
+    age, g = social
+    # alice -[*1..2]-> : bob, carol (1 hop); carol (via bob), dave (via carol, 2 hops)
+    assert rows(age, g,
+        "MATCH (a:Person {name:'alice'})-[e:KNOWS*1..2]->(b) RETURN b.name AS n") == [
+        ("bob",), ("carol",), ("carol",), ("dave",)]
+
+
+def test_vle_zero_hop(social):
+    age, g = social
+    assert rows(age, g,
+        "MATCH (a:Person {name:'eve'})-[e:KNOWS*0..1]->(b) RETURN b.name AS n") == [("eve",)]
+
+
+def test_vle_edge_isomorphism_on_cycle(social):
+    # cycle alice->...->dave->alice: unbounded traversal terminates (edge
+    # depletion), vertices may repeat but edges may not
+    age, g = social
+    got = rows(age, g,
+        "MATCH (a:Person {name:'alice'})-[e:KNOWS*]->(b:Person {name:'alice'}) "
+        "RETURN count(*) AS c")
+    assert got == [(2,)]  # a->b->c->d->a and a->c->d->a
+
+
+def test_shortest_path_unreachable(social):
+    age, g = social
+    got = rows(age, g,
+        'CALL shortest_path("Person", "Person", "KNOWS") YIELD src, dst, hops '
+        "RETURN count(*) AS c")
+    # per-(src,dst) shortest: every src reaches itself at 0 hops -> >= 5 rows
+    assert got[0][0] >= 5
+
+
+# ---------------------------------------------------------------- writes
+
+
+def test_create_returns_and_persists(spark):
+    age = AgeSession(spark)
+    g = age.create_graph("w1")
+    r = age.cypher(g, "CREATE (n:T {v: 1}) RETURN n.v AS v")
+    assert [tuple(x) for x in r.df.collect()] == [(1,)]
+    assert rows(age, r.graph, "MATCH (n:T) RETURN n.v AS v") == [(1,)]
+
+
+def test_set_null_removes_key(spark):
+    age = AgeSession(spark)
+    g = age.create_graph("w2")
+    g = age.cypher(g, "CREATE (n:T {v: 1, w: 2})").graph
+    g = age.cypher(g, "MATCH (n:T) SET n.w = NULL").graph
+    assert rows(age, g, "MATCH (n:T) RETURN n.v AS v, n.w AS w") == [(1, None)]
+
+
+def test_set_plus_equals_merges(spark):
+    age = AgeSession(spark)
+    g = age.create_graph("w3")
+    g = age.cypher(g, "CREATE (n:T {v: 1})").graph
+    g = age.cypher(g, "MATCH (n:T) SET n += {w: 5, v: 9}").graph
+    assert rows(age, g, "MATCH (n:T) RETURN n.v AS v, n.w AS w") == [(9, 5)]
+
+
+def test_merge_intra_statement_dedup(spark):
+    # multiple input rows merging the same pattern create it ONCE
+    # (cypher_merge.c:594-637)
+    age = AgeSession(spark)
+    g = age.create_graph("w4")
+    g = age.cypher(g, "UNWIND [1, 1, 1] AS x MERGE (n:T {k: 'same'})").graph
+    assert rows(age, g, "MATCH (n:T) RETURN count(*) AS c") == [(1,)]
+
+
+def test_detach_delete_cascades(spark):
+    age = AgeSession(spark)
+    g = age.create_graph("w5")
+    g = age.cypher(g, "CREATE (a:T {k: 1})-[:E]->(b:T {k: 2})").graph
+    g = age.cypher(g, "MATCH (n:T {k: 1}) DETACH DELETE n").graph
+    assert rows(age, g, "MATCH (n:T) RETURN n.k AS k") == [(2,)]
+    assert rows(age, g, "MATCH ()-[e:E]->() RETURN count(*) AS c") == [(0,)]
+
+
+def test_remove_property(spark):
+    age = AgeSession(spark)
+    g = age.create_graph("w6")
+    g = age.cypher(g, "CREATE (n:T {v: 1, w: 2})").graph
+    g = age.cypher(g, "MATCH (n:T) REMOVE n.w").graph
+    assert rows(age, g, "MATCH (n:T) RETURN n.v AS v, n.w AS w") == [(1, None)]
