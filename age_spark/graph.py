@@ -113,6 +113,10 @@ class Graph:
         self.meta = meta
         self.vertex_dfs: dict[str, DataFrame] = dict(vertex_dfs or {})
         self.edge_dfs: dict[str, DataFrame] = dict(edge_dfs or {})
+        # ids of the empty sentinel DataFrames create_v/elabel installs —
+        # lets _append skip the replace-or-union decision without running a
+        # Spark job (an isEmpty probe per label load was ~1s x 11 labels)
+        self._sentinel_ids: set[int] = set()
 
     @property
     def name(self) -> str:
@@ -122,15 +126,17 @@ class Graph:
     def create_vlabel(self, label: str) -> None:
         meta = self.meta.create_label(label, VERTEX_KIND)
         if label not in self.vertex_dfs:
-            self.vertex_dfs[label] = self.spark.createDataFrame(
+            df = self.spark.createDataFrame(
                 [], T.StructType([T.StructField("id", T.LongType(), False)])
             )
+            self.vertex_dfs[label] = df
+            self._sentinel_ids.add(id(df))
         return meta
 
     def create_elabel(self, label: str) -> None:
         meta = self.meta.create_label(label, EDGE_KIND)
         if label not in self.edge_dfs:
-            self.edge_dfs[label] = self.spark.createDataFrame(
+            df = self.spark.createDataFrame(
                 [],
                 T.StructType(
                     [
@@ -140,6 +146,8 @@ class Graph:
                     ]
                 ),
             )
+            self.edge_dfs[label] = df
+            self._sentinel_ids.add(id(df))
         return meta
 
     def drop_label(self, label: str) -> None:
@@ -236,7 +244,9 @@ class Graph:
         return self.spark.createDataFrame(rdd.mapPartitionsWithIndex(number), new_schema)
 
     def _append(self, existing: Optional[DataFrame], new: DataFrame, reserved) -> DataFrame:
-        if existing is None or len(existing.columns) <= len(reserved) and existing.rdd.isEmpty():
+        if existing is None or id(existing) in self._sentinel_ids or (
+            len(existing.columns) <= len(reserved) and existing.isEmpty()
+        ):
             return new
         return union_by_merged_schema([existing, new])
 
@@ -374,7 +384,9 @@ class Graph:
             v.update(vertex_dfs)
         if edge_dfs:
             e.update(edge_dfs)
-        return Graph(self.spark, self.meta, v, e)
+        g = Graph(self.spark, self.meta, v, e)
+        g._sentinel_ids = set(self._sentinel_ids)
+        return g
 
     # ------------------------------------------------------------- storage
     def save(self, path: str, mode: str = "overwrite") -> None:
