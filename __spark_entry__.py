@@ -154,6 +154,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         s, d,
         'MATCH (o:Order) RETURN round(percentileCont(o.totalprice, 0.5), 2) AS median_price',
     )
+    q["g_percentile_disc"] = lambda s, d: _cypher(
+        s, d,
+        'MATCH (o:Order) RETURN round(percentileDisc(o.totalprice, 0.25), 2) AS p25',
+    )
 
     # ---- §2.4 UNWIND / UNION / CASE / expressions
     q["g_unwind"] = lambda s, d: _cypher(
@@ -527,6 +531,9 @@ def oracle_sql() -> dict[str, str]:
     )
     O["g_percentiles"] = (
         "SELECT round(quantile_cont(o_totalprice, 0.5), 2) AS median_price FROM orders"
+    )
+    O["g_percentile_disc"] = (
+        "SELECT round(quantile_disc(o_totalprice, 0.25), 2) AS p25 FROM orders"
     )
     O["g_unwind"] = (
         "SELECT CAST(x AS BIGINT) AS x, CAST(x * x AS BIGINT) AS sq "

@@ -1,0 +1,72 @@
+"""CSV bulk loaders (load_labels_from_file / load_edges_from_file parity —
+age_load.c:565/653; fixture format mirrors regress/age_load/data/*.csv:
+vertices carry an id column + properties, edges carry
+start_id,start_vertex_type,end_id,end_vertex_type + properties)."""
+
+import os
+
+import pytest
+
+from age_spark import AgeSession
+
+
+@pytest.fixture(scope="module")
+def csv_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("age_csv")
+    (d / "countries.csv").write_text(
+        "id,name,iso\n1,Austria,AT\n2,Belgium,BE\n3,Chile,CL\n"
+    )
+    (d / "cities.csv").write_text(
+        "id,name\n10,Vienna\n11,Graz\n12,Brussels\n13,Santiago\n"
+    )
+    (d / "edges.csv").write_text(
+        "start_id,start_vertex_type,end_id,end_vertex_type,since\n"
+        "10,City,1,Country,1156\n11,City,1,Country,1128\n"
+        "12,City,2,Country,979\n13,City,3,Country,1541\n"
+    )
+    return str(d)
+
+
+def test_csv_round_trip(spark, csv_dir):
+    age = AgeSession(spark)
+    g = age.create_graph("geo")
+    g = age.load_vertices_from_csv(g, "Country", os.path.join(csv_dir, "countries.csv"), id_col="id")
+    g = age.load_vertices_from_csv(g, "City", os.path.join(csv_dir, "cities.csv"), id_col="id")
+    g = age.load_edges_from_csv(g, "IN_COUNTRY", os.path.join(csv_dir, "edges.csv"),
+                                start_label="City", end_label="Country")
+
+    got = sorted(
+        tuple(r) for r in age.cypher(
+            g,
+            "MATCH (c:City)-[e:IN_COUNTRY]->(k:Country) "
+            "RETURN c.name AS city, k.iso AS iso, e.since AS since",
+        ).df.collect()
+    )
+    assert got == [
+        ("Brussels", "BE", 979),
+        ("Graz", "AT", 1128),
+        ("Santiago", "CL", 1541),
+        ("Vienna", "AT", 1156),
+    ]
+
+
+def test_csv_load_then_create_no_id_collision(spark, csv_dir):
+    age = AgeSession(spark)
+    g = age.create_graph("geo2")
+    g = age.load_vertices_from_csv(g, "Country", os.path.join(csv_dir, "countries.csv"), id_col="id")
+    g2 = age.cypher(g, "CREATE (c:Country {name: 'Denmark', iso: 'DK'})").graph
+    got = sorted(
+        r.iso for r in age.cypher(g2, "MATCH (c:Country) RETURN c.iso AS iso").df.collect()
+    )
+    assert got == ["AT", "BE", "CL", "DK"]
+
+
+def test_graph_save_load(spark, csv_dir, tmp_path):
+    age = AgeSession(spark)
+    g = age.create_graph("geo3")
+    g = age.load_vertices_from_csv(g, "Country", os.path.join(csv_dir, "countries.csv"), id_col="id")
+    path = str(tmp_path / "geo3")
+    g.save(path)
+    g2 = age.load_graph(path)
+    got = sorted(r.name for r in age.cypher(g2, "MATCH (c:Country) RETURN c.name AS name").df.collect())
+    assert got == ["Austria", "Belgium", "Chile"]
