@@ -128,7 +128,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ---- §2.3 VLE (fixed-bound -> SQL-expressible as a 2-hop join)
     q["g_vle_2hop"] = lambda s, d: _cypher(
         s, d,
-        'MATCH (c:Customer)-[e*2..2]->(r:Region) '
+        'MATCH (c:Customer)-[*2..2]->(r:Region) '
         'RETURN r.name AS region, count(*) AS n_paths',
     )
 
@@ -314,7 +314,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     q["g_vle_range"] = lambda s, d: _cypher(
         s, d,
-        'MATCH (c:Customer)-[e*1..2]->(x) RETURN count(*) AS n_paths',
+        'MATCH (c:Customer)-[*1..2]->(x) RETURN count(*) AS n_paths',
     )
 
     # ---- events: tumbling window
@@ -327,7 +327,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ---- rows-only graph ops (non-SQL-expressible: path values, unbounded VLE)
     q["g_vle_unbounded"] = lambda s, d: _cypher(
         s, d,
-        'MATCH (n:Nation {name: "JAPAN"})-[e*]->(x) RETURN count(*) AS n_paths',
+        'MATCH (n:Nation {name: "JAPAN"})-[*]->(x) RETURN count(*) AS n_paths',
     )
     q["g_path_value"] = lambda s, d: _cypher(
         s, d,

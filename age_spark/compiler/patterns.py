@@ -186,14 +186,14 @@ class MatchState:
         return name
 
     # ----- edges
-    def bind_edge(self, rel: A.RelPattern, from_var: str) -> tuple[str, str]:
+    def bind_edge(self, rel: A.RelPattern, from_var: str, in_named_path: bool = False) -> tuple[str, str]:
         """Join one edge hop; returns (edge_var, dst_helper_col)."""
         name = rel.var or self.ctx.fresh()
         hidden = rel.var is None
         if self.env.get(name) is not None:
             raise CompileError(f"edge variable `{name}` reused — not supported")
         if rel.varlen is not None:
-            return self._bind_vle(rel, name, from_var, hidden)
+            return self._bind_vle(rel, name, from_var, hidden, in_named_path)
         scan = self._edge_scan(name, rel.types, rel.direction, rel.props)
         src, dst = f"_src_{name}", f"_dst_{name}"
         self.df = self.df.join(scan, F.col(src) == F.col(from_var).getField("id"))
@@ -203,12 +203,16 @@ class MatchState:
         self.edge_bindings.append(b)
         return name, dst
 
-    def _bind_vle(self, rel: A.RelPattern, name: str, from_var: str, hidden: bool) -> tuple[str, str]:
+    def _bind_vle(self, rel: A.RelPattern, name: str, from_var: str, hidden: bool,
+                  in_named_path: bool = False) -> tuple[str, str]:
         from ..runtime.vle import vle_pairs
 
         lo, hi = rel.varlen
         lo = 1 if lo is None and hi is not None else (lo if lo is not None else 1)
         seeds = self.df.select(F.col(from_var).getField("id").alias("src")).distinct()
+        # anonymous [*..] outside a named path: nothing can read the edge
+        # structs or interior nodes — traverse with edge ids only
+        slim = hidden and not in_named_path
         pairs = vle_pairs(
             self.ctx.graph,
             types=rel.types or None,
@@ -216,6 +220,7 @@ class MatchState:
             min_hops=lo,
             max_hops=hi,
             seeds=seeds,
+            slim=slim,
         )
         dst = f"_dst_{name}"
         pairs = pairs.select(
@@ -326,7 +331,7 @@ def _compile_one_path(st: MatchState, path: A.PathPattern):
     while i < len(elems):
         rel: A.RelPattern = elems[i]
         nxt: A.NodePattern = elems[i + 1]
-        ename, dst_col = st.bind_edge(rel, cur)
+        ename, dst_col = st.bind_edge(rel, cur, in_named_path=path.var is not None)
         ekind = EDGE_LIST if rel.varlen is not None else EDGE
         edge_vars.append((ename, ekind))
         cur = st.bind_node_at(nxt, dst_col)

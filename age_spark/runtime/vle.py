@@ -33,11 +33,15 @@ from pyspark.sql.window import Window
 DEFAULT_MAX_HOPS = 30
 
 
-def _oriented_edges(graph, types, direction: str) -> DataFrame:
+def _oriented_edges(graph, types, direction: str, slim: bool = False) -> DataFrame:
     scan = graph.scan_edges(types)
-    e = F.struct(
-        F.col("id"), F.col("start_id"), F.col("end_id"), F.col("label"), F.col("properties")
-    ).alias("_e")
+    if slim:
+        # traversal-only state: the uniqueness filter needs just the edge id
+        e = F.struct(F.col("id")).alias("_e")
+    else:
+        e = F.struct(
+            F.col("id"), F.col("start_id"), F.col("end_id"), F.col("label"), F.col("properties")
+        ).alias("_e")
     fwd = scan.select(e, F.col("start_id").alias("_s"), F.col("end_id").alias("_d"))
     if direction == "out":
         return fwd
@@ -54,6 +58,7 @@ def vle_pairs(
     min_hops: int,
     max_hops: Optional[int],
     seeds: Optional[DataFrame] = None,
+    slim: bool = False,
 ) -> DataFrame:
     """All (src, dst, edges, nodes, hops) paths with hop count in
     [min_hops, max_hops]. ``nodes`` holds the interior vertices (between the
@@ -63,9 +68,13 @@ def vle_pairs(
     the Spark analogue of the reference's terminal-qual rewrite (#2420):
     seeding from the bound side keeps the frontier proportional to the
     actual match, not the whole graph.
+
+    ``slim``: the caller never reads the edge structs or interior nodes
+    (anonymous `[*..]` with no path variable — the common aggregate case):
+    carry only edge ids in flight and skip the per-hop interior-vertex join.
     """
     spark = graph.spark
-    edges = _oriented_edges(graph, types, direction)
+    edges = _oriented_edges(graph, types, direction, slim=slim)
     edge_dt = edges.schema["_e"].dataType
 
     if seeds is None:
@@ -122,12 +131,13 @@ def vle_pairs(
                 )
             )
         if hop < hard_max:
-            nxt = nxt.join(vtable, nxt["cur"] == vtable["_vid"]).select(
-                F.col("src"),
-                F.col("cur"),
-                F.col("edges"),
-                F.concat(F.col("nodes"), F.array(F.col("_v"))).alias("nodes"),
-            )
+            if not slim:
+                nxt = nxt.join(vtable, nxt["cur"] == vtable["_vid"]).select(
+                    F.col("src"),
+                    F.col("cur"),
+                    F.col("edges"),
+                    F.concat(F.col("nodes"), F.array(F.col("_v"))).alias("nodes"),
+                )
             # cut lineage growth: each hop is a fresh plan over materialized
             # state, not a 2^k nested plan (critical for deep traversals)
             nxt = nxt.localCheckpoint(eager=False)
