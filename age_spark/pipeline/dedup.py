@@ -23,6 +23,18 @@ def normalized(col: Column) -> Column:
     return F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Ensure the input uses the cluster: a single small parquet file scans
+    as ONE partition, serializing the whole shingle/hash pipeline onto one
+    core. The round-robin repartition is a shuffle of the raw docs — cheap
+    relative to the 50x row blowup the shingle explode adds after it. On a
+    real multi-file 100 TB table this is a no-op."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(2, target // 2):
+        return df.repartition(target)
+    return df
+
+
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Keep the smallest id per identical (normalized) text. One shuffle on
     md5 digest; duplicate groups tracked with a count."""
@@ -56,7 +68,7 @@ def ngram_jaccard_pairs(
     shingle) — exact, but the index join is the n^2 risk at scale: prefer
     minhash_lsh_candidates as the driver and this as the verifier.
     """
-    sh = df.select(F.col(id_col).alias("id"), word_shingles(F.col(text_col), k).alias("sh"))
+    sh = _spread(df).select(F.col(id_col).alias("id"), word_shingles(F.col(text_col), k).alias("sh"))
     sh = sh.withColumn("sz", F.size("sh"))
     inv = sh.select("id", "sz", F.explode("sh").alias("s"))
     a = inv.alias("a")
@@ -102,7 +114,7 @@ def minhash_signatures(
     hash-aggregate with map-side partial combine; the shuffle carries one
     row of num_hashes longs per doc. (A nested transform-in-transform
     formulation computed 64 full hash passes per row in interpreted eval.)"""
-    inv = df.select(
+    inv = _spread(df).select(
         F.col(id_col).alias("id"),
         F.explode(word_shingles(F.col(text_col), k)).alias("s"),
     ).select("id", (F.abs(F.xxhash64("s")) % _MERSENNE_P).alias("h"))
@@ -207,7 +219,7 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     the shuffle carries `bits` longs per doc, never the shingles)."""
     from functools import reduce
 
-    inv = df.select(
+    inv = _spread(df).select(
         F.col(id_col).alias("id"),
         F.explode(word_shingles(F.col(text_col), k)).alias("s"),
     ).select("id", F.xxhash64("s").alias("h"))
