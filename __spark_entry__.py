@@ -404,6 +404,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["p_ann_lsh"] = _ann_lsh
 
+    def _ann_ivf(s, d):  # rows-only: k-means cell assignment internals
+        from age_spark.pipeline.similarity import ivf_topk
+
+        emb = _emb(s, d)
+        qs = emb.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+        )
+        return ivf_topk(emb, qs, k=5, n_centroids=8, nprobe=3)
+
+    q["p_ann_ivf"] = _ann_ivf
+
     # ---- pipeline: events (windowed / sessionized)
     q["e_type_agg"] = lambda s, d: (
         _events(s, d)

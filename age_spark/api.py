@@ -129,6 +129,25 @@ class AgeSession:
         df, ctx = compile_query(ctx, ast)
         return CypherResult(df=df, graph=ctx.graph)
 
+    def prepare(self, graph: Graph, stmt: str):
+        """age_prepare_cypher parity (age_session_info.c:30): parse once,
+        bind $params per execution."""
+        ast = parse_cypher(stmt)
+
+        def run(params: Optional[dict] = None) -> CypherResult:
+            ctx = QueryContext(spark=self.spark, graph=graph, params=params or {})
+            df, out_ctx = compile_query(ctx, ast)
+            return CypherResult(df=df, graph=out_ctx.graph)
+
+        return run
+
+    @staticmethod
+    def get_cypher_keywords() -> list[str]:
+        """get_cypher_keywords parity (parser/cypher_keywords.c:53)."""
+        from .cypher.parser import KEYWORDS
+
+        return sorted(KEYWORDS)
+
     def explain(self, graph: Graph, query: str, params: Optional[dict] = None) -> str:
         """EXPLAIN parity (cypher_gram.y:376-423): the physical plan is
         Catalyst's, so EXPLAIN is the DataFrame's formatted plan."""

@@ -646,6 +646,13 @@ def _fn_tostring(scope, args, cols):
     return cols[0].cast("string")
 
 
+@fn("tonumeric")
+def _fn_tonumeric(scope, args, cols):
+    # agtype NUMERIC = arbitrary-precision decimal; DECIMAL(38,18) is the
+    # closest Spark type (documented precision bound)
+    return cols[0].cast("decimal(38,18)")
+
+
 @fn("tointegerlist")
 def _fn_tointegerlist(scope, args, cols):
     return F.transform(cols[0], lambda x: F.coalesce(x.try_cast("long"), x.try_cast("double").cast("long")))

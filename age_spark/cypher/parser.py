@@ -34,7 +34,7 @@ _TOKEN_RE = re.compile(
   | (?P<string>'(?:[^'\\]|\\.)*'|"(?:[^"\\]|\\.)*")
   | (?P<name>[A-Za-z_][A-Za-z0-9_]*|`[^`]*`)
   | (?P<param>\$[A-Za-z_][A-Za-z0-9_]*)
-  | (?P<op><>|<=|>=|=~|\+=|\.\.|->|<-|[()\[\]{},:;.|=<>+\-*/%^])
+  | (?P<op><>|<=|>=|=~|\+=|\.\.|->|<-|::|[()\[\]{},:;.|=<>+\-*/%^])
     """,
     re.VERBOSE | re.DOTALL,
 )
@@ -49,6 +49,14 @@ KEYWORDS = {
 }
 
 _ESCAPES = {"n": "\n", "t": "\t", "r": "\r", "b": "\b", "f": "\f", "'": "'", '"': '"', "\\": "\\", "/": "/"}
+
+# ::target -> conversion function (sql typecasts, cypher_gram.y:1836-1846)
+_CAST_FNS = {
+    "int": "tointeger", "integer": "tointeger",
+    "float": "tofloat", "numeric": "tonumeric",
+    "bool": "toboolean", "boolean": "toboolean",
+    "string": "tostring",
+}
 
 
 def _unquote(s: str) -> str:
@@ -555,6 +563,17 @@ class Parser:
                 self.expect_op("]")
             elif self.at_op("{") and isinstance(e, A.Var):
                 e = self.parse_map_projection(e.name)
+            elif self.at_op("::"):
+                # typecast (cypher_gram.y:1836-1846): expr::int etc.
+                self.advance()
+                t = self.advance()
+                target = (t.value if t.kind != "kw" else t.text).lower()
+                fn = _CAST_FNS.get(target)
+                if fn is None:
+                    raise CypherSyntaxError(
+                        f"unsupported typecast ::{target} at offset {t.pos}"
+                    )
+                e = A.FuncCall(fn, [e])
             else:
                 return e
 

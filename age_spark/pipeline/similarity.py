@@ -125,6 +125,86 @@ def _rp_signature(vec: Column, planes: int, dim: int, seed: int = 42) -> Column:
     return sig(vec.cast("array<double>"))
 
 
+def _fit_centroids(corpus: DataFrame, vec_col: str, id_col: str, n_centroids: int,
+                   sample_size: int = 8192, iters: int = 10, seed: int = 42):
+    """Driver-side Lloyd's k-means on a deterministic sample of normalized
+    vectors (numpy). The coarse quantizer is tiny (n_centroids x dim) and is
+    broadcast; fitting on a bounded sample is the standard IVF recipe — the
+    full corpus never leaves the cluster."""
+    import numpy as np
+
+    rows = (
+        corpus.select(F.col(id_col).alias("i"), F.col(vec_col).cast("array<double>").alias("v"))
+        .orderBy("i").limit(sample_size).collect()
+    )
+    X = np.stack([r.v for r in rows])
+    X = X / np.linalg.norm(X, axis=1, keepdims=True)
+    rng = np.random.RandomState(seed)
+    C = X[rng.choice(len(X), size=min(n_centroids, len(X)), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(X @ C.T, axis=1)  # cosine on unit vectors
+        for c in range(len(C)):
+            members = X[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                C[c] = m / (np.linalg.norm(m) or 1.0)
+    return C
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """IVF approximate top-k: corpus vectors are assigned to their nearest
+    coarse centroid (one numpy matmul per Arrow batch); each query probes its
+    `nprobe` nearest lists. The search join is an equi-join on the centroid
+    id — per-query cost is nprobe/n_centroids of the corpus, and the
+    assignment step is embarrassingly parallel (the 100 TB scale path, same
+    shape as the LSH variant but data-adaptive)."""
+    import numpy as np
+    import pandas as pd
+
+    C = _fit_centroids(corpus, vec_col, id_col, n_centroids)
+
+    @F.pandas_udf("int")
+    def assign1(v):
+        if len(v) == 0:
+            return pd.Series([], dtype="int32")
+        V = np.stack(v.to_numpy())
+        V = V / np.linalg.norm(V, axis=1, keepdims=True)
+        return pd.Series(np.argmax(V @ C.T, axis=1).astype("int32"))
+
+    @F.pandas_udf("array<int>")
+    def assign_probe(v):
+        if len(v) == 0:
+            return pd.Series([], dtype="object")
+        V = np.stack(v.to_numpy())
+        V = V / np.linalg.norm(V, axis=1, keepdims=True)
+        order = np.argsort(-(V @ C.T), axis=1)[:, :nprobe].astype("int32")
+        return pd.Series(list(order))
+
+    c = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cv")) \
+        .withColumn("cell", assign1(F.col("cv").cast("array<double>")))
+    q = queries.select(F.col(query_id_col).alias("query_id"), F.col(query_vec_col).alias("qv")) \
+        .withColumn("cell", F.explode(assign_probe(F.col("qv").cast("array<double>"))))
+    scored = c.join(F.broadcast(q), "cell").withColumn(
+        "cosine", cosine(F.col("qv"), F.col("cv"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", F.round("cosine", 6).alias("cosine"), "rank")
+    )
+
+
 def lsh_bucketed_topk(
     corpus: DataFrame,
     queries: DataFrame,

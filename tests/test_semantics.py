@@ -220,6 +220,29 @@ def test_int_division_truncates(social):
     assert rows(age, g, "RETURN 7 / 2 AS d, 7 % 2 AS m, 2 ^ 10 AS p") == [(3, 1, 1024.0)]
 
 
+def test_typecasts(social):
+    age, g = social
+    assert rows(age, g,
+        "RETURN '42'::int AS i, 3::float AS f, '2.5'::float AS g, "
+        "1::bool AS b, 7::string AS s") == [(42, 3.0, 2.5, True, "7")]
+
+
+def test_prepared_statement(social):
+    age, g = social
+    run = age.prepare(g, "MATCH (p:Person) WHERE p.age > $min RETURN count(*) AS c")
+    assert [tuple(r) for r in run({"min": 29}).df.collect()] == [(2,)]
+    assert [tuple(r) for r in run({"min": 24}).df.collect()] == [(4,)]
+    assert "match" in age.get_cypher_keywords()
+
+
+def test_map_projection(social):
+    age, g = social
+    got = age.cypher(
+        g, "MATCH (p:Person {name:'alice'}) RETURN p{.name, .age, extra: 1} AS m"
+    ).df.collect()
+    assert [tuple(r.m) for r in got] == [("alice", 30, 1)]
+
+
 def test_parameters(social):
     age, g = social
     assert rows(age, g,

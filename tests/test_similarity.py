@@ -1,0 +1,46 @@
+"""ANN variants vs the exact brute-force baseline: recall sanity."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from age_spark.pipeline.similarity import brute_force_topk, ivf_topk, lsh_bucketed_topk
+
+SF_DIR = os.environ.get("SPARK_GRAFT_ORACLE_DIR", "/root/testdata/sf0.01")
+
+
+def _queries(emb, n=20):
+    return emb.filter(F.col("vec_id") < n).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+
+
+def _topk_sets(df):
+    out = {}
+    for r in df.collect():
+        out.setdefault(r.query_id, set()).add(r.vec_id)
+    return out
+
+
+def test_ivf_recall_vs_brute_force(spark):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    qs = _queries(emb)
+    exact = _topk_sets(brute_force_topk(emb, qs, k=5))
+    approx = _topk_sets(ivf_topk(emb, qs, k=5, n_centroids=8, nprobe=3))
+    hits = sum(len(exact[q] & approx.get(q, set())) for q in exact)
+    total = sum(len(v) for v in exact.values())
+    assert hits / total >= 0.5, f"IVF recall too low: {hits}/{total}"
+    # every query's own vector is its top hit (cosine 1.0) in both
+    for q in exact:
+        assert q in approx and q in approx[q]
+
+
+def test_lsh_returns_subset_scores(spark):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    qs = _queries(emb, n=10)
+    res = lsh_bucketed_topk(emb, qs, k=5, planes=4)
+    exact = _topk_sets(brute_force_topk(emb, qs, k=5))
+    # LSH candidates are a subset of the corpus; sanity: self-hit present
+    got = _topk_sets(res)
+    for q in got:
+        assert q in got[q]
