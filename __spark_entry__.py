@@ -647,6 +647,25 @@ def oracle_sql() -> dict[str, str]:
         "AS fingerprint FROM documents"
     )
     O["p_lang_id"] = _lang_oracle()
+    O["p_quality"] = (
+        "WITH f AS (SELECT doc_id, length(text) AS n_chars, "
+        "CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE "
+        "len(regexp_split_to_array(trim(text), '\\s+')) END AS INT) AS n_tokens, "
+        "len(regexp_extract_all(text, '[A-Za-z]')) AS n_alpha, "
+        "len(regexp_extract_all(lower(text), "
+        "'\\b(the|and|of|to|in|is|that|for|with|was)\\b')) AS n_stop FROM documents), "
+        "r AS (SELECT doc_id, n_tokens, "
+        "CASE WHEN n_chars > 0 THEN n_alpha / n_chars ELSE 0.0 END AS alpha_ratio, "
+        "CASE WHEN n_tokens > 0 THEN n_stop / n_tokens ELSE 0.0 END AS stop_ratio, "
+        "CASE WHEN n_tokens > 0 THEN n_chars / n_tokens ELSE 0.0 END AS mean_tok_len "
+        "FROM f) "
+        "SELECT doc_id, n_tokens, round(alpha_ratio, 6) AS alpha_ratio, "
+        "round(stop_ratio, 6) AS stop_ratio, "
+        "round(least(n_tokens / 100.0, 1.0) * 0.25 + least(alpha_ratio * 1.25, 1.0) * 0.35 "
+        "+ least(stop_ratio * 5.0, 1.0) * 0.25 "
+        "+ (CASE WHEN mean_tok_len >= 3 AND mean_tok_len <= 10 THEN 1.0 ELSE 0.0 END) * 0.15, 6) "
+        "AS quality_score FROM r"
+    )
     O["p_exact_dedup"] = (
         "SELECT CAST(min(doc_id) AS BIGINT) AS keep_id, CAST(count(*) AS BIGINT) AS n_copies "
         "FROM documents GROUP BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))"

@@ -21,17 +21,18 @@ def graph_stats(ctx: QueryContext, arg_asts, arg_cols) -> DataFrame:
     g = ctx.graph
     v = g.scan_vertices(None)
     e = g.scan_edges(None)
-    vcnt = v.agg(F.count(F.lit(1)).alias("num_vertices"))
+    vcnt = v.agg(
+        F.count(F.lit(1)).alias("num_vertices"),
+        F.count_distinct(F.col("label")).alias("num_vertex_labels"),
+    )
     ecnt = e.agg(
         F.count(F.lit(1)).alias("num_edges"),
         F.sum(F.when(F.col("start_id") == F.col("end_id"), 1).otherwise(0)).alias("num_self_loops"),
+        F.count_distinct(F.col("label")).alias("num_edge_labels"),
     )
-    vlab = v.groupBy("label").agg(F.count(F.lit(1)).alias("n"))
-    elab = e.groupBy("label").agg(F.count(F.lit(1)).alias("n"))
-    return (
-        vcnt.crossJoin(ecnt)
-        .withColumn("num_vertex_labels", F.lit(vlab.count()))
-        .withColumn("num_edge_labels", F.lit(elab.count()))
+    return vcnt.crossJoin(ecnt).select(
+        "num_vertices", "num_edges", "num_self_loops",
+        "num_vertex_labels", "num_edge_labels",
     )
 
 
@@ -72,6 +73,7 @@ def _shortest(ctx: QueryContext, arg_asts, all_paths: bool) -> DataFrame:
         types=types,
         direction=direction,
         all_paths=all_paths,
+        slim=True,  # YIELD surface is (src, dst, hops)
     )
     return out.select("src", "dst", "hops")
 

@@ -176,8 +176,13 @@ def shortest_path_pairs(
     min_hops: int = 0,
     max_hops: Optional[int] = None,
     all_paths: bool = False,
+    slim: bool = False,
 ) -> DataFrame:
     """Unweighted shortest path(s) between vertex sets — BFS with early stop.
+
+    ``slim``: caller only reads (src, dst, hops) — carry edge ids only (for
+    the deterministic single-path tie-break) and skip interior-node
+    materialization entirely.
 
     Mirrors ``shortest_path``/``all_shortest_paths``
     (``age_vle.c:3877/3892``, ``sp_compute_paths``): level-synchronous BFS
@@ -191,7 +196,7 @@ def shortest_path_pairs(
     vscan = graph.scan_vertices(None)
     starts = vscan.filter(start_filter(vscan)).select(F.col("id").alias("src"))
     targets = vscan.filter(end_filter(vscan)).select(F.col("id").alias("_tgt"))
-    edges = _oriented_edges(graph, types, direction)
+    edges = _oriented_edges(graph, types, direction, slim=slim)
     edge_dt = edges.schema["_e"].dataType
     vddl = _vertex_ddl(graph)
 
@@ -254,16 +259,19 @@ def shortest_path_pairs(
         visited = visited.unionByName(
             joined.select("src", F.col("cur").alias("vid"))
         ).distinct().localCheckpoint(eager=False)
-        frontier = joined.join(
-            vscan.select(
-                F.col("id").alias("_vid"),
-                F.struct(F.col("id"), F.col("label"), F.col("properties")).alias("_v"),
-            ),
-            joined["cur"] == F.col("_vid"),
-        ).select(
-            "src", "cur", "edges",
-            F.concat(F.col("nodes"), F.array(F.col("_v"))).alias("nodes"),
-        )
+        if slim:
+            frontier = joined
+        else:
+            frontier = joined.join(
+                vscan.select(
+                    F.col("id").alias("_vid"),
+                    F.struct(F.col("id"), F.col("label"), F.col("properties")).alias("_v"),
+                ),
+                joined["cur"] == F.col("_vid"),
+            ).select(
+                "src", "cur", "edges",
+                F.concat(F.col("nodes"), F.array(F.col("_v"))).alias("nodes"),
+            )
 
     if not found_parts:
         return frontier.select(

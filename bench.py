@@ -15,20 +15,25 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
 HEADLINE = [
-    # engine: pattern joins, aggregation, optional, VLE
+    # engine: pattern joins, aggregation, optional, VLE, BFS, stats
     "g_join2_agg",
     "g_join3_edgeprops",
     "g_optional_match",
     "g_agg_stats",
     "g_vle_2hop",
     "g_not_exists",
+    "g_shortest_path",
+    "g_vertex_stats",
     # pipeline: dedup / similarity / text / events
     "p_exact_dedup",
     "p_token_count",
     "p_minhash_pairs",
+    "p_simhash_pairs",
     "p_ann_topk",
+    "p_ann_ivf",
     "e_type_agg",
     "e_sessionize",
+    "e_tumbling",
 ]
 
 
