@@ -106,6 +106,43 @@ def extract_features(
     return df.mapInPandas(kernel, schema=out_schema)
 
 
+def resize_plan(
+    df: DataFrame, media_col: str = "media", width: int = 224, height: int = 224,
+    fake: bool = True,
+) -> DataFrame:
+    """Resize: metadata updates JVM-side; the pixel transform itself would
+    run in the same mapInPandas slot as extract_features (stubbed — no image
+    lib in this container). With fake=True only the meta fields change,
+    which is exactly the plumbing a real resizer needs tested: struct
+    rebuild, null propagation, no shuffle."""
+    if not fake:  # pragma: no cover - real decoder slot
+        raise NotImplementedError("real resize requires an image library")
+    m = F.col(media_col)
+    new_meta = F.struct(
+        m.getField("meta").getField("mime").alias("mime"),
+        F.lit(width).alias("width"),
+        F.lit(height).alias("height"),
+        m.getField("meta").getField("n_frames").alias("n_frames"),
+        m.getField("meta").getField("sample_rate").alias("sample_rate"),
+    )
+    return df.withColumn(
+        media_col, F.struct(m.getField("content").alias("content"), new_meta.alias("meta"))
+    )
+
+
+def attach_fake_audio(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Audio variant of the media contract (sample_rate set, no frames)."""
+    content = F.encode(F.col(text_col), "utf-8").cast("binary")
+    meta = F.struct(
+        F.lit("audio/fake").alias("mime"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(None).cast("int").alias("n_frames"),
+        F.lit(16000).alias("sample_rate"),
+    )
+    return df.withColumn("media", F.struct(content.alias("content"), meta.alias("meta")))
+
+
 def frame_sample_plan(df: DataFrame, media_col: str = "media", every_n: int = 10) -> DataFrame:
     """Frame-sampling *plan*: one row per sampled frame index (JVM-side
     explode of a sequence; the decode of each frame would happen in
