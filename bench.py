@@ -65,6 +65,12 @@ def main() -> int:
         timings[name] = dt
         total += dt
         print(f"# {name}: {dt}s ({n} rows)", file=sys.stderr)
+        # drop DataFrame refs so the ContextCleaner can unpersist BFS
+        # localCheckpoint blocks before the next query is timed
+        del df
+        import gc
+
+        gc.collect()
 
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     print(

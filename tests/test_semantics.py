@@ -277,6 +277,34 @@ def test_vle_edge_isomorphism_on_cycle(social):
     assert got == [(2,)]  # a->b->c->d->a and a->c->d->a
 
 
+def test_vle_undirected(social):
+    age, g = social
+    # eve is isolated: no results even undirected, at any depth
+    assert rows(age, g,
+        "MATCH (a:Person {name:'eve'})-[e:KNOWS*1..3]-(b) RETURN b.name AS n") == []
+    # bob undirected 1 hop: alice (in), carol (out)
+    assert rows(age, g,
+        "MATCH (a:Person {name:'bob'})-[e:KNOWS*1..1]-(b) RETURN b.name AS n") == [
+        ("alice",), ("carol",)]
+
+
+def test_error_paths(social):
+    age, g = social
+    from age_spark.cypher.parser import CypherSyntaxError
+    from age_spark.compiler.context import CompileError
+
+    with pytest.raises(CypherSyntaxError, match="offset"):
+        age.cypher(g, "MATCH (n:Person RETURN n")
+    with pytest.raises(CompileError, match="`m` is not defined"):
+        age.cypher(g, "MATCH (n:Person) RETURN m.name")
+    with pytest.raises(CompileError, match="unknown function"):
+        age.cypher(g, "RETURN frobnicate(1)")
+    with pytest.raises(CompileError, match="unknown procedure"):
+        age.cypher(g, "CALL no_such_proc()")
+    with pytest.raises(Exception, match="parameter \\$who"):
+        age.cypher(g, "MATCH (p:Person) WHERE p.name = $who RETURN p")
+
+
 def test_shortest_path_unreachable(social):
     age, g = social
     got = rows(age, g,
