@@ -1,0 +1,68 @@
+"""Physical-plan guards: the scale-critical properties (predicate pushdown
+to parquet, column pruning, broadcast of small dimension labels, seeded VLE)
+must survive compiler changes. These assert on .explain output rather than
+timings, so they are stable on any machine."""
+
+import os
+
+import pytest
+
+from age_spark import AgeSession
+from age_spark.demo import build_tpch_graph
+
+SF_DIR = os.environ.get("SPARK_GRAFT_ORACLE_DIR", "/root/testdata/sf0.01")
+
+
+@pytest.fixture(scope="module")
+def tpch(spark):
+    return AgeSession(spark), build_tpch_graph(spark, SF_DIR)
+
+
+def _plan(age, g, q):
+    return age.explain(g, q)
+
+
+def test_property_filter_pushdown(tpch):
+    age, g = tpch
+    plan = _plan(age, g, "MATCH (c:Customer) WHERE c.acctbal > 5000.0 RETURN c.name AS name")
+    assert "PushedFilters" in plan and "GreaterThan(c_acctbal,5000.0)" in plan
+
+
+def test_column_pruning(tpch):
+    age, g = tpch
+    plan = _plan(age, g, "MATCH (c:Customer) RETURN c.name AS name")
+    # the scan must read only the projected column, not the whole row
+    read = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert read and all("c_acctbal" not in ln for ln in read)
+
+
+def test_small_dims_broadcast(tpch):
+    age, g = tpch
+    plan = _plan(
+        age, g,
+        "MATCH (c:Customer)-[:FROM_NATION]->(n:Nation)-[:IN_REGION]->(r:Region) "
+        "RETURN r.name AS region, count(*) AS n",
+    )
+    assert "BroadcastHashJoin" in plan
+    # the big fact side must not be broadcast: at least the aggregate keeps
+    # a shuffle exchange
+    assert "Exchange" in plan
+
+
+def test_no_python_udf_in_cypher_plans(tpch):
+    age, g = tpch
+    plan = _plan(
+        age, g,
+        "MATCH (c:Customer)-[:FROM_NATION]->(n:Nation) "
+        "RETURN n.name AS nation, round(avg(c.acctbal), 2) AS avg_bal",
+    )
+    # the Cypher surface compiles to native expressions: no Python eval
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_whole_stage_codegen_present(tpch):
+    age, g = tpch
+    df = age.cypher(g, "MATCH (o:Order) WHERE o.totalprice > 100000.0 RETURN count(*) AS n").df
+    # AQE's formatted plan hides codegen spans; codegen mode lists them
+    plan = df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "codegen")
+    assert "WholeStageCodegen" in plan
