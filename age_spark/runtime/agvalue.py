@@ -1,0 +1,127 @@
+"""agtype output formatting — the golden-test contract.
+
+Replicates ``agtype_out`` (``src/backend/utils/adt/agtype.c:418`` and the
+serializer it drives) so results collected from our DataFrames print
+byte-identically to the reference's regression outputs
+(``regress/expected/*.out``):
+
+  - vertices/edges/paths print as JSON + ``::vertex``/``::edge``/``::path``
+  - object keys use JSONB storage order: sorted by (length, byte order) —
+    which is why an edge prints id, label, end_id, start_id, properties
+  - floats keep a trailing ``.0`` for integral values (PG float8out);
+    integers print bare; strings JSON-escaped; booleans lowercase;
+    null prints as the SQL empty cell (None here)
+  - ``, `` between items, ``: `` after keys (jsonb_out conventions)
+"""
+
+from __future__ import annotations
+
+import json
+import math
+from typing import Any, Optional
+
+try:  # Row is only needed for isinstance checks
+    from pyspark.sql import Row
+except Exception:  # pragma: no cover
+    Row = tuple  # type: ignore
+
+
+def _is_entity_dict(d: dict) -> Optional[str]:
+    keys = set(d.keys())
+    if {"id", "label", "properties"} <= keys:
+        return "edge" if {"start_id", "end_id"} <= keys else "vertex"
+    if {"nodes", "edges"} <= keys and len(keys) == 2:
+        return "path"
+    return None
+
+
+def _jsonb_key_order(keys):
+    return sorted(keys, key=lambda k: (len(k), k))
+
+
+def _fmt_float(v: float) -> str:
+    if math.isnan(v):
+        return "NaN"
+    if math.isinf(v):
+        return "Infinity" if v > 0 else "-Infinity"
+    if v == int(v) and abs(v) < 1e16:
+        return f"{int(v)}.0"
+    return repr(v)
+
+
+def _props(d: Optional[dict]) -> dict:
+    if not d:
+        return {}
+    return {k: v for k, v in d.items() if k != "_none" and v is not None}
+
+
+def agtype_out(value: Any) -> Optional[str]:
+    """Format one collected value the way the reference's agtype_out does.
+    Returns None for SQL NULL (psql prints an empty cell)."""
+    if value is None:
+        return None
+    return _out(value)
+
+
+def _out(v: Any) -> str:
+    if v is None:
+        return "null"  # nested null prints; only top-level NULL is an empty cell
+    if isinstance(v, Row):
+        v = v.asDict(recursive=True)
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, int):
+        return str(v)
+    if isinstance(v, float):
+        return _fmt_float(v)
+    if isinstance(v, str):
+        return json.dumps(v, ensure_ascii=False)
+    if isinstance(v, (list, tuple)):
+        return "[" + ", ".join(_out(x) for x in v) + "]"
+    if isinstance(v, dict):
+        kind = _is_entity_dict(v)
+        if kind == "vertex":
+            body = {
+                "id": v["id"],
+                "label": v["label"],
+                "properties": _props(v.get("properties")),
+            }
+            return _obj(body) + "::vertex"
+        if kind == "edge":
+            body = {
+                "id": v["id"],
+                "label": v["label"],
+                "end_id": v["end_id"],
+                "start_id": v["start_id"],
+                "properties": _props(v.get("properties")),
+            }
+            return _obj(body) + "::edge"
+        if kind == "path":
+            nodes = [x if isinstance(x, dict) else x.asDict(recursive=True) for x in v["nodes"]]
+            edges = [x if isinstance(x, dict) else x.asDict(recursive=True) for x in v["edges"]]
+            inter: list = []
+            for i, n in enumerate(nodes):
+                inter.append(_out(n))
+                if i < len(edges):
+                    inter.append(_out(edges[i]))
+            return "[" + ", ".join(inter) + "]::path"
+        return _obj(v)
+    raise TypeError(f"cannot format {type(v).__name__} as agtype")
+
+
+def _obj(d: dict) -> str:
+    items = []
+    for k in _jsonb_key_order(d.keys()):
+        items.append(f"{json.dumps(k, ensure_ascii=False)}: {_out(d[k])}")
+    return "{" + ", ".join(items) + "}"
+
+
+def format_result(rows, columns=None) -> list[list[Optional[str]]]:
+    """Format a collected result set (list of Rows) as the reference would
+    print it — one formatted string (or None) per column per row."""
+    out = []
+    for r in rows:
+        if columns is None:
+            columns = r.__fields__ if hasattr(r, "__fields__") else list(range(len(r)))
+        out.append([agtype_out(r[c] if isinstance(c, str) else r[c]) for c in columns])
+    return out
