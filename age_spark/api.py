@@ -74,8 +74,9 @@ class AgeSession:
         self, graph: Graph, label: str, path: str, id_col: Optional[str] = None
     ) -> Graph:
         """CSV bulk load (load_labels_from_file, age_load.c:565): header row,
-        schema inference on (typed columns beat agtype re-parsing)."""
-        df = self.spark.read.csv(path, header=True, inferSchema=True)
+        schema inference on (typed columns beat agtype re-parsing). RFC-4180
+        doubled-quote escapes, as in the reference's loader fixtures."""
+        df = self.spark.read.csv(path, header=True, inferSchema=True, escape='"')
         return self.load_vertices(graph, label, df, id_col=id_col)
 
     def load_edges_from_csv(
@@ -89,7 +90,7 @@ class AgeSession:
         """CSV edge load (load_edges_from_file, age_load.c:653). Expected
         columns: start_id, start_vertex_type, end_id, end_vertex_type, then
         properties (fixture format regress/age_load/data/edges.csv)."""
-        df = self.spark.read.csv(path, header=True, inferSchema=True)
+        df = self.spark.read.csv(path, header=True, inferSchema=True, escape='"')
         drop = [c for c in ("start_vertex_type", "end_vertex_type") if c in df.columns]
         if drop:
             df = df.drop(*drop)

@@ -61,6 +61,34 @@ def test_csv_load_then_create_no_id_collision(spark, csv_dir):
     assert got == ["AT", "BE", "CL", "DK"]
 
 
+def test_csv_conversion_edge_cases(spark, tmp_path):
+    """Type-conversion fixture cases (FIXTURES.md G1 /
+    regress/age_load conversion_vertices.csv): quoted vs bare booleans,
+    ints, floats, scientific notation, doubled-quote escapes."""
+    p = tmp_path / "conv.csv"
+    p.write_text(
+        'id,s,b,num\n'
+        '1,"""John""",true,1\n'
+        '2,plain,false,-2\n'
+        '3,"quoted,comma",true,1.4\n'
+        '4,x,false,-1e10\n'
+    )
+    age = AgeSession(spark)
+    g = age.create_graph("conv")
+    g = age.load_vertices_from_csv(g, "T", str(p), id_col="id")
+    got = sorted(
+        tuple(r) for r in age.cypher(
+            g, "MATCH (n:T) RETURN n.s AS s, n.b AS b, toFloat(n.num) AS num"
+        ).df.collect()
+    )
+    assert got == [
+        ('"John"', True, 1.0),
+        ("plain", False, -2.0),
+        ("quoted,comma", True, 1.4),
+        ("x", False, -1e10),
+    ]
+
+
 def test_graph_save_load(spark, csv_dir, tmp_path):
     age = AgeSession(spark)
     g = age.create_graph("geo3")

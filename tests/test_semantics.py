@@ -314,7 +314,42 @@ def test_shortest_path_unreachable(social):
     assert got[0][0] >= 5
 
 
+def test_with_limit_then_match_chain(social):
+    age, g = social
+    # WITH ... ORDER BY ... LIMIT then further MATCH continues the pipeline
+    got = rows(age, g,
+        "MATCH (p:Person) WITH p ORDER BY p.name LIMIT 2 "
+        "MATCH (p)-[:KNOWS]->(q) RETURN p.name AS p, q.name AS q")
+    assert got == [("alice", "bob"), ("alice", "carol"), ("bob", "carol")]
+
+
+def test_unwind_after_aggregate(social):
+    age, g = social
+    got = rows(age, g,
+        "MATCH (p:Person) WITH collect(p.name) AS names "
+        "UNWIND names AS n RETURN n ORDER BY n")
+    assert got == [("alice",), ("bob",), ("carol",), ("dave",), ("eve",)]
+
+
+def test_orderby_aggregate_not_in_return(social):
+    age, g = social
+    got = [r[0] for r in age.cypher(g,
+        "MATCH (a)-[:KNOWS]->(b) RETURN a.name AS n ORDER BY count(*) DESC, n ASC"
+    ).df.collect()]
+    assert got[0] == "alice"  # 2 outgoing KNOWS
+
+
 # ---------------------------------------------------------------- writes
+
+
+def test_create_visible_to_later_match(spark):
+    # read-your-writes across clauses in ONE statement (cypher_utils.c CID
+    # handling; ours: clause-by-clause snapshots)
+    age = AgeSession(spark)
+    g = age.create_graph("rw")
+    g = age.cypher(g, "CREATE (a:T {k: 1})").graph
+    r = age.cypher(g, "CREATE (b:T {k: 2}) WITH b MATCH (n:T) RETURN count(*) AS c")
+    assert [tuple(x) for x in r.df.collect()] == [(2,)]
 
 
 def test_create_returns_and_persists(spark):
