@@ -399,6 +399,23 @@ def compile_merge(ctx: QueryContext, st, clause: A.Merge):
             for tp in el.types or [DEFAULT_ELABEL]:
                 ctx.graph.create_elabel(tp)
 
+    # anchor handling needs at least one pattern variable new to the scope:
+    # name the anonymous elements (MERGE (a)-[:R]->(b) with a, b bound).
+    # The synthesized vars are re-hidden before returning.
+    synthesized: list[str] = []
+    elems2 = []
+    for el in pat.elements:
+        if el.var is None:
+            nm = ctx.fresh("_mg")
+            synthesized.append(nm)
+            if isinstance(el, A.NodePattern):
+                elems2.append(A.NodePattern(nm, el.labels, el.props))
+            else:
+                elems2.append(A.RelPattern(nm, el.types, el.props, el.direction, el.varlen))
+        else:
+            elems2.append(el)
+    pat = A.PathPattern(pat.var, elems2)
+
     # 1) optional-match the pattern against the current snapshot
     opt = _compile_optional_match(ctx, State(df, env), A.Match([pat], True, None))
     pat_vars = [v for v in _pattern_var_names(ctx, pat) if env.get(v) is None]
@@ -410,7 +427,7 @@ def compile_merge(ctx: QueryContext, st, clause: A.Merge):
 
     if missing.isEmpty():
         out = found
-        st2 = State(out, opt.env)
+        st2 = State(out, _rehide(opt.env, synthesized))
         if clause.on_match:
             st2, ctx = compile_set(ctx, st2, clause.on_match)
         return st2, ctx
@@ -466,7 +483,15 @@ def compile_merge(ctx: QueryContext, st, clause: A.Merge):
 
     cols = st_found.df.columns
     out = union_by_merged_schema([st_found.df, st_created.df.select(*cols)])
-    return State(out, opt.env), ctx
+    return State(out, _rehide(opt.env, synthesized)), ctx
+
+
+def _rehide(env: Env, names: list[str]) -> Env:
+    for nm in names:
+        b = env.get(nm)
+        if b is not None:
+            env = env.bind(Binding(b.name, b.kind, b.labels, hidden=True))
+    return env
 
 
 def _pattern_var_names(ctx, pat: A.PathPattern) -> list[str]:

@@ -394,6 +394,32 @@ def test_detach_delete_cascades(spark):
     assert rows(age, g, "MATCH ()-[e:E]->() RETURN count(*) AS c") == [(0,)]
 
 
+def test_merge_relationship_bound_endpoints(spark):
+    age = AgeSession(spark)
+    g = age.create_graph("w7")
+    g = age.cypher(g, "CREATE (a:T {k: 1}) CREATE (b:T {k: 2})").graph
+    q = "MATCH (a:T {k: 1}), (b:T {k: 2}) MERGE (a)-[:R]->(b)"
+    g = age.cypher(g, q).graph
+    g = age.cypher(g, q).graph  # second MERGE must not duplicate
+    assert rows(age, g, "MATCH ()-[e:R]->() RETURN count(*) AS c") == [(1,)]
+
+
+def test_self_loop_pattern(spark):
+    age = AgeSession(spark)
+    g = age.create_graph("w8")
+    g = age.cypher(g, "CREATE (a:T {k: 1})-[:R]->(a)").graph
+    assert rows(age, g, "MATCH (a:T)-[e:R]->(a) RETURN a.k AS k") == [(1,)]
+
+
+def test_delete_edge_only(spark):
+    age = AgeSession(spark)
+    g = age.create_graph("w9")
+    g = age.cypher(g, "CREATE (a:T {k: 1})-[:R]->(b:T {k: 2})").graph
+    g = age.cypher(g, "MATCH (:T)-[e:R]->(:T) DELETE e").graph
+    assert rows(age, g, "MATCH ()-[e:R]->() RETURN count(*) AS c") == [(0,)]
+    assert rows(age, g, "MATCH (n:T) RETURN count(*) AS c") == [(2,)]
+
+
 def test_remove_property(spark):
     age = AgeSession(spark)
     g = age.create_graph("w6")
