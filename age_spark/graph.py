@@ -260,26 +260,25 @@ class Graph:
         return merge_property_schema(dfs, EDGE_RESERVED)
 
     def _vlabels(self, labels):
+        # nonexistent / kind-mismatched labels scan as EMPTY, not error —
+        # the reference rewrites such MATCHes to a false WHERE clause
+        # (cypher_clause.c:8104 make_false_where_clause)
         if labels is None:
             return self.meta.vertex_labels()
-        out = []
-        for name in labels:
-            m = self.meta.label(name)
-            if m.kind != VERTEX_KIND:
-                raise CatalogError(f"label {name!r} is not a vertex label")
-            out.append(m)
-        return out
+        return [
+            self.meta.labels[name]
+            for name in labels
+            if self.meta.has_label(name) and self.meta.labels[name].kind == VERTEX_KIND
+        ]
 
     def _elabels(self, labels):
         if labels is None:
             return self.meta.edge_labels()
-        out = []
-        for name in labels:
-            m = self.meta.label(name)
-            if m.kind != EDGE_KIND:
-                raise CatalogError(f"label {name!r} is not an edge label")
-            out.append(m)
-        return out
+        return [
+            self.meta.labels[name]
+            for name in labels
+            if self.meta.has_label(name) and self.meta.labels[name].kind == EDGE_KIND
+        ]
 
     def scan_vertices(self, labels: Optional[list[str]] = None) -> DataFrame:
         """Unified vertex view: id, label, properties STRUCT<merged schema>.

@@ -288,6 +288,16 @@ def test_vle_undirected(social):
         ("alice",), ("carol",)]
 
 
+def test_missing_label_matches_zero_rows(social):
+    # reference parity: nonexistent labels -> false WHERE, zero rows
+    # (cypher_clause.c:8104 make_false_where_clause), not an error
+    age, g = social
+    assert rows(age, g, "MATCH (n:NoSuchLabel) RETURN n.name AS x") == []
+    assert rows(age, g, "MATCH (a:Person)-[e:NO_SUCH_EDGE]->(b) RETURN a.name AS x") == []
+    assert rows(age, g,
+        "MATCH (p:Person) OPTIONAL MATCH (p)-[:NO_SUCH]->(q) RETURN count(*) AS c") == [(5,)]
+
+
 def test_error_paths(social):
     age, g = social
     from age_spark.cypher.parser import CypherSyntaxError
