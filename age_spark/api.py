@@ -125,10 +125,28 @@ class AgeSession:
 
     # ---- query
     def cypher(self, graph: Graph, query: str, params: Optional[dict] = None) -> CypherResult:
+        # EXPLAIN prefix (cypher_gram.y:376-423): return the Catalyst plan
+        # as rows, like the reference surfaces PG's EXPLAIN output
+        stripped = query.lstrip()
+        if stripped[:7].lower() == "explain" and (len(stripped) == 7 or stripped[7].isspace()):
+            plan = self.explain(graph, stripped[7:], params)
+            rows = [(ln,) for ln in plan.splitlines()]
+            df = self.spark.createDataFrame(rows, "`QUERY PLAN` string")
+            return CypherResult(df=df, graph=graph)
         ast = parse_cypher(query)
         ctx = QueryContext(spark=self.spark, graph=graph, params=params or {})
         df, ctx = compile_query(ctx, ast)
         return CypherResult(df=df, graph=ctx.graph)
+
+    def register_views(self, graph: Graph, prefix: Optional[str] = None) -> list[str]:
+        """Expose the graph's unified scans as SQL temp views
+        (`<graph>_vertices` / `<graph>_edges`) so Cypher and spark.sql can
+        mix over the same snapshot."""
+        p = prefix or graph.name
+        names = [f"{p}_vertices", f"{p}_edges"]
+        graph.scan_vertices(None).createOrReplaceTempView(names[0])
+        graph.scan_edges(None).createOrReplaceTempView(names[1])
+        return names
 
     def prepare(self, graph: Graph, stmt: str):
         """age_prepare_cypher parity (age_session_info.c:30): parse once,

@@ -288,6 +288,22 @@ def test_vle_undirected(social):
         ("alice",), ("carol",)]
 
 
+def test_explain_prefix(social):
+    age, g = social
+    df = age.cypher(g, "EXPLAIN MATCH (p:Person) RETURN p.name AS n").df
+    text = "\n".join(r[0] for r in df.collect())
+    assert "Physical Plan" in text and df.columns == ["QUERY PLAN"]
+
+
+def test_register_views_sql_interop(social):
+    age, g = social
+    names = age.register_views(g)
+    got = age.spark.sql(
+        f"SELECT count(*) AS c FROM {names[0]} WHERE label = 'Person'"
+    ).collect()
+    assert got[0].c == 5
+
+
 def test_missing_label_matches_zero_rows(social):
     # reference parity: nonexistent labels -> false WHERE, zero rows
     # (cypher_clause.c:8104 make_false_where_clause), not an error
