@@ -218,30 +218,17 @@ class Graph:
             if id_col != "id":
                 out = out.drop(id_col)
             return out
-        # Allocate from the per-label sequence. zipWithIndex-style global
-        # numbering: per-partition counts + cumulative offsets (one tiny
-        # driver-side count per partition; no global sort/shuffle).
-        n = df.count()
+        # Allocate from the per-label sequence and number rows densely —
+        # entirely JVM-side (an RDD zipWithIndex would serialize every row
+        # through the Python workers). Per-partition positions come from a
+        # row_number window keyed on the physical partition id; the only
+        # driver traffic is one count per partition.
+        numbered, n = dense_row_numbers(df)
         first = meta.allocate(max(n, 1))
-        rdd = df.rdd
-        counts = rdd.mapPartitionsWithIndex(
-            lambda i, it: [(i, sum(1 for _ in it))]
-        ).collect()
-        offsets = {}
-        acc = first
-        for i, c in sorted(counts):
-            offsets[i] = acc
-            acc += c
-        schema = df.schema
         shift_v = meta.label_id << ENTRY_ID_BITS
-
-        def number(i, it):
-            base = offsets.get(i, 0)
-            for j, row in enumerate(it):
-                yield (*row, shift_v | (base + j))
-
-        new_schema = T.StructType(list(schema.fields) + [T.StructField("id", T.LongType(), False)])
-        return self.spark.createDataFrame(rdd.mapPartitionsWithIndex(number), new_schema)
+        return numbered.withColumn(
+            "id", (F.lit(shift_v) + F.lit(first) + F.col(DENSE_ROW_COL)).cast("long")
+        ).drop(DENSE_ROW_COL)
 
     def _append(self, existing: Optional[DataFrame], new: DataFrame, reserved) -> DataFrame:
         if existing is None or id(existing) in self._sentinel_ids or (
@@ -409,6 +396,36 @@ class Graph:
             df = spark.read.parquet(os.path.join(path, prefix + m.name))
             (v if m.kind == VERTEX_KIND else e)[m.name] = df
         return cls(spark, meta, v, e)
+
+
+DENSE_ROW_COL = "_dense_row"
+
+
+def dense_row_numbers(df: DataFrame) -> tuple[DataFrame, int]:
+    """(df + DENSE_ROW_COL 0..n-1, n) with rows numbered densely across
+    partitions, never leaving the JVM. One shuffle keyed on the physical
+    partition id (even-sized by construction) + one tiny counts action."""
+    from pyspark.sql.window import Window
+
+    pid = df.withColumn("_pid", F.spark_partition_id())
+    counts = sorted(
+        (r["_pid"], r["cnt"])
+        for r in pid.groupBy("_pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    )
+    offsets, acc = {}, 0
+    for i, c in counts:
+        offsets[i] = acc
+        acc += c
+    if not counts:
+        return df.withColumn(DENSE_ROW_COL, F.lit(0).cast("long")), 0
+    off_map = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
+    w = Window.partitionBy("_pid").orderBy(F.monotonically_increasing_id())
+    out = (
+        pid.withColumn("_pos", F.row_number().over(w) - 1)
+        .withColumn(DENSE_ROW_COL, (off_map[F.col("_pid")] + F.col("_pos")).cast("long"))
+        .drop("_pid", "_pos")
+    )
+    return out, acc
 
 
 def conform_col(col: Column, src: T.DataType, dst: T.DataType) -> Column:

@@ -44,11 +44,13 @@ _ROWID = "_rowid"
 
 
 def _with_rowid(df: DataFrame) -> DataFrame:
-    """Dense global row numbering without a global sort: RDD zipWithIndex
-    (per-partition counts + offsets)."""
-    schema = T.StructType(list(df.schema.fields) + [T.StructField(_ROWID, T.LongType(), False)])
-    rdd = df.rdd.zipWithIndex().map(lambda t: tuple(t[0]) + (t[1],))
-    return df.sparkSession.createDataFrame(rdd, schema)
+    """Dense global row numbering without a global sort — JVM-side
+    (see graph.dense_row_numbers; an RDD zipWithIndex would serialize every
+    row through the Python workers)."""
+    from ..graph import DENSE_ROW_COL, dense_row_numbers
+
+    numbered, _ = dense_row_numbers(df)
+    return numbered.withColumnRenamed(DENSE_ROW_COL, _ROWID)
 
 
 def _unit_df(ctx: QueryContext) -> DataFrame:
@@ -75,8 +77,10 @@ def compile_create(ctx: QueryContext, st, clause: A.Create):
 
     df = st.df if st.df is not None else _unit_df(ctx)
     env = st.env
-    df = _with_rowid(df)
-    n_rows = df.count()
+    from ..graph import DENSE_ROW_COL, dense_row_numbers
+
+    numbered, n_rows = dense_row_numbers(df)
+    df = numbered.withColumnRenamed(DENSE_ROW_COL, _ROWID)
     graph = ctx.graph
 
     new_vertex_rows: dict[str, list[DataFrame]] = {}
