@@ -251,6 +251,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["g_subgraph"] = _subgraph
 
+    # ---- graph algorithms (beyond reference: Pregel-style DataFrame loops)
+    def _triangles(s, d):
+        from age_spark import AgeSession
+
+        age = AgeSession(s)
+        g = age.create_graph("k12tri")
+        age.create_complete_graph(g, 12, "REL", "Node")
+        return age.cypher(g, "CALL triangle_count() YIELD n_triangles RETURN n_triangles").df
+
+    q["g_triangle_count"] = _triangles
+
+    def _components(s, d):
+        from age_spark import AgeSession
+
+        age = AgeSession(s)
+        g = age.create_graph("twok5")
+        age.create_complete_graph(g, 5, "REL", "Node")
+        age.create_complete_graph(g, 5, "REL", "Node")  # second K5, no bridge
+        return age.cypher(
+            g,
+            "CALL connected_components() YIELD id, component "
+            "RETURN count(DISTINCT component) AS n_components",
+        ).df
+
+    q["g_connected_components"] = _components
+
+    q["g_pagerank"] = lambda s, d: _cypher(
+        s, d,
+        "CALL pagerank(0.85, 10) YIELD id, rank RETURN round(sum(rank), 4) AS total",
+    )
+
+    def _near_dedup(s, d):  # rows-only: minhash internals
+        from age_spark.pipeline.dedup import near_dedup
+
+        return near_dedup(_docs(s, d), threshold=0.5).select("doc_id")
+
+    q["p_near_dedup"] = _near_dedup
+
     # ---- §2.7 write clauses round-trip (CREATE/SET/MERGE/DELETE)
     def _writes(s, d):
         from age_spark import AgeSession
@@ -591,6 +629,9 @@ def oracle_sql() -> dict[str, str]:
         "JOIN region ON n_regionkey = r_regionkey"
     )
     O["g_complete_graph"] = "SELECT CAST(780 AS BIGINT) AS n_edges"
+    O["g_triangle_count"] = "SELECT CAST(220 AS BIGINT) AS n_triangles"  # C(12,3)
+    O["g_connected_components"] = "SELECT CAST(2 AS BIGINT) AS n_components"
+    O["g_pagerank"] = "SELECT CAST(1.0 AS DOUBLE) AS total"
     O["g_barbell_graph"] = "SELECT CAST(91 AS BIGINT) AS n_edges"
     O["g_subgraph"] = "SELECT CAST(count(*) AS BIGINT) AS n FROM customer"
     O["g_write_roundtrip"] = "SELECT CAST(5 AS BIGINT) AS n_even"

@@ -274,6 +274,28 @@ def simhash_near_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc
     return ham.filter(F.col("hamming") <= max_hamming).select("id_a", "id_b", "hamming")
 
 
+def near_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    threshold: float = 0.7, num_hashes: int = 64, bands: int = 16, k: int = 3,
+) -> DataFrame:
+    """End-to-end near-dedup: MinHash-LSH pairs -> connected components over
+    the duplicate graph -> keep the min-id representative per component.
+
+    This is the operator a training-data pipeline actually runs: pairs alone
+    aren't a dedup (A~B, B~C must collapse to one survivor even if A!~C).
+    Components come from min-id label propagation (algorithms.py) over the
+    pair edges — iterations bounded by duplicate-cluster diameter, which is
+    tiny in practice."""
+    from ..algorithms import connected_components
+
+    pairs = minhash_dedup_pairs(df, text_col, id_col, num_hashes, bands, k, threshold)
+    ids = df.select(F.col(id_col).alias("id"))
+    edges = pairs.select(F.col("id_a").alias("start_id"), F.col("id_b").alias("end_id"))
+    comps = connected_components(ids, edges, max_iterations=20)
+    keep = comps.filter(F.col("id") == F.col("component")).select("id")
+    return df.join(keep, df[id_col] == keep["id"], "left_semi")
+
+
 def embedding_near_pairs(
     emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
     threshold: float = 0.95,

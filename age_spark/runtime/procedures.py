@@ -88,6 +88,36 @@ def all_shortest_paths_proc(ctx: QueryContext, arg_asts, arg_cols) -> DataFrame:
     return _shortest(ctx, arg_asts, all_paths=True)
 
 
+@procedure("pagerank")
+def pagerank_proc(ctx: QueryContext, arg_asts, arg_cols) -> DataFrame:
+    """CALL pagerank([damping [, iterations]]) YIELD id, rank."""
+    from ..algorithms import pagerank
+    from ..cypher import ast as A
+
+    damping = arg_asts[0].value if len(arg_asts) > 0 and isinstance(arg_asts[0], A.Lit) else 0.85
+    iters = arg_asts[1].value if len(arg_asts) > 1 and isinstance(arg_asts[1], A.Lit) else 10
+    g = ctx.graph
+    out = pagerank(g.scan_vertices(None), g.scan_edges(None), float(damping), int(iters))
+    return out.select("id", F.round("rank", 8).alias("rank"))
+
+
+@procedure("connected_components")
+def connected_components_proc(ctx: QueryContext, arg_asts, arg_cols) -> DataFrame:
+    """CALL connected_components() YIELD id, component."""
+    from ..algorithms import connected_components
+
+    g = ctx.graph
+    return connected_components(g.scan_vertices(None), g.scan_edges(None))
+
+
+@procedure("triangle_count")
+def triangle_count_proc(ctx: QueryContext, arg_asts, arg_cols) -> DataFrame:
+    """CALL triangle_count() YIELD n_triangles."""
+    from ..algorithms import triangle_count
+
+    return triangle_count(ctx.graph.scan_edges(None))
+
+
 @procedure("vertex_stats")
 def vertex_stats(ctx: QueryContext, arg_asts, arg_cols) -> DataFrame:
     """Per-vertex degrees: in/out degree + self loops
