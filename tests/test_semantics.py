@@ -220,6 +220,14 @@ def test_int_division_truncates(social):
     assert rows(age, g, "RETURN 7 / 2 AS d, 7 % 2 AS m, 2 ^ 10 AS p") == [(3, 1, 1024.0)]
 
 
+def test_tointeger_string_float(social):
+    # golden: regress/expected/expr.out:3628-3642 — toInteger("1.2") -> 1
+    age, g = social
+    assert rows(age, g,
+        "RETURN toInteger('1.2') AS a, toInteger(1.2) AS b, toInteger('nope') AS c") == [
+        (1, 1, None)]
+
+
 def test_typecasts(social):
     age, g = social
     assert rows(age, g,
