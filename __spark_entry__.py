@@ -602,7 +602,7 @@ def oracle_sql() -> dict[str, str]:
     )
     O["g_math_fns"] = (
         "SELECT round(sqrt(o_totalprice), 4) AS sq, round(abs(o_totalprice * -1.0), 2) AS ab, "
-        "CAST(floor(o_totalprice / 1000.0) AS BIGINT) AS kbucket "
+        "CAST(floor(o_totalprice / 1000.0) AS DOUBLE) AS kbucket "
         "FROM orders WHERE o_totalprice > 350000.0"
     )
 

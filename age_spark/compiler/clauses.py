@@ -261,11 +261,13 @@ def _agg_column(ctx: QueryContext, node: A.FuncCall, arg_col: Optional[Column]) 
             return F.count_distinct(arg_col)
         return F.count(arg_col)
     if name == "sum":
-        return F.sum(arg_col)
+        return F.sum_distinct(arg_col) if node.distinct else F.sum(arg_col)
     if name == "avg":
+        if node.distinct:
+            return F.sum_distinct(arg_col) / F.count_distinct(arg_col)
         return F.avg(arg_col)
     if name == "min":
-        return F.min(arg_col)
+        return F.min(arg_col)  # DISTINCT is a no-op for min/max
     if name == "max":
         return F.max(arg_col)
     if name == "collect":

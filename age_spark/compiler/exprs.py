@@ -749,7 +749,12 @@ def _fn_range(scope, args, cols):
 # -- math (agtype.c:9849-10923)
 
 for _name, _f in [
-    ("abs", F.abs), ("ceil", F.ceil), ("floor", F.floor), ("sqrt", F.sqrt),
+    ("abs", F.abs),
+    # AGE floor/ceil return FLOAT (PG float8 semantics, agtype.c:10496),
+    # Spark's return LONG — cast back
+    ("ceil", lambda c: F.ceil(c).cast("double")),
+    ("floor", lambda c: F.floor(c).cast("double")),
+    ("sqrt", F.sqrt),
     ("exp", F.exp), ("log", F.log), ("log10", F.log10), ("sin", F.sin),
     ("cos", F.cos), ("tan", F.tan), ("asin", F.asin), ("acos", F.acos),
     ("atan", F.atan), ("degrees", F.degrees), ("radians", F.radians),

@@ -159,6 +159,15 @@ def test_implicit_grouping(social):
         ("alice", 2), ("bob", 1), ("carol", 1), ("dave", 1)]
 
 
+def test_distinct_aggregates(social):
+    age, g = social
+    got = rows(age, g,
+        "UNWIND [1, 1, 2, 2, 3] AS x "
+        "RETURN sum(DISTINCT x) AS s, count(DISTINCT x) AS c, "
+        "round(avg(DISTINCT x), 2) AS a, min(DISTINCT x) AS mn")
+    assert got == [(6, 3, 2.0, 1)]
+
+
 def test_stdev_single_value_is_zero(social):
     age, g = social
     assert rows(age, g,
