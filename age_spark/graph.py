@@ -386,6 +386,41 @@ class Graph:
         for label, df in self.edge_dfs.items():
             df.write.mode(mode).parquet(os.path.join(path, f"e_{label}"))
 
+    def save_as_tables(self, prefix: str, buckets: int = 0, mode: str = "overwrite") -> list[str]:
+        """Persist per-label tables to the session catalog; with buckets>0,
+        bucket+sort vertex tables by id and edge tables by start_id so
+        pattern joins on those keys are co-located (no shuffle on the
+        bucketed side — the Spark analogue of the reference's btree-on-
+        endpoints layout, label_commands.c:434). Returns created table names."""
+        names = []
+        self.spark.createDataFrame([(self.meta.to_json(),)], "meta string").write.mode(
+            mode
+        ).saveAsTable(f"{prefix}_catalog")
+        for label, df in self.vertex_dfs.items():
+            t = f"{prefix}_v_{label}"
+            w = df.write.mode(mode)
+            if buckets:
+                w = w.bucketBy(buckets, "id").sortBy("id")
+            w.saveAsTable(t)
+            names.append(t)
+        for label, df in self.edge_dfs.items():
+            t = f"{prefix}_e_{label}"
+            w = df.write.mode(mode)
+            if buckets:
+                w = w.bucketBy(buckets, "start_id").sortBy("start_id")
+            w.saveAsTable(t)
+            names.append(t)
+        return names
+
+    @classmethod
+    def load_from_tables(cls, spark: SparkSession, prefix: str) -> "Graph":
+        meta = GraphMeta.from_json(spark.table(f"{prefix}_catalog").first()["meta"])
+        v, e = {}, {}
+        for m in meta.labels.values():
+            t = f"{prefix}_{'v' if m.kind == VERTEX_KIND else 'e'}_{m.name}"
+            (v if m.kind == VERTEX_KIND else e)[m.name] = spark.table(t)
+        return cls(spark, meta, v, e)
+
     @classmethod
     def load(cls, spark: SparkSession, path: str) -> "Graph":
         with open(os.path.join(path, "catalog.json")) as f:
