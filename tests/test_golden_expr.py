@@ -78,6 +78,16 @@ CASES = [
     # case / coalesce
     ("CASE WHEN 1 = 1 THEN 'y' ELSE 'n' END", '"y"'),
     ("coalesce(null, null, 9)", "9"),
+    # maps
+    ("{a: 1, b: 'x'}.a", "1"),
+    ("{a: {b: 2}}.a.b", "2"),
+    ("{a: 1, b: 'x'}['b']", '"x"'),
+    ("keys({a: 1, b: 2})", '["a", "b"]'),
+    ("{z: 1, a: 2}", '{"a": 2, "z": 1}'),  # JSONB key order on print
+    # predicates on values
+    ("exists(null)", "false"),
+    ("isEmpty([])", "true"),
+    ("isEmpty('x')", "false"),
 ]
 
 
