@@ -249,22 +249,28 @@ class Graph:
     def _vlabels(self, labels):
         # nonexistent / kind-mismatched labels scan as EMPTY, not error —
         # the reference rewrites such MATCHes to a false WHERE clause
-        # (cypher_clause.c:8104 make_false_where_clause)
+        # (cypher_clause.c:8104 make_false_where_clause). Catalog meta is
+        # shared across snapshots, so also skip labels whose table does not
+        # exist in THIS snapshot (created by a later write).
         if labels is None:
-            return self.meta.vertex_labels()
+            return [m for m in self.meta.vertex_labels() if m.name in self.vertex_dfs]
         return [
             self.meta.labels[name]
             for name in labels
-            if self.meta.has_label(name) and self.meta.labels[name].kind == VERTEX_KIND
+            if self.meta.has_label(name)
+            and self.meta.labels[name].kind == VERTEX_KIND
+            and name in self.vertex_dfs
         ]
 
     def _elabels(self, labels):
         if labels is None:
-            return self.meta.edge_labels()
+            return [m for m in self.meta.edge_labels() if m.name in self.edge_dfs]
         return [
             self.meta.labels[name]
             for name in labels
-            if self.meta.has_label(name) and self.meta.labels[name].kind == EDGE_KIND
+            if self.meta.has_label(name)
+            and self.meta.labels[name].kind == EDGE_KIND
+            and name in self.edge_dfs
         ]
 
     def scan_vertices(self, labels: Optional[list[str]] = None) -> DataFrame:

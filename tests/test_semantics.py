@@ -437,6 +437,17 @@ def test_detach_delete_cascades(spark):
     assert rows(age, g, "MATCH ()-[e:E]->() RETURN count(*) AS c") == [(0,)]
 
 
+def test_snapshot_isolation_of_new_labels(spark):
+    # a label created by a later write (shared catalog meta) must not break
+    # scans over the earlier snapshot
+    age = AgeSession(spark)
+    g = age.create_graph("iso")
+    g = age.cypher(g, "CREATE (a:T {k: 1})").graph
+    age.cypher(g, "MERGE (b:NEWLABEL {k: 9})")  # snapshot discarded
+    assert rows(age, g, "MATCH (n) RETURN count(*) AS c") == [(1,)]
+    assert rows(age, g, "MATCH ()-[e]->() RETURN count(*) AS c") == [(0,)]
+
+
 def test_merge_relationship_bound_endpoints(spark):
     age = AgeSession(spark)
     g = age.create_graph("w7")
