@@ -357,6 +357,41 @@ def test_shortest_path_unreachable(social):
     assert got[0][0] >= 5
 
 
+def test_second_match_joins_on_bound_var(social):
+    age, g = social
+    got = rows(age, g,
+        "MATCH (a:Person {name:'alice'}) MATCH (a)-[:KNOWS]->(b) RETURN b.name AS n")
+    assert got == [("bob",), ("carol",)]
+
+
+def test_optional_match_correlated_where(social):
+    age, g = social
+    got = rows(age, g,
+        "MATCH (p:Person) OPTIONAL MATCH (p)-[:KNOWS]->(q) WHERE q.age > 26 "
+        "RETURN p.name AS p, q.name AS q")
+    # alice->carol(35) passes; alice->bob(25) filtered inside the optional;
+    # dave->alice(30) passes; others null
+    assert got == [
+        ("alice", "carol"), ("bob", "carol"), ("carol", None),
+        ("dave", "alice"), ("eve", None)]
+
+
+def test_entity_alias_through_with(social):
+    age, g = social
+    got = rows(age, g,
+        "MATCH (p:Person {name:'bob'}) WITH p AS person "
+        "RETURN person.name AS n, person.age AS a")
+    assert got == [("bob", 25)]
+
+
+def test_create_edge_with_props(spark):
+    age = AgeSession(spark)
+    g = age.create_graph("ep")
+    r = age.cypher(g, "CREATE (a:T {k: 1})-[r:R {w: 5}]->(b:T {k: 2}) RETURN r.w AS w")
+    assert [tuple(x) for x in r.df.collect()] == [(5,)]
+    assert rows(age, r.graph, "MATCH ()-[r:R]->() RETURN r.w AS w") == [(5,)]
+
+
 def test_with_limit_then_match_chain(social):
     age, g = social
     # WITH ... ORDER BY ... LIMIT then further MATCH continues the pipeline
