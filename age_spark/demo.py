@@ -23,7 +23,17 @@ from .graph import Graph
 def build_tpch_graph(spark: SparkSession, sf_dir: str) -> Graph:
     age = AgeSession(spark)
     g = age.create_graph("tpch")
-    read = lambda name: spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+    # parquet footer/schema reads are independent driver-side JVM calls
+    # (~0.4s each); issue them concurrently
+    from concurrent.futures import ThreadPoolExecutor
+
+    names = ["region", "nation", "customer", "supplier", "part", "orders", "lineitem"]
+    with ThreadPoolExecutor(max_workers=len(names)) as ex:
+        tables = dict(
+            zip(names, ex.map(lambda n: spark.read.parquet(f"{sf_dir}/{n}.parquet"), names))
+        )
+    read = tables.__getitem__
 
     region = read("region").select(
         F.col("r_regionkey").alias("rk"), F.col("r_name").alias("name")
