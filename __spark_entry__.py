@@ -350,6 +350,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "MATCH (n:Nation) WHERE n.name IN ['JAPAN', 'CHINA', 'FRANCE'] "
         "RETURN n.name AS name, coalesce(n.missing, 'none') AS fallback",
     )
+    q["g_trig"] = lambda s, d: _cypher(
+        s, d,
+        "RETURN round(sin(pi() / 2), 6) AS s, round(cos(0), 6) AS c, "
+        "round(atan2(1, 1), 6) AS a, round(degrees(pi()), 2) AS deg, "
+        "round(exp(1), 6) AS e1, round(log(e()), 6) AS ln1, "
+        "round(sqrt(2), 6) AS r2",
+    )
+    q["g_keys"] = lambda s, d: _cypher(
+        s, d, "MATCH (c:Customer) RETURN c.name AS name, keys(c) AS ks",
+    )
+    q["g_id_label_fns"] = lambda s, d: _cypher(
+        s, d,
+        "MATCH (c:Customer) RETURN id(c) AS cid, label(c) AS lbl "
+        "ORDER BY cid LIMIT 20",
+    )
     q["g_vle_range"] = lambda s, d: _cypher(
         s, d,
         'MATCH (c:Customer)-[*1..2]->(x) RETURN count(*) AS n_paths',
@@ -666,6 +681,20 @@ def oracle_sql() -> dict[str, str]:
     O["g_in_coalesce"] = (
         "SELECT n_name AS name, 'none' AS fallback FROM nation "
         "WHERE n_name IN ('JAPAN', 'CHINA', 'FRANCE')"
+    )
+    O["g_trig"] = (
+        "SELECT round(sin(pi() / 2), 6) AS s, round(cos(0), 6) AS c, "
+        "round(atan2(1, 1), 6) AS a, round(degrees(pi()), 2) AS deg, "
+        "round(exp(1), 6) AS e1, round(ln(exp(1)), 6) AS ln1, "
+        "round(sqrt(2), 6) AS r2"
+    )
+    O["g_keys"] = (
+        "SELECT c_name AS name, ['name', 'acctbal', 'mktsegment'] AS ks FROM customer"
+    )
+    O["g_id_label_fns"] = (
+        # Customer label_id = 3 -> id = 3 << 48 | custkey
+        "SELECT CAST(3 * 281474976710656 + c_custkey AS BIGINT) AS cid, "
+        "'Customer' AS lbl FROM customer ORDER BY cid LIMIT 20"
     )
     O["g_vle_range"] = (
         "SELECT CAST((SELECT count(*) FROM orders) + (SELECT count(*) FROM lineitem) + "

@@ -523,10 +523,15 @@ def _fn_keys(scope, args, cols):
             pdt = next(f.dataType for f in dt.fields if f.name == "properties")
             c = c.getField("properties")
             dt = pdt
+        # JSONB key order: (length, bytes) — matches the reference's
+        # keys()/object print order (agtype_util.c key sort)
+        names_sorted = sorted(
+            (f2.name for f2 in dt.fields if f2.name != "_none"),
+            key=lambda k: (len(k), k),
+        )
         items = [
-            F.when(c.getField(f2.name).isNotNull(), F.lit(f2.name))
-            for f2 in dt.fields
-            if f2.name != "_none"
+            F.when(c.getField(nm).isNotNull(), F.lit(nm))
+            for nm in names_sorted
         ]
         if not items:
             return F.expr("array()").cast("array<string>")
