@@ -99,6 +99,15 @@ def test_multi_pattern_cross(social):
         "MATCH (n:Person), (a)-[:LIKES]->(b) RETURN count(*) AS c") == [(5,)]
 
 
+def test_multi_rel_types(social):
+    # [:A|B] — beyond the reference (its grammar allows one type per rel,
+    # cypher_gram.y:1530 label_opt); standard openCypher alternation
+    age, g = social
+    got = rows(age, g,
+        "MATCH (a:Person {name:'alice'})-[e:KNOWS|LIKES]->(b) RETURN b.name AS n")
+    assert got == [("bob",), ("carol",), ("dave",)]
+
+
 def test_edge_props(social):
     age, g = social
     assert rows(age, g,
