@@ -357,6 +357,27 @@ def test_error_paths(social):
         age.cypher(g, "MATCH (p:Person) WHERE p.name = $who RETURN p")
 
 
+def test_all_shortest_paths_vs_single(spark):
+    # diamond A->B->D, A->C->D: two minimal paths A->D
+    age = AgeSession(spark)
+    g = age.create_graph("diamond")
+    g.add_vertices("P", spark.createDataFrame(
+        [(1, "A"), (2, "B"), (3, "C"), (4, "D")], "vid long, name string"), id_col="vid")
+    g.add_edges("E", spark.createDataFrame(
+        [(1, 1, 2), (2, 1, 3), (3, 2, 4), (4, 3, 4)], "eid long, s long, t long"),
+        start_col="s", end_col="t", start_label="P", end_label="P", id_col="eid")
+    a_id = (g.meta.label("P").label_id << 48) | 1
+    d_id = (g.meta.label("P").label_id << 48) | 4
+    single = age.cypher(
+        g, f"CALL shortest_path({a_id}, {d_id}) YIELD src, dst, hops RETURN hops"
+    ).df.collect()
+    allp = age.cypher(
+        g, f"CALL all_shortest_paths({a_id}, {d_id}) YIELD src, dst, hops RETURN hops"
+    ).df.collect()
+    assert [r.hops for r in single] == [2]
+    assert [r.hops for r in allp] == [2, 2]
+
+
 def test_shortest_path_unreachable(social):
     age, g = social
     got = rows(age, g,
