@@ -213,6 +213,23 @@ class MatchState:
         # anonymous [*..] outside a named path: nothing can read the edge
         # structs or interior nodes — traverse with edge ids only
         slim = hidden and not in_named_path
+        edge_filter = None
+        if rel.props is not None:
+            # `[e*1..2 {weight: 5}]` prototype: every traversed edge must
+            # match — filter the edge scan before the frontier expansion
+            # (reference: edge_prototype in the VLE context, age_vle.c:1928;
+            # regress/sql/cypher_vle.sql property-filtered cases).
+            ctx, props_ast = self.ctx, rel.props
+
+            def edge_filter(scan, _ctx=ctx, _props=props_ast):
+                est = F.struct(
+                    F.col("id"), F.col("start_id"), F.col("end_id"),
+                    F.col("label"), F.col("properties"),
+                )
+                dt = scan.select(est.alias("_e")).schema[0].dataType
+                scope = ExprScope(_ctx, scan, Env({}))
+                return _props_filter(scope, est, _props, dt)
+
         pairs = vle_pairs(
             self.ctx.graph,
             types=rel.types or None,
@@ -221,6 +238,7 @@ class MatchState:
             max_hops=hi,
             seeds=seeds,
             slim=slim,
+            edge_filter=edge_filter,
         )
         dst = f"_dst_{name}"
         pairs = pairs.select(
@@ -350,21 +368,43 @@ def _materialize_path(st: MatchState, pvar: str, node_vars: list[str], edge_vars
     """
     ctx = st.ctx
     df = st.df
-    node_cols = []
-    for nv in node_vars:
+
+    def _norm_node(nv: str) -> Column:
         dt = df.select(F.col(nv)).schema[0].dataType
-        node_cols.append(normalize_vertex(ctx, F.col(nv), dt))
+        return normalize_vertex(ctx, F.col(nv), dt)
+
+    # Interleave: v0, (interior..., v1), (interior..., v2), ... For VLE
+    # segments the interior vertices come from the traversal accumulator
+    # (`_vnodes_<edge>`); a zero-hop VLE segment contributes no new vertex
+    # (the endpoint IS the start — a 0-edge path is a single vertex,
+    # `_agtype_build_path`, agtype.c:2081).
+    # NB: single-arg lambdas only — a 2-arg lambda makes F.transform pass
+    # the array INDEX as the second argument, clobbering a default-arg dtype
+    def _edge_norm(et):
+        return lambda x: normalize_edge(ctx, x, et)
+
+    def _vertex_norm(vt):
+        return lambda x: normalize_vertex(ctx, x, vt)
+
+    node_segments: list[Column] = [F.array(_norm_node(node_vars[0]))]
     edge_parts = []
-    for ename, ekind in edge_vars:
+    for i, (ename, ekind) in enumerate(edge_vars):
         dt = df.select(F.col(ename)).schema[0].dataType
+        nxt = _norm_node(node_vars[i + 1])
         if ekind == EDGE:
             edge_parts.append(F.array(normalize_edge(ctx, F.col(ename), dt)))
+            node_segments.append(F.array(nxt))
         else:
-            et = dt.elementType
-            edge_parts.append(F.transform(F.col(ename), lambda x, _dt=et: normalize_edge(ctx, x, _dt)))
+            edge_parts.append(F.transform(F.col(ename), _edge_norm(dt.elementType)))
+            vn = f"_vnodes_{ename}"
+            vdt = df.select(F.col(vn)).schema[0].dataType.elementType
+            node_segments.append(F.transform(F.col(vn), _vertex_norm(vdt)))
+            node_segments.append(
+                F.slice(F.array(nxt), 1, F.when(F.size(F.col(ename)) > 0, 1).otherwise(0))
+            )
     edges_col = F.concat(*edge_parts) if edge_parts else F.expr("array()")
     path_col = F.struct(
-        F.array(*node_cols).alias("nodes"),
+        F.concat(*node_segments).alias("nodes"),
         (edges_col if edge_parts else F.lit(None).cast("array<string>")).alias("edges"),
     )
     st.df = df.withColumn(pvar, path_col)

@@ -33,8 +33,16 @@ from pyspark.sql.window import Window
 DEFAULT_MAX_HOPS = 30
 
 
-def _oriented_edges(graph, types, direction: str, slim: bool = False) -> DataFrame:
+def _oriented_edges(
+    graph, types, direction: str, slim: bool = False, edge_filter=None
+) -> DataFrame:
     scan = graph.scan_edges(types)
+    if edge_filter is not None:
+        # edge property prototype `[e*1..2 {k: v}]`: filter the edge scan
+        # BEFORE traversal so the predicate pushes to parquet and the
+        # frontier never carries non-matching edges (reference threads the
+        # prototype into the DFS context, age_vle.c:1928 edge_prototype).
+        scan = scan.filter(edge_filter(scan))
     if slim:
         # traversal-only state: the uniqueness filter needs just the edge id
         e = F.struct(F.col("id")).alias("_e")
@@ -59,10 +67,14 @@ def vle_pairs(
     max_hops: Optional[int],
     seeds: Optional[DataFrame] = None,
     slim: bool = False,
+    edge_filter=None,
 ) -> DataFrame:
     """All (src, dst, edges, nodes, hops) paths with hop count in
     [min_hops, max_hops]. ``nodes`` holds the interior vertices (between the
     endpoints), used for path materialization.
+
+    ``edge_filter``: callable DataFrame->Column applied to the edge scan —
+    the `[e*1..2 {weight: 5}]` property prototype (``age_vle.c:1928``).
 
     ``seeds``: DataFrame with a single column ``src`` restricting origins —
     the Spark analogue of the reference's terminal-qual rewrite (#2420):
@@ -74,7 +86,7 @@ def vle_pairs(
     carry only edge ids in flight and skip the per-hop interior-vertex join.
     """
     spark = graph.spark
-    edges = _oriented_edges(graph, types, direction, slim=slim)
+    edges = _oriented_edges(graph, types, direction, slim=slim, edge_filter=edge_filter)
     edge_dt = edges.schema["_e"].dataType
 
     if seeds is None:
@@ -195,7 +207,7 @@ def shortest_path_pairs(
     """
     vscan = graph.scan_vertices(None)
     starts = vscan.filter(start_filter(vscan)).select(F.col("id").alias("src"))
-    targets = vscan.filter(end_filter(vscan)).select(F.col("id").alias("_tgt"))
+    targets = vscan.filter(end_filter(vscan)).select(F.col("id").alias("_tgt")).distinct()
     edges = _oriented_edges(graph, types, direction, slim=slim)
     edge_dt = edges.schema["_e"].dataType
     vddl = _vertex_ddl(graph)
@@ -213,17 +225,39 @@ def shortest_path_pairs(
     hard_max = max_hops if max_hops is not None else DEFAULT_MAX_HOPS
     found_parts: list[DataFrame] = []
 
+    # Early stop is per (src, dst) PAIR: a source only stops expanding once
+    # ALL targets are resolved for it (the reference computes a path per
+    # endpoint pair, ``age_vle.c:3877``). Stopping a source on its first hit
+    # would drop pairs to farther targets (src with targets at hops 2 and 4
+    # must keep going past hop 2). Sources with unreachable targets still
+    # terminate by visited-set frontier drain.
+    n_targets = targets.count()
+    found_pairs: Optional[DataFrame] = None
+
+    def _done_sources(emitted: DataFrame) -> DataFrame:
+        """Accumulate found (src, dst) pairs; sources with all targets found."""
+        nonlocal found_pairs
+        pairs = emitted.select("src", "dst").distinct()
+        if found_pairs is None:
+            found_pairs = pairs
+        else:
+            found_pairs = (
+                found_pairs.unionByName(pairs).distinct().localCheckpoint(eager=False)
+            )
+        return (
+            found_pairs.groupBy("src")
+            .agg(F.count(F.lit(1)).alias("_nf"))
+            .filter(F.col("_nf") >= n_targets)
+            .select(F.col("src").alias("_fsrc"))
+        )
+
     if min_hops <= 0:
         hit0 = frontier.join(targets, frontier["cur"] == targets["_tgt"]).select(
             "src", F.col("cur").alias("dst"), "edges", "nodes", F.lit(0).alias("hops")
         )
         found_parts.append(hit0)
-        # sources whose target is found at level 0 stop expanding
-        frontier = frontier.join(
-            hit0.select(F.col("src").alias("_fsrc")).distinct(),
-            frontier["src"] == F.col("_fsrc"),
-            "left_anti",
-        )
+        done_src = _done_sources(hit0)
+        frontier = frontier.join(done_src, frontier["src"] == F.col("_fsrc"), "left_anti")
 
     for hop in range(1, hard_max + 1):
         if frontier.isEmpty():
@@ -254,7 +288,7 @@ def shortest_path_pairs(
                     ),
                 ).filter(F.col("_rn") == 1).drop("_rn")
             found_parts.append(emitted)
-            done_src = emitted.select(F.col("src").alias("_fsrc")).distinct()
+            done_src = _done_sources(emitted)
             joined = joined.join(done_src, joined["src"] == F.col("_fsrc"), "left_anti")
         visited = visited.unionByName(
             joined.select("src", F.col("cur").alias("vid"))

@@ -303,6 +303,47 @@ def test_vle_edge_isomorphism_on_cycle(social):
     assert got == [(2,)]  # a->b->c->d->a and a->c->d->a
 
 
+def test_vle_edge_property_prototype(social):
+    # [e*.. {k: v}] filters EVERY traversed edge (age_vle.c:1928
+    # edge_prototype; regress/sql/cypher_vle.sql property-filtered cases).
+    age, g = social
+    # only edge alice->bob has since=2010; 2-hop would need both hops at 2010
+    assert rows(age, g,
+        "MATCH (a:Person {name:'alice'})-[e:KNOWS*1..2 {since: 2010}]->(b) "
+        "RETURN b.name AS n") == [("bob",)]
+    # prototype that matches no edge -> no paths (but 0-hop is exempt: the
+    # zero container has no edges to test)
+    assert rows(age, g,
+        "MATCH (a:Person {name:'alice'})-[e:KNOWS*1..3 {since: 1999}]->(b) "
+        "RETURN b.name AS n") == []
+    # chainable prototype: alice-[{since:2015}]->carol-[{since:2020}]->dave
+    # has mixed years, so {since:2015} stops after carol
+    assert rows(age, g,
+        "MATCH (a:Person {name:'alice'})-[e:KNOWS*1..2 {since: 2015}]->(b) "
+        "RETURN b.name AS n") == [("carol",)]
+
+
+def test_named_path_vle_interior_nodes(social):
+    # nodes(p) over a VLE segment must include interior vertices
+    # (_agtype_build_path interleaves vertex/edge/vertex, agtype.c:2081)
+    age, g = social
+    got = rows(age, g,
+        "MATCH p = (a:Person {name:'alice'})-[e:KNOWS*2..2]->(b) "
+        "RETURN size(nodes(p)) AS nn, size(relationships(p)) AS ne, "
+        "nodes(p)[1].name AS mid, b.name AS endv")
+    # two 2-hop paths: alice->bob->carol and alice->carol->dave
+    assert got == [(3, 2, "bob", "carol"), (3, 2, "carol", "dave")]
+
+
+def test_named_path_vle_zero_hop_single_vertex(social):
+    # a 0-edge path is a single vertex, not a doubled endpoint
+    age, g = social
+    got = rows(age, g,
+        "MATCH p = (a:Person {name:'eve'})-[e:KNOWS*0..1]->(b) "
+        "RETURN size(nodes(p)) AS nn, size(relationships(p)) AS ne")
+    assert got == [(1, 0)]
+
+
 def test_vle_undirected(social):
     age, g = social
     # eve is isolated: no results even undirected, at any depth
@@ -376,6 +417,32 @@ def test_all_shortest_paths_vs_single(spark):
     ).df.collect()
     assert [r.hops for r in single] == [2]
     assert [r.hops for r in allp] == [2, 2]
+
+
+def test_shortest_path_targets_at_different_distances(spark):
+    # chain A->B->C->D->E with targets {C, E}: C at hop 2, E at hop 4.
+    # Early-stop must be per (src, dst) pair — stopping the source at its
+    # first hit (C) would silently drop (A, E). Reference computes one path
+    # per endpoint pair (age_vle.c:3877).
+    age = AgeSession(spark)
+    g = age.create_graph("chain5")
+    g.add_vertices("Src", spark.createDataFrame([(1, "A")], "vid long, name string"),
+                   id_col="vid")
+    g.add_vertices("Mid", spark.createDataFrame([(2, "B"), (4, "D")], "vid long, name string"),
+                   id_col="vid")
+    g.add_vertices("Tgt", spark.createDataFrame([(3, "C"), (5, "E")], "vid long, name string"),
+                   id_col="vid")
+    sid = g.meta.label("Src").label_id << 48
+    mid = g.meta.label("Mid").label_id << 48
+    tid = g.meta.label("Tgt").label_id << 48
+    edges = spark.createDataFrame(
+        [(1, sid | 1, mid | 2), (2, mid | 2, tid | 3), (3, tid | 3, mid | 4),
+         (4, mid | 4, tid | 5)],
+        "eid long, s long, t long")
+    g.add_edges("E", edges, start_col="s", end_col="t", id_col="eid")
+    got = rows(age, g,
+        'CALL shortest_path("Src", "Tgt") YIELD src, dst, hops RETURN dst, hops')
+    assert got == [(tid | 3, 2), (tid | 5, 4)]
 
 
 def test_shortest_path_unreachable(social):
