@@ -181,32 +181,39 @@ def minhash_dedup_pairs(
     and the verify joins all reuse it — without this, Catalyst re-evaluates
     the full shingle+hash pipeline on every side of every join."""
     sig = minhash_signatures(df, text_col, id_col, num_hashes, k).persist()
-    banded = _band_buckets(sig, num_hashes, bands)
-    a = banded.alias("a")
-    b = banded.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.id") < F.col("b.id")),
+    try:
+        banded = _band_buckets(sig, num_hashes, bands)
+        a = banded.alias("a")
+        b = banded.alias("b")
+        cand = (
+            a.join(
+                b,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.bucket") == F.col("b.bucket"))
+                & (F.col("a.id") < F.col("b.id")),
+            )
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .distinct()
         )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .distinct()
-    )
-    sa = sig.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
-    sb = sig.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
-    est = (
-        cand.join(sa, "id_a").join(sb, "id_b")
-        .withColumn(
-            "est_jaccard",
-            F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda z: z))
-            / F.lit(num_hashes),
+        sa = sig.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
+        sb = sig.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
+        est = (
+            cand.join(sa, "id_a").join(sb, "id_b")
+            .withColumn(
+                "est_jaccard",
+                F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda z: z))
+                / F.lit(num_hashes),
+            )
         )
-    )
-    return est.filter(F.col("est_jaccard") >= threshold).select(
-        "id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard")
-    )
+        out = est.filter(F.col("est_jaccard") >= threshold).select(
+            "id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard")
+        )
+        # the pair set is tiny (near-dups only): materialize it eagerly so
+        # the signature cache can be released NOW instead of leaking until
+        # session end (it would otherwise pin num_hashes longs per doc)
+        return out.localCheckpoint(eager=True)
+    finally:
+        sig.unpersist(blocking=False)
 
 
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
@@ -298,11 +305,55 @@ def near_dedup(
 
 def embedding_near_pairs(
     emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
-    threshold: float = 0.95,
+    threshold: float = 0.95, n_bands: int = 24, band_planes: int = 4,
+    dim: int = 64,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs (id_a < id_b, cosine >= threshold).
-    Brute-force twin of the LSH path in similarity.py — O(n^2) candidate
-    join; at scale route through similarity.lsh_buckets first."""
+
+    Scale path: banded random-projection LSH candidates + exact cosine
+    verify — the cosine analogue of MinHash banding. Two vectors at cosine
+    >= 0.8 (angle <= 36.9 deg) collide in one 4-bit band with p ~= 0.40;
+    with 24 bands the miss probability is (1-p)^24 ~= 5e-6 per pair. The
+    only shuffle is the equi-join on (band, band-signature) — candidates,
+    not n^2. Exact verification keeps precision at 1.0; recall is tunable
+    via n_bands. ``embedding_near_pairs_exact`` is the O(n^2) verifier twin
+    (tests assert the two agree at test scale)."""
+    from .similarity import _rp_band_signatures, cosine
+
+    base = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    sigs = base.withColumn(
+        "sigs", _rp_band_signatures(F.col("v"), n_bands, band_planes, dim)
+    )
+    banded = sigs.select("id", F.posexplode("sigs").alias("band", "sig"))
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    va = base.select(F.col("id").alias("id_a"), F.col("v").alias("v_a"))
+    vb = base.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"))
+    out = (
+        cand.join(va, "id_a").join(vb, "id_b")
+        .withColumn("cosine", cosine(F.col("v_a"), F.col("v_b")))
+    )
+    return out.filter(F.col("cosine") >= threshold).select(
+        "id_a", "id_b", F.round("cosine", 6).alias("cosine")
+    )
+
+
+def embedding_near_pairs_exact(
+    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Brute-force O(n^2) twin of ``embedding_near_pairs`` — the test-only
+    verifier (never the declared operator: an all-pairs join is a
+    scale-killer at 100 TB)."""
     from .similarity import cosine
 
     a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"))

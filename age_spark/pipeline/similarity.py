@@ -125,6 +125,34 @@ def _rp_signature(vec: Column, planes: int, dim: int, seed: int = 42) -> Column:
     return sig(vec.cast("array<double>"))
 
 
+def _rp_band_signatures(
+    vec: Column, n_bands: int, band_planes: int, dim: int, seed: int = 42
+) -> Column:
+    """Array of `n_bands` independent RP band signatures (each `band_planes`
+    sign bits packed into a long). One numpy matmul per Arrow batch against
+    the full (dim x n_bands*band_planes) hyperplane matrix — the banding
+    analogue of MinHash-LSH for cosine similarity: two vectors at angle a
+    collide in one band with prob (1 - a/pi)^band_planes, and in ANY band
+    with 1-(1-p^r)^b — tune n_bands for recall."""
+    import numpy as np
+    import pandas as pd
+
+    H = np.array(_hyperplanes(n_bands * band_planes, dim, seed)).T  # (dim, b*r)
+    weights = (1 << np.arange(band_planes)).astype("int64")
+
+    @F.pandas_udf("array<long>")
+    def sig(v):
+        if len(v) == 0:
+            return pd.Series([], dtype="object")
+        V = np.stack(v.to_numpy())
+        bits = (V @ H) > 0
+        bits = bits.reshape(len(V), n_bands, band_planes)
+        vals = (bits * weights).sum(axis=2).astype("int64")
+        return pd.Series(list(vals))
+
+    return sig(vec.cast("array<double>"))
+
+
 def _fit_centroids(corpus: DataFrame, vec_col: str, id_col: str, n_centroids: int,
                    sample_size: int = 8192, iters: int = 10, seed: int = 42):
     """Driver-side Lloyd's k-means on a deterministic sample of normalized
@@ -211,14 +239,22 @@ def lsh_bucketed_topk(
     k: int = 5,
     planes: int = 8,
     dim: int = 64,
+    probe_bits: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
 ) -> DataFrame:
     """Approximate top-k: candidates = corpus vectors whose RP signature
-    equals the query's (single-probe). At 100 TB the bucket join replaces
-    the full cross join; expected bucket size = n / 2^planes."""
+    matches one of the query's probes. At 100 TB the bucket join replaces
+    the full cross join; expected bucket size = n / 2^planes.
+
+    ``probe_bits``: multi-probe radius — the query also probes every bucket
+    within Hamming distance <= probe_bits of its own signature (0 = the old
+    single-probe, which has a recall cliff for near-boundary vectors: a
+    neighbor differing in ONE sign bit lands in a different bucket). Radius
+    1 costs planes+1 probes (cheap: the query side is the small, broadcast
+    side) and recovers most of that loss."""
     c = corpus.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("cv"),
@@ -227,9 +263,21 @@ def lsh_bucketed_topk(
         F.col(query_id_col).alias("query_id"),
         F.col(query_vec_col).alias("qv"),
     ).withColumn("sig", _rp_signature(F.col("qv").cast("array<double>"), planes, dim))
+    if probe_bits > 0:
+        probes = [F.col("sig")]
+        probes += [F.col("sig").bitwiseXOR(F.lit(1 << p)) for p in range(planes)]
+        if probe_bits > 1:  # radius 2: all bit pairs
+            probes += [
+                F.col("sig").bitwiseXOR(F.lit((1 << p) | (1 << p2)))
+                for p in range(planes)
+                for p2 in range(p + 1, planes)
+            ]
+        q = q.withColumn("sig", F.explode(F.array(*probes)))
     scored = c.join(F.broadcast(q), "sig").withColumn(
         "cosine", cosine(F.col("qv").cast("array<double>"), F.col("cv").cast("array<double>"))
     )
+    # a candidate can collide on several probes — dedup before ranking
+    scored = scored.dropDuplicates(["query_id", "vec_id"])
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
     return (
         scored.withColumn("rank", F.row_number().over(w))
