@@ -4,8 +4,16 @@ Each ``queries()`` entry exercises one operator family from SURVEY.md §2
 (through the Cypher engine on the TPC-H-shaped demo graph) or one
 LLM-pipeline operator (age_spark.pipeline.* on documents/embeddings/events).
 ``oracle_sql()`` holds the DuckDB twin; entries without an oracle are
-genuinely non-SQL-expressible (VLE enumeration, MinHash/SimHash internals,
-Pandas-UDF multimodal kernels) and get the driver's rows-only check.
+genuinely non-SQL-expressible (MinHash/SimHash internals, LSH/IVF bucket
+assignment, Pandas-UDF multimodal kernels) and get the driver's rows-only
+check.
+
+Ordering contract: the driver correctness pass covers the FIRST 50 keys in
+insertion order, so every oracled entry sits in positions 1-50 (pipeline
+operators first — they are the scale-path surface) and the rows-only
+entries sit at the tail. Overlapping operator families share one query
+(e.g. both CASE forms, percentileCont+Disc) so the oracled set fits the
+window; COVERAGE.md maps each SURVEY §2 row to its entry.
 """
 
 from __future__ import annotations
@@ -67,328 +75,9 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
-    # ---- §2.1/§2.4 scans, filters, projections
-    q["g_scan_filter"] = lambda s, d: _cypher(
-        s, d,
-        'MATCH (c:Customer) WHERE c.acctbal > 5000.0 '
-        'RETURN c.name AS name, c.acctbal AS acctbal, c.mktsegment AS mktsegment',
-    )
-    q["g_orderby_limit"] = lambda s, d: _cypher(
-        s, d,
-        'MATCH (o:Order) RETURN o.totalprice AS totalprice, o.orderstatus AS orderstatus '
-        'ORDER BY totalprice DESC, orderstatus ASC LIMIT 10',
-    )
-    q["g_skip_limit"] = lambda s, d: _cypher(
-        s, d,
-        'MATCH (n:Nation) RETURN n.name AS name ORDER BY name SKIP 5 LIMIT 10',
-    )
-    q["g_distinct"] = lambda s, d: _cypher(
-        s, d, 'MATCH (c:Customer) RETURN DISTINCT c.mktsegment AS mktsegment',
-    )
+    # ================= LLM-pipeline operators (oracled) =================
 
-    # ---- §2.2 pattern joins
-    q["g_join2_agg"] = lambda s, d: _cypher(
-        s, d,
-        'MATCH (c:Customer)-[:FROM_NATION]->(n:Nation)-[:IN_REGION]->(r:Region) '
-        'RETURN r.name AS region, count(*) AS n_customers',
-    )
-    q["g_join3_edgeprops"] = lambda s, d: _cypher(
-        s, d,
-        'MATCH (c:Customer)-[:PLACED]->(o:Order)-[l:LINE]->(p:Part) '
-        'WHERE l.quantity > 45 '
-        'RETURN p.brand AS brand, count(*) AS n_lines, round(sum(l.quantity), 2) AS sum_qty',
-    )
-    q["g_undirected"] = lambda s, d: _cypher(
-        s, d,
-        'MATCH (n:Nation)-[e]-(x:Region) RETURN n.name AS nation, x.name AS region',
-    )
-    q["g_multi_pattern"] = lambda s, d: _cypher(
-        s, d,
-        'MATCH (c:Customer)-[:FROM_NATION]->(n:Nation), (sup:Supplier)-[:SUPP_NATION]->(n) '
-        'RETURN n.name AS nation, count(*) AS n_pairs',
-    )
-
-    # ---- §2.2 OPTIONAL MATCH / EXISTS
-    q["g_optional_match"] = lambda s, d: _cypher(
-        s, d,
-        'MATCH (c:Customer) OPTIONAL MATCH (c)-[:PLACED]->(o:Order) '
-        'RETURN c.name AS name, count(o) AS n_orders',
-    )
-    q["g_not_exists"] = lambda s, d: _cypher(
-        s, d,
-        'MATCH (c:Customer) WHERE NOT EXISTS { MATCH (c)-[:PLACED]->(o:Order) } '
-        'RETURN count(*) AS n_no_orders',
-    )
-    q["g_count_subquery"] = lambda s, d: _cypher(
-        s, d,
-        'MATCH (n:Nation) RETURN n.name AS nation, '
-        'COUNT { MATCH (c:Customer)-[:FROM_NATION]->(n) } AS n_customers',
-    )
-
-    # ---- §2.3 VLE (fixed-bound -> SQL-expressible as a 2-hop join)
-    q["g_vle_2hop"] = lambda s, d: _cypher(
-        s, d,
-        'MATCH (c:Customer)-[*2..2]->(r:Region) '
-        'RETURN r.name AS region, count(*) AS n_paths',
-    )
-
-    # ---- §2.5 aggregates
-    q["g_agg_stats"] = lambda s, d: _cypher(
-        s, d,
-        'MATCH (c:Customer)-[:FROM_NATION]->(n:Nation) '
-        'RETURN n.name AS nation, count(*) AS n, round(sum(c.acctbal), 2) AS sum_bal, '
-        'round(avg(c.acctbal), 2) AS avg_bal, round(min(c.acctbal), 2) AS min_bal, '
-        'round(max(c.acctbal), 2) AS max_bal',
-    )
-    q["g_count_distinct"] = lambda s, d: _cypher(
-        s, d,
-        'MATCH (c:Customer) RETURN count(DISTINCT c.mktsegment) AS n_segments',
-    )
-    q["g_with_having"] = lambda s, d: _cypher(
-        s, d,
-        'MATCH (c:Customer)-[:FROM_NATION]->(n:Nation) '
-        'WITH n.name AS nation, count(*) AS cnt WHERE cnt > 20 '
-        'RETURN nation, cnt',
-    )
-    q["g_percentiles"] = lambda s, d: _cypher(
-        s, d,
-        'MATCH (o:Order) RETURN round(percentileCont(o.totalprice, 0.5), 2) AS median_price',
-    )
-    q["g_percentile_disc"] = lambda s, d: _cypher(
-        s, d,
-        'MATCH (o:Order) RETURN round(percentileDisc(o.totalprice, 0.25), 2) AS p25',
-    )
-
-    # ---- §2.4 UNWIND / UNION / CASE / expressions
-    q["g_unwind"] = lambda s, d: _cypher(
-        s, d,
-        'UNWIND range(1, 10) AS x WITH x WHERE x % 2 = 0 RETURN x, x * x AS sq',
-    )
-    q["g_union"] = lambda s, d: _cypher(
-        s, d,
-        'MATCH (r:Region) RETURN r.name AS name '
-        'UNION MATCH (n:Nation) RETURN n.name AS name',
-    )
-    q["g_case"] = lambda s, d: _cypher(
-        s, d,
-        'MATCH (c:Customer) RETURN CASE WHEN c.acctbal < 0.0 THEN \'neg\' '
-        'WHEN c.acctbal < 5000.0 THEN \'mid\' ELSE \'high\' END AS bucket, '
-        'count(*) AS n',
-    )
-    q["g_string_fns"] = lambda s, d: _cypher(
-        s, d,
-        'MATCH (r:Region) RETURN toLower(r.name) AS lo, substring(r.name, 0, 2) AS pre, '
-        'size(r.name) AS len, reverse(r.name) AS rev',
-    )
-    q["g_math_fns"] = lambda s, d: _cypher(
-        s, d,
-        'MATCH (o:Order) WHERE o.totalprice > 350000.0 '
-        'RETURN round(sqrt(o.totalprice), 4) AS sq, round(abs(o.totalprice * -1.0), 2) AS ab, '
-        'floor(o.totalprice / 1000.0) AS kbucket',
-    )
-    q["g_list_ops"] = lambda s, d: _cypher(
-        s, d,
-        'UNWIND [3, 1, 2] AS x RETURN x, [y IN range(1, x) | y * 10] AS lst, '
-        'size(range(1, x)) AS n',
-    )
-
-    # ---- §2.3 shortest paths, §2.9 stats (CALL procedures)
-    q["g_shortest_path"] = lambda s, d: _cypher(
-        s, d,
-        'CALL shortest_path("Customer", "Region") YIELD src, dst, hops '
-        'RETURN hops, count(*) AS n',
-    )
-    q["g_graph_stats"] = lambda s, d: _cypher(
-        s, d,
-        'CALL graph_stats() YIELD num_vertices, num_edges RETURN num_vertices, num_edges',
-    )
-    q["g_vertex_stats"] = lambda s, d: _cypher(
-        s, d,
-        'CALL vertex_stats() YIELD id, label, in_degree, out_degree '
-        'WHERE label = "Nation" RETURN id, in_degree, out_degree',
-    )
-
-    # ---- §2.8 startNode/endNode (vertex lookup by endpoint id)
-    q["g_startnode"] = lambda s, d: _cypher(
-        s, d,
-        'MATCH (n:Nation)-[e:IN_REGION]->(r2:Region) '
-        'RETURN startNode(e).name AS nation, endNode(e).name AS region',
-    )
-
-    # ---- §2.1 generators + subgraph
-    def _complete(s, d):
-        from age_spark import AgeSession
-
-        age = AgeSession(s)
-        g = age.create_graph("k40")
-        age.create_complete_graph(g, 40, "REL", "Node")
-        return age.cypher(g, "MATCH (a:Node)-[e:REL]->(b:Node) RETURN count(*) AS n_edges").df
-
-    q["g_complete_graph"] = _complete
-
-    def _barbell(s, d):
-        from age_spark import AgeSession
-
-        age = AgeSession(s)
-        g = age.create_graph("bb10")
-        age.create_barbell_graph(g, 10, 0, "REL", "Node")
-        return age.cypher(g, "MATCH ()-[e:REL]->() RETURN count(*) AS n_edges").df
-
-    q["g_barbell_graph"] = _barbell
-
-    def _subgraph(s, d):
-        from age_spark import AgeSession
-
-        age = AgeSession(s)
-        sub = age.create_subgraph(
-            _graph(s, d), "mini", vertex_labels=["Customer", "Nation", "Region"]
-        )
-        return age.cypher(
-            sub,
-            "MATCH (c:Customer)-[:FROM_NATION]->(n:Nation)-[:IN_REGION]->(r:Region) "
-            "RETURN count(*) AS n",
-        ).df
-
-    q["g_subgraph"] = _subgraph
-
-    # ---- graph algorithms (beyond reference: Pregel-style DataFrame loops)
-    def _triangles(s, d):
-        from age_spark import AgeSession
-
-        age = AgeSession(s)
-        g = age.create_graph("k12tri")
-        age.create_complete_graph(g, 12, "REL", "Node")
-        return age.cypher(g, "CALL triangle_count() YIELD n_triangles RETURN n_triangles").df
-
-    q["g_triangle_count"] = _triangles
-
-    def _components(s, d):
-        from age_spark import AgeSession
-
-        age = AgeSession(s)
-        g = age.create_graph("twok5")
-        age.create_complete_graph(g, 5, "REL", "Node")
-        age.create_complete_graph(g, 5, "REL", "Node")  # second K5, no bridge
-        return age.cypher(
-            g,
-            "CALL connected_components() YIELD id, component "
-            "RETURN count(DISTINCT component) AS n_components",
-        ).df
-
-    q["g_connected_components"] = _components
-
-    q["g_pagerank"] = lambda s, d: _cypher(
-        s, d,
-        "CALL pagerank(0.85, 10) YIELD id, rank RETURN round(sum(rank), 4) AS total",
-    )
-
-    def _near_dedup(s, d):  # rows-only: minhash internals
-        from age_spark.pipeline.dedup import near_dedup
-
-        return near_dedup(_docs(s, d), threshold=0.5).select("doc_id")
-
-    q["p_near_dedup"] = _near_dedup
-
-    # ---- §2.7 write clauses round-trip (CREATE/SET/MERGE/DELETE)
-    def _writes(s, d):
-        from age_spark import AgeSession
-
-        age = AgeSession(s)
-        g = age.create_graph("w")
-        g = age.cypher(g, "UNWIND range(1, 10) AS i CREATE (n:N {k: i})").graph
-        g = age.cypher(g, "MATCH (n:N) WHERE n.k % 2 = 0 SET n.even = true").graph
-        g = age.cypher(g, "MATCH (n:N) WHERE n.k % 2 = 1 DETACH DELETE n").graph
-        g = age.cypher(g, 'MERGE (n:N {k: 2}) ON MATCH SET n.seen = true').graph
-        return age.cypher(
-            g, "MATCH (n:N) WHERE n.even RETURN count(*) AS n_even"
-        ).df
-
-    q["g_write_roundtrip"] = _writes
-
-    # ---- §2.8 expression surface
-    q["g_reduce_predicates"] = lambda s, d: _cypher(
-        s, d,
-        'RETURN reduce(acc = 0, x IN range(1, 100) | acc + x) AS total, '
-        'size([x IN range(1, 100) WHERE x % 3 = 0 | x]) AS n_div3, '
-        'all(x IN range(1, 10) WHERE x > 0) AS all_pos, '
-        'any(x IN range(1, 10) WHERE x > 8) AS has_big, '
-        'none(x IN range(1, 10) WHERE x > 10) AS none_over, '
-        'single(x IN range(1, 10) WHERE x = 5) AS one_five',
-    )
-    q["g_conversions"] = lambda s, d: _cypher(
-        s, d,
-        "RETURN toInteger('42') AS i, toFloat('2.5') AS f, toString(7) AS str7, "
-        "toBoolean('true') AS b, toInteger(3.9) AS trunc",
-    )
-    q["g_stdev"] = lambda s, d: _cypher(
-        s, d,
-        'MATCH (c:Customer) RETURN c.mktsegment AS seg, '
-        'round(stdev(c.acctbal), 4) AS sd, round(stdevp(c.acctbal), 4) AS sdp',
-    )
-    q["g_collect_size"] = lambda s, d: _cypher(
-        s, d,
-        'MATCH (c:Customer)-[:FROM_NATION]->(n:Nation) '
-        'RETURN n.name AS nation, size(collect(c.name)) AS n_names',
-    )
-    q["g_string_pred"] = lambda s, d: _cypher(
-        s, d,
-        "MATCH (n:Nation) WHERE n.name STARTS WITH 'A' OR n.name ENDS WITH 'N' "
-        "OR n.name CONTAINS 'APA' RETURN n.name AS name",
-    )
-    q["g_regex"] = lambda s, d: _cypher(
-        s, d,
-        "MATCH (c:Customer) WHERE c.name =~ 'Customer#00000[0-4].*' "
-        "RETURN count(*) AS n",
-    )
-    q["g_case_simple"] = lambda s, d: _cypher(
-        s, d,
-        "MATCH (n:Nation) RETURN CASE n.name WHEN 'JAPAN' THEN 'jp' "
-        "WHEN 'CHINA' THEN 'cn' ELSE 'other' END AS code, count(*) AS n",
-    )
-    q["g_in_coalesce"] = lambda s, d: _cypher(
-        s, d,
-        "MATCH (n:Nation) WHERE n.name IN ['JAPAN', 'CHINA', 'FRANCE'] "
-        "RETURN n.name AS name, coalesce(n.missing, 'none') AS fallback",
-    )
-    q["g_trig"] = lambda s, d: _cypher(
-        s, d,
-        "RETURN round(sin(pi() / 2), 6) AS s, round(cos(0), 6) AS c, "
-        "round(atan2(1, 1), 6) AS a, round(degrees(pi()), 2) AS deg, "
-        "round(exp(1), 6) AS e1, round(log(e()), 6) AS ln1, "
-        "round(sqrt(2), 6) AS r2",
-    )
-    q["g_keys"] = lambda s, d: _cypher(
-        s, d, "MATCH (c:Customer) RETURN c.name AS name, keys(c) AS ks",
-    )
-    q["g_id_label_fns"] = lambda s, d: _cypher(
-        s, d,
-        "MATCH (c:Customer) RETURN id(c) AS cid, label(c) AS lbl "
-        "ORDER BY cid LIMIT 20",
-    )
-    q["g_vle_range"] = lambda s, d: _cypher(
-        s, d,
-        'MATCH (c:Customer)-[*1..2]->(x) RETURN count(*) AS n_paths',
-    )
-
-    # ---- events: tumbling window
-    q["e_tumbling"] = lambda s, d: (
-        _events(s, d)
-        .groupBy((F.col("ts") / F.lit(3600 * 1_000_000_000)).cast("long").alias("hour_bucket"))
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
-    )
-
-    # ---- rows-only graph ops (non-SQL-expressible: path values, unbounded VLE)
-    q["g_vle_unbounded"] = lambda s, d: _cypher(
-        s, d,
-        'MATCH (n:Nation {name: "JAPAN"})-[*]->(x) RETURN count(*) AS n_paths',
-    )
-    q["g_path_value"] = lambda s, d: _cypher(
-        s, d,
-        'MATCH p = (c:Customer)-[:FROM_NATION]->(n:Nation) '
-        'RETURN length(p) AS len, size(nodes(p)) AS nn LIMIT 5',
-    )
-
-    # ---- pipeline: text analysis
+    # ---- text analysis
     q["p_token_count"] = lambda s, d: (
         _docs(s, d).select(
             "doc_id",
@@ -413,7 +102,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         .select("doc_id", "n_tokens", "alpha_ratio", "stop_ratio", "quality_score")
     )
 
-    # ---- pipeline: dedup
+    # ---- dedup
     q["p_exact_dedup"] = lambda s, d: (
         __import__("age_spark.pipeline.dedup", fromlist=["exact_dedup"]).exact_dedup(_docs(s, d))
     )
@@ -421,20 +110,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         __import__("age_spark.pipeline.dedup", fromlist=["embedding_near_pairs"])
         .embedding_near_pairs(_emb(s, d), threshold=0.8)
     )
-    q["p_minhash_pairs"] = lambda s, d: (  # rows-only: seeded-hash internals
-        __import__("age_spark.pipeline.dedup", fromlist=["minhash_dedup_pairs"])
-        .minhash_dedup_pairs(_docs(s, d), threshold=0.5)
-    )
-    q["p_simhash_pairs"] = lambda s, d: (  # rows-only
-        __import__("age_spark.pipeline.dedup", fromlist=["simhash_near_pairs"])
-        .simhash_near_pairs(_docs(s, d), max_hamming=8)
-    )
-    q["p_ngram_jaccard"] = lambda s, d: (  # rows-only (shingle SQL too gnarly)
-        __import__("age_spark.pipeline.dedup", fromlist=["ngram_jaccard_pairs"])
-        .ngram_jaccard_pairs(_docs(s, d), threshold=0.4)
-    )
 
-    # ---- pipeline: similarity search
+    # ---- similarity search
     def _ann(s, d):
         from age_spark.pipeline.similarity import brute_force_topk
 
@@ -446,29 +123,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["p_ann_topk"] = _ann
 
-    def _ann_lsh(s, d):  # rows-only: LSH bucket internals
-        from age_spark.pipeline.similarity import lsh_bucketed_topk
-
-        emb = _emb(s, d)
-        qs = emb.filter(F.col("vec_id") < 5).select(
-            F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
-        )
-        return lsh_bucketed_topk(emb, qs, k=5, planes=6)
-
-    q["p_ann_lsh"] = _ann_lsh
-
-    def _ann_ivf(s, d):  # rows-only: k-means cell assignment internals
-        from age_spark.pipeline.similarity import ivf_topk
-
-        emb = _emb(s, d)
-        qs = emb.filter(F.col("vec_id") < 5).select(
-            F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
-        )
-        return ivf_topk(emb, qs, k=5, n_centroids=8, nprobe=3)
-
-    q["p_ann_ivf"] = _ann_ivf
-
-    # ---- pipeline: events (windowed / sessionized)
+    # ---- events: typed agg / latest-per-key / sessionize / tumbling
     q["e_type_agg"] = lambda s, d: (
         _events(s, d)
         .groupBy("event_type")
@@ -510,8 +165,332 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["e_sessionize"] = _sessions
 
-    # ---- pipeline: multimodal plumbing (rows-only; Pandas-UDF kernel)
-    def _media(s, d):
+    q["e_tumbling"] = lambda s, d: (
+        _events(s, d)
+        .groupBy((F.col("ts") / F.lit(3600 * 1_000_000_000)).cast("long").alias("hour_bucket"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+    )
+
+    # ================= Cypher graph engine (oracled) =================
+
+    # ---- §2.1/§2.4 scans, filters, projections
+    q["g_scan_filter"] = lambda s, d: _cypher(
+        s, d,
+        'MATCH (c:Customer) WHERE c.acctbal > 5000.0 '
+        'RETURN c.name AS name, c.acctbal AS acctbal, c.mktsegment AS mktsegment',
+    )
+    # ORDER BY multi-key + SKIP + LIMIT in one (§2.4 order/skip/limit rows)
+    q["g_orderby_limit"] = lambda s, d: _cypher(
+        s, d,
+        'MATCH (o:Order) RETURN o.totalprice AS totalprice, o.orderstatus AS orderstatus '
+        'ORDER BY totalprice DESC, orderstatus ASC SKIP 5 LIMIT 10',
+    )
+    q["g_distinct"] = lambda s, d: _cypher(
+        s, d, 'MATCH (c:Customer) RETURN DISTINCT c.mktsegment AS mktsegment',
+    )
+
+    # ---- §2.2 pattern joins
+    q["g_join2_agg"] = lambda s, d: _cypher(
+        s, d,
+        'MATCH (c:Customer)-[:FROM_NATION]->(n:Nation)-[:IN_REGION]->(r:Region) '
+        'RETURN r.name AS region, count(*) AS n_customers',
+    )
+    q["g_join3_edgeprops"] = lambda s, d: _cypher(
+        s, d,
+        'MATCH (c:Customer)-[:PLACED]->(o:Order)-[l:LINE]->(p:Part) '
+        'WHERE l.quantity > 45 '
+        'RETURN p.brand AS brand, count(*) AS n_lines, round(sum(l.quantity), 2) AS sum_qty',
+    )
+    # undirected match + startNode/endNode entity fns (§2.2 + §2.8)
+    q["g_undirected"] = lambda s, d: _cypher(
+        s, d,
+        'MATCH (n:Nation)-[e]-(x:Region) RETURN n.name AS nation, x.name AS region, '
+        'startNode(e).name AS snode, endNode(e).name AS enode',
+    )
+    q["g_multi_pattern"] = lambda s, d: _cypher(
+        s, d,
+        'MATCH (c:Customer)-[:FROM_NATION]->(n:Nation), (sup:Supplier)-[:SUPP_NATION]->(n) '
+        'RETURN n.name AS nation, count(*) AS n_pairs',
+    )
+
+    # ---- §2.2 OPTIONAL MATCH / EXISTS
+    q["g_optional_match"] = lambda s, d: _cypher(
+        s, d,
+        'MATCH (c:Customer) OPTIONAL MATCH (c)-[:PLACED]->(o:Order) '
+        'RETURN c.name AS name, count(o) AS n_orders',
+    )
+    q["g_not_exists"] = lambda s, d: _cypher(
+        s, d,
+        'MATCH (c:Customer) WHERE NOT EXISTS { MATCH (c)-[:PLACED]->(o:Order) } '
+        'RETURN count(*) AS n_no_orders',
+    )
+    q["g_count_subquery"] = lambda s, d: _cypher(
+        s, d,
+        'MATCH (n:Nation) RETURN n.name AS nation, '
+        'COUNT { MATCH (c:Customer)-[:FROM_NATION]->(n) } AS n_customers',
+    )
+
+    # ---- §2.3 VLE + paths
+    q["g_vle_2hop"] = lambda s, d: _cypher(
+        s, d,
+        'MATCH (c:Customer)-[*2..2]->(r:Region) '
+        'RETURN r.name AS region, count(*) AS n_paths',
+    )
+    q["g_vle_range"] = lambda s, d: _cypher(
+        s, d,
+        'MATCH (c:Customer)-[*1..2]->(x) RETURN count(*) AS n_paths',
+    )
+    # unbounded VLE: Nation out-degree is 1 (IN_REGION), Region is a sink
+    q["g_vle_unbounded"] = lambda s, d: _cypher(
+        s, d,
+        'MATCH (n:Nation {name: "NATION_7"})-[*]->(x) RETURN count(*) AS n_paths',
+    )
+    q["g_path_value"] = lambda s, d: _cypher(
+        s, d,
+        'MATCH p = (c:Customer)-[:FROM_NATION]->(n:Nation) '
+        'RETURN length(p) AS len, size(nodes(p)) AS nn LIMIT 5',
+    )
+
+    # ---- §2.5 aggregates
+    q["g_agg_stats"] = lambda s, d: _cypher(
+        s, d,
+        'MATCH (c:Customer)-[:FROM_NATION]->(n:Nation) '
+        'RETURN n.name AS nation, count(*) AS n, round(sum(c.acctbal), 2) AS sum_bal, '
+        'round(avg(c.acctbal), 2) AS avg_bal, round(min(c.acctbal), 2) AS min_bal, '
+        'round(max(c.acctbal), 2) AS max_bal',
+    )
+    q["g_count_distinct"] = lambda s, d: _cypher(
+        s, d,
+        'MATCH (c:Customer) RETURN count(DISTINCT c.mktsegment) AS n_segments',
+    )
+    # WITH + aggregate-filter (HAVING) + collect()/size() (§2.4 + §2.5)
+    q["g_with_having"] = lambda s, d: _cypher(
+        s, d,
+        'MATCH (c:Customer)-[:FROM_NATION]->(n:Nation) '
+        'WITH n.name AS nation, count(*) AS cnt, size(collect(c.name)) AS n_names '
+        'WHERE cnt > 20 RETURN nation, cnt, n_names',
+    )
+    # percentileCont + percentileDisc in one (§2.5)
+    q["g_percentiles"] = lambda s, d: _cypher(
+        s, d,
+        'MATCH (o:Order) RETURN round(percentileCont(o.totalprice, 0.5), 2) AS median_price, '
+        'round(percentileDisc(o.totalprice, 0.25), 2) AS p25',
+    )
+    q["g_stdev"] = lambda s, d: _cypher(
+        s, d,
+        'MATCH (c:Customer) RETURN c.mktsegment AS seg, '
+        'round(stdev(c.acctbal), 4) AS sd, round(stdevp(c.acctbal), 4) AS sdp',
+    )
+
+    # ---- §2.4 UNWIND / UNION / CASE / expressions
+    q["g_unwind"] = lambda s, d: _cypher(
+        s, d,
+        'UNWIND range(1, 10) AS x WITH x WHERE x % 2 = 0 RETURN x, x * x AS sq',
+    )
+    # list comprehension / range / size; list column JSON-serialized so the
+    # driver's canonicalizer can sort/hash it (toJson = jsonb bridge)
+    q["g_list_ops"] = lambda s, d: _cypher(
+        s, d,
+        'UNWIND [3, 1, 2] AS x RETURN x, toJson([y IN range(1, x) | y * 10]) AS lst, '
+        'size(range(1, x)) AS n',
+    )
+    q["g_union"] = lambda s, d: _cypher(
+        s, d,
+        'MATCH (r:Region) RETURN r.name AS name '
+        'UNION MATCH (n:Nation) RETURN n.name AS name',
+    )
+    # both CASE forms in one (§2.8)
+    q["g_case"] = lambda s, d: _cypher(
+        s, d,
+        'MATCH (c:Customer) RETURN CASE WHEN c.acctbal < 0.0 THEN \'neg\' '
+        'WHEN c.acctbal < 5000.0 THEN \'mid\' ELSE \'high\' END AS bucket, '
+        'CASE c.mktsegment WHEN \'BUILDING\' THEN \'bld\' WHEN \'MACHINERY\' THEN \'mch\' '
+        'ELSE \'other\' END AS seg_code, count(*) AS n',
+    )
+    q["g_in_coalesce"] = lambda s, d: _cypher(
+        s, d,
+        "MATCH (n:Nation) WHERE n.name IN ['NATION_3', 'NATION_7', 'NATION_11'] "
+        "RETURN n.name AS name, coalesce(n.missing, 'none') AS fallback",
+    )
+    q["g_string_fns"] = lambda s, d: _cypher(
+        s, d,
+        'MATCH (r:Region) RETURN toLower(r.name) AS lo, substring(r.name, 0, 2) AS pre, '
+        'size(r.name) AS len, reverse(r.name) AS rev',
+    )
+    # STARTS/ENDS/CONTAINS + =~ regex in one (§2.8 string predicates)
+    q["g_string_pred"] = lambda s, d: _cypher(
+        s, d,
+        "MATCH (n:Nation) WHERE n.name STARTS WITH 'NATION_1' "
+        "OR n.name ENDS WITH '3' OR n.name CONTAINS '_2' OR n.name =~ 'NATION_[45]' "
+        "RETURN n.name AS name",
+    )
+    q["g_math_fns"] = lambda s, d: _cypher(
+        s, d,
+        'MATCH (o:Order) WHERE o.totalprice > 350000.0 '
+        'RETURN round(sqrt(o.totalprice), 4) AS sq, round(abs(o.totalprice * -1.0), 2) AS ab, '
+        'floor(o.totalprice / 1000.0) AS kbucket',
+    )
+    # conversions + trig/constants in one single-row RETURN (§2.8)
+    q["g_scalar_fns"] = lambda s, d: _cypher(
+        s, d,
+        "RETURN toInteger('42') AS i, toFloat('2.5') AS f, toString(7) AS str7, "
+        "toBoolean('true') AS b, toInteger(3.9) AS trunc, "
+        "round(sin(pi() / 2), 6) AS s, round(cos(0), 6) AS c, "
+        "round(atan2(1, 1), 6) AS a, round(degrees(pi()), 2) AS deg, "
+        "round(exp(1), 6) AS e1, round(log(e()), 6) AS ln1, round(sqrt(2), 6) AS r2",
+    )
+    q["g_keys"] = lambda s, d: _cypher(
+        s, d, "MATCH (c:Customer) RETURN c.name AS name, toJson(keys(c)) AS ks",
+    )
+    q["g_id_label_fns"] = lambda s, d: _cypher(
+        s, d,
+        "MATCH (c:Customer) RETURN id(c) AS cid, label(c) AS lbl "
+        "ORDER BY cid LIMIT 20",
+    )
+    q["g_reduce_predicates"] = lambda s, d: _cypher(
+        s, d,
+        'RETURN reduce(acc = 0, x IN range(1, 100) | acc + x) AS total, '
+        'size([x IN range(1, 100) WHERE x % 3 = 0 | x]) AS n_div3, '
+        'all(x IN range(1, 10) WHERE x > 0) AS all_pos, '
+        'any(x IN range(1, 10) WHERE x > 8) AS has_big, '
+        'none(x IN range(1, 10) WHERE x > 10) AS none_over, '
+        'single(x IN range(1, 10) WHERE x = 5) AS one_five',
+    )
+
+    # ---- §2.3 shortest paths, §2.9 stats (CALL procedures)
+    q["g_shortest_path"] = lambda s, d: _cypher(
+        s, d,
+        'CALL shortest_path("Customer", "Region") YIELD src, dst, hops '
+        'RETURN hops, count(*) AS n',
+    )
+    q["g_graph_stats"] = lambda s, d: _cypher(
+        s, d,
+        'CALL graph_stats() YIELD num_vertices, num_edges RETURN num_vertices, num_edges',
+    )
+    q["g_vertex_stats"] = lambda s, d: _cypher(
+        s, d,
+        'CALL vertex_stats() YIELD id, label, in_degree, out_degree '
+        'WHERE label = "Nation" RETURN id, in_degree, out_degree',
+    )
+
+    # ---- §2.1 generators + subgraph
+    def _generators(s, d):
+        from age_spark import AgeSession
+
+        age = AgeSession(s)
+        g1 = age.create_graph("k40")
+        age.create_complete_graph(g1, 40, "REL", "Node")
+        g2 = age.create_graph("bb10")
+        age.create_barbell_graph(g2, 10, 0, "REL", "Node")
+        c1 = age.cypher(
+            g1, "MATCH (a:Node)-[e:REL]->(b:Node) RETURN count(*) AS n_complete_edges"
+        ).df
+        c2 = age.cypher(g2, "MATCH ()-[e:REL]->() RETURN count(*) AS n_barbell_edges").df
+        return c1.crossJoin(c2)
+
+    q["g_generators"] = _generators
+
+    def _subgraph(s, d):
+        from age_spark import AgeSession
+
+        age = AgeSession(s)
+        sub = age.create_subgraph(
+            _graph(s, d), "mini", vertex_labels=["Customer", "Nation", "Region"]
+        )
+        return age.cypher(
+            sub,
+            "MATCH (c:Customer)-[:FROM_NATION]->(n:Nation)-[:IN_REGION]->(r:Region) "
+            "RETURN count(*) AS n",
+        ).df
+
+    q["g_subgraph"] = _subgraph
+
+    # ---- graph algorithms (beyond reference: Pregel-style DataFrame loops)
+    def _algo_counts(s, d):
+        from age_spark import AgeSession
+
+        age = AgeSession(s)
+        g1 = age.create_graph("k12tri")
+        age.create_complete_graph(g1, 12, "REL", "Node")
+        g2 = age.create_graph("twok5")
+        age.create_complete_graph(g2, 5, "REL", "Node")
+        age.create_complete_graph(g2, 5, "REL", "Node")  # second K5, no bridge
+        t = age.cypher(g1, "CALL triangle_count() YIELD n_triangles RETURN n_triangles").df
+        c = age.cypher(
+            g2,
+            "CALL connected_components() YIELD id, component "
+            "RETURN count(DISTINCT component) AS n_components",
+        ).df
+        return t.crossJoin(c)
+
+    q["g_algo_counts"] = _algo_counts
+
+    q["g_pagerank"] = lambda s, d: _cypher(
+        s, d,
+        "CALL pagerank(0.85, 10) YIELD id, rank RETURN round(sum(rank), 4) AS total",
+    )
+
+    # ---- §2.7 write clauses round-trip (CREATE/SET/MERGE/DELETE)
+    def _writes(s, d):
+        from age_spark import AgeSession
+
+        age = AgeSession(s)
+        g = age.create_graph("w")
+        g = age.cypher(g, "UNWIND range(1, 10) AS i CREATE (n:N {k: i})").graph
+        g = age.cypher(g, "MATCH (n:N) WHERE n.k % 2 = 0 SET n.even = true").graph
+        g = age.cypher(g, "MATCH (n:N) WHERE n.k % 2 = 1 DETACH DELETE n").graph
+        g = age.cypher(g, 'MERGE (n:N {k: 2}) ON MATCH SET n.seen = true').graph
+        return age.cypher(
+            g, "MATCH (n:N) WHERE n.even RETURN count(*) AS n_even"
+        ).df
+
+    q["g_write_roundtrip"] = _writes
+
+    # ============ rows-only tail (non-SQL-expressible internals) ============
+
+    def _near_dedup(s, d):  # minhash internals
+        from age_spark.pipeline.dedup import near_dedup
+
+        return near_dedup(_docs(s, d), threshold=0.5).select("doc_id")
+
+    q["p_near_dedup"] = _near_dedup
+
+    q["p_minhash_pairs"] = lambda s, d: (  # seeded-hash internals
+        __import__("age_spark.pipeline.dedup", fromlist=["minhash_dedup_pairs"])
+        .minhash_dedup_pairs(_docs(s, d), threshold=0.5)
+    )
+    q["p_simhash_pairs"] = lambda s, d: (
+        __import__("age_spark.pipeline.dedup", fromlist=["simhash_near_pairs"])
+        .simhash_near_pairs(_docs(s, d), max_hamming=8)
+    )
+    q["p_ngram_jaccard"] = lambda s, d: (  # shingle SQL too gnarly
+        __import__("age_spark.pipeline.dedup", fromlist=["ngram_jaccard_pairs"])
+        .ngram_jaccard_pairs(_docs(s, d), threshold=0.4)
+    )
+
+    def _ann_lsh(s, d):  # LSH bucket internals
+        from age_spark.pipeline.similarity import lsh_bucketed_topk
+
+        emb = _emb(s, d)
+        qs = emb.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+        )
+        return lsh_bucketed_topk(emb, qs, k=5, planes=6)
+
+    q["p_ann_lsh"] = _ann_lsh
+
+    def _ann_ivf(s, d):  # k-means cell assignment internals
+        from age_spark.pipeline.similarity import ivf_topk
+
+        emb = _emb(s, d)
+        qs = emb.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+        )
+        return ivf_topk(emb, qs, k=5, n_centroids=8, nprobe=3)
+
+    q["p_ann_ivf"] = _ann_ivf
+
+    def _media(s, d):  # Pandas-UDF multimodal plumbing
         from age_spark.pipeline.multimodal import attach_fake_media, extract_features
 
         docs = _docs(s, d).limit(50)
@@ -529,184 +508,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     O: dict[str, str] = {}
 
-    O["g_scan_filter"] = (
-        "SELECT c_name AS name, c_acctbal AS acctbal, c_mktsegment AS mktsegment "
-        "FROM customer WHERE c_acctbal > 5000.0"
-    )
-    O["g_orderby_limit"] = (
-        "SELECT o_totalprice AS totalprice, o_orderstatus AS orderstatus "
-        "FROM orders ORDER BY totalprice DESC, orderstatus ASC LIMIT 10"
-    )
-    O["g_skip_limit"] = (
-        "SELECT n_name AS name FROM nation ORDER BY name OFFSET 5 LIMIT 10"
-    )
-    O["g_distinct"] = "SELECT DISTINCT c_mktsegment AS mktsegment FROM customer"
-    O["g_join2_agg"] = (
-        "SELECT r_name AS region, CAST(count(*) AS BIGINT) AS n_customers "
-        "FROM customer JOIN nation ON c_nationkey = n_nationkey "
-        "JOIN region ON n_regionkey = r_regionkey GROUP BY r_name"
-    )
-    O["g_join3_edgeprops"] = (
-        "SELECT p_brand AS brand, CAST(count(*) AS BIGINT) AS n_lines, "
-        "round(sum(l_quantity), 2) AS sum_qty "
-        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
-        "JOIN part ON l_partkey = p_partkey WHERE l_quantity > 45 GROUP BY p_brand"
-    )
-    O["g_undirected"] = (
-        "SELECT n_name AS nation, r_name AS region FROM nation "
-        "JOIN region ON n_regionkey = r_regionkey"
-    )
-    O["g_multi_pattern"] = (
-        "SELECT n_name AS nation, CAST(count(*) AS BIGINT) AS n_pairs "
-        "FROM customer JOIN nation ON c_nationkey = n_nationkey "
-        "JOIN supplier ON s_nationkey = n_nationkey GROUP BY n_name"
-    )
-    O["g_optional_match"] = (
-        "SELECT c_name AS name, CAST(count(o_orderkey) AS BIGINT) AS n_orders "
-        "FROM customer LEFT JOIN orders ON o_custkey = c_custkey GROUP BY c_name"
-    )
-    O["g_not_exists"] = (
-        "SELECT CAST(count(*) AS BIGINT) AS n_no_orders FROM customer "
-        "WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)"
-    )
-    O["g_count_subquery"] = (
-        "SELECT n_name AS nation, CAST("
-        "(SELECT count(*) FROM customer WHERE c_nationkey = n_nationkey) AS BIGINT"
-        ") AS n_customers FROM nation"
-    )
-    O["g_vle_2hop"] = (
-        "SELECT r_name AS region, CAST(count(*) AS BIGINT) AS n_paths "
-        "FROM customer JOIN nation ON c_nationkey = n_nationkey "
-        "JOIN region ON n_regionkey = r_regionkey GROUP BY r_name"
-    )
-    O["g_agg_stats"] = (
-        "SELECT n_name AS nation, CAST(count(*) AS BIGINT) AS n, "
-        "round(sum(c_acctbal), 2) AS sum_bal, round(avg(c_acctbal), 2) AS avg_bal, "
-        "round(min(c_acctbal), 2) AS min_bal, round(max(c_acctbal), 2) AS max_bal "
-        "FROM customer JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name"
-    )
-    O["g_count_distinct"] = (
-        "SELECT CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS n_segments FROM customer"
-    )
-    O["g_with_having"] = (
-        "SELECT n_name AS nation, CAST(count(*) AS BIGINT) AS cnt "
-        "FROM customer JOIN nation ON c_nationkey = n_nationkey "
-        "GROUP BY n_name HAVING count(*) > 20"
-    )
-    O["g_percentiles"] = (
-        "SELECT round(quantile_cont(o_totalprice, 0.5), 2) AS median_price FROM orders"
-    )
-    O["g_percentile_disc"] = (
-        "SELECT round(quantile_disc(o_totalprice, 0.25), 2) AS p25 FROM orders"
-    )
-    O["g_unwind"] = (
-        "SELECT CAST(x AS BIGINT) AS x, CAST(x * x AS BIGINT) AS sq "
-        "FROM generate_series(1, 10) t(x) WHERE x % 2 = 0"
-    )
-    O["g_union"] = (
-        "SELECT r_name AS name FROM region UNION SELECT n_name AS name FROM nation"
-    )
-    O["g_case"] = (
-        "SELECT CASE WHEN c_acctbal < 0.0 THEN 'neg' WHEN c_acctbal < 5000.0 THEN 'mid' "
-        "ELSE 'high' END AS bucket, CAST(count(*) AS BIGINT) AS n "
-        "FROM customer GROUP BY 1"
-    )
-    O["g_string_fns"] = (
-        "SELECT lower(r_name) AS lo, substr(r_name, 1, 2) AS pre, "
-        "CAST(length(r_name) AS INT) AS len, reverse(r_name) AS rev FROM region"
-    )
-    O["g_math_fns"] = (
-        "SELECT round(sqrt(o_totalprice), 4) AS sq, round(abs(o_totalprice * -1.0), 2) AS ab, "
-        "CAST(floor(o_totalprice / 1000.0) AS DOUBLE) AS kbucket "
-        "FROM orders WHERE o_totalprice > 350000.0"
-    )
-
-    O["g_shortest_path"] = (
-        "SELECT CAST(2 AS INT) AS hops, CAST(count(*) AS BIGINT) AS n FROM customer"
-    )
-    O["g_graph_stats"] = (
-        "SELECT CAST((SELECT count(*) FROM region) + (SELECT count(*) FROM nation) + "
-        "(SELECT count(*) FROM customer) + (SELECT count(*) FROM supplier) + "
-        "(SELECT count(*) FROM part) + (SELECT count(*) FROM orders) AS BIGINT) AS num_vertices, "
-        "CAST((SELECT count(*) FROM nation) + (SELECT count(*) FROM customer) + "
-        "(SELECT count(*) FROM supplier) + (SELECT count(*) FROM orders) + "
-        "(SELECT count(*) FROM lineitem) AS BIGINT) AS num_edges"
-    )
-    O["g_vertex_stats"] = (
-        # id = label_id(Nation)=2 << 48 | nationkey — checks graphid packing parity
-        "SELECT CAST(2 * 281474976710656 + n_nationkey AS BIGINT) AS id, "
-        "CAST((SELECT count(*) FROM customer WHERE c_nationkey = n_nationkey) + "
-        "(SELECT count(*) FROM supplier WHERE s_nationkey = n_nationkey) AS BIGINT) AS in_degree, "
-        "CAST(1 AS BIGINT) AS out_degree FROM nation"
-    )
-    O["g_startnode"] = (
-        "SELECT n_name AS nation, r_name AS region FROM nation "
-        "JOIN region ON n_regionkey = r_regionkey"
-    )
-    O["g_complete_graph"] = "SELECT CAST(780 AS BIGINT) AS n_edges"
-    O["g_triangle_count"] = "SELECT CAST(220 AS BIGINT) AS n_triangles"  # C(12,3)
-    O["g_connected_components"] = "SELECT CAST(2 AS BIGINT) AS n_components"
-    O["g_pagerank"] = "SELECT CAST(1.0 AS DOUBLE) AS total"
-    O["g_barbell_graph"] = "SELECT CAST(91 AS BIGINT) AS n_edges"
-    O["g_subgraph"] = "SELECT CAST(count(*) AS BIGINT) AS n FROM customer"
-    O["g_write_roundtrip"] = "SELECT CAST(5 AS BIGINT) AS n_even"
-    O["g_reduce_predicates"] = (
-        "SELECT CAST(5050 AS BIGINT) AS total, CAST(33 AS INT) AS n_div3, "
-        "TRUE AS all_pos, TRUE AS has_big, TRUE AS none_over, TRUE AS one_five"
-    )
-    O["g_conversions"] = (
-        "SELECT CAST(42 AS BIGINT) AS i, CAST(2.5 AS DOUBLE) AS f, '7' AS str7, "
-        "TRUE AS b, CAST(3 AS BIGINT) AS trunc"
-    )
-    O["g_stdev"] = (
-        "SELECT c_mktsegment AS seg, round(stddev_samp(c_acctbal), 4) AS sd, "
-        "round(stddev_pop(c_acctbal), 4) AS sdp FROM customer GROUP BY 1"
-    )
-    O["g_collect_size"] = (
-        "SELECT n_name AS nation, CAST(count(*) AS INT) AS n_names "
-        "FROM customer JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name"
-    )
-    O["g_string_pred"] = (
-        "SELECT n_name AS name FROM nation WHERE n_name LIKE 'A%' "
-        "OR n_name LIKE '%N' OR n_name LIKE '%APA%'"
-    )
-    O["g_regex"] = (
-        "SELECT CAST(count(*) AS BIGINT) AS n FROM customer "
-        "WHERE regexp_matches(c_name, 'Customer#00000[0-4].*')"
-    )
-    O["g_case_simple"] = (
-        "SELECT CASE n_name WHEN 'JAPAN' THEN 'jp' WHEN 'CHINA' THEN 'cn' "
-        "ELSE 'other' END AS code, CAST(count(*) AS BIGINT) AS n FROM nation GROUP BY 1"
-    )
-    O["g_in_coalesce"] = (
-        "SELECT n_name AS name, 'none' AS fallback FROM nation "
-        "WHERE n_name IN ('JAPAN', 'CHINA', 'FRANCE')"
-    )
-    O["g_trig"] = (
-        "SELECT round(sin(pi() / 2), 6) AS s, round(cos(0), 6) AS c, "
-        "round(atan2(1, 1), 6) AS a, round(degrees(pi()), 2) AS deg, "
-        "round(exp(1), 6) AS e1, round(ln(exp(1)), 6) AS ln1, "
-        "round(sqrt(2), 6) AS r2"
-    )
-    O["g_keys"] = (
-        "SELECT c_name AS name, ['name', 'acctbal', 'mktsegment'] AS ks FROM customer"
-    )
-    O["g_id_label_fns"] = (
-        # Customer label_id = 3 -> id = 3 << 48 | custkey
-        "SELECT CAST(3 * 281474976710656 + c_custkey AS BIGINT) AS cid, "
-        "'Customer' AS lbl FROM customer ORDER BY cid LIMIT 20"
-    )
-    O["g_vle_range"] = (
-        "SELECT CAST((SELECT count(*) FROM orders) + (SELECT count(*) FROM lineitem) + "
-        "2 * (SELECT count(*) FROM customer) AS BIGINT) AS n_paths"
-    )
-    O["e_tumbling"] = (
-        "SELECT CAST(epoch_ns(ts) // 3600000000000 AS BIGINT) AS hour_bucket, "
-        "CAST(count(*) AS BIGINT) AS n, round(sum(value), 2) AS sum_value "
-        "FROM events GROUP BY 1"
-    )
-
-    # pipeline
+    # ---- pipeline
     O["p_token_count"] = (
         "SELECT doc_id, CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE "
         "len(regexp_split_to_array(trim(text), '\\s+')) END AS INT) AS n_tokens "
@@ -773,6 +575,177 @@ def oracle_sql() -> dict[str, str]:
         "SELECT user_id, ts, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts "
         "FROM events)) GROUP BY user_id"
     )
+    O["e_tumbling"] = (
+        "SELECT CAST(epoch_ns(ts) // 3600000000000 AS BIGINT) AS hour_bucket, "
+        "CAST(count(*) AS BIGINT) AS n, round(sum(value), 2) AS sum_value "
+        "FROM events GROUP BY 1"
+    )
+
+    # ---- graph engine
+    O["g_scan_filter"] = (
+        "SELECT c_name AS name, c_acctbal AS acctbal, c_mktsegment AS mktsegment "
+        "FROM customer WHERE c_acctbal > 5000.0"
+    )
+    O["g_orderby_limit"] = (
+        "SELECT o_totalprice AS totalprice, o_orderstatus AS orderstatus "
+        "FROM orders ORDER BY totalprice DESC, orderstatus ASC OFFSET 5 LIMIT 10"
+    )
+    O["g_distinct"] = "SELECT DISTINCT c_mktsegment AS mktsegment FROM customer"
+    O["g_join2_agg"] = (
+        "SELECT r_name AS region, CAST(count(*) AS BIGINT) AS n_customers "
+        "FROM customer JOIN nation ON c_nationkey = n_nationkey "
+        "JOIN region ON n_regionkey = r_regionkey GROUP BY r_name"
+    )
+    O["g_join3_edgeprops"] = (
+        "SELECT p_brand AS brand, CAST(count(*) AS BIGINT) AS n_lines, "
+        "round(sum(l_quantity), 2) AS sum_qty "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+        "JOIN part ON l_partkey = p_partkey WHERE l_quantity > 45 GROUP BY p_brand"
+    )
+    O["g_undirected"] = (
+        "SELECT n_name AS nation, r_name AS region, n_name AS snode, r_name AS enode "
+        "FROM nation JOIN region ON n_regionkey = r_regionkey"
+    )
+    O["g_multi_pattern"] = (
+        "SELECT n_name AS nation, CAST(count(*) AS BIGINT) AS n_pairs "
+        "FROM customer JOIN nation ON c_nationkey = n_nationkey "
+        "JOIN supplier ON s_nationkey = n_nationkey GROUP BY n_name"
+    )
+    O["g_optional_match"] = (
+        "SELECT c_name AS name, CAST(count(o_orderkey) AS BIGINT) AS n_orders "
+        "FROM customer LEFT JOIN orders ON o_custkey = c_custkey GROUP BY c_name"
+    )
+    O["g_not_exists"] = (
+        "SELECT CAST(count(*) AS BIGINT) AS n_no_orders FROM customer "
+        "WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)"
+    )
+    O["g_count_subquery"] = (
+        "SELECT n_name AS nation, CAST("
+        "(SELECT count(*) FROM customer WHERE c_nationkey = n_nationkey) AS BIGINT"
+        ") AS n_customers FROM nation"
+    )
+    O["g_vle_2hop"] = (
+        "SELECT r_name AS region, CAST(count(*) AS BIGINT) AS n_paths "
+        "FROM customer JOIN nation ON c_nationkey = n_nationkey "
+        "JOIN region ON n_regionkey = r_regionkey GROUP BY r_name"
+    )
+    O["g_vle_range"] = (
+        "SELECT CAST((SELECT count(*) FROM orders) + (SELECT count(*) FROM lineitem) + "
+        "2 * (SELECT count(*) FROM customer) AS BIGINT) AS n_paths"
+    )
+    # NATION_7 -[IN_REGION]-> its region (a sink): exactly one path
+    O["g_vle_unbounded"] = "SELECT CAST(1 AS BIGINT) AS n_paths"
+    O["g_path_value"] = (
+        "SELECT CAST(1 AS INT) AS len, CAST(2 AS INT) AS nn FROM customer LIMIT 5"
+    )
+    O["g_agg_stats"] = (
+        "SELECT n_name AS nation, CAST(count(*) AS BIGINT) AS n, "
+        "round(sum(c_acctbal), 2) AS sum_bal, round(avg(c_acctbal), 2) AS avg_bal, "
+        "round(min(c_acctbal), 2) AS min_bal, round(max(c_acctbal), 2) AS max_bal "
+        "FROM customer JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name"
+    )
+    O["g_count_distinct"] = (
+        "SELECT CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS n_segments FROM customer"
+    )
+    O["g_with_having"] = (
+        "SELECT n_name AS nation, CAST(count(*) AS BIGINT) AS cnt, "
+        "CAST(count(*) AS INT) AS n_names "
+        "FROM customer JOIN nation ON c_nationkey = n_nationkey "
+        "GROUP BY n_name HAVING count(*) > 20"
+    )
+    O["g_percentiles"] = (
+        "SELECT round(quantile_cont(o_totalprice, 0.5), 2) AS median_price, "
+        "round(quantile_disc(o_totalprice, 0.25), 2) AS p25 FROM orders"
+    )
+    O["g_stdev"] = (
+        "SELECT c_mktsegment AS seg, round(stddev_samp(c_acctbal), 4) AS sd, "
+        "round(stddev_pop(c_acctbal), 4) AS sdp FROM customer GROUP BY 1"
+    )
+    O["g_unwind"] = (
+        "SELECT CAST(x AS BIGINT) AS x, CAST(x * x AS BIGINT) AS sq "
+        "FROM generate_series(1, 10) t(x) WHERE x % 2 = 0"
+    )
+    O["g_list_ops"] = (
+        "SELECT CAST(x AS BIGINT) AS x, "
+        "to_json([y * 10 FOR y IN generate_series(1, x)])::VARCHAR AS lst, "
+        "CAST(x AS INT) AS n FROM (VALUES (3), (1), (2)) t(x)"
+    )
+    O["g_union"] = (
+        "SELECT r_name AS name FROM region UNION SELECT n_name AS name FROM nation"
+    )
+    O["g_case"] = (
+        "SELECT CASE WHEN c_acctbal < 0.0 THEN 'neg' WHEN c_acctbal < 5000.0 THEN 'mid' "
+        "ELSE 'high' END AS bucket, "
+        "CASE c_mktsegment WHEN 'BUILDING' THEN 'bld' WHEN 'MACHINERY' THEN 'mch' "
+        "ELSE 'other' END AS seg_code, CAST(count(*) AS BIGINT) AS n "
+        "FROM customer GROUP BY 1, 2"
+    )
+    O["g_in_coalesce"] = (
+        "SELECT n_name AS name, 'none' AS fallback FROM nation "
+        "WHERE n_name IN ('NATION_3', 'NATION_7', 'NATION_11')"
+    )
+    O["g_string_fns"] = (
+        "SELECT lower(r_name) AS lo, substr(r_name, 1, 2) AS pre, "
+        "CAST(length(r_name) AS INT) AS len, reverse(r_name) AS rev FROM region"
+    )
+    O["g_string_pred"] = (
+        "SELECT n_name AS name FROM nation WHERE starts_with(n_name, 'NATION_1') "
+        "OR ends_with(n_name, '3') OR contains(n_name, '_2') "
+        "OR regexp_matches(n_name, 'NATION_[45]')"
+    )
+    O["g_math_fns"] = (
+        "SELECT round(sqrt(o_totalprice), 4) AS sq, round(abs(o_totalprice * -1.0), 2) AS ab, "
+        "CAST(floor(o_totalprice / 1000.0) AS DOUBLE) AS kbucket "
+        "FROM orders WHERE o_totalprice > 350000.0"
+    )
+    O["g_scalar_fns"] = (
+        "SELECT CAST(42 AS BIGINT) AS i, CAST(2.5 AS DOUBLE) AS f, '7' AS str7, "
+        "TRUE AS b, CAST(3 AS BIGINT) AS trunc, "
+        "round(sin(pi() / 2), 6) AS s, round(cos(0), 6) AS c, "
+        "round(atan2(1, 1), 6) AS a, round(degrees(pi()), 2) AS deg, "
+        "round(exp(1), 6) AS e1, round(ln(exp(1)), 6) AS ln1, round(sqrt(2), 6) AS r2"
+    )
+    O["g_keys"] = (
+        "SELECT c_name AS name, "
+        "to_json(['name', 'acctbal', 'mktsegment'])::VARCHAR AS ks FROM customer"
+    )
+    O["g_id_label_fns"] = (
+        # Customer label_id = 3 -> id = 3 << 48 | custkey
+        "SELECT CAST(3 * 281474976710656 + c_custkey AS BIGINT) AS cid, "
+        "'Customer' AS lbl FROM customer ORDER BY cid LIMIT 20"
+    )
+    O["g_reduce_predicates"] = (
+        "SELECT CAST(5050 AS BIGINT) AS total, CAST(33 AS INT) AS n_div3, "
+        "TRUE AS all_pos, TRUE AS has_big, TRUE AS none_over, TRUE AS one_five"
+    )
+    O["g_shortest_path"] = (
+        "SELECT CAST(2 AS INT) AS hops, CAST(count(*) AS BIGINT) AS n FROM customer"
+    )
+    O["g_graph_stats"] = (
+        "SELECT CAST((SELECT count(*) FROM region) + (SELECT count(*) FROM nation) + "
+        "(SELECT count(*) FROM customer) + (SELECT count(*) FROM supplier) + "
+        "(SELECT count(*) FROM part) + (SELECT count(*) FROM orders) AS BIGINT) AS num_vertices, "
+        "CAST((SELECT count(*) FROM nation) + (SELECT count(*) FROM customer) + "
+        "(SELECT count(*) FROM supplier) + (SELECT count(*) FROM orders) + "
+        "(SELECT count(*) FROM lineitem) AS BIGINT) AS num_edges"
+    )
+    O["g_vertex_stats"] = (
+        # id = label_id(Nation)=2 << 48 | nationkey — checks graphid packing parity
+        "SELECT CAST(2 * 281474976710656 + n_nationkey AS BIGINT) AS id, "
+        "CAST((SELECT count(*) FROM customer WHERE c_nationkey = n_nationkey) + "
+        "(SELECT count(*) FROM supplier WHERE s_nationkey = n_nationkey) AS BIGINT) AS in_degree, "
+        "CAST(1 AS BIGINT) AS out_degree FROM nation"
+    )
+    O["g_generators"] = (
+        "SELECT CAST(780 AS BIGINT) AS n_complete_edges, CAST(91 AS BIGINT) AS n_barbell_edges"
+    )
+    O["g_subgraph"] = "SELECT CAST(count(*) AS BIGINT) AS n FROM customer"
+    O["g_algo_counts"] = (
+        # C(12,3) triangles in K12; two disjoint K5s -> 2 components
+        "SELECT CAST(220 AS BIGINT) AS n_triangles, CAST(2 AS BIGINT) AS n_components"
+    )
+    O["g_pagerank"] = "SELECT CAST(1.0 AS DOUBLE) AS total"
+    O["g_write_roundtrip"] = "SELECT CAST(5 AS BIGINT) AS n_even"
     return O
 
 

@@ -541,6 +541,30 @@ def _fn_keys(scope, args, cols):
     raise CompileError("keys() requires a map or entity")
 
 
+@fn("tojson")
+def _fn_tojson(scope, args, cols):
+    """Serialize a list/map/struct value to its JSON text.
+
+    The agtype<->jsonb bridge surface (reference: sql/agtype_coercions.sql
+    181-202, regress/sql/agtype_jsonb_cast.sql): where the reference casts
+    agtype to jsonb, we print the JSON text of the compiled Spark value.
+    """
+    return F.to_json(cols[0])
+
+
+@fn("fromjson")
+def _fn_fromjson(scope, args, cols):
+    """Parse a JSON string into a typed value: fromJson(s, 'array<bigint>').
+
+    The inverse half of the jsonb bridge (reference: jsonb->agtype cast,
+    sql/agtype_coercions.sql). The second argument is a Spark DDL type
+    string and must be a literal.
+    """
+    if len(args) != 2 or not isinstance(args[1], A.Lit) or not isinstance(args[1].value, str):
+        raise CompileError("fromJson(s, 'ddl-type') requires a literal type string")
+    return F.from_json(cols[0], args[1].value)
+
+
 @fn("head")
 def _fn_head(scope, args, cols):
     return F.get(cols[0], 0)
