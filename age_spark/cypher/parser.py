@@ -600,7 +600,26 @@ class Parser:
 
     def _looks_like_pattern(self) -> bool:
         """At '(' — disambiguate parenthesized expr vs node pattern used as
-        a boolean predicate, by scanning past the matching ')'."""
+        a boolean predicate. Two gates: the group must LEX like a node
+        pattern (empty, or identifier / ':label' / '{props}' start), and the
+        matching ')' must be followed by a relationship continuation
+        ('-[', '--', '<-[', '<--'), so arithmetic like (1+2)-(3) or
+        (a.x)-(b.y) parses as an expression."""
+        first = self.toks[self.i + 1] if self.i + 1 < len(self.toks) else None
+        if first is None:
+            return False
+        if first.kind == "op" and first.value in (")", ":", "{"):
+            pass  # () / (:Label...) / ({props})
+        elif first.kind in ("name", "kw"):
+            second = self.toks[self.i + 2] if self.i + 2 < len(self.toks) else None
+            if not (
+                second is not None
+                and second.kind == "op"
+                and second.value in (":", "{", ")")
+            ):
+                return False  # (a.x ... / (a + ... — expression
+        else:
+            return False  # (1 + ... — expression
         depth = 0
         j = self.i
         while j < len(self.toks):
@@ -611,7 +630,18 @@ class Parser:
                 depth -= 1
                 if depth == 0:
                     nxt = self.toks[j + 1] if j + 1 < len(self.toks) else None
-                    return nxt is not None and nxt.kind == "op" and nxt.value in ("-", "<-", "<")
+                    if nxt is None or nxt.kind != "op":
+                        return False
+                    after = self.toks[j + 2] if j + 2 < len(self.toks) else None
+                    if nxt.value in ("-", "<-"):
+                        # a rel needs '[' (typed) or another '-' (anonymous);
+                        # a bare '-' followed by '(' is subtraction
+                        return (
+                            after is not None
+                            and after.kind == "op"
+                            and after.value in ("[", "-")
+                        )
+                    return False
             j += 1
         return False
 

@@ -448,7 +448,11 @@ def dense_row_numbers(df: DataFrame) -> tuple[DataFrame, int]:
     partition id (even-sized by construction) + one tiny counts action."""
     from pyspark.sql.window import Window
 
-    pid = df.withColumn("_pid", F.spark_partition_id())
+    # Materialize ONCE before counting: the counts job and the numbering job
+    # must observe the same physical partitioning, or offsets mismatch when
+    # AQE re-plans / a task retries over a non-deterministic upstream
+    # (round-robin repartition) and packed graphids collide.
+    pid = df.withColumn("_pid", F.spark_partition_id()).localCheckpoint(eager=True)
     counts = sorted(
         (r["_pid"], r["cnt"])
         for r in pid.groupBy("_pid").agg(F.count(F.lit(1)).alias("cnt")).collect()

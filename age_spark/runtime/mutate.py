@@ -228,10 +228,16 @@ def compile_set(ctx: QueryContext, st, items: list[A.SetItem]):
         b = env.require(var)
         replace_all = any(k == "__replace__" for k, _ in kvs)
         kvs = [(k, c) for k, c in kvs if k != "__replace__"]
+        # Last-update-wins must be deterministic: F.last() depends on the
+        # partial-agg merge order, so pick the winner by an explicit row id
+        # (partition-major order) via max_by — merge-order independent.
         upd = df.select(
             F.col(var).getField("id").alias("_uid"),
+            F.monotonically_increasing_id().alias("_rowid"),
             *[c.alias(f"_nv_{k}") for k, c in kvs],
-        ).groupBy("_uid").agg(*[F.last(f"_nv_{k}").alias(f"_nv_{k}") for k, _ in kvs])
+        ).groupBy("_uid").agg(
+            *[F.max_by(f"_nv_{k}", "_rowid").alias(f"_nv_{k}") for k, _ in kvs]
+        )
 
         tables = graph.vertex_dfs if b.kind == VERTEX else graph.edge_dfs
         labels = list(b.labels) if b.labels else list(tables.keys())

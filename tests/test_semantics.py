@@ -612,3 +612,38 @@ def test_remove_property(spark):
     g = age.cypher(g, "CREATE (n:T {v: 1, w: 2})").graph
     g = age.cypher(g, "MATCH (n:T) REMOVE n.w").graph
     assert rows(age, g, "MATCH (n:T) RETURN n.v AS v, n.w AS w") == [(1, None)]
+
+
+def test_paren_arith_not_pattern(spark):
+    """(1+2)-(3) is subtraction, not a node pattern (parser disambiguation:
+    a bare '-' followed by '(' is never a relationship continuation)."""
+    age = AgeSession(spark)
+    g = age.create_graph("pp1")
+    assert rows(age, g, "RETURN (1 + 2) - (3) AS v") == [(0,)]
+    assert rows(age, g, "RETURN (10) - (4) - (1) AS v") == [(5,)]
+
+
+def test_paren_pattern_predicate_still_works(spark):
+    age = AgeSession(spark)
+    g = age.create_graph("pp2")
+    g = age.cypher(g, "CREATE (a:P {k: 1})-[:R]->(b:P {k: 2}), (c:P {k: 3})").graph
+    assert rows(
+        age, g, "MATCH (n:P) WHERE (n)-[:R]->() RETURN n.k AS k"
+    ) == [(1,)]
+    # anonymous '--' continuation form
+    assert sorted(
+        rows(age, g, "MATCH (n:P) WHERE (n)--() RETURN n.k AS k")
+    ) == [(1,), (2,)]
+
+
+def test_set_last_update_wins_deterministic(spark):
+    """Multiple SET rows hitting one entity: winner is the max row id, not
+    partial-agg merge order (reference: updates apply in result row order)."""
+    age = AgeSession(spark)
+    g = age.create_graph("pp3")
+    g = age.cypher(g, "CREATE (n:T {k: 0})").graph
+    # UNWIND produces 50 update rows for the same vertex; last (x=50) wins
+    g = age.cypher(
+        g, "UNWIND range(1, 50) AS x MATCH (n:T) SET n.k = x"
+    ).graph
+    assert rows(age, g, "MATCH (n:T) RETURN n.k AS k") == [(50,)]
