@@ -333,6 +333,21 @@ def _numeric_binary(op: str, l: Column, r: Column, ldt, rdt) -> Column:
     raise CompileError(f"unknown arithmetic op {op}")
 
 
+def _tag_align(scope: ExprScope, l: Column, r: Column) -> tuple[Column, Column]:
+    """If exactly one comparison side is a tagged dynamic value, wrap the
+    other so struct ordering applies the reference's cross-type ladder."""
+    from ..graph import is_tagged_type, tag_column
+
+    ldt, rdt = dtype_of(scope, l), dtype_of(scope, r)
+    lt = ldt is not None and is_tagged_type(ldt)
+    rt = rdt is not None and is_tagged_type(rdt)
+    if lt and not rt and rdt is not None:
+        return l, tag_column(r, rdt)
+    if rt and not lt and ldt is not None:
+        return tag_column(l, ldt), r
+    return l, r
+
+
 def _compile_binary(scope: ExprScope, e: A.Binary) -> Column:
     op = e.op
     l = compile_expr(scope, e.left)
@@ -342,6 +357,8 @@ def _compile_binary(scope: ExprScope, e: A.Binary) -> Column:
         return lb & rb if op == "and" else lb | rb
     if op == "xor":
         return l.cast("boolean") != r.cast("boolean")
+    if op in ("=", "<>", "<", "<=", ">", ">="):
+        l, r = _tag_align(scope, l, r)
     if op == "=":
         return l == r
     if op == "<>":
@@ -359,7 +376,16 @@ def _compile_binary(scope: ExprScope, e: A.Binary) -> Column:
     if op == "=~":
         return F.regexp_like(l, r)
     if op in ("+", "-", "*", "/", "%", "^"):
+        from ..graph import is_tagged_type
+
         ldt, rdt = dtype_of(scope, l), dtype_of(scope, r)
+        # arithmetic on a mixed-kind dynamic value uses its numeric slot;
+        # non-numeric rows null-propagate (the reference raises per value —
+        # a per-row error is not expressible in a vectorized plan)
+        if ldt is not None and is_tagged_type(ldt):
+            l, ldt = l.getField("__n"), T.DoubleType()
+        if rdt is not None and is_tagged_type(rdt):
+            r, rdt = r.getField("__n"), T.DoubleType()
         if op == "+":
             if (ldt is not None and _is_string(ldt)) or (rdt is not None and _is_string(rdt)):
                 return F.concat(l.cast("string"), r.cast("string"))
@@ -632,7 +658,24 @@ def _fn_coalesce(scope, args, cols):
 
 # -- conversions (agtype.c:6741-8085)
 
+def _is_tagged(dt) -> bool:
+    from ..graph import is_tagged_type
+
+    return dt is not None and is_tagged_type(dt)
+
+
+def _tagged_parts(c: Column):
+    return c.getField("__k"), c.getField("__n"), c.getField("__s"), c.getField("__b")
+
+
 def _to_integer(c: Column, dt) -> Column:
+    if _is_tagged(dt):
+        k, n, s, b = _tagged_parts(c)
+        return (
+            F.when(k == 7, n.cast("long"))
+            .when(k == 5, F.coalesce(s.try_cast("long"), s.try_cast("double").cast("long")))
+            .when(k == 6, b.cast("long"))
+        )
     if dt is not None and _is_integral(dt):
         return c
     if dt is not None and isinstance(dt, (T.FloatType, T.DoubleType, T.DecimalType)):
@@ -643,10 +686,21 @@ def _to_integer(c: Column, dt) -> Column:
 
 
 def _to_float(c: Column, dt) -> Column:
+    if _is_tagged(dt):
+        k, n, s, b = _tagged_parts(c)
+        return F.when(k == 7, n).when(k == 5, s.try_cast("double"))
     return c.try_cast("double") if dt is None or _is_string(dt) else c.cast("double")
 
 
 def _to_boolean(c: Column, dt) -> Column:
+    if _is_tagged(dt):
+        k, n, s, b = _tagged_parts(c)
+        lc = F.lower(s)
+        return (
+            F.when(k == 6, b)
+            .when(k == 7, n != 0.0)
+            .when(k == 5, F.when(lc == "true", F.lit(True)).when(lc == "false", F.lit(False)))
+        )
     if dt is not None and isinstance(dt, T.BooleanType):
         return c
     if dt is not None and _is_integral(dt):
@@ -672,6 +726,19 @@ def _fn_toboolean(scope, args, cols):
 
 @fn("tostring")
 def _fn_tostring(scope, args, cols):
+    dt = dtype_of(scope, cols[0])
+    if _is_tagged(dt):
+        k, n, s, b = _tagged_parts(cols[0])
+        return (
+            F.when(k == 5, s)
+            .when(k == 6, b.cast("string"))
+            .when(
+                k == 7,
+                F.when(n == F.floor(n), n.cast("long").cast("string")).otherwise(
+                    n.cast("string")
+                ),
+            )
+        )
     return cols[0].cast("string")
 
 

@@ -42,11 +42,87 @@ VERTEX_RESERVED = ("id",)
 EDGE_RESERVED = ("id", "start_id", "end_id")
 
 
+# -------- tagged dynamic values (the reference's heterogeneous agtype) --
+#
+# agtype lets one property key hold 1, "1", true, 1.5 across rows
+# (/root/reference/src/include/utils/agtype.h:307-323). When one key has
+# conflicting scalar kinds across labels we merge into this tagged struct
+# instead of silently stringifying (which would make 1 = "1" true). The
+# FIELD ORDER is load-bearing: Spark's native struct ordering (field by
+# field, nulls first) then reproduces the reference's cross-type ladder
+# (agtype_util.c:271-310 sort priorities — String 5 < Bool 6 < Numeric 7,
+# NULL struct sorts last under the engine's NULLS-LARGEST ORDER BY), so
+# ORDER BY / comparisons on a mixed column need no extra plumbing.
+
+TAGGED_FIELD_NAMES = ("__k", "__n", "__s", "__b")
+TAGGED_TYPE = T.StructType(
+    [
+        T.StructField("__k", T.ByteType(), True),
+        T.StructField("__n", T.DoubleType(), True),
+        T.StructField("__s", T.StringType(), True),
+        T.StructField("__b", T.BooleanType(), True),
+    ]
+)
+# reference sort priorities (agtype_util.c:271): string=5, bool=6, numeric=7
+_KIND_RANK = {"string": 5, "bool": 6, "numeric": 7}
+_NUMERIC_TYPES = (
+    T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+    T.FloatType, T.DoubleType, T.DecimalType,
+)
+
+
+def is_tagged_type(dt: T.DataType) -> bool:
+    return (
+        isinstance(dt, T.StructType)
+        and tuple(f.name for f in dt.fields) == TAGGED_FIELD_NAMES
+    )
+
+
+def _scalar_kind(dt: T.DataType) -> Optional[str]:
+    if isinstance(dt, _NUMERIC_TYPES):
+        return "numeric"
+    if isinstance(dt, T.StringType):
+        return "string"
+    if isinstance(dt, T.BooleanType):
+        return "bool"
+    return None
+
+
+def tag_column(col: Column, src_dt: T.DataType) -> Column:
+    """Wrap a concretely-typed scalar column into the tagged struct.
+    NULL in -> NULL struct out, so IS NULL / NULLS-LARGEST still hold."""
+    if is_tagged_type(src_dt):
+        return col
+    kind = _scalar_kind(src_dt)
+    if kind is None:
+        raise CatalogError(f"cannot represent {src_dt.simpleString()} as a dynamic value")
+    k = F.lit(_KIND_RANK[kind]).cast("tinyint")
+    n = col.cast("double") if kind == "numeric" else F.lit(None).cast("double")
+    s = col if kind == "string" else F.lit(None).cast("string")
+    b = col if kind == "bool" else F.lit(None).cast("boolean")
+    tagged = F.struct(k.alias("__k"), n.alias("__n"), s.alias("__s"), b.alias("__b"))
+    return F.when(col.isNull(), F.lit(None).cast(TAGGED_TYPE)).otherwise(tagged)
+
+
 def _widen(a: T.DataType, b: T.DataType) -> T.DataType:
     """Common type for schema-merge across labels (missing -> null).
-    Structs/arrays merge recursively (field union); numerics widen."""
+    Structs/arrays merge recursively (field union); numerics widen;
+    conflicting scalar KINDS merge into the tagged dynamic-value struct;
+    anything else (array vs scalar, map vs struct, ...) is an error —
+    never a silent stringify."""
     if a == b:
         return a
+    if isinstance(a, T.NullType):
+        return b  # a typed NULL (e.g. SET n.k = NULL) adopts the other side
+    if isinstance(b, T.NullType):
+        return a
+    if is_tagged_type(a) or is_tagged_type(b):
+        other = b if is_tagged_type(a) else a
+        if is_tagged_type(other) or _scalar_kind(_strip_nullability(other)) is not None:
+            return TAGGED_TYPE
+        raise CatalogError(
+            f"cannot merge {other.simpleString()} into a dynamic scalar value"
+        )
     if isinstance(a, T.StructType) and isinstance(b, T.StructType):
         fields: dict[str, T.DataType] = {}
         order: list[str] = []
@@ -58,7 +134,15 @@ def _widen(a: T.DataType, b: T.DataType) -> T.DataType:
                 order.append(f.name)
         return T.StructType([T.StructField(n, fields[n], True) for n in order])
     if isinstance(a, T.ArrayType) and isinstance(b, T.ArrayType):
-        return T.ArrayType(_widen(a.elementType, b.elementType), True)
+        et = _widen(a.elementType, b.elementType)
+        if is_tagged_type(et) and not (
+            is_tagged_type(a.elementType) or is_tagged_type(b.elementType)
+        ):
+            raise CatalogError(
+                "conflicting list element types across labels: "
+                f"{a.simpleString()} vs {b.simpleString()}"
+            )
+        return T.ArrayType(et, True)
     an, bn = _strip_nullability(a), _strip_nullability(b)
     if an == bn:
         return an
@@ -68,7 +152,13 @@ def _widen(a: T.DataType, b: T.DataType) -> T.DataType:
     }
     if an in numeric_rank and bn in numeric_rank:
         return an if numeric_rank[an] >= numeric_rank[bn] else bn
-    return T.StringType()
+    if _scalar_kind(an) == "numeric" and _scalar_kind(bn) == "numeric":
+        return T.DoubleType()  # decimal/exotic numeric mix
+    if _scalar_kind(an) is not None and _scalar_kind(bn) is not None:
+        return TAGGED_TYPE  # kind conflict -> dynamic value, not stringify
+    raise CatalogError(
+        f"cannot merge property types {a.simpleString()} and {b.simpleString()} across labels"
+    )
 
 
 def _strip_nullability(dt: T.DataType) -> T.DataType:
@@ -77,6 +167,16 @@ def _strip_nullability(dt: T.DataType) -> T.DataType:
     if isinstance(dt, T.ArrayType):
         return T.ArrayType(_strip_nullability(dt.elementType), True)
     return dt
+
+
+def _prop_col(nm: str, dt: T.DataType, have: dict[str, T.DataType]) -> Column:
+    """One property column of a per-label scan, conformed to the merged
+    schema: absent -> typed NULL; tagged target -> kind-tagged wrap."""
+    if nm not in have:
+        return F.lit(None).cast(dt)
+    if is_tagged_type(dt) and not is_tagged_type(have[nm]):
+        return tag_column(F.col(nm), have[nm])
+    return F.col(nm).cast(dt)
 
 
 def merge_property_schema(dfs: Iterable[DataFrame], reserved: tuple[str, ...]) -> list[tuple[str, T.DataType]]:
@@ -288,10 +388,7 @@ class Graph:
         for m in metas:
             df = self.vertex_dfs[m.name]
             have = {f.name: f.dataType for f in df.schema.fields}
-            props = [
-                (F.col(nm).cast(dt) if nm in have else F.lit(None).cast(dt)).alias(nm)
-                for nm, dt in schema
-            ]
+            props = [_prop_col(nm, dt, have).alias(nm) for nm, dt in schema]
             cols = [F.col("id"), F.lit(m.name).alias("label")]
             if props:
                 cols.append(F.struct(*props).alias("properties"))
@@ -313,10 +410,7 @@ class Graph:
         for m in metas:
             df = self.edge_dfs[m.name]
             have = {f.name: f.dataType for f in df.schema.fields}
-            props = [
-                (F.col(nm).cast(dt) if nm in have else F.lit(None).cast(dt)).alias(nm)
-                for nm, dt in schema
-            ]
+            props = [_prop_col(nm, dt, have).alias(nm) for nm, dt in schema]
             cols = [
                 F.col("id"),
                 F.col("start_id"),

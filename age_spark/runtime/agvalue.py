@@ -79,6 +79,20 @@ def _out(v: Any) -> str:
     if isinstance(v, (list, tuple)):
         return "[" + ", ".join(_out(x) for x in v) + "]"
     if isinstance(v, dict):
+        if tuple(v.keys()) == ("__k", "__n", "__s", "__b"):
+            # tagged dynamic value (mixed-kind property): print its payload
+            k = v["__k"]
+            if k == 5:
+                return json.dumps(v["__s"], ensure_ascii=False)
+            if k == 6:
+                return "true" if v["__b"] else "false"
+            if k == 7:
+                n = v["__n"]
+                # int-valued doubles print as ints (the tagged slot holds
+                # every numeric as double; exact reference parity would
+                # need a float-ness bit, which would break 1 = 1.0)
+                return str(int(n)) if n == int(n) else _fmt_float(n)
+            return "null"
         kind = _is_entity_dict(v)
         if kind == "vertex":
             body = {

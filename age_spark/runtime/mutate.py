@@ -259,11 +259,18 @@ def compile_set(ctx: QueryContext, st, items: list[A.SetItem]):
                         F.when(matched, F.lit(None)).otherwise(F.col(cname)).alias(cname)
                     )
                 elif any(k == cname for k, _ in kvs):
+                    from ..graph import is_tagged_type, tag_column
+
                     nv = F.col(f"_nv_{cname}")
                     tgt = _widen_pair(base.schema[cname].dataType, upd_schema[f"_nv_{cname}"])
-                    out_cols.append(
-                        F.when(matched, nv.cast(tgt)).otherwise(F.col(cname).cast(tgt)).alias(cname)
-                    )
+                    if is_tagged_type(tgt):
+                        # kind conflict between old and new value: keep both
+                        # kinds via the tagged dynamic-value struct
+                        nvv = tag_column(nv, upd_schema[f"_nv_{cname}"])
+                        old = tag_column(F.col(cname), base.schema[cname].dataType)
+                    else:
+                        nvv, old = nv.cast(tgt), F.col(cname).cast(tgt)
+                    out_cols.append(F.when(matched, nvv).otherwise(old).alias(cname))
                 else:
                     out_cols.append(F.col(cname))
             for k in new_keys:
