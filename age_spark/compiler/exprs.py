@@ -348,6 +348,14 @@ def _tag_align(scope: ExprScope, l: Column, r: Column) -> tuple[Column, Column]:
     return l, r
 
 
+def _operand_dtype(scope: ExprScope, node: A.Expr, col: Column) -> Optional[T.DataType]:
+    """Operand type, resolving lambda variables via the scope's hint map
+    (a namedlambdavariable Column is not schema-resolvable)."""
+    if isinstance(node, A.Var) and node.name in scope.lambda_types:
+        return scope.lambda_types[node.name]
+    return dtype_of(scope, col)
+
+
 def _compile_binary(scope: ExprScope, e: A.Binary) -> Column:
     op = e.op
     l = compile_expr(scope, e.left)
@@ -366,6 +374,11 @@ def _compile_binary(scope: ExprScope, e: A.Binary) -> Column:
     if op in ("<", "<=", ">", ">="):
         return {"<": l < r, "<=": l <= r, ">": l > r, ">=": l >= r}[op]
     if op == "in":
+        ldt, rdt = _operand_dtype(scope, e.left, l), _operand_dtype(scope, e.right, r)
+        # NULL on either side -> NULL (three-valued; array_contains rejects
+        # NullType operands at analysis)
+        if isinstance(ldt, T.NullType) or isinstance(rdt, T.NullType):
+            return F.lit(None).cast("boolean")
         return F.array_contains(r, l)
     if op == "starts with":
         return l.startswith(r)
@@ -378,7 +391,8 @@ def _compile_binary(scope: ExprScope, e: A.Binary) -> Column:
     if op in ("+", "-", "*", "/", "%", "^"):
         from ..graph import is_tagged_type
 
-        ldt, rdt = dtype_of(scope, l), dtype_of(scope, r)
+        ldt = _operand_dtype(scope, e.left, l)
+        rdt = _operand_dtype(scope, e.right, r)
         # arithmetic on a mixed-kind dynamic value uses its numeric slot;
         # non-numeric rows null-propagate (the reference raises per value —
         # a per-row error is not expressible in a vectorized plan)
@@ -593,16 +607,24 @@ def _fn_fromjson(scope, args, cols):
 
 @fn("head")
 def _fn_head(scope, args, cols):
+    if isinstance(dtype_of(scope, cols[0]), T.NullType):
+        return F.lit(None)
     return F.get(cols[0], 0)
 
 
 @fn("last")
 def _fn_last(scope, args, cols):
-    return F.element_at(cols[0], -1)
+    if isinstance(dtype_of(scope, cols[0]), T.NullType):
+        return F.lit(None)
+    # try_ variant: element_at(-1) on an empty list must yield NULL, not an
+    # ANSI ArrayIndexOutOfBounds
+    return F.try_element_at(cols[0], F.lit(-1))
 
 
 @fn("tail")
 def _fn_tail(scope, args, cols):
+    if isinstance(dtype_of(scope, cols[0]), T.NullType):
+        return F.lit(None)
     c = cols[0]
     return F.slice(c, 2, F.greatest(F.size(c) - 1, F.lit(0)))
 
@@ -838,8 +860,18 @@ def _fn_replace(scope, args, cols):
 
 @fn("range")
 def _fn_range(scope, args, cols):
-    step = cols[2] if len(cols) > 2 else F.lit(1)
-    return F.sequence(cols[0].cast("long"), cols[1].cast("long"), step.cast("long"))
+    start, stop = cols[0].cast("long"), cols[1].cast("long")
+    # NULL step means default 1 (expr.out range(0,10,null) block)
+    step = (
+        F.coalesce(cols[2].cast("long"), F.lit(1).cast("long"))
+        if len(cols) > 2
+        else F.lit(1).cast("long")
+    )
+    # wrong-direction bounds yield [] (expr.out:8037-8047); F.sequence throws
+    ok = ((stop - start >= 0) & (step > 0)) | ((stop - start <= 0) & (step < 0))
+    return F.when(ok, F.sequence(start, stop, step)).otherwise(
+        F.expr("array()").cast("array<long>")
+    )
 
 
 # -- math (agtype.c:9849-10923)
