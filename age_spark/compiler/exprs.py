@@ -518,6 +518,20 @@ def _compile_func(scope: ExprScope, e: A.FuncCall) -> Column:
         )
     impl = FUNCTIONS.get(name)
     if impl is None:
+        # External-function fallthrough (reference parity: ANY SQL function
+        # is Cypher-callable with agtype<->native casts,
+        # cypher_expr.c transform_external_ext_FuncCall, tested against
+        # pgvector/pg_trgm in regress/sql/pgvector.sql). Spark equivalent:
+        # unknown names resolve against the session's function registry —
+        # builtins and spark.udf.register'ed UDFs.
+        spark = scope.ctx.spark
+        try:
+            exists = spark.catalog.functionExists(name)
+        except Exception:
+            exists = False
+        if exists:
+            cols = [compile_expr(scope, a) for a in e.args if not isinstance(a, A.Star)]
+            return F.call_function(name, *cols)
         raise CompileError(f"unknown function {name}()")
     cols = [compile_expr(scope, a) for a in e.args if not isinstance(a, A.Star)]
     return impl(scope, e.args, cols)

@@ -16,6 +16,7 @@ byte-identically to the reference's regression outputs
 
 from __future__ import annotations
 
+import decimal as _decimal
 import json
 import math
 from typing import Any, Optional
@@ -74,6 +75,11 @@ def _out(v: Any) -> str:
         return str(v)
     if isinstance(v, float):
         return _fmt_float(v)
+    if isinstance(v, _decimal.Decimal):
+        # agtype NUMERIC prints with a ::numeric suffix (expr.out:1758-1771).
+        # Our decimal(38,18) pads scale, so strip trailing zeros (exact
+        # input-scale preservation is not recoverable from a fixed type).
+        return f"{format(v.normalize(), 'f')}::numeric"
     if isinstance(v, str):
         return json.dumps(v, ensure_ascii=False)
     if isinstance(v, (list, tuple)):

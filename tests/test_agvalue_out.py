@@ -58,3 +58,13 @@ def test_path_round_trip(spark):
     row = age.cypher(g, "MATCH p = (a:v)-[:e]->(b:v) RETURN p").df.collect()[0]
     out = agtype_out(row.p)
     assert out.endswith("::path") and out.count("::vertex") == 2 and out.count("::edge") == 1
+
+
+def test_numeric_prints_with_suffix():
+    """agtype NUMERIC prints '<value>::numeric' (expr.out:1758-1771)."""
+    import decimal
+
+    from age_spark.runtime.agvalue import agtype_out
+
+    assert agtype_out(decimal.Decimal("2.710000000000000000")) == "2.71::numeric"
+    assert agtype_out(decimal.Decimal("0E-18")) == "0::numeric"

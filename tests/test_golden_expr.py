@@ -289,3 +289,15 @@ def test_golden_expr(empty_graph, chunk):
 
 def test_case_count():
     assert len(CASES) >= 200, len(CASES)
+
+
+def test_numeric_cast_golden(empty_graph):
+    """'::numeric' cast golden cases (expr.out:1758-1771)."""
+    age, g = empty_graph
+    for expr, want in [
+        ("0::numeric", "0::numeric"),
+        ("2.71::numeric", "2.71::numeric"),
+        ("toNumeric('12.3')", "12.3::numeric"),
+    ]:
+        row = age.cypher(g, f"RETURN {expr} AS v").df.collect()[0]
+        assert agtype_out(row.v) == want, expr

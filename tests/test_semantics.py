@@ -647,3 +647,23 @@ def test_set_last_update_wins_deterministic(spark):
         g, "UNWIND range(1, 50) AS x MATCH (n:T) SET n.k = x"
     ).graph
     assert rows(age, g, "MATCH (n:T) RETURN n.k AS k") == [(50,)]
+
+
+def test_external_function_fallthrough(spark):
+    """Unknown Cypher function names resolve against Spark's registry —
+    builtins and registered UDFs (reference: any SQL function is callable,
+    cypher_expr.c transform_external_ext_FuncCall)."""
+    from pyspark.sql.types import LongType
+
+    age = AgeSession(spark)
+    g = age.create_graph("extfn")
+    # a Spark builtin the Cypher registry does not define
+    assert rows(age, g, "RETURN levenshtein('kitten', 'sitting') AS d") == [(3,)]
+    # a user-registered UDF
+    spark.udf.register("triple_it", lambda x: x * 3, LongType())
+    assert rows(age, g, "RETURN triple_it(14) AS t") == [(42,)]
+    # unknown names still fail with a clear compile error
+    from age_spark.compiler.context import CompileError
+
+    with pytest.raises(CompileError):
+        age.cypher(g, "RETURN definitely_not_a_function(1)")
