@@ -48,9 +48,11 @@ def pagerank(
     for _ in range(iterations):
         withdeg = state.join(deg, "id", "left")
         linked = withdeg.filter(F.col("out_degree").isNotNull())
+        # dangling mass folded in as a broadcast 1-row crossJoin — no
+        # driver collect() per iteration, so one job per iteration
         dangling = withdeg.filter(F.col("out_degree").isNull()).agg(
-            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("m")
-        ).collect()[0]["m"]
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dangling_m")
+        )
         contribs = (
             linked.join(edges, linked["id"] == edges["start_id"])
             .select(
@@ -62,11 +64,13 @@ def pagerank(
         )
         state = (
             v.join(contribs, "id", "left")
+            .crossJoin(F.broadcast(dangling))
             .select(
                 "id",
                 (
                     F.lit(base)
-                    + F.lit(damping) * (F.coalesce(F.col("c"), F.lit(0.0)) + F.lit(dangling / n))
+                    + F.lit(damping)
+                    * (F.coalesce(F.col("c"), F.lit(0.0)) + F.col("_dangling_m") / n)
                 ).alias("rank"),
             )
             .localCheckpoint(eager=False)

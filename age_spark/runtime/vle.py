@@ -225,39 +225,21 @@ def shortest_path_pairs(
     hard_max = max_hops if max_hops is not None else DEFAULT_MAX_HOPS
     found_parts: list[DataFrame] = []
 
-    # Early stop is per (src, dst) PAIR: a source only stops expanding once
-    # ALL targets are resolved for it (the reference computes a path per
-    # endpoint pair, ``age_vle.c:3877``). Stopping a source on its first hit
-    # would drop pairs to farther targets (src with targets at hops 2 and 4
-    # must keep going past hop 2). Sources with unreachable targets still
-    # terminate by visited-set frontier drain.
-    n_targets = targets.count()
-    found_pairs: Optional[DataFrame] = None
-
-    def _done_sources(emitted: DataFrame) -> DataFrame:
-        """Accumulate found (src, dst) pairs; sources with all targets found."""
-        nonlocal found_pairs
-        pairs = emitted.select("src", "dst").distinct()
-        if found_pairs is None:
-            found_pairs = pairs
-        else:
-            found_pairs = (
-                found_pairs.unionByName(pairs).distinct().localCheckpoint(eager=False)
-            )
-        return (
-            found_pairs.groupBy("src")
-            .agg(F.count(F.lit(1)).alias("_nf"))
-            .filter(F.col("_nf") >= n_targets)
-            .select(F.col("src").alias("_fsrc"))
-        )
+    # Shortest paths are computed per (src, dst) PAIR: a source must keep
+    # expanding after its first hit, or pairs to farther targets are lost
+    # (the reference computes a path per endpoint pair, ``age_vle.c:3877``).
+    # Which targets a source can still reach is unknowable mid-BFS, so there
+    # is NO valid per-source early stop: termination is visited-set frontier
+    # drain (each source stops when it runs out of unvisited vertices) —
+    # also cheaper than tracking found pairs, which costs extra distinct +
+    # aggregate + anti-join shuffles per hop. A (src, dst) pair cannot be
+    # re-emitted at a later hop: dst enters the visited set when first hit.
 
     if min_hops <= 0:
         hit0 = frontier.join(targets, frontier["cur"] == targets["_tgt"]).select(
             "src", F.col("cur").alias("dst"), "edges", "nodes", F.lit(0).alias("hops")
         )
         found_parts.append(hit0)
-        done_src = _done_sources(hit0)
-        frontier = frontier.join(done_src, frontier["src"] == F.col("_fsrc"), "left_anti")
 
     for hop in range(1, hard_max + 1):
         if frontier.isEmpty():
@@ -288,8 +270,6 @@ def shortest_path_pairs(
                     ),
                 ).filter(F.col("_rn") == 1).drop("_rn")
             found_parts.append(emitted)
-            done_src = _done_sources(emitted)
-            joined = joined.join(done_src, joined["src"] == F.col("_fsrc"), "left_anti")
         visited = visited.unionByName(
             joined.select("src", F.col("cur").alias("vid"))
         ).distinct().localCheckpoint(eager=False)
