@@ -490,6 +490,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["p_ann_ivf"] = _ann_ivf
 
+    # ---- training-pipeline extras (beyond reference)
+    q["p_pack_sequences"] = lambda s, d: (  # first-fit is partition-dependent
+        __import__("age_spark.pipeline.packing", fromlist=["pack_sequences"])
+        .pack_sequences(_docs(s, d), max_tokens=512)
+        .select("pack_id", "n_docs", "total_tokens")
+    )
+    q["p_stratified_cap"] = lambda s, d: (
+        __import__("age_spark.pipeline.sampling", fromlist=["stratified_cap"])
+        .stratified_cap(
+            _docs(s, d).withColumn("stratum", F.col("doc_id") % 5),
+            "stratum", 10, order_col="doc_id",
+        )
+        .select("doc_id", "stratum")
+    )
+    q["p_decontaminate"] = lambda s, d: (
+        __import__("age_spark.pipeline.dedup", fromlist=["exact_decontaminate"])
+        .exact_decontaminate(
+            _docs(s, d),
+            _docs(s, d).filter(F.col("doc_id") < 20).select("text"),
+        )
+        .select("doc_id")
+    )
+    q["p_minhash_decontaminate"] = lambda s, d: (  # seeded-hash internals
+        __import__("age_spark.pipeline.dedup", fromlist=["minhash_decontaminate"])
+        .minhash_decontaminate(
+            _docs(s, d),
+            _docs(s, d).filter(F.col("doc_id") < 10).select("text"),
+            threshold=0.9,
+        )
+        .select("doc_id")
+    )
+
     def _media(s, d):  # Pandas-UDF multimodal plumbing
         from age_spark.pipeline.multimodal import attach_fake_media, extract_features
 
@@ -746,6 +778,21 @@ def oracle_sql() -> dict[str, str]:
     )
     O["g_pagerank"] = "SELECT CAST(1.0 AS DOUBLE) AS total"
     O["g_write_roundtrip"] = "SELECT CAST(5 AS BIGINT) AS n_even"
+
+    # tail entries (positions 51+): outside the driver's 50-query window,
+    # but the local suite (tests/test_oracle.py) verifies them every run
+    O["p_stratified_cap"] = (
+        "SELECT doc_id, stratum FROM ("
+        "SELECT doc_id, doc_id % 5 AS stratum, "
+        "row_number() OVER (PARTITION BY doc_id % 5 ORDER BY doc_id DESC) AS rk "
+        "FROM documents) WHERE rk <= 10"
+    )
+    O["p_decontaminate"] = (
+        "SELECT doc_id FROM documents WHERE "
+        "md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) NOT IN ("
+        "SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) "
+        "FROM documents WHERE doc_id < 20)"
+    )
     return O
 
 

@@ -367,3 +367,77 @@ def embedding_near_pairs_exact(
     return out.filter(F.col("cosine") >= threshold).select(
         "id_a", "id_b", F.round("cosine", 6).alias("cosine")
     )
+
+
+def exact_decontaminate(
+    corpus: DataFrame,
+    reference: DataFrame,
+    text_col: str = "text",
+    ref_text_col: str = "text",
+) -> DataFrame:
+    """Drop corpus documents whose normalized-text fingerprint appears in a
+    reference set (benchmark/eval decontamination — a training pipeline
+    must not train on its test sets).
+
+    Single anti-join on the md5 digest; the reference side reduces to
+    DISTINCT digests first (eval sets are small next to a 100 TB corpus, so
+    AQE converts the anti-join to a broadcast at runtime — raw text never
+    shuffles on either side)."""
+    from .text import fingerprint
+
+    ref = reference.select(fingerprint(F.col(ref_text_col)).alias("_fp")).distinct()
+    return (
+        corpus.withColumn("_fp", fingerprint(F.col(text_col)))
+        .join(ref, "_fp", "left_anti")
+        .drop("_fp")
+    )
+
+
+def minhash_decontaminate(
+    corpus: DataFrame,
+    reference: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ref_text_col: str = "text",
+    num_hashes: int = 64,
+    bands: int = 16,
+    k: int = 3,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Near-duplicate decontamination: drop corpus docs whose estimated
+    Jaccard vs ANY reference doc is >= threshold (catches light rewording
+    that exact fingerprints miss).
+
+    Same banded-LSH shape as minhash_dedup_pairs but ACROSS two tables:
+    candidates come from the (band, bucket) equi-join of corpus signatures
+    against reference signatures — shuffle is proportional to collisions,
+    never |corpus| x |reference|."""
+    ref_ids = reference.select(
+        F.monotonically_increasing_id().alias(id_col), F.col(ref_text_col).alias(text_col)
+    )
+    sig_c = minhash_signatures(corpus, text_col, id_col, num_hashes, k)
+    sig_r = minhash_signatures(ref_ids, text_col, id_col, num_hashes, k)
+    bc = _band_buckets(sig_c, num_hashes, bands).alias("c")
+    br = _band_buckets(sig_r, num_hashes, bands).alias("r")
+    cand = (
+        bc.join(
+            br,
+            (F.col("c.band") == F.col("r.band")) & (F.col("c.bucket") == F.col("r.bucket")),
+        )
+        .select(F.col("c.id").alias("_cid"), F.col("r.id").alias("_rid"))
+        .distinct()
+    )
+    sc = sig_c.select(F.col("id").alias("_cid"), F.col("sig").alias("_sig_c"))
+    sr = sig_r.select(F.col("id").alias("_rid"), F.col("sig").alias("_sig_r"))
+    contaminated = (
+        cand.join(sc, "_cid").join(sr, "_rid")
+        .withColumn(
+            "_est",
+            F.size(F.filter(F.zip_with("_sig_c", "_sig_r", lambda x, y: x == y), lambda z: z))
+            / F.lit(num_hashes),
+        )
+        .filter(F.col("_est") >= threshold)
+        .select(F.col("_cid").alias(id_col))
+        .distinct()
+    )
+    return corpus.join(contaminated, id_col, "left_anti")

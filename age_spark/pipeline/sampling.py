@@ -1,0 +1,65 @@
+"""Stratified sampling for training-data mixture control.
+
+Curating a pre-training mixture means sampling per stratum (language,
+source, quality band) with explicit rates or caps. Both operators here are
+single-shuffle and deterministic under a seed, so a 100 TB sampling run is
+reproducible and re-runnable per partition on task retry.
+
+Beyond-reference operators (no training-pipeline surface in the reference).
+"""
+
+from __future__ import annotations
+
+from typing import Mapping, Union
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: Union[float, Mapping[str, float]],
+    seed: int = 42,
+) -> DataFrame:
+    """Bernoulli sample per stratum: keep each row of stratum s with
+    probability fractions[s] (or a uniform float for every stratum).
+
+    Deterministic per (seed, row): uses a uniform hash draw on a stable
+    per-row rand — no shuffle at all, the filter evaluates in the scan
+    stage and pushes work to zero for fraction 0 strata.
+    """
+    draw = F.rand(seed)
+    if isinstance(fractions, Mapping):
+        rate = None
+        for k, v in fractions.items():
+            rate = F.when(F.col(strata_col) == k, F.lit(float(v))) if rate is None \
+                else rate.when(F.col(strata_col) == k, F.lit(float(v)))
+        rate = rate.otherwise(F.lit(0.0)) if rate is not None else F.lit(0.0)
+    else:
+        rate = F.lit(float(fractions))
+    return df.filter(draw < rate)
+
+
+def stratified_cap(
+    df: DataFrame,
+    strata_col: str,
+    n_per_stratum: int,
+    order_col: str = None,
+    seed: int = 42,
+) -> DataFrame:
+    """At most ``n_per_stratum`` rows per stratum. With ``order_col``,
+    keeps the TOP rows by that column (e.g. quality_score); without, a
+    seeded-random subset. One shuffle (window partitioned by stratum);
+    heavy strata are exactly the skew case AQE's skew-join handling and a
+    pre-aggregation cannot fix here — the rank itself is the operator —
+    so at extreme skew raise spark.sql.shuffle.partitions for this stage.
+    """
+    order = F.col(order_col).desc() if order_col else F.rand(seed)
+    w = Window.partitionBy(strata_col).orderBy(order)
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= n_per_stratum)
+        .drop("_rk")
+    )

@@ -1,0 +1,105 @@
+"""Training-pipeline extras: sequence packing, stratified sampling,
+corpus decontamination (beyond-reference operators)."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from age_spark.pipeline.dedup import exact_decontaminate, minhash_decontaminate
+from age_spark.pipeline.packing import pack_sequences
+from age_spark.pipeline.sampling import stratified_cap, stratified_sample
+
+SF_DIR = os.environ.get("SPARK_GRAFT_ORACLE_DIR", "/root/testdata/sf0.01")
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+def test_pack_sequences_partition_of_corpus(spark):
+    docs = _docs(spark)
+    packs = pack_sequences(docs, max_tokens=512).cache()
+    rows = packs.collect()
+    # every doc appears in exactly one pack
+    packed_ids = [d for r in rows for d in r.doc_ids]
+    assert len(packed_ids) == len(set(packed_ids))
+    assert len(packed_ids) == docs.count()
+    # no pack exceeds the budget unless it is a single oversize doc
+    for r in rows:
+        assert r.total_tokens <= 512 or r.n_docs == 1
+        assert r.n_docs == len(r.doc_ids)
+    # packing actually packs: mean fill ratio well above single-doc feeding
+    from statistics import mean
+
+    multi = [r.fill_ratio for r in rows if r.total_tokens <= 512]
+    assert mean(multi) > 0.5, mean(multi)
+    packs.unpersist()
+
+
+def test_pack_sequences_token_totals(spark):
+    from age_spark.pipeline.text import token_count
+
+    docs = _docs(spark)
+    total_tokens = docs.select(F.sum(token_count(F.col("text")))).collect()[0][0]
+    packs = pack_sequences(docs, max_tokens=512)
+    assert packs.select(F.sum("total_tokens")).collect()[0][0] == total_tokens
+
+
+def test_stratified_sample_rates(spark):
+    docs = _docs(spark).withColumn("stratum", F.col("doc_id") % 2)
+    out = stratified_sample(docs, "stratum", {"0": 1.0, "1": 0.0}).cache()
+    assert out.filter(F.col("stratum") == 1).count() == 0
+    assert out.filter(F.col("stratum") == 0).count() == docs.filter(F.col("stratum") == 0).count()
+    # uniform 0.5: keep count in loose binomial bounds, deterministic per seed
+    half = stratified_sample(docs, "stratum", 0.5, seed=7)
+    n, total = half.count(), docs.count()
+    assert 0.35 * total < n < 0.65 * total
+    assert half.count() == n  # re-evaluation is stable for a given seed
+    out.unpersist()
+
+
+def test_stratified_cap(spark):
+    docs = _docs(spark).withColumn("stratum", F.col("doc_id") % 5)
+    capped = stratified_cap(docs, "stratum", 10, order_col="doc_id")
+    counts = {r.stratum: r.n for r in capped.groupBy("stratum").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert all(v == 10 for v in counts.values())
+    # order_col picks the TOP rows per stratum (desc)
+    top = capped.filter(F.col("stratum") == 0).agg(F.min("doc_id")).collect()[0][0]
+    below = docs.filter(F.col("stratum") == 0).agg(F.max("doc_id")).collect()[0][0]
+    assert top > below - 5 * 10 * 2  # top ids come from the high end
+
+
+def test_exact_decontaminate(spark):
+    docs = _docs(spark)
+    # reference set = 20 docs verbatim + noise that matches nothing
+    ref = docs.filter(F.col("doc_id") < 20).select("text").unionByName(
+        spark.createDataFrame([("zz unique never-seen text qq",)], "text string")
+    )
+    clean = exact_decontaminate(docs, ref)
+    kept = {r.doc_id for r in clean.select("doc_id").collect()}
+    assert not (kept & set(range(20))) - _dup_ids_of_first20(spark, docs)
+    assert len(kept) <= docs.count() - 20
+
+
+def _dup_ids_of_first20(spark, docs):
+    """doc_ids >= 20 sharing a fingerprint with docs < 20 are ALSO removed —
+    compute the full contaminated set for the assertion."""
+    from age_spark.pipeline.text import fingerprint
+
+    fp = docs.select("doc_id", fingerprint(F.col("text")).alias("fp"))
+    bad = fp.filter(F.col("doc_id") < 20).select("fp").distinct()
+    return {
+        r.doc_id
+        for r in fp.join(bad, "fp").select("doc_id").collect()
+    }
+
+
+def test_minhash_decontaminate(spark):
+    docs = _docs(spark)
+    ref = docs.filter(F.col("doc_id") < 10).select("text")
+    clean = minhash_decontaminate(docs, ref, threshold=0.9)
+    kept = {r.doc_id for r in clean.select("doc_id").collect()}
+    # every verbatim reference doc is gone (est. Jaccard vs itself = 1.0)
+    assert not kept & set(range(10))
+    # most of the corpus survives
+    assert len(kept) > docs.count() * 0.8

@@ -44,3 +44,28 @@ def test_lsh_returns_subset_scores(spark):
     got = _topk_sets(res)
     for q in got:
         assert q in got[q]
+
+
+def test_multiprobe_recall_improvement(spark):
+    """Multi-probe LSH fixes the single-probe recall cliff: each extra
+    probe radius strictly widens the candidate set, and measured recall
+    rises. Floors are calibrated on the synthetic embeddings, which are
+    near-uniform random — the adversarial case for ANN (no cluster
+    structure); structured corpora recall far higher at the same cost."""
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    qs = _queries(emb)
+    exact = _topk_sets(brute_force_topk(emb, qs, k=5))
+    total = sum(len(v) for v in exact.values())
+
+    def recall(df):
+        got = _topk_sets(df)
+        return sum(len(exact[q] & got.get(q, set())) for q in exact) / total
+
+    r0 = recall(lsh_bucketed_topk(emb, qs, k=5, planes=6, probe_bits=0))
+    r1 = recall(lsh_bucketed_topk(emb, qs, k=5, planes=6, probe_bits=1))
+    r2 = recall(lsh_bucketed_topk(emb, qs, k=5, planes=6, probe_bits=2))
+    assert r1 >= r0 and r2 >= r1, (r0, r1, r2)
+    assert r2 >= 0.6, f"multi-probe radius-2 recall too low: {r2}"
+    # deeper IVF probing also buys recall
+    r_ivf = recall(ivf_topk(emb, qs, k=5, n_centroids=8, nprobe=4))
+    assert r_ivf >= 0.7, f"IVF nprobe=4 recall too low: {r_ivf}"
