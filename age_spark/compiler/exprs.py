@@ -717,7 +717,8 @@ def _to_integer(c: Column, dt) -> Column:
     if dt is not None and isinstance(dt, (T.FloatType, T.DoubleType, T.DecimalType)):
         return c.cast("long")
     if dt is not None and isinstance(dt, T.BooleanType):
-        return c.cast("long")
+        # expr.out:3666 — toInteger() unsupported argument agtype 5 (bool)
+        raise CompileError("toInteger() unsupported argument: boolean")
     return F.coalesce(c.try_cast("long"), c.try_cast("double").cast("long"))
 
 
@@ -725,6 +726,9 @@ def _to_float(c: Column, dt) -> Column:
     if _is_tagged(dt):
         k, n, s, b = _tagged_parts(c)
         return F.when(k == 7, n).when(k == 5, s.try_cast("double"))
+    if dt is not None and isinstance(dt, T.BooleanType):
+        # expr.out:3502 — toFloat() unsupported argument agtype 5 (bool)
+        raise CompileError("toFloat() unsupported argument: boolean")
     return c.try_cast("double") if dt is None or _is_string(dt) else c.cast("double")
 
 
@@ -874,6 +878,11 @@ def _fn_replace(scope, args, cols):
 
 @fn("range")
 def _fn_range(scope, args, cols):
+    for c in cols:
+        cdt = dtype_of(scope, c)
+        if cdt is not None and isinstance(cdt, (T.FloatType, T.DoubleType, T.DecimalType)):
+            # expr.out:8070 — range() unsupported argument type (floats)
+            raise CompileError("range() unsupported argument type: float")
     start, stop = cols[0].cast("long"), cols[1].cast("long")
     # NULL step means default 1 (expr.out range(0,10,null) block)
     step = (

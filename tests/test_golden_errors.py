@@ -1,0 +1,45 @@
+"""Golden ERROR conformance: expressions the reference rejects must raise a
+clear error here too (compile-time where static typing allows — the
+distributed engine cannot raise per-row, so runtime-value errors from the
+reference become compile rejections when the type is statically known).
+Citations are regress/expected/expr.out lines."""
+
+import pytest
+
+from age_spark import AgeSession
+from age_spark.compiler.context import CompileError
+
+ERROR_CASES = [
+    "toInteger(true)",            # expr.out:3666 unsupported argument (bool)
+    "toFloat(true)",              # expr.out:3502
+    "range(0, -10.0, -3.0)",      # expr.out:8070 unsupported argument type
+    "range(1.5, 3)",
+    "bogus_fn_xyz(1)",            # unknown fn, no Spark registry match
+]
+
+
+@pytest.fixture(scope="module")
+def g(spark):
+    age = AgeSession(spark)
+    return age, age.create_graph("errs")
+
+
+@pytest.mark.parametrize("expr", ERROR_CASES)
+def test_rejected(g, expr):
+    age, graph = g
+    with pytest.raises(CompileError):
+        age.cypher(graph, f"RETURN {expr} AS v")
+
+
+def test_slice_non_list_rejected(g):
+    """expr.out:505 — slice must access a list."""
+    age, graph = g
+    with pytest.raises(Exception):  # CompileError or analysis rejection
+        age.cypher(graph, "RETURN 0[0..1] AS v").df.collect()
+
+
+def test_delete_without_detach_rejected(g):
+    age, graph = g
+    gr = age.cypher(graph, "CREATE (a:D1)-[:E]->(b:D2)").graph
+    with pytest.raises(CompileError):
+        age.cypher(gr, "MATCH (n:D1) DELETE n")
