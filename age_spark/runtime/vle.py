@@ -212,6 +212,33 @@ def shortest_path_pairs(
     edge_dt = edges.schema["_e"].dataType
     vddl = _vertex_ddl(graph)
 
+    hard_max = max_hops if max_hops is not None else DEFAULT_MAX_HOPS
+
+    # Target-closure pruning: every vertex on a path that ENDS at a target
+    # can itself reach a target, so the forward BFS never needs edges whose
+    # head lies outside the backward closure of the target set. Compute the
+    # closure with a cheap set-BFS over reversed edges (vertex SET, no
+    # per-source state), then semi-join the edge table down to it. For
+    # selective targets this cuts the frontier from whole-graph size to the
+    # relevant funnel (the common CALL shape: label-to-label with a small
+    # target label); when targets reach most of the graph it degrades to
+    # one extra pass over the edges, a constant factor the per-source
+    # savings still dominate.
+    reach = targets.select(F.col("_tgt").alias("_rv"))
+    bfront = reach
+    for _ in range(hard_max):
+        if bfront.isEmpty():
+            break
+        step = (
+            bfront.join(edges, bfront["_rv"] == edges["_d"])
+            .select(F.col("_s").alias("_rv"))
+            .distinct()
+        )
+        bfront = step.join(reach, "_rv", "left_anti").localCheckpoint(eager=False)
+        reach = reach.unionByName(bfront).distinct().localCheckpoint(eager=False)
+    edges = edges.join(reach, edges["_d"] == reach["_rv"], "left_semi")
+    starts = starts.join(reach, starts["src"] == reach["_rv"], "left_semi")
+
     frontier = starts.distinct().select(
         F.col("src"),
         F.col("src").alias("cur"),
@@ -222,7 +249,6 @@ def shortest_path_pairs(
     # shortest paths, unlike VLE): (src, vertex)
     visited = frontier.select("src", F.col("cur").alias("vid"))
 
-    hard_max = max_hops if max_hops is not None else DEFAULT_MAX_HOPS
     found_parts: list[DataFrame] = []
 
     # Shortest paths are computed per (src, dst) PAIR: a source must keep
