@@ -150,9 +150,13 @@ def vle_pairs(
                     F.col("edges"),
                     F.concat(F.col("nodes"), F.array(F.col("_v"))).alias("nodes"),
                 )
-            # cut lineage growth: each hop is a fresh plan over materialized
-            # state, not a 2^k nested plan (critical for deep traversals)
-            nxt = nxt.localCheckpoint(eager=False)
+            # cut lineage growth for DEEP traversals: each hop becomes a
+            # fresh plan over materialized state instead of a 2^k nested
+            # plan. For small bounded ranges ([*1..4] and tighter) skip the
+            # checkpoint so Catalyst/AQE optimize the whole traversal as ONE
+            # plan (broadcasts, reordering) with no per-hop materialization.
+            if max_hops is None or hard_max > 4:
+                nxt = nxt.localCheckpoint(eager=False)
             if max_hops is None:
                 # unbounded: stop when the frontier drains
                 if nxt.isEmpty():
