@@ -463,7 +463,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         __import__("age_spark.pipeline.dedup", fromlist=["simhash_near_pairs"])
         .simhash_near_pairs(_docs(s, d), max_hamming=8)
     )
-    q["p_ngram_jaccard"] = lambda s, d: (  # shingle SQL too gnarly
+    q["p_ngram_jaccard"] = lambda s, d: (  # LSH-driven; seeded-hash internals
         __import__("age_spark.pipeline.dedup", fromlist=["ngram_jaccard_pairs"])
         .ngram_jaccard_pairs(_docs(s, d), threshold=0.4)
     )

@@ -61,13 +61,44 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     k: int = 3,
     threshold: float = 0.8,
+    num_hashes: int = 64,
+    bands: int = 32,
 ) -> DataFrame:
-    """All-pairs n-gram Jaccard >= threshold (id_a < id_b).
+    """EXACT n-gram Jaccard >= threshold (id_a < id_b), LSH-driven.
 
-    Candidate generation by shingle inverted index (explode + self-join on
-    shingle) — exact, but the index join is the n^2 risk at scale: prefer
-    minhash_lsh_candidates as the driver and this as the verifier.
-    """
+    Candidates come from MinHash banding (shuffle proportional to bucket
+    collisions); each candidate is verified with the exact shingle-set
+    Jaccard, so precision is 1.0 and recall is the LSH capture rate (32
+    bands of 2 hashes: a pair at the 0.8 threshold collides with
+    p = 1-(1-0.8^2)^32 ~= 1-1e-13). The previous shingle inverted-index
+    self-join was exact but O(n^2) in hot shingles — a scale-killer as a
+    declared operator; it survives as ``ngram_jaccard_pairs_exact`` for
+    tests."""
+    cand = minhash_lsh_candidates(df, text_col, id_col, num_hashes, bands, k)
+    sh = df.select(
+        F.col(id_col).alias("_jid"), word_shingles(F.col(text_col), k).alias("_sh")
+    )
+    a = sh.select(F.col("_jid").alias("id_a"), F.col("_sh").alias("_sh_a"))
+    b = sh.select(F.col("_jid").alias("id_b"), F.col("_sh").alias("_sh_b"))
+    joined = cand.join(a, "id_a").join(b, "id_b")
+    inter = F.size(F.array_intersect("_sh_a", "_sh_b"))
+    union = F.size("_sh_a") + F.size("_sh_b") - inter
+    jac = joined.withColumn("jaccard", inter / union)
+    return jac.filter(F.col("jaccard") >= threshold).select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+def ngram_jaccard_pairs_exact(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """All-pairs exact twin of ``ngram_jaccard_pairs`` via the shingle
+    inverted index — test-only verifier (the hot-shingle self-join is the
+    n^2 risk at scale; never the declared operator)."""
     sh = _spread(df).select(F.col(id_col).alias("id"), word_shingles(F.col(text_col), k).alias("sh"))
     sh = sh.withColumn("sz", F.size("sh"))
     inv = sh.select("id", "sz", F.explode("sh").alias("s"))

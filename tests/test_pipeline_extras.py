@@ -103,3 +103,15 @@ def test_minhash_decontaminate(spark):
     assert not kept & set(range(10))
     # most of the corpus survives
     assert len(kept) > docs.count() * 0.8
+
+
+def test_ngram_jaccard_lsh_matches_exact(spark):
+    """The declared LSH-driven n-gram Jaccard operator agrees with the
+    all-pairs exact twin (precision 1.0 by construction; recall at these
+    band settings is ~1-1e-13 at the 0.4 threshold)."""
+    from age_spark.pipeline.dedup import ngram_jaccard_pairs, ngram_jaccard_pairs_exact
+
+    docs = _docs(spark)
+    lsh = {(r.id_a, r.id_b, r.jaccard) for r in ngram_jaccard_pairs(docs, threshold=0.4).collect()}
+    exact = {(r.id_a, r.id_b, r.jaccard) for r in ngram_jaccard_pairs_exact(docs, threshold=0.4).collect()}
+    assert lsh == exact
