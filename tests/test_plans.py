@@ -66,3 +66,37 @@ def test_whole_stage_codegen_present(tpch):
     # AQE's formatted plan hides codegen spans; codegen mode lists them
     plan = df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "codegen")
     assert "WholeStageCodegen" in plan
+
+
+def test_decontaminate_no_text_shuffle(spark):
+    """exact_decontaminate must shuffle digests, never raw text: the join
+    keys are md5 columns and the corpus text column passes through the
+    anti-join untouched (no Exchange keyed on `text`)."""
+    from pyspark.sql import functions as F
+
+    from age_spark.pipeline.dedup import exact_decontaminate
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    ref = docs.limit(10).select("text")
+    plan = exact_decontaminate(docs, ref)._jdf.queryExecution().toString()
+    assert "LeftAnti" in plan
+    # the anti-join condition is on the fingerprint, not the text column
+    anti = [ln for ln in plan.splitlines() if "LeftAnti" in ln]
+    assert anti and all("_fp" in ln for ln in anti)
+
+
+def test_tagged_scan_keeps_pushdown(spark):
+    """Mixed-kind properties tag ONLY the conflicted key: predicates on
+    clean columns in the same scan still push to parquet."""
+    import uuid
+
+    from age_spark import AgeSession
+
+    age = AgeSession(spark)
+    g = age.create_graph(f"tp{uuid.uuid4().hex[:6]}")
+    g = age.cypher(g, "CREATE (:A {k: 1, val: 1}), (:B {k: 2, val: 'x'})").graph
+    df = age.cypher(g, "MATCH (n) WHERE n.k > 0 RETURN n.k AS k").df
+    plan = df._jdf.queryExecution().toString()
+    # in-memory demo tables have no parquet scan, but the filter must stay
+    # a native comparison on the typed column — no Python eval anywhere
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
