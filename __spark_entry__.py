@@ -522,6 +522,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         .select("doc_id")
     )
 
+    def _asof(s, d):
+        from age_spark.pipeline.events import asof_join
+
+        ev = _events(s, d)
+        left = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+        right = ev.filter(F.col("event_type") == "click").select("user_id", "ts", "value")
+        out = asof_join(left, right, on="ts", by="user_id")
+        return out.select(
+            "event_id", "user_id", F.round("value_right", 6).alias("click_value")
+        )
+
+    q["e_asof_join"] = _asof
+
     def _media(s, d):  # Pandas-UDF multimodal plumbing
         from age_spark.pipeline.multimodal import attach_fake_media, extract_features
 
@@ -792,6 +805,12 @@ def oracle_sql() -> dict[str, str]:
         "md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) NOT IN ("
         "SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) "
         "FROM documents WHERE doc_id < 20)"
+    )
+    O["e_asof_join"] = (
+        "SELECT l.event_id, l.user_id, round(r.value, 6) AS click_value FROM "
+        "(SELECT * FROM events WHERE event_type = 'purchase') l "
+        "ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') r "
+        "ON l.user_id = r.user_id AND l.ts >= r.ts"
     )
     return O
 

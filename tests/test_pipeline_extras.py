@@ -115,3 +115,72 @@ def test_ngram_jaccard_lsh_matches_exact(spark):
     lsh = {(r.id_a, r.id_b, r.jaccard) for r in ngram_jaccard_pairs(docs, threshold=0.4).collect()}
     exact = {(r.id_a, r.id_b, r.jaccard) for r in ngram_jaccard_pairs_exact(docs, threshold=0.4).collect()}
     assert lsh == exact
+
+
+def _events(spark):
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.parquet(f"{SF_DIR}/events.parquet")
+
+
+def test_asof_join_matches_duckdb(spark):
+    """Union-sort as-of join == DuckDB's native ASOF JOIN."""
+    import duckdb
+
+    from age_spark.pipeline.events import asof_join
+
+    ev = _events(spark)
+    left = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    right = ev.filter(F.col("event_type") == "click").select("user_id", "ts", "value")
+    got = {
+        (r.event_id, None if r.value_right is None else round(r.value_right, 6))
+        for r in asof_join(left, right, on="ts", by="user_id").collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{SF_DIR}/events.parquet')"
+    )
+    want = {
+        (eid, None if v is None else round(v, 6))
+        for eid, v in con.execute(
+            "SELECT l.event_id, r.value FROM "
+            "(SELECT * FROM events WHERE event_type='purchase') l "
+            "ASOF LEFT JOIN (SELECT * FROM events WHERE event_type='click') r "
+            "ON l.user_id = r.user_id AND l.ts >= r.ts"
+        ).fetchall()
+    }
+    assert got == want
+
+
+def test_asof_join_tolerance_and_no_match(spark):
+    from age_spark.pipeline.events import asof_join
+
+    left = spark.createDataFrame([(1, 100, 1000), (2, 100, 50)], "id long, user_id long, ts long")
+    right = spark.createDataFrame([(100, 900, 7.0), (100, 60, 9.0)], "user_id long, ts long, v double")
+    out = {r.id: (r.v_right, r.ts_right) for r in asof_join(left, right).collect()}
+    assert out[1] == (7.0, 900)   # latest at-or-before 1000
+    assert out[2] == (None, None)  # nothing at-or-before 50
+    tight = {
+        r.id: r.v_right
+        for r in asof_join(left, right, tolerance=50).collect()
+    }
+    assert tight[1] is None  # 1000-900 > 50 -> nulled out
+
+
+def test_range_join_bucketed_matches_theta(spark):
+    from age_spark.pipeline.events import range_join_bucketed
+
+    left = spark.createDataFrame([(i, i * 7 % 100) for i in range(50)], "id long, p long")
+    right = spark.createDataFrame(
+        [(j, j * 11 % 80, j * 11 % 80 + 15) for j in range(20)], "rid long, lo long, hi long"
+    )
+    got = {
+        (r.id, r.rid)
+        for r in range_join_bucketed(left, right, "p", "lo", "hi", bucket_width=8).collect()
+    }
+    want = {
+        (r.id, r.rid)
+        for r in left.join(
+            right, (F.col("p") >= F.col("lo")) & (F.col("p") <= F.col("hi"))
+        ).collect()
+    }
+    assert got == want
