@@ -190,7 +190,30 @@ def compile_expr(scope: ExprScope, e: A.Expr) -> Column:
     if isinstance(e, A.ListLit):
         if not e.items:
             return F.expr("array()")
-        return F.array(*[compile_expr(scope, i) for i in e.items])
+        cols = [compile_expr(scope, i) for i in e.items]
+        dts = [dtype_of(scope, c) for c in cols]
+        kinds = set()
+        for dt in dts:
+            if dt is None or isinstance(dt, T.NullType):
+                continue
+            from ..graph import _scalar_kind, is_tagged_type
+
+            k = "tagged" if is_tagged_type(dt) else _scalar_kind(dt)
+            kinds.add(k if k in ("string", "bool", "tagged") else ("numeric" if k == "numeric" else "other"))
+        if len(kinds - {"other"}) > 1 and "other" not in kinds:
+            # heterogeneous scalar literal list ([1, 'a', true] — agtype is
+            # dynamically typed, agtype.h:307): element-tag so one Spark
+            # array type holds every kind, ladder-ordered
+            from ..graph import TAGGED_TYPE, is_tagged_type, tag_column
+
+            tagged = [
+                F.lit(None).cast(TAGGED_TYPE)
+                if dt is None or isinstance(dt, T.NullType)
+                else tag_column(c, dt)
+                for c, dt in zip(cols, dts)
+            ]
+            return F.array(*tagged)
+        return F.array(*cols)
     if isinstance(e, A.MapLit):
         if not e.items:
             return F.struct(F.lit(None).cast("string").alias("_none"))
@@ -374,11 +397,20 @@ def _compile_binary(scope: ExprScope, e: A.Binary) -> Column:
     if op in ("<", "<=", ">", ">="):
         return {"<": l < r, "<=": l <= r, ">": l > r, ">=": l >= r}[op]
     if op == "in":
+        from ..graph import is_tagged_type, tag_column
+
         ldt, rdt = _operand_dtype(scope, e.left, l), _operand_dtype(scope, e.right, r)
         # NULL on either side -> NULL (three-valued; array_contains rejects
         # NullType operands at analysis)
         if isinstance(ldt, T.NullType) or isinstance(rdt, T.NullType):
             return F.lit(None).cast("boolean")
+        if (
+            isinstance(rdt, T.ArrayType)
+            and is_tagged_type(rdt.elementType)
+            and ldt is not None
+            and not is_tagged_type(ldt)
+        ):
+            l = tag_column(l, ldt)  # needle joins the dynamic-kind ladder
         return F.array_contains(r, l)
     if op == "starts with":
         return l.startswith(r)
@@ -704,14 +736,50 @@ def _tagged_parts(c: Column):
     return c.getField("__k"), c.getField("__n"), c.getField("__s"), c.getField("__b")
 
 
+def _elem_tagged(scope, col: Column) -> bool:
+    dt = dtype_of(scope, col)
+    return isinstance(dt, T.ArrayType) and _is_tagged(dt.elementType)
+
+
+def _tagged_to_string(c: Column) -> Column:
+    k, n, s, b = _tagged_parts(c)
+    return (
+        F.when(k == 5, s)
+        .when(k == 6, b.cast("string"))
+        .when(
+            k == 7,
+            F.when(n == F.floor(n), n.cast("long").cast("string")).otherwise(n.cast("string")),
+        )
+    )
+
+
+def _tagged_to_integer(c: Column) -> Column:
+    k, n, s, b = _tagged_parts(c)
+    return (
+        F.when(k == 7, n.cast("long"))
+        .when(k == 5, F.coalesce(s.try_cast("long"), s.try_cast("double").cast("long")))
+        .when(k == 6, b.cast("long"))
+    )
+
+
+def _tagged_to_float(c: Column) -> Column:
+    k, n, s, b = _tagged_parts(c)
+    return F.when(k == 7, n).when(k == 5, s.try_cast("double"))
+
+
+def _tagged_to_boolean(c: Column) -> Column:
+    k, n, s, b = _tagged_parts(c)
+    lc = F.lower(s)
+    return (
+        F.when(k == 6, b)
+        .when(k == 7, n != 0.0)
+        .when(k == 5, F.when(lc == "true", F.lit(True)).when(lc == "false", F.lit(False)))
+    )
+
+
 def _to_integer(c: Column, dt) -> Column:
     if _is_tagged(dt):
-        k, n, s, b = _tagged_parts(c)
-        return (
-            F.when(k == 7, n.cast("long"))
-            .when(k == 5, F.coalesce(s.try_cast("long"), s.try_cast("double").cast("long")))
-            .when(k == 6, b.cast("long"))
-        )
+        return _tagged_to_integer(c)
     if dt is not None and _is_integral(dt):
         return c
     if dt is not None and isinstance(dt, (T.FloatType, T.DoubleType, T.DecimalType)):
@@ -724,8 +792,7 @@ def _to_integer(c: Column, dt) -> Column:
 
 def _to_float(c: Column, dt) -> Column:
     if _is_tagged(dt):
-        k, n, s, b = _tagged_parts(c)
-        return F.when(k == 7, n).when(k == 5, s.try_cast("double"))
+        return _tagged_to_float(c)
     if dt is not None and isinstance(dt, T.BooleanType):
         # expr.out:3502 — toFloat() unsupported argument agtype 5 (bool)
         raise CompileError("toFloat() unsupported argument: boolean")
@@ -734,13 +801,7 @@ def _to_float(c: Column, dt) -> Column:
 
 def _to_boolean(c: Column, dt) -> Column:
     if _is_tagged(dt):
-        k, n, s, b = _tagged_parts(c)
-        lc = F.lower(s)
-        return (
-            F.when(k == 6, b)
-            .when(k == 7, n != 0.0)
-            .when(k == 5, F.when(lc == "true", F.lit(True)).when(lc == "false", F.lit(False)))
-        )
+        return _tagged_to_boolean(c)
     if dt is not None and isinstance(dt, T.BooleanType):
         return c
     if dt is not None and _is_integral(dt):
@@ -768,17 +829,7 @@ def _fn_toboolean(scope, args, cols):
 def _fn_tostring(scope, args, cols):
     dt = dtype_of(scope, cols[0])
     if _is_tagged(dt):
-        k, n, s, b = _tagged_parts(cols[0])
-        return (
-            F.when(k == 5, s)
-            .when(k == 6, b.cast("string"))
-            .when(
-                k == 7,
-                F.when(n == F.floor(n), n.cast("long").cast("string")).otherwise(
-                    n.cast("string")
-                ),
-            )
-        )
+        return _tagged_to_string(cols[0])
     return cols[0].cast("string")
 
 
@@ -791,21 +842,29 @@ def _fn_tonumeric(scope, args, cols):
 
 @fn("tointegerlist")
 def _fn_tointegerlist(scope, args, cols):
+    if _elem_tagged(scope, cols[0]):
+        return F.transform(cols[0], _tagged_to_integer)
     return F.transform(cols[0], lambda x: F.coalesce(x.try_cast("long"), x.try_cast("double").cast("long")))
 
 
 @fn("tofloatlist")
 def _fn_tofloatlist(scope, args, cols):
+    if _elem_tagged(scope, cols[0]):
+        return F.transform(cols[0], _tagged_to_float)
     return F.transform(cols[0], lambda x: x.try_cast("double"))
 
 
 @fn("tobooleanlist")
 def _fn_tobooleanlist(scope, args, cols):
+    if _elem_tagged(scope, cols[0]):
+        return F.transform(cols[0], _tagged_to_boolean)
     return F.transform(cols[0], lambda x: _to_boolean(x, None))
 
 
 @fn("tostringlist")
 def _fn_tostringlist(scope, args, cols):
+    if _elem_tagged(scope, cols[0]):
+        return F.transform(cols[0], _tagged_to_string)
     return F.transform(cols[0], lambda x: x.cast("string"))
 
 

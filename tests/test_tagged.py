@@ -98,3 +98,25 @@ def test_set_mixed_kind_update(spark):
     assert rows(age, g, "MATCH (n:T) WHERE n.val = 'twenty' RETURN count(*) AS c") == [(1,)]
     got = rows(age, g, "MATCH (n:T) RETURN toString(n.val) AS v ORDER BY n.val")
     assert got == [("twenty",), ("10",)]  # string kind < numeric kind
+
+
+def test_heterogeneous_literal_lists(spark):
+    """[1, 'a', true] — agtype's dynamically-typed lists (agtype.h:307) via
+    element tagging; access, size, IN, equality, conversions all work."""
+    from age_spark.runtime.agvalue import agtype_out
+
+    age = AgeSession(spark)
+    g = age.create_graph("hetlist")
+
+    def out(q):
+        return agtype_out(age.cypher(g, f"RETURN {q} AS v").df.collect()[0][0])
+
+    assert out("[1, 'a', true]") == '[1, "a", true]'
+    assert out("[1, 'a', null]") == '[1, "a", null]'
+    assert out("[1, 'a', true][1]") == '"a"'
+    assert out("size([1, 'a', true])") == "3"
+    assert out("'a' IN [1, 'a']") == "true"
+    assert out("2 IN [1, 'a']") == "false"
+    assert out("[1, 'a'] = [1, 'a']") == "true"
+    assert out("toStringList([1, 2.5, true])") == '["1", "2.5", "true"]'
+    assert out("toIntegerList([1, '2', true])") == "[1, 2, 1]"
