@@ -104,7 +104,9 @@ def connected_components(
         )
         nxt = state.join(neigh, "id", "left").select(
             "id", F.least(F.col("component"), F.coalesce(F.col("n_comp"), F.col("component"))).alias("component")
-        ).localCheckpoint(eager=False)
+        ).localCheckpoint(eager=True)  # the convergence count below reads it
+        # immediately, so eager costs nothing extra and rules out lazy-
+        # checkpoint block loss under memory pressure
         changed = (
             nxt.alias("n")
             .join(state.alias("s"), "id")

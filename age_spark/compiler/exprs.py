@@ -350,6 +350,11 @@ def _numeric_binary(op: str, l: Column, r: Column, ldt, rdt) -> Column:
             return (l / r).cast("long")  # int/int truncates (PG div semantics)
         return l / r
     if op == "%":
+        if (ldt is not None and isinstance(ldt, (T.FloatType, T.DoubleType))) or (
+            rdt is not None and isinstance(rdt, (T.FloatType, T.DoubleType))
+        ):
+            # PG float8 modulo-by-zero yields NaN (int%0 stays an error)
+            return F.when(r == 0.0, F.lit(float("nan"))).otherwise(l % r)
         return l % r
     if op == "^":
         return F.pow(l, r)
@@ -681,6 +686,9 @@ def _fn_size(scope, args, cols):
     dt = dtype_of(scope, c)
     if dt is not None and _is_string(dt):
         return F.length(c)
+    if dt is not None and _is_struct(dt):
+        # expr.out:3025 — size() unsupported argument (objects/entities)
+        raise CompileError("size() unsupported argument: object")
     return F.size(c)
 
 

@@ -43,3 +43,21 @@ def test_delete_without_detach_rejected(g):
     gr = age.cypher(graph, "CREATE (a:D1)-[:E]->(b:D2)").graph
     with pytest.raises(CompileError):
         age.cypher(gr, "MATCH (n:D1) DELETE n")
+
+
+def test_size_of_object_rejected(g):
+    """expr.out:3025 — size() unsupported argument (objects)."""
+    age, graph = g
+    with pytest.raises(CompileError):
+        age.cypher(graph, "RETURN size({a: 1}) AS v")
+
+
+def test_float_mod_zero_is_nan(g):
+    """PG float8 modulo by zero yields NaN (int % 0 stays an error)."""
+    from age_spark.runtime.agvalue import agtype_out
+
+    age, graph = g
+    v = age.cypher(graph, "RETURN 10 % 0.0 AS v").df.collect()[0][0]
+    assert agtype_out(v) == "NaN"
+    v = age.cypher(graph, "RETURN 5.5 % 2 AS v").df.collect()[0][0]
+    assert agtype_out(v) == "1.5"
