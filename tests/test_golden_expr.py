@@ -259,6 +259,41 @@ CASES = [
     ("toJson([1, 2, 3])", '"[1,2,3]"'),
     ("toJson({a: 1})", '"{\\"a\\":1}"'),
     ("fromJson('[1,2,3]', 'array<bigint>')", "[1, 2, 3]"),
+    # ---- float print / literals (PG float8out conventions)
+    ("0.1 + 0.2", "0.30000000000000004"),
+    ("1e3", "1000.0"),
+    ("1.5e-2", "0.015"),
+    ("9007199254740993", "9007199254740993"),  # > 2^53: stays exact int64
+    ("-(2 ^ 2)", "-4.0"),
+    ("2 ^ -1", "0.5"),
+    ("10 % 0.0", "NaN"),  # float modulo-by-zero (PG float8)
+    ("round(-1.5)", "-2.0"),  # half away from zero
+    ("abs(-0.0)", "0.0"),
+    # ---- string escapes / unicode (jsonb_out conventions)
+    ("'a\\\"b'", '"a\\"b"'),
+    ("'héllo'", '"héllo"'),
+    # ---- list conversions (expr.out toFloatList block, 3510-3540)
+    ("toIntegerList(['1', '2.9'])", "[1, 2]"),
+    ("toFloatList([1.2, '4.654'])", "[1.2, 4.654]"),
+    ("toFloatList(['1.9432', 8.6222])", "[1.9432, 8.6222]"),
+    ("toBooleanList(['true', 'no'])", "[true, null]"),
+    ("toStringList([1, 2.5, true])", '["1", "2.5", "true"]'),
+    # ---- list comparisons (element-wise ladder)
+    ("[] = []", "true"),
+    ("[1] < [2]", "true"),
+    ("[1, 2] < [2]", "true"),
+    ("{a: 1} = {a: 1}", "true"),
+    # ---- heterogeneous literal lists (dynamic agtype, agtype.h:307)
+    ("[1, 'a', true]", '[1, "a", true]'),
+    ("[1, 'a', null]", '[1, "a", null]'),
+    ("[1, 'a', true][1]", '"a"'),
+    ("size([1, 'a', true])", "3"),
+    ("'a' IN [1, 'a']", "true"),
+    ("2 IN [1, 'a']", "false"),
+    ("toStringList([1, 'a', true])", '["1", "a", "true"]'),
+    # ---- boolean conversions of numbers (expr.out:3335)
+    ("toBoolean(1)", "true"),
+    ("toBoolean(0)", "false"),
 ]
 
 
