@@ -26,7 +26,7 @@ HEADLINE = [
     "g_vertex_stats",
     # pipeline: dedup / similarity / text / events
     "p_exact_dedup",
-    "p_token_count",
+    "p_text_features",
     "p_minhash_pairs",
     "p_simhash_pairs",
     "p_ann_topk",
