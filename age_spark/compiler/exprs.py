@@ -196,10 +196,13 @@ def compile_expr(scope: ExprScope, e: A.Expr) -> Column:
         for dt in dts:
             if dt is None or isinstance(dt, T.NullType):
                 continue
-            from ..graph import _scalar_kind, is_tagged_type
+            from ..graph import _container_kind, _scalar_kind, is_tagged_type
 
-            k = "tagged" if is_tagged_type(dt) else _scalar_kind(dt)
-            kinds.add(k if k in ("string", "bool", "tagged") else ("numeric" if k == "numeric" else "other"))
+            if is_tagged_type(dt):
+                k = "tagged"
+            else:
+                k = _scalar_kind(dt) or _container_kind(dt) or "other"
+            kinds.add(k)
         if len(kinds - {"other"}) > 1 and "other" not in kinds:
             # heterogeneous scalar literal list ([1, 'a', true] — agtype is
             # dynamically typed, agtype.h:307): element-tag so one Spark
@@ -361,6 +364,53 @@ def _numeric_binary(op: str, l: Column, r: Column, ldt, rdt) -> Column:
     raise CompileError(f"unknown arithmetic op {op}")
 
 
+def _ladder_rank(dt: Optional[T.DataType]) -> Optional[int]:
+    """Reference sort priority of a statically-typed operand
+    (get_type_sort_priority, agtype_util.c:271): edge=1, vertex=2, object=3,
+    array=4, string=5, bool=6, numeric=7. None for unknown/dynamic types."""
+    from ..graph import _scalar_kind, is_tagged_type
+
+    if dt is None or isinstance(dt, T.NullType):
+        return None
+    if is_tagged_type(dt):
+        return None  # dynamic: rank varies per row
+    k = _scalar_kind(dt)
+    if k == "numeric":
+        return 7
+    if k == "bool":
+        return 6
+    if k == "string":
+        return 5
+    if isinstance(dt, T.ArrayType):
+        return 4
+    if isinstance(dt, T.StructType):
+        names = _entity_fields(dt)
+        if names == {"id", "label", "properties"}:
+            return 2  # vertex
+        if names == {"id", "start_id", "end_id", "label", "properties"}:
+            return 1  # edge
+        return 3  # object (map literal / properties struct)
+    if isinstance(dt, T.MapType):
+        return 3
+    return None
+
+
+def _cross_kind_compare(op: str, l: Column, r: Column, lk: int, rk: int) -> Column:
+    """Comparison between operands of two different static kinds: the result
+    is decided entirely by the kind ladder (compare_agtype_containers_
+    orderability, agtype_util.c:333 — differing types never compare equal),
+    null-propagating per the reference's strict comparison ops."""
+    if op == "=":
+        const = False
+    elif op == "<>":
+        const = True
+    else:
+        const = {"<": lk < rk, "<=": lk < rk, ">": lk > rk, ">=": lk > rk}[op]
+    return F.when(
+        l.isNull() | r.isNull(), F.lit(None).cast("boolean")
+    ).otherwise(F.lit(const))
+
+
 def _tag_align(scope: ExprScope, l: Column, r: Column) -> tuple[Column, Column]:
     """If exactly one comparison side is a tagged dynamic value, wrap the
     other so struct ordering applies the reference's cross-type ladder."""
@@ -394,7 +444,28 @@ def _compile_binary(scope: ExprScope, e: A.Binary) -> Column:
     if op == "xor":
         return l.cast("boolean") != r.cast("boolean")
     if op in ("=", "<>", "<", "<=", ">", ">="):
-        l, r = _tag_align(scope, l, r)
+        ldt = _operand_dtype(scope, e.left, l)
+        rdt = _operand_dtype(scope, e.right, r)
+        lk, rk = _ladder_rank(ldt), _ladder_rank(rdt)
+        if lk is not None and rk is not None and lk != rk:
+            return _cross_kind_compare(op, l, r, lk, rk)
+        if (
+            isinstance(ldt, T.ArrayType)
+            and isinstance(rdt, T.ArrayType)
+            and _is_tagged(ldt.elementType) != _is_tagged(rdt.elementType)
+        ):
+            # one list is dynamic-kind: lift the concrete one so element
+            # comparison applies the same ladder
+            from ..graph import tag_column
+
+            if _is_tagged(ldt.elementType):
+                et = rdt.elementType
+                r = F.transform(r, lambda x: tag_column(x, et))
+            else:
+                et = ldt.elementType
+                l = F.transform(l, lambda x: tag_column(x, et))
+        else:
+            l, r = _tag_align(scope, l, r)
     if op == "=":
         return l == r
     if op == "<>":

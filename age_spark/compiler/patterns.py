@@ -76,9 +76,34 @@ def _props_filter(scope: ExprScope, struct_col: Column, props: A.Expr, struct_dt
         items = props.items
     else:
         raise CompileError("unsupported property constraint")
+    from ..graph import is_tagged_type, tag_column
+
+    from .exprs import _operand_dtype
+
+    def _field_dt(key: str):
+        if not isinstance(struct_dt, T.StructType):
+            return None
+        names = {f.name for f in struct_dt.fields}
+        if key in names:
+            return struct_dt[key].dataType
+        if "properties" in names and "id" in names:
+            pdt = struct_dt["properties"].dataType
+            if isinstance(pdt, T.StructType) and key in {f.name for f in pdt.fields}:
+                return pdt[key].dataType
+        return None
+
     cond = F.lit(True)
     for k, vexpr in items:
-        cond = cond & (_deref_entity(scope, struct_col, struct_dt, k) == compile_expr(scope, vexpr))
+        lcol = _deref_entity(scope, struct_col, struct_dt, k)
+        rcol = compile_expr(scope, vexpr)
+        fdt = _field_dt(k)
+        # mixed-kind (tagged dynamic) property: wrap the constraint value so
+        # equality dispatches on the reference's kind ladder, not raw types
+        if fdt is not None and is_tagged_type(fdt):
+            rdt = _operand_dtype(scope, vexpr, rcol)
+            if rdt is not None and not is_tagged_type(rdt):
+                rcol = tag_column(rcol, rdt)
+        cond = cond & (lcol == rcol)
     return cond
 
 

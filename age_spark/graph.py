@@ -54,17 +54,19 @@ EDGE_RESERVED = ("id", "start_id", "end_id")
 # NULL struct sorts last under the engine's NULLS-LARGEST ORDER BY), so
 # ORDER BY / comparisons on a mixed column need no extra plumbing.
 
-TAGGED_FIELD_NAMES = ("__k", "__n", "__s", "__b")
+TAGGED_FIELD_NAMES = ("__k", "__n", "__s", "__b", "__j")
 TAGGED_TYPE = T.StructType(
     [
         T.StructField("__k", T.ByteType(), True),
         T.StructField("__n", T.DoubleType(), True),
         T.StructField("__s", T.StringType(), True),
         T.StructField("__b", T.BooleanType(), True),
+        T.StructField("__j", T.StringType(), True),  # JSON payload: object/array kinds
     ]
 )
-# reference sort priorities (agtype_util.c:271): string=5, bool=6, numeric=7
-_KIND_RANK = {"string": 5, "bool": 6, "numeric": 7}
+# reference sort priorities (agtype_util.c:271):
+# object=3, array=4, string=5, bool=6, numeric=7
+_KIND_RANK = {"object": 3, "array": 4, "string": 5, "bool": 6, "numeric": 7}
 _NUMERIC_TYPES = (
     T.ByteType, T.ShortType, T.IntegerType, T.LongType,
     T.FloatType, T.DoubleType, T.DecimalType,
@@ -88,19 +90,47 @@ def _scalar_kind(dt: T.DataType) -> Optional[str]:
     return None
 
 
+def _container_kind(dt: T.DataType) -> Optional[str]:
+    """Container taggable as a dynamic value: plain arrays and objects.
+    Graph entities (vertex/edge structs) stay concretely typed."""
+    if isinstance(dt, T.ArrayType):
+        return "array"
+    if isinstance(dt, T.MapType):
+        return "object"
+    if isinstance(dt, T.StructType) and not is_tagged_type(dt):
+        names = {f.name for f in dt.fields}
+        if names in ({"id", "label", "properties"},
+                     {"id", "start_id", "end_id", "label", "properties"}):
+            return None  # vertex/edge
+        return "object"
+    return None
+
+
 def tag_column(col: Column, src_dt: T.DataType) -> Column:
-    """Wrap a concretely-typed scalar column into the tagged struct.
-    NULL in -> NULL struct out, so IS NULL / NULLS-LARGEST still hold."""
+    """Wrap a concretely-typed value column into the tagged struct.
+    NULL in -> NULL struct out, so IS NULL / NULLS-LARGEST still hold.
+    Containers (object/array kinds) carry a JSON payload in __j: the
+    cross-KIND ladder is exact; WITHIN-kind container ordering falls back
+    to lexical JSON order (the reference compares containers element-wise,
+    agtype_util.c:423 — a deviation only when two containers of the same
+    kind meet inside one dynamic column; documented in COVERAGE.md)."""
     if is_tagged_type(src_dt):
         return col
-    kind = _scalar_kind(src_dt)
+    kind = _scalar_kind(src_dt) or _container_kind(src_dt)
     if kind is None:
         raise CatalogError(f"cannot represent {src_dt.simpleString()} as a dynamic value")
     k = F.lit(_KIND_RANK[kind]).cast("tinyint")
     n = col.cast("double") if kind == "numeric" else F.lit(None).cast("double")
     s = col if kind == "string" else F.lit(None).cast("string")
     b = col if kind == "bool" else F.lit(None).cast("boolean")
-    tagged = F.struct(k.alias("__k"), n.alias("__n"), s.alias("__s"), b.alias("__b"))
+    j = (
+        F.to_json(col, {"ignoreNullFields": "false"})
+        if kind in ("array", "object")
+        else F.lit(None).cast("string")
+    )
+    tagged = F.struct(
+        k.alias("__k"), n.alias("__n"), s.alias("__s"), b.alias("__b"), j.alias("__j")
+    )
     return F.when(col.isNull(), F.lit(None).cast(TAGGED_TYPE)).otherwise(tagged)
 
 
@@ -118,7 +148,12 @@ def _widen(a: T.DataType, b: T.DataType) -> T.DataType:
         return a
     if is_tagged_type(a) or is_tagged_type(b):
         other = b if is_tagged_type(a) else a
-        if is_tagged_type(other) or _scalar_kind(_strip_nullability(other)) is not None:
+        on = _strip_nullability(other)
+        if (
+            is_tagged_type(other)
+            or _scalar_kind(on) is not None
+            or _container_kind(on) is not None
+        ):
             return TAGGED_TYPE
         raise CatalogError(
             f"cannot merge {other.simpleString()} into a dynamic scalar value"
@@ -134,15 +169,9 @@ def _widen(a: T.DataType, b: T.DataType) -> T.DataType:
                 order.append(f.name)
         return T.StructType([T.StructField(n, fields[n], True) for n in order])
     if isinstance(a, T.ArrayType) and isinstance(b, T.ArrayType):
-        et = _widen(a.elementType, b.elementType)
-        if is_tagged_type(et) and not (
-            is_tagged_type(a.elementType) or is_tagged_type(b.elementType)
-        ):
-            raise CatalogError(
-                "conflicting list element types across labels: "
-                f"{a.simpleString()} vs {b.simpleString()}"
-            )
-        return T.ArrayType(et, True)
+        # conflicting element KINDS element-tag, same as heterogeneous
+        # literal lists — agtype lists are dynamically typed (agtype.h:307)
+        return T.ArrayType(_widen(a.elementType, b.elementType), True)
     an, bn = _strip_nullability(a), _strip_nullability(b)
     if an == bn:
         return an
@@ -154,7 +183,9 @@ def _widen(a: T.DataType, b: T.DataType) -> T.DataType:
         return an if numeric_rank[an] >= numeric_rank[bn] else bn
     if _scalar_kind(an) == "numeric" and _scalar_kind(bn) == "numeric":
         return T.DoubleType()  # decimal/exotic numeric mix
-    if _scalar_kind(an) is not None and _scalar_kind(bn) is not None:
+    if (_scalar_kind(an) is not None or _container_kind(an) is not None) and (
+        _scalar_kind(bn) is not None or _container_kind(bn) is not None
+    ):
         return TAGGED_TYPE  # kind conflict -> dynamic value, not stringify
     raise CatalogError(
         f"cannot merge property types {a.simpleString()} and {b.simpleString()} across labels"
@@ -572,6 +603,8 @@ def conform_col(col: Column, src: T.DataType, dst: T.DataType) -> Column:
     missing fields as NULLs, arrays conform element-wise, scalars cast."""
     if src == dst:
         return col
+    if is_tagged_type(dst) and not is_tagged_type(src):
+        return tag_column(col, src)  # kind conflict across parts: wrap, don't null
     if isinstance(dst, T.StructType):
         src_fields = {f.name: f.dataType for f in src.fields} if isinstance(src, T.StructType) else {}
         parts = []

@@ -85,9 +85,11 @@ def _out(v: Any) -> str:
     if isinstance(v, (list, tuple)):
         return "[" + ", ".join(_out(x) for x in v) + "]"
     if isinstance(v, dict):
-        if tuple(v.keys()) == ("__k", "__n", "__s", "__b"):
+        if tuple(v.keys()) == ("__k", "__n", "__s", "__b", "__j"):
             # tagged dynamic value (mixed-kind property): print its payload
             k = v["__k"]
+            if k in (3, 4):  # object/array kind: JSON payload round-trip
+                return _out(json.loads(v["__j"]))
             if k == 5:
                 return json.dumps(v["__s"], ensure_ascii=False)
             if k == 6:

@@ -77,14 +77,24 @@ def test_is_null_and_nulls_largest(mixed):
     assert rows(age, g, "MATCH (n) WHERE n.val IS NULL RETURN count(*) AS c") == [(1,)]
 
 
-def test_widen_rejects_unmergeable():
-    with pytest.raises(CatalogError):
-        _widen(T.ArrayType(T.LongType()), T.LongType())
-    with pytest.raises(CatalogError):
-        _widen(T.ArrayType(T.LongType()), T.ArrayType(T.StringType()))
+def test_widen_merges_all_agtype_kinds():
+    # array vs scalar: distinct KINDS -> one dynamic (tagged) column,
+    # same as the reference's one-agtype-column-per-key (agtype.h:307)
+    assert is_tagged_type(_widen(T.ArrayType(T.LongType()), T.LongType()))
+    # array vs array with conflicting element kinds: element-tagged list
+    w = _widen(T.ArrayType(T.LongType()), T.ArrayType(T.StringType()))
+    assert isinstance(w, T.ArrayType) and is_tagged_type(w.elementType)
     assert is_tagged_type(_widen(T.LongType(), T.StringType()))
     assert _widen(T.LongType(), T.DoubleType()) == T.DoubleType()
     assert is_tagged_type(_widen(TAGGED_TYPE, T.BooleanType()))
+    # entity structs never merge into a dynamic value
+    vertex = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("label", T.StringType()),
+        T.StructField("properties", T.StructType([])),
+    ])
+    with pytest.raises(CatalogError):
+        _widen(vertex, T.LongType())
 
 
 def test_set_mixed_kind_update(spark):
