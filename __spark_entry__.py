@@ -50,10 +50,18 @@ def _emb(spark, sf_dir):
 
 
 def _events(spark, sf_dir):
-    # events.ts is parquet TIMESTAMP(NANOS): surfaced as epoch-ns LongType
-    # (matches the reference's temporal model — epoch integers, agtype.c:10924)
+    # events.ts is parquet TIMESTAMP (physical NANOS or MICROS depending on
+    # generator); normalize to epoch-ns LongType regardless (matches the
+    # reference's temporal model — epoch integers, agtype.c:10924)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return spark.read.parquet(f"{sf_dir}/events.parquet")
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    from pyspark.sql.types import TimestampNTZType, TimestampType
+
+    if isinstance(df.schema["ts"].dataType, (TimestampType, TimestampNTZType)):
+        # NTZ naive timestamps are epoch-anchored under the UTC session tz,
+        # matching DuckDB's epoch_ns() on the same parquet
+        df = df.withColumn("ts", F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000))
+    return df
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -159,7 +167,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["e_tumbling"] = lambda s, d: (
         _events(s, d)
-        .groupBy((F.col("ts") / F.lit(3600 * 1_000_000_000)).cast("long").alias("hour_bucket"))
+        .groupBy(F.expr("ts div 3600000000000").alias("hour_bucket"))
         .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
     )
 

@@ -38,6 +38,10 @@ def read_event_stream(
 
 
 def with_event_time(df: DataFrame, ts_col: str = "ts") -> DataFrame:
+    from pyspark.sql.types import TimestampType
+
+    if isinstance(df.schema[ts_col].dataType, TimestampType):
+        return df.withColumn("event_time", F.col(ts_col))
     return df.withColumn(
         "event_time", F.timestamp_seconds(F.col(ts_col) / F.lit(NS_PER_SEC))
     )

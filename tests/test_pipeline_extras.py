@@ -118,8 +118,13 @@ def test_ngram_jaccard_lsh_matches_exact(spark):
 
 
 def _events(spark):
+    from pyspark.sql.types import TimestampNTZType, TimestampType
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return spark.read.parquet(f"{SF_DIR}/events.parquet")
+    df = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    if isinstance(df.schema["ts"].dataType, (TimestampType, TimestampNTZType)):
+        df = df.withColumn("ts", F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000))
+    return df
 
 
 def test_asof_join_matches_duckdb(spark):

@@ -5,6 +5,7 @@ import os
 
 import pytest
 from pyspark.sql import functions as F
+from pyspark.sql.types import TimestampType
 
 from age_spark.streaming import (
     read_event_stream,
@@ -24,6 +25,8 @@ def event_dir(spark_mod, tmp_path_factory):
     out = str(tmp_path_factory.mktemp("events_stream"))
     spark_mod.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark_mod.read.parquet(f"{SF_DIR}/events.parquet")
+    if isinstance(df.schema["ts"].dataType, (TimestampType, TimestampNTZType)):
+        df = df.withColumn("ts", F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000))
     df.repartition(4).write.mode("overwrite").parquet(out)
     return out
 
