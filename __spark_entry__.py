@@ -58,8 +58,10 @@ def _events(spark, sf_dir):
     from pyspark.sql.types import TimestampNTZType, TimestampType
 
     if isinstance(df.schema["ts"].dataType, (TimestampType, TimestampNTZType)):
-        # NTZ naive timestamps are epoch-anchored under the UTC session tz,
-        # matching DuckDB's epoch_ns() on the same parquet
+        # NTZ naive timestamps are epoch-anchored only if the session tz is
+        # UTC — pin it so the cast below matches DuckDB's epoch_ns() on the
+        # same parquet regardless of host timezone
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
         df = df.withColumn("ts", F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000))
     return df
 

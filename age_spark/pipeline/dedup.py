@@ -203,15 +203,25 @@ def minhash_lsh_candidates(
 def minhash_dedup_pairs(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     num_hashes: int = 64, bands: int = 16, k: int = 3, threshold: float = 0.7,
+    materialize: bool = False,
 ) -> DataFrame:
     """Scale-path near-dup: LSH candidates verified by signature-estimated
     Jaccard (fraction of agreeing minhashes).
 
-    The signature table is computed ONCE and persisted (it is tiny relative
-    to the corpus: num_hashes longs per doc); banding, the candidate join,
-    and the verify joins all reuse it — without this, Catalyst re-evaluates
-    the full shingle+hash pipeline on every side of every join."""
-    sig = minhash_signatures(df, text_col, id_col, num_hashes, k).persist()
+    The signature table feeds three join sides (banding + both verify
+    sides); as one subplan its shuffle is deduplicated by Spark's
+    ReusedExchange, so the default lazy plan computes signatures once
+    without pinning anything — nothing to unpersist, safe in a long-lived
+    session.
+
+    ``materialize=True`` additionally persists the signature table during
+    an eager evaluation of the pair set and returns the pairs CACHED —
+    use when the result is iterated over (``near_dedup``'s component
+    loop). The caller owns ``out.unpersist()``; a persisted DataFrame is
+    pinned in Spark's CacheManager until then (not released by GC)."""
+    sig = minhash_signatures(df, text_col, id_col, num_hashes, k)
+    if materialize:
+        sig = sig.persist()
     try:
         banded = _band_buckets(sig, num_hashes, bands)
         a = banded.alias("a")
@@ -239,16 +249,18 @@ def minhash_dedup_pairs(
         out = est.filter(F.col("est_jaccard") >= threshold).select(
             "id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard")
         )
-        # Materialize the pair set eagerly so the signature cache (num_hashes
-        # longs per doc — the big allocation) can be released NOW. cache() +
-        # count() keeps the SQL/AQE execution path — localCheckpoint would
-        # run the non-adaptive RDD plan, measured 5x slower — and pins only
-        # the near-dup pairs, a tiny fraction of the corpus.
-        out = out.persist()
-        out.count()
+        if materialize:
+            # Evaluate eagerly so the signature cache (the big allocation)
+            # can be released NOW. cache() + count() keeps the SQL/AQE
+            # execution path — localCheckpoint would run the non-adaptive
+            # RDD plan, measured 5x slower — and pins only the near-dup
+            # pairs, a tiny fraction of the corpus.
+            out = out.persist()
+            out.count()
         return out
     finally:
-        sig.unpersist(blocking=False)
+        if materialize:
+            sig.unpersist(blocking=False)
 
 
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
@@ -330,10 +342,19 @@ def near_dedup(
     tiny in practice."""
     from ..algorithms import connected_components
 
-    pairs = minhash_dedup_pairs(df, text_col, id_col, num_hashes, bands, k, threshold)
-    ids = df.select(F.col(id_col).alias("id"))
-    edges = pairs.select(F.col("id_a").alias("start_id"), F.col("id_b").alias("end_id"))
-    comps = connected_components(ids, edges, max_iterations=20)
+    pairs = minhash_dedup_pairs(
+        df, text_col, id_col, num_hashes, bands, k, threshold, materialize=True
+    )
+    try:
+        ids = df.select(F.col(id_col).alias("id"))
+        edges = pairs.select(F.col("id_a").alias("start_id"), F.col("id_b").alias("end_id"))
+        comps = connected_components(ids, edges, max_iterations=20)
+    finally:
+        # connected_components eagerly localCheckpoints its final state, so
+        # the cached pair set is no longer reachable from the returned plan
+        # — release it here (CacheManager pins persisted plans until an
+        # explicit unpersist; GC never frees them).
+        pairs.unpersist(blocking=False)
     keep = comps.filter(F.col("id") == F.col("component")).select("id")
     return df.join(keep, df[id_col] == keep["id"], "left_semi")
 

@@ -10,11 +10,27 @@ Beyond-reference operators (no training-pipeline surface in the reference).
 
 from __future__ import annotations
 
-from typing import Mapping, Union
+from typing import Mapping, Optional, Union
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+
+# xxhash64 output is a signed int64; map it to a uniform double in [0, 1).
+_HASH_SPAN = float(2**64)
+
+
+def _hash_draw(df: DataFrame, seed: int, id_col: Optional[str]) -> F.Column:
+    """Uniform [0,1) draw that is a pure function of (row identity, seed).
+
+    Unlike ``F.rand(seed)`` — which seeds per *partition*, so any
+    repartition, AQE replan, or input-split change reshuffles the sample —
+    this survives task retry and replanning byte-for-byte. With ``id_col``
+    the identity is that column; otherwise the full row content.
+    """
+    cols = [F.col(id_col)] if id_col else [F.col(c) for c in df.columns]
+    h = F.xxhash64(*cols, F.lit(int(seed)))
+    return (h.cast("double") / F.lit(_HASH_SPAN)) + F.lit(0.5)
 
 
 def stratified_sample(
@@ -22,15 +38,17 @@ def stratified_sample(
     strata_col: str,
     fractions: Union[float, Mapping[str, float]],
     seed: int = 42,
+    id_col: Optional[str] = None,
 ) -> DataFrame:
     """Bernoulli sample per stratum: keep each row of stratum s with
     probability fractions[s] (or a uniform float for every stratum).
 
-    Deterministic per (seed, row): uses a uniform hash draw on a stable
-    per-row rand — no shuffle at all, the filter evaluates in the scan
-    stage and pushes work to zero for fraction 0 strata.
+    Deterministic per (seed, row): the draw is ``xxhash64(row-identity,
+    seed)`` scaled to [0,1) — no shuffle at all, the filter evaluates in
+    the scan stage, survives repartition/AQE replan/task retry, and pushes
+    work to zero for fraction-0 strata.
     """
-    draw = F.rand(seed)
+    draw = _hash_draw(df, seed, id_col)
     if isinstance(fractions, Mapping):
         rate = None
         for k, v in fractions.items():
@@ -48,15 +66,17 @@ def stratified_cap(
     n_per_stratum: int,
     order_col: str = None,
     seed: int = 42,
+    id_col: Optional[str] = None,
 ) -> DataFrame:
     """At most ``n_per_stratum`` rows per stratum. With ``order_col``,
     keeps the TOP rows by that column (e.g. quality_score); without, a
-    seeded-random subset. One shuffle (window partitioned by stratum);
+    seeded hash-random subset (deterministic under repartition, same draw
+    as ``stratified_sample``). One shuffle (window partitioned by stratum);
     heavy strata are exactly the skew case AQE's skew-join handling and a
     pre-aggregation cannot fix here — the rank itself is the operator —
     so at extreme skew raise spark.sql.shuffle.partitions for this stage.
     """
-    order = F.col(order_col).desc() if order_col else F.rand(seed)
+    order = F.col(order_col).desc() if order_col else _hash_draw(df, seed, id_col).asc()
     w = Window.partitionBy(strata_col).orderBy(order)
     return (
         df.withColumn("_rk", F.row_number().over(w))

@@ -38,10 +38,15 @@ def read_event_stream(
 
 
 def with_event_time(df: DataFrame, ts_col: str = "ts") -> DataFrame:
-    from pyspark.sql.types import TimestampType
+    from pyspark.sql.types import TimestampNTZType, TimestampType
 
-    if isinstance(df.schema[ts_col].dataType, TimestampType):
+    dt = df.schema[ts_col].dataType
+    if isinstance(dt, TimestampType):
         return df.withColumn("event_time", F.col(ts_col))
+    if isinstance(dt, TimestampNTZType):
+        # NTZ carries no zone; cast under the session tz (pinned to UTC by
+        # the engine's session builders so the wall-clock is preserved).
+        return df.withColumn("event_time", F.col(ts_col).cast("timestamp"))
     return df.withColumn(
         "event_time", F.timestamp_seconds(F.col(ts_col) / F.lit(NS_PER_SEC))
     )

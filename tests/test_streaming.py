@@ -5,7 +5,7 @@ import os
 
 import pytest
 from pyspark.sql import functions as F
-from pyspark.sql.types import TimestampType
+from pyspark.sql.types import TimestampNTZType, TimestampType
 
 from age_spark.streaming import (
     read_event_stream,
