@@ -108,9 +108,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["p_exact_dedup"] = lambda s, d: (
         __import__("age_spark.pipeline.dedup", fromlist=["exact_dedup"]).exact_dedup(_docs(s, d))
     )
+    # threshold 0.45 yields a real pair set on the synthetic embeddings
+    # (14 pairs at sf0.01, 144 at sf0.1 — 0.8 matched the oracle vacuously
+    # at 0 rows, VERDICT r2 #2); n_bands=48 keeps the per-pair LSH miss
+    # probability below 1e-4 at the 0.45 decision boundary so the banded
+    # path agrees exactly with the all-pairs oracle
     q["p_embed_near_pairs"] = lambda s, d: (
         __import__("age_spark.pipeline.dedup", fromlist=["embedding_near_pairs"])
-        .embedding_near_pairs(_emb(s, d), threshold=0.8)
+        .embedding_near_pairs(_emb(s, d), threshold=0.45, n_bands=48)
     )
 
     # ---- similarity search
@@ -588,7 +593,7 @@ def oracle_sql() -> dict[str, str]:
         "SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
         "round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine "
         "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
-        "WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.8"
+        "WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.45"
     )
     O["p_ann_topk"] = (
         "WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5), "

@@ -369,11 +369,14 @@ def embedding_near_pairs(
     Scale path: banded random-projection LSH candidates + exact cosine
     verify — the cosine analogue of MinHash banding. Two vectors at cosine
     >= 0.8 (angle <= 36.9 deg) collide in one 4-bit band with p ~= 0.40;
-    with 24 bands the miss probability is (1-p)^24 ~= 5e-6 per pair. The
-    only shuffle is the equi-join on (band, band-signature) — candidates,
-    not n^2. Exact verification keeps precision at 1.0; recall is tunable
-    via n_bands. ``embedding_near_pairs_exact`` is the O(n^2) verifier twin
-    (tests assert the two agree at test scale)."""
+    with 24 bands the miss probability is (1-p)^24 ~= 5e-6 per pair. At a
+    looser threshold raise n_bands (0.45 -> band p ~= 0.18; 48 bands keep
+    the miss probability under 1e-4). The only shuffle is the equi-join on
+    (band, band-signature) — candidates, not n^2. Exact verification keeps
+    precision at 1.0; recall is tunable via n_bands.
+    ``embedding_near_pairs_exact`` is the O(n^2) verifier twin;
+    tests/test_similarity.py::test_embedding_near_pairs_lsh_agrees_with_exact
+    asserts the two produce the identical pair set at test scale."""
     from .similarity import _rp_band_signatures, cosine
 
     base = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))

@@ -69,3 +69,25 @@ def test_multiprobe_recall_improvement(spark):
     # deeper IVF probing also buys recall
     r_ivf = recall(ivf_topk(emb, qs, k=5, n_centroids=8, nprobe=4))
     assert r_ivf >= 0.7, f"IVF nprobe=4 recall too low: {r_ivf}"
+
+
+def test_embedding_near_pairs_lsh_agrees_with_exact(spark):
+    """The RP-band LSH path must reproduce the all-pairs result exactly at
+    the entry threshold (VERDICT r2 #2: the 0.8-threshold driver row was
+    vacuous — 0 rows on both sides proved nothing about the banded path)."""
+    from age_spark.pipeline.dedup import (
+        embedding_near_pairs,
+        embedding_near_pairs_exact,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    lsh = {
+        (r.id_a, r.id_b, r.cosine)
+        for r in embedding_near_pairs(emb, threshold=0.45, n_bands=48).collect()
+    }
+    exact = {
+        (r.id_a, r.id_b, r.cosine)
+        for r in embedding_near_pairs_exact(emb, threshold=0.45).collect()
+    }
+    assert len(exact) > 0, "threshold yields no pairs — the check is vacuous"
+    assert lsh == exact
