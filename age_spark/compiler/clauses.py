@@ -252,8 +252,16 @@ def _attach_subquery(ctx: QueryContext, st: State, node, out_name: str) -> State
 # ------------------------------------------------------------- aggregates
 
 
-def _agg_column(ctx: QueryContext, node: A.FuncCall, arg_col: Optional[Column]) -> Column:
+def _agg_column(
+    ctx: QueryContext, node: A.FuncCall, arg_col: Optional[Column], arg_dt=None
+) -> Column:
     name = node.name
+    from ..graph import is_tagged_type
+
+    if arg_dt is not None and is_tagged_type(arg_dt) and name in (
+        "sum", "avg", "stdev", "stdevp", "percentilecont", "percentiledisc"
+    ):
+        return _agg_tagged(ctx, node, arg_col)
     if name == "count":
         if not node.args or isinstance(node.args[0], A.Star):
             return F.count(F.lit(1))
@@ -283,6 +291,47 @@ def _agg_column(ctx: QueryContext, node: A.FuncCall, arg_col: Optional[Column]) 
     if name == "percentiledisc":
         return F.percentile_approx(arg_col, F.lit(_const_float(ctx, node.args[1])), F.lit(2147483647))
     raise CompileError(f"unknown aggregate {name}")
+
+
+def _agg_tagged(ctx: QueryContext, node: A.FuncCall, arg_col: Column) -> Column:
+    """Numeric aggregates over a tagged (mixed-kind) dynamic column operate
+    on the numeric slot; non-numeric rows contribute NULL (ignored).
+
+    sum() preserves the numeric kind the way the reference does
+    (age_agtype_sum, agtype.c:11344): all-int input returns an exact int64
+    sum (via the __i payloads), any float in the group promotes the result
+    to float. The result is itself a tagged value so either kind can
+    surface per group."""
+    from ..graph import TAGGED_TYPE
+
+    name = node.name
+    n, i = arg_col.getField("__n"), arg_col.getField("__i")
+    if name == "sum":
+        nsum = F.sum_distinct(n) if node.distinct else F.sum(n)
+        isum = F.sum_distinct(i) if node.distinct else F.sum(i)
+        all_int = F.count(n) == F.count(i)
+        return F.when(nsum.isNull(), F.lit(None).cast(TAGGED_TYPE)).otherwise(
+            F.struct(
+                F.lit(7).cast("tinyint").alias("__k"),
+                nsum.alias("__n"),
+                F.when(all_int, isum).alias("__i"),
+                F.lit(None).cast("string").alias("__s"),
+                F.lit(None).cast("boolean").alias("__b"),
+                F.lit(None).cast("string").alias("__j"),
+            )
+        )
+    if name == "avg":
+        # float8 accumulator in the reference (age_agtype_float8_accum)
+        if node.distinct:
+            return F.sum_distinct(n) / F.count_distinct(n)
+        return F.avg(n)
+    if name == "stdev":
+        return F.coalesce(F.stddev_samp(n), F.lit(0.0))
+    if name == "stdevp":
+        return F.coalesce(F.stddev_pop(n), F.lit(0.0))
+    if name == "percentilecont":
+        return F.percentile(n, F.lit(_const_float(ctx, node.args[1])))
+    return F.percentile_approx(n, F.lit(_const_float(ctx, node.args[1])), F.lit(2147483647))
 
 
 def _const_float(ctx: QueryContext, e) -> float:
@@ -519,7 +568,8 @@ def _project_aggregate(ctx, df, env, items, aliases, order_by, distinct):
     aggs = []
     for j, node in enumerate(uniq):
         arg_col = F.col(arg_names[j]) if arg_names[j] else None
-        aggs.append(_agg_column(ctx, node, arg_col).alias(f"_a{j}"))
+        arg_dt = pre.schema[arg_names[j]].dataType if arg_names[j] else None
+        aggs.append(_agg_column(ctx, node, arg_col, arg_dt).alias(f"_a{j}"))
 
     if key_idx:
         grouped = pre.groupBy(*[F.col(f"_k{i}") for i in key_idx]).agg(*aggs)

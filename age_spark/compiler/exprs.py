@@ -196,12 +196,16 @@ def compile_expr(scope: ExprScope, e: A.Expr) -> Column:
         for dt in dts:
             if dt is None or isinstance(dt, T.NullType):
                 continue
-            from ..graph import _container_kind, _scalar_kind, is_tagged_type
+            from ..graph import _INT_TYPES, _container_kind, _scalar_kind, is_tagged_type
 
             if is_tagged_type(dt):
                 k = "tagged"
             else:
                 k = _scalar_kind(dt) or _container_kind(dt) or "other"
+            if k == "numeric":
+                # int and float are distinct agtype kinds (agtype.h:307):
+                # [1, 2.5] element-tags so 1 stays an exact, bare-printing int
+                k = "int" if isinstance(dt, _INT_TYPES) else "float"
             kinds.add(k)
         if len(kinds - {"other"}) > 1 and "other" not in kinds:
             # heterogeneous scalar literal list ([1, 'a', true] — agtype is
@@ -412,17 +416,21 @@ def _cross_kind_compare(op: str, l: Column, r: Column, lk: int, rk: int) -> Colu
 
 
 def _tag_align(scope: ExprScope, l: Column, r: Column) -> tuple[Column, Column]:
-    """If exactly one comparison side is a tagged dynamic value, wrap the
-    other so struct ordering applies the reference's cross-type ladder."""
-    from ..graph import is_tagged_type, tag_column
+    """If either comparison side is a tagged dynamic value, wrap the other
+    and reduce both to comparison KEYS (the struct minus the exact-int
+    payload slot) so struct ordering applies the reference's cross-type
+    ladder and `2 = 2.0` stays true (expr.out:680-685)."""
+    from ..graph import is_tagged_type, tag_column, tagged_cmp_key
 
     ldt, rdt = dtype_of(scope, l), dtype_of(scope, r)
     lt = ldt is not None and is_tagged_type(ldt)
     rt = rdt is not None and is_tagged_type(rdt)
     if lt and not rt and rdt is not None:
-        return l, tag_column(r, rdt)
+        return tagged_cmp_key(l), tagged_cmp_key(tag_column(r, rdt))
     if rt and not lt and ldt is not None:
-        return tag_column(l, ldt), r
+        return tagged_cmp_key(tag_column(l, ldt)), tagged_cmp_key(r)
+    if lt and rt:
+        return tagged_cmp_key(l), tagged_cmp_key(r)
     return l, r
 
 
@@ -449,21 +457,25 @@ def _compile_binary(scope: ExprScope, e: A.Binary) -> Column:
         lk, rk = _ladder_rank(ldt), _ladder_rank(rdt)
         if lk is not None and rk is not None and lk != rk:
             return _cross_kind_compare(op, l, r, lk, rk)
-        if (
-            isinstance(ldt, T.ArrayType)
-            and isinstance(rdt, T.ArrayType)
-            and _is_tagged(ldt.elementType) != _is_tagged(rdt.elementType)
-        ):
-            # one list is dynamic-kind: lift the concrete one so element
-            # comparison applies the same ladder
-            from ..graph import tag_column
+        l_arr_t = isinstance(ldt, T.ArrayType) and _is_tagged(ldt.elementType)
+        r_arr_t = isinstance(rdt, T.ArrayType) and _is_tagged(rdt.elementType)
+        if (l_arr_t or r_arr_t) and isinstance(ldt, T.ArrayType) and isinstance(rdt, T.ArrayType):
+            # at least one list is dynamic-kind: lift the concrete one and
+            # compare element cmp-keys so the ladder applies and int/float
+            # elements compare by value
+            from ..graph import tag_column, tagged_cmp_key
 
-            if _is_tagged(ldt.elementType):
+            if l_arr_t and not r_arr_t:
                 et = rdt.elementType
-                r = F.transform(r, lambda x: tag_column(x, et))
-            else:
+                r = F.transform(r, lambda x: tagged_cmp_key(tag_column(x, et)))
+                l = F.transform(l, tagged_cmp_key)
+            elif r_arr_t and not l_arr_t:
                 et = ldt.elementType
-                l = F.transform(l, lambda x: tag_column(x, et))
+                l = F.transform(l, lambda x: tagged_cmp_key(tag_column(x, et)))
+                r = F.transform(r, tagged_cmp_key)
+            else:
+                l = F.transform(l, tagged_cmp_key)
+                r = F.transform(r, tagged_cmp_key)
         else:
             l, r = _tag_align(scope, l, r)
     if op == "=":
@@ -473,20 +485,26 @@ def _compile_binary(scope: ExprScope, e: A.Binary) -> Column:
     if op in ("<", "<=", ">", ">="):
         return {"<": l < r, "<=": l <= r, ">": l > r, ">=": l >= r}[op]
     if op == "in":
-        from ..graph import is_tagged_type, tag_column
+        from ..graph import is_tagged_type, tag_column, tagged_cmp_key
 
         ldt, rdt = _operand_dtype(scope, e.left, l), _operand_dtype(scope, e.right, r)
         # NULL on either side -> NULL (three-valued; array_contains rejects
         # NullType operands at analysis)
         if isinstance(ldt, T.NullType) or isinstance(rdt, T.NullType):
             return F.lit(None).cast("boolean")
-        if (
-            isinstance(rdt, T.ArrayType)
-            and is_tagged_type(rdt.elementType)
-            and ldt is not None
-            and not is_tagged_type(ldt)
-        ):
-            l = tag_column(l, ldt)  # needle joins the dynamic-kind ladder
+        needle_tagged = ldt is not None and is_tagged_type(ldt)
+        hay_tagged = isinstance(rdt, T.ArrayType) and is_tagged_type(rdt.elementType)
+        if hay_tagged or (needle_tagged and isinstance(rdt, T.ArrayType)):
+            # membership on the dynamic-kind ladder: compare cmp-keys so
+            # 1.0 IN [..., 1, ...] is true (expr.out:174-178 — numeric
+            # kinds compare by value)
+            needle = l if needle_tagged else tag_column(l, ldt)
+            if hay_tagged:
+                hay = F.transform(r, tagged_cmp_key)
+            else:
+                et = rdt.elementType
+                hay = F.transform(r, lambda x: tagged_cmp_key(tag_column(x, et)))
+            return F.array_contains(hay, tagged_cmp_key(needle))
         return F.array_contains(r, l)
     if op == "starts with":
         return l.startswith(r)
@@ -822,20 +840,21 @@ def _elem_tagged(scope, col: Column) -> bool:
 
 def _tagged_to_string(c: Column) -> Column:
     k, n, s, b = _tagged_parts(c)
+    i = c.getField("__i")
+    # int kind prints bare (exact via the __i payload); float kind keeps
+    # the ".0" (float8out, ag_float8_supp.c) — Spark's double->string does
     return (
         F.when(k == 5, s)
         .when(k == 6, b.cast("string"))
-        .when(
-            k == 7,
-            F.when(n == F.floor(n), n.cast("long").cast("string")).otherwise(n.cast("string")),
-        )
+        .when(k == 7, F.when(i.isNotNull(), i.cast("string")).otherwise(n.cast("string")))
     )
 
 
 def _tagged_to_integer(c: Column) -> Column:
     k, n, s, b = _tagged_parts(c)
+    i = c.getField("__i")
     return (
-        F.when(k == 7, n.cast("long"))
+        F.when(k == 7, F.coalesce(i, n.cast("long")))
         .when(k == 5, F.coalesce(s.try_cast("long"), s.try_cast("double").cast("long")))
         .when(k == 6, b.cast("long"))
     )

@@ -52,13 +52,29 @@ EDGE_RESERVED = ("id", "start_id", "end_id")
 # field, nulls first) then reproduces the reference's cross-type ladder
 # (agtype_util.c:271-310 sort priorities — String 5 < Bool 6 < Numeric 7,
 # NULL struct sorts last under the engine's NULLS-LARGEST ORDER BY), so
-# ORDER BY / comparisons on a mixed column need no extra plumbing.
+# ORDER BY on a mixed column needs no extra plumbing.
+#
+# Numeric kind fidelity: the reference keeps INTEGER (exact int64) and
+# FLOAT (float8) as distinct kinds sharing one ladder priority
+# (agtype.h:307-323). __n is the coalesced numeric SORT key (double);
+# __i carries the exact int64 payload for int-kind values (null for
+# floats), so >2^53 ints survive a mixed column and printing can tell
+# 2 from 2.0 (ag_float8_supp.c float8out keeps the ".0"). Because __i
+# sits after __n, it only breaks __n ties: int 2 and float 2.0 stay
+# numerically ordered, the tie resolving deterministically (nulls-first
+# puts the float first). Comparison OPERATORS (= <> < ...) must NOT see
+# __i — they go through tagged_cmp_key() below, so `2 = 2.0` stays true
+# (expr.out:680-685). DISTINCT/grouping on a tagged column uses full
+# struct equality and therefore keeps 2 and 2.0 apart — consistent with
+# the reference's own agtype_hash_cmp, which hashes 1 and 1.0
+# differently (agtype_hash_cmp.out:32-41).
 
-TAGGED_FIELD_NAMES = ("__k", "__n", "__s", "__b", "__j")
+TAGGED_FIELD_NAMES = ("__k", "__n", "__i", "__s", "__b", "__j")
 TAGGED_TYPE = T.StructType(
     [
         T.StructField("__k", T.ByteType(), True),
-        T.StructField("__n", T.DoubleType(), True),
+        T.StructField("__n", T.DoubleType(), True),  # coalesced numeric sort key
+        T.StructField("__i", T.LongType(), True),    # exact int64 payload (int kind)
         T.StructField("__s", T.StringType(), True),
         T.StructField("__b", T.BooleanType(), True),
         T.StructField("__j", T.StringType(), True),  # JSON payload: object/array kinds
@@ -71,6 +87,7 @@ _NUMERIC_TYPES = (
     T.ByteType, T.ShortType, T.IntegerType, T.LongType,
     T.FloatType, T.DoubleType, T.DecimalType,
 )
+_INT_TYPES = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
 
 
 def is_tagged_type(dt: T.DataType) -> bool:
@@ -121,6 +138,14 @@ def tag_column(col: Column, src_dt: T.DataType) -> Column:
         raise CatalogError(f"cannot represent {src_dt.simpleString()} as a dynamic value")
     k = F.lit(_KIND_RANK[kind]).cast("tinyint")
     n = col.cast("double") if kind == "numeric" else F.lit(None).cast("double")
+    # int-kind payload: exact int64 (decimal sources with scale 0 count as
+    # int kind only if they fit a long — otherwise they stay float-kind,
+    # the pre-existing documented DECIMAL deviation)
+    i = (
+        col.cast("long")
+        if kind == "numeric" and isinstance(_strip_nullability(src_dt), _INT_TYPES)
+        else F.lit(None).cast("long")
+    )
     s = col if kind == "string" else F.lit(None).cast("string")
     b = col if kind == "bool" else F.lit(None).cast("boolean")
     j = (
@@ -129,9 +154,29 @@ def tag_column(col: Column, src_dt: T.DataType) -> Column:
         else F.lit(None).cast("string")
     )
     tagged = F.struct(
-        k.alias("__k"), n.alias("__n"), s.alias("__s"), b.alias("__b"), j.alias("__j")
+        k.alias("__k"), n.alias("__n"), i.alias("__i"),
+        s.alias("__s"), b.alias("__b"), j.alias("__j"),
     )
     return F.when(col.isNull(), F.lit(None).cast(TAGGED_TYPE)).otherwise(tagged)
+
+
+def tagged_cmp_key(col: Column) -> Column:
+    """Comparison key of a tagged value for the = <> < <= > >= operators:
+    the struct minus the __i payload slot, so int 2 and float 2.0 compare
+    EQUAL (the reference compares all numeric kinds by value,
+    compare_agtype_scalar_values; expr.out `RETURN 1 = 1.0` -> true).
+    NULL-safe: a NULL tagged value yields a NULL key (strict operators)."""
+    return F.when(
+        col.isNull(), F.lit(None).cast("struct<__k:tinyint,__n:double,__s:string,__b:boolean,__j:string>")
+    ).otherwise(
+        F.struct(
+            col.getField("__k").alias("__k"),
+            col.getField("__n").alias("__n"),
+            col.getField("__s").alias("__s"),
+            col.getField("__b").alias("__b"),
+            col.getField("__j").alias("__j"),
+        )
+    )
 
 
 def _widen(a: T.DataType, b: T.DataType) -> T.DataType:
@@ -175,12 +220,18 @@ def _widen(a: T.DataType, b: T.DataType) -> T.DataType:
     an, bn = _strip_nullability(a), _strip_nullability(b)
     if an == bn:
         return an
-    numeric_rank = {
-        T.ByteType(): 0, T.ShortType(): 1, T.IntegerType(): 2,
-        T.LongType(): 3, T.FloatType(): 4, T.DoubleType(): 5,
-    }
-    if an in numeric_rank and bn in numeric_rank:
-        return an if numeric_rank[an] >= numeric_rank[bn] else bn
+    int_rank = {T.ByteType(): 0, T.ShortType(): 1, T.IntegerType(): 2, T.LongType(): 3}
+    float_rank = {T.FloatType(): 0, T.DoubleType(): 1}
+    if an in int_rank and bn in int_rank:
+        return an if int_rank[an] >= int_rank[bn] else bn
+    if an in float_rank and bn in float_rank:
+        return an if float_rank[an] >= float_rank[bn] else bn
+    if (an in int_rank and bn in float_rank) or (an in float_rank and bn in int_rank):
+        # INTEGER and FLOAT are distinct agtype kinds (agtype.h:307-323):
+        # a column mixing them becomes a dynamic value so each row keeps
+        # its kind (1 prints "1", 2.5 prints "2.5"; >2^53 ints stay exact)
+        # instead of silently widening to double
+        return TAGGED_TYPE
     if _scalar_kind(an) == "numeric" and _scalar_kind(bn) == "numeric":
         return T.DoubleType()  # decimal/exotic numeric mix
     if (_scalar_kind(an) is not None or _container_kind(an) is not None) and (

@@ -85,7 +85,10 @@ def _out(v: Any) -> str:
     if isinstance(v, (list, tuple)):
         return "[" + ", ".join(_out(x) for x in v) + "]"
     if isinstance(v, dict):
-        if tuple(v.keys()) == ("__k", "__n", "__s", "__b", "__j"):
+        if tuple(v.keys()) in (
+            ("__k", "__n", "__i", "__s", "__b", "__j"),
+            ("__k", "__n", "__s", "__b", "__j"),  # cmp-key form (no int slot)
+        ):
             # tagged dynamic value (mixed-kind property): print its payload
             k = v["__k"]
             if k in (3, 4):  # object/array kind: JSON payload round-trip
@@ -95,11 +98,13 @@ def _out(v: Any) -> str:
             if k == 6:
                 return "true" if v["__b"] else "false"
             if k == 7:
-                n = v["__n"]
-                # int-valued doubles print as ints (the tagged slot holds
-                # every numeric as double; exact reference parity would
-                # need a float-ness bit, which would break 1 = 1.0)
-                return str(int(n)) if n == int(n) else _fmt_float(n)
+                # int kind carries its exact int64 in __i (prints bare,
+                # >2^53 exact); float kind prints float8out-style with
+                # the ".0" kept for integral values (ag_float8_supp.c:31)
+                i = v.get("__i")
+                if i is not None:
+                    return str(i)
+                return _fmt_float(v["__n"])
             return "null"
         kind = _is_entity_dict(v)
         if kind == "vertex":

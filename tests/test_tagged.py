@@ -85,7 +85,10 @@ def test_widen_merges_all_agtype_kinds():
     w = _widen(T.ArrayType(T.LongType()), T.ArrayType(T.StringType()))
     assert isinstance(w, T.ArrayType) and is_tagged_type(w.elementType)
     assert is_tagged_type(_widen(T.LongType(), T.StringType()))
-    assert _widen(T.LongType(), T.DoubleType()) == T.DoubleType()
+    # int vs float are distinct agtype KINDS (agtype.h:307) -> dynamic value
+    assert is_tagged_type(_widen(T.LongType(), T.DoubleType()))
+    assert _widen(T.IntegerType(), T.LongType()) == T.LongType()
+    assert _widen(T.FloatType(), T.DoubleType()) == T.DoubleType()
     assert is_tagged_type(_widen(TAGGED_TYPE, T.BooleanType()))
     # entity structs never merge into a dynamic value
     vertex = T.StructType([
@@ -130,3 +133,77 @@ def test_heterogeneous_literal_lists(spark):
     assert out("[1, 'a'] = [1, 'a']") == "true"
     assert out("toStringList([1, 2.5, true])") == '["1", "2.5", "true"]'
     assert out("toIntegerList([1, '2', true])") == "[1, 2, 1]"
+
+
+@pytest.fixture
+def intfloat(spark):
+    age = AgeSession(spark)
+    g = age.create_graph("intfloat1")
+    g = age.cypher(
+        g,
+        "CREATE (:N {k: 1, val: 2}), (:N {k: 2, val: 2.0}), "
+        "(:N {k: 3, val: 2.5}), (:N {k: 4, val: 9007199254740993})",
+    ).graph  # 2^53 + 1: not representable as float8
+    return age, g
+
+
+def test_int_float_kind_print_fidelity(intfloat):
+    """The reference keeps INTEGER and FLOAT as distinct kinds
+    (agtype.h:307-323): int 2 prints "2", float 2.0 prints "2.0"
+    (ag_float8_supp.c float8out), and >2^53 ints stay exact."""
+    from age_spark.runtime.agvalue import agtype_out
+
+    age, g = intfloat
+    got = [
+        agtype_out(r.v)
+        for r in age.cypher(g, "MATCH (n:N) RETURN n.val AS v ORDER BY n.k").df.collect()
+    ]
+    assert got == ["2", "2.0", "2.5", "9007199254740993"]
+
+
+def test_int_float_mixed_order_and_equality(intfloat):
+    age, g = intfloat
+    # numeric ORDER is by value across kinds: 2 and 2.0 tie, then 2.5, 2^53+1
+    vals = [
+        r.k for r in age.cypher(
+            g, "MATCH (n:N) RETURN n.k AS k ORDER BY n.val, n.k"
+        ).df.collect()
+    ]
+    assert vals[2:] == [3, 4] and set(vals[:2]) == {1, 2}
+    # = compares numeric kinds by VALUE (expr.out: RETURN 1 = 1.0 -> true)
+    assert rows(age, g, "MATCH (n:N) WHERE n.val = 2.0 RETURN count(*) AS c") == [(2,)]
+    assert rows(age, g, "MATCH (n:N) WHERE n.val = 2 RETURN count(*) AS c") == [(2,)]
+    assert rows(age, g, "MATCH (n:N) WHERE n.val > 2 RETURN count(*) AS c") == [(2,)]
+
+
+def test_sum_type_preservation(spark):
+    """age_agtype_sum (agtype.c:11344): all-int input -> exact int sum;
+    any float promotes the result to float."""
+    from age_spark.runtime.agvalue import agtype_out
+
+    age = AgeSession(spark)
+    g = age.create_graph("sumkinds")
+    g = age.cypher(
+        g,
+        "CREATE (:A {grp: 'i', v: 9007199254740993}), (:A {grp: 'i', v: 2}), "
+        "(:A {grp: 'f', v: 1}), (:A {grp: 'f', v: 0.5})",
+    ).graph
+    got = {
+        r.g: agtype_out(r.s)
+        for r in age.cypher(
+            g, "MATCH (n:A) RETURN n.grp AS g, sum(n.v) AS s"
+        ).df.collect()
+    }
+    assert got["i"] == "9007199254740995"  # exact: would be wrong as float8
+    assert got["f"] == "1.5"
+
+
+def test_int_float_literal_list(spark):
+    from age_spark.runtime.agvalue import agtype_out
+
+    age = AgeSession(spark)
+    g = age.create_graph("iflist")
+    r = age.cypher(g, "RETURN [1, 2.5, 2.0] AS v").df.collect()[0][0]
+    assert agtype_out(r) == "[1, 2.5, 2.0]"
+    assert rows(age, g, "RETURN 1.0 IN [2, 1] AS v") == [(True,)]
+    assert rows(age, g, "RETURN 1 IN [2.0, 1.0] AS v") == [(True,)]
