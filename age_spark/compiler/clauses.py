@@ -310,6 +310,8 @@ def _agg_tagged(ctx: QueryContext, node: A.FuncCall, arg_col: Column) -> Column:
         nsum = F.sum_distinct(n) if node.distinct else F.sum(n)
         isum = F.sum_distinct(i) if node.distinct else F.sum(i)
         all_int = F.count(n) == F.count(i)
+        from ..graph import ORDER_KEY_TYPE
+
         return F.when(nsum.isNull(), F.lit(None).cast(TAGGED_TYPE)).otherwise(
             F.struct(
                 F.lit(7).cast("tinyint").alias("__k"),
@@ -317,6 +319,7 @@ def _agg_tagged(ctx: QueryContext, node: A.FuncCall, arg_col: Column) -> Column:
                 F.when(all_int, isum).alias("__i"),
                 F.lit(None).cast("string").alias("__s"),
                 F.lit(None).cast("boolean").alias("__b"),
+                F.lit(None).cast(ORDER_KEY_TYPE).alias("__o"),
                 F.lit(None).cast("string").alias("__j"),
             )
         )

@@ -69,7 +69,35 @@ EDGE_RESERVED = ("id", "start_id", "end_id")
 # the reference's own agtype_hash_cmp, which hashes 1 and 1.0
 # differently (agtype_hash_cmp.out:32-41).
 
-TAGGED_FIELD_NAMES = ("__k", "__n", "__i", "__s", "__b", "__j")
+# Container ordering: the reference compares containers element-wise,
+# depth-first, shorter-is-a-prefix sorts first, each element through the
+# full cross-kind ladder (compare_agtype_containers_orderability,
+# agtype_util.c:333-520). __o reproduces that with a BOUNDED normalized
+# key: a struct of the first ORDER_KEY_WIDTH element comparison keys
+# (object pairs carry their jsonb-ordered key string too). Spark's native
+# struct comparison then walks elements left-to-right; a missing slot is
+# NULL and nulls-first makes the shorter (prefix) container sort lower,
+# exactly the premature-END rule. Beyond the width bound — and inside
+# nested containers (depth 1) — ordering falls back to lexical __j JSON;
+# both bounds are documented deviations.
+_ELEM_KEY_TYPE = T.StructType(
+    [
+        T.StructField("__k", T.ByteType(), True),
+        T.StructField("__n", T.DoubleType(), True),
+        T.StructField("__s", T.StringType(), True),
+        T.StructField("__b", T.BooleanType(), True),
+        T.StructField("__j", T.StringType(), True),
+    ]
+)
+_PAIR_TYPE = T.StructType(
+    [T.StructField("k", T.StringType(), True), T.StructField("v", _ELEM_KEY_TYPE, True)]
+)
+ORDER_KEY_WIDTH = 8
+ORDER_KEY_TYPE = T.StructType(
+    [T.StructField(f"e{i}", _PAIR_TYPE, True) for i in range(ORDER_KEY_WIDTH)]
+)
+
+TAGGED_FIELD_NAMES = ("__k", "__n", "__i", "__s", "__b", "__o", "__j")
 TAGGED_TYPE = T.StructType(
     [
         T.StructField("__k", T.ByteType(), True),
@@ -77,6 +105,7 @@ TAGGED_TYPE = T.StructType(
         T.StructField("__i", T.LongType(), True),    # exact int64 payload (int kind)
         T.StructField("__s", T.StringType(), True),
         T.StructField("__b", T.BooleanType(), True),
+        T.StructField("__o", ORDER_KEY_TYPE, True),  # container element-wise order key
         T.StructField("__j", T.StringType(), True),  # JSON payload: object/array kinds
     ]
 )
@@ -123,6 +152,121 @@ def _container_kind(dt: T.DataType) -> Optional[str]:
     return None
 
 
+def _null_kind_elem_key() -> Column:
+    """agtype NULL sorts LAST (priority 8, agtype_util.c:271) — a null
+    element inside a container gets an explicit kind-8 key so it outranks
+    every value, while a missing SLOT (shorter container) stays NULL and
+    sorts first (the premature-END rule)."""
+    return F.struct(
+        F.lit(8).cast("tinyint").alias("__k"),
+        F.lit(None).cast("double").alias("__n"),
+        F.lit(None).cast("string").alias("__s"),
+        F.lit(None).cast("boolean").alias("__b"),
+        F.lit(None).cast("string").alias("__j"),
+    )
+
+
+def _elem_key(c: Column, dt: T.DataType) -> Column:
+    """Depth-1 comparison key of one container element: (kind rank, value
+    slots) through the cross-kind ladder; nested containers compare by
+    their JSON text (the documented depth bound). Entities rank 1/2."""
+    if is_tagged_type(dt):
+        key = F.struct(
+            c.getField("__k").alias("__k"),
+            c.getField("__n").alias("__n"),
+            c.getField("__s").alias("__s"),
+            c.getField("__b").alias("__b"),
+            c.getField("__j").alias("__j"),
+        )
+        return F.when(c.isNull(), _null_kind_elem_key()).otherwise(key)
+    kind = _scalar_kind(dt) or _container_kind(dt)
+    if kind is not None:
+        rank = _KIND_RANK[kind]
+    elif isinstance(dt, T.StructType):
+        names = {f.name for f in dt.fields}
+        rank = 1 if {"start_id", "end_id"} <= names else 2  # edge / vertex
+    else:
+        rank = 8
+    key = F.struct(
+        F.lit(rank).cast("tinyint").alias("__k"),
+        (c.cast("double") if kind == "numeric" else F.lit(None).cast("double")).alias("__n"),
+        (c if kind == "string" else F.lit(None).cast("string")).alias("__s"),
+        (c if kind == "bool" else F.lit(None).cast("boolean")).alias("__b"),
+        (
+            F.to_json(c, {"ignoreNullFields": "false"})
+            if kind in ("array", "object") or rank in (1, 2)
+            else F.lit(None).cast("string")
+        ).alias("__j"),
+    )
+    return F.when(c.isNull(), _null_kind_elem_key()).otherwise(key)
+
+
+def _order_key(col: Column, src_dt: T.DataType, kind: str) -> Column:
+    """Bounded element-wise order key of a container (see ORDER_KEY_TYPE
+    comment). Arrays keep position order with a NULL pair key; objects
+    emit (key, value) pairs in jsonb key order — (length, byte) — the
+    iteration order the reference's comparator sees."""
+    no_key = F.lit(None).cast("string")
+    if kind == "array":
+        assert isinstance(src_dt, T.ArrayType)
+        et = src_dt.elementType
+        slots = [
+            F.when(
+                F.size(col) > i,
+                F.struct(no_key.alias("k"), _elem_key(F.element_at(col, i + 1), et).alias("v")),
+            ).otherwise(F.lit(None).cast(_PAIR_TYPE)).alias(f"e{i}")
+            for i in range(ORDER_KEY_WIDTH)
+        ]
+        return F.struct(*slots)
+    if isinstance(src_dt, T.StructType):
+        names = sorted(
+            (f.name for f in src_dt.fields if f.name != "_none"),
+            key=lambda n: (len(n), n),
+        )
+        pairs = F.array(
+            *[
+                F.struct(
+                    F.lit(n).alias("k"),
+                    _elem_key(col.getField(n), src_dt[n].dataType).alias("v"),
+                )
+                for n in names
+            ]
+        ) if names else F.array().cast(T.ArrayType(_PAIR_TYPE))
+        # null-valued struct fields mean "key absent" in the engine's
+        # object convention — drop them from the key
+        present = F.filter(pairs, lambda p: p.getField("v").getField("__k") != 8)
+    else:
+        assert isinstance(src_dt, T.MapType)
+        vt = src_dt.valueType
+        entries = F.array_sort(
+            F.map_entries(col),
+            lambda a, b: F.when(
+                F.length(a.getField("key")) < F.length(b.getField("key")), F.lit(-1)
+            )
+            .when(F.length(a.getField("key")) > F.length(b.getField("key")), F.lit(1))
+            .when(a.getField("key") < b.getField("key"), F.lit(-1))
+            .when(a.getField("key") > b.getField("key"), F.lit(1))
+            .otherwise(F.lit(0)),
+        )
+        present = F.filter(
+            F.transform(
+                entries,
+                lambda en: F.struct(
+                    en.getField("key").alias("k"),
+                    _elem_key(en.getField("value"), vt).alias("v"),
+                ),
+            ),
+            lambda p: p.getField("v").getField("__k") != 8,
+        )
+    slots = [
+        F.when(F.size(present) > i, F.element_at(present, i + 1))
+        .otherwise(F.lit(None).cast(_PAIR_TYPE))
+        .alias(f"e{i}")
+        for i in range(ORDER_KEY_WIDTH)
+    ]
+    return F.struct(*slots)
+
+
 def tag_column(col: Column, src_dt: T.DataType) -> Column:
     """Wrap a concretely-typed value column into the tagged struct.
     NULL in -> NULL struct out, so IS NULL / NULLS-LARGEST still hold.
@@ -148,16 +292,29 @@ def tag_column(col: Column, src_dt: T.DataType) -> Column:
     )
     s = col if kind == "string" else F.lit(None).cast("string")
     b = col if kind == "bool" else F.lit(None).cast("boolean")
-    j = (
-        F.to_json(col, {"ignoreNullFields": "false"})
-        if kind in ("array", "object")
-        else F.lit(None).cast("string")
-    )
+    if kind in ("array", "object"):
+        o = _order_key(col, src_dt, kind)
+        j = F.to_json(col, {"ignoreNullFields": "false"})
+    else:
+        o = F.lit(None).cast(ORDER_KEY_TYPE)
+        j = F.lit(None).cast("string")
     tagged = F.struct(
         k.alias("__k"), n.alias("__n"), i.alias("__i"),
-        s.alias("__s"), b.alias("__b"), j.alias("__j"),
+        s.alias("__s"), b.alias("__b"), o.alias("__o"), j.alias("__j"),
     )
     return F.when(col.isNull(), F.lit(None).cast(TAGGED_TYPE)).otherwise(tagged)
+
+
+CMP_KEY_TYPE = T.StructType(
+    [
+        T.StructField("__k", T.ByteType(), True),
+        T.StructField("__n", T.DoubleType(), True),
+        T.StructField("__s", T.StringType(), True),
+        T.StructField("__b", T.BooleanType(), True),
+        T.StructField("__o", ORDER_KEY_TYPE, True),
+        T.StructField("__j", T.StringType(), True),
+    ]
+)
 
 
 def tagged_cmp_key(col: Column) -> Column:
@@ -165,15 +322,15 @@ def tagged_cmp_key(col: Column) -> Column:
     the struct minus the __i payload slot, so int 2 and float 2.0 compare
     EQUAL (the reference compares all numeric kinds by value,
     compare_agtype_scalar_values; expr.out `RETURN 1 = 1.0` -> true).
+    Containers order element-wise via __o before the lexical __j tiebreak.
     NULL-safe: a NULL tagged value yields a NULL key (strict operators)."""
-    return F.when(
-        col.isNull(), F.lit(None).cast("struct<__k:tinyint,__n:double,__s:string,__b:boolean,__j:string>")
-    ).otherwise(
+    return F.when(col.isNull(), F.lit(None).cast(CMP_KEY_TYPE)).otherwise(
         F.struct(
             col.getField("__k").alias("__k"),
             col.getField("__n").alias("__n"),
             col.getField("__s").alias("__s"),
             col.getField("__b").alias("__b"),
+            col.getField("__o").alias("__o"),
             col.getField("__j").alias("__j"),
         )
     )

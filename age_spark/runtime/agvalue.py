@@ -85,10 +85,7 @@ def _out(v: Any) -> str:
     if isinstance(v, (list, tuple)):
         return "[" + ", ".join(_out(x) for x in v) + "]"
     if isinstance(v, dict):
-        if tuple(v.keys()) in (
-            ("__k", "__n", "__i", "__s", "__b", "__j"),
-            ("__k", "__n", "__s", "__b", "__j"),  # cmp-key form (no int slot)
-        ):
+        if "__k" in v and set(v.keys()) <= {"__k", "__n", "__i", "__s", "__b", "__o", "__j"}:
             # tagged dynamic value (mixed-kind property): print its payload
             k = v["__k"]
             if k in (3, 4):  # object/array kind: JSON payload round-trip

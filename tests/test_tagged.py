@@ -207,3 +207,51 @@ def test_int_float_literal_list(spark):
     assert agtype_out(r) == "[1, 2.5, 2.0]"
     assert rows(age, g, "RETURN 1.0 IN [2, 1] AS v") == [(True,)]
     assert rows(age, g, "RETURN 1 IN [2.0, 1.0] AS v") == [(True,)]
+
+
+def test_container_elementwise_ordering(spark):
+    """Containers inside one dynamic column order element-wise
+    (compare_agtype_containers_orderability, agtype_util.c:333): ["b"] >
+    ["a","c"] because "b" > "a" decides at element 0; [2] < [10] by value
+    (lexical JSON would say '2' > '1'); a strict prefix sorts first
+    (premature-END rule)."""
+    from age_spark.runtime.agvalue import agtype_out
+
+    age = AgeSession(spark)
+    g = age.create_graph("contord")
+    # mix arrays with a scalar so the column becomes a dynamic value
+    g = age.cypher(
+        g,
+        "CREATE (:L {v: ['b']}), (:L {v: ['a', 'c']}), (:L {v: ['a']}), "
+        "(:L {v: [2]}), (:L {v: [10]}), (:L {v: 'scalar'})",
+    ).graph
+    got = [
+        agtype_out(r.v)
+        for r in age.cypher(g, "MATCH (n:L) RETURN n.v AS v ORDER BY n.v").df.collect()
+    ]
+    # ladder: ARRAY(4) < STRING(5); within arrays, string elements (5) <
+    # numeric elements (7), and element values/prefixes decide
+    assert got == ['["a"]', '["a", "c"]', '["b"]', "[2]", "[10]", '"scalar"']
+    # comparisons agree with the ordering ('scalar' outranks every array)
+    assert rows(age, g, "MATCH (n:L) WHERE n.v > ['a', 'c'] RETURN count(*) AS c") == [(4,)]
+    assert rows(age, g, "MATCH (n:L) WHERE n.v < ['a'] RETURN count(*) AS c") == [(0,)]
+    assert rows(age, g, "MATCH (n:L) WHERE n.v < ['b'] RETURN count(*) AS c") == [(2,)]
+
+
+def test_object_elementwise_ordering(spark):
+    from age_spark.runtime.agvalue import agtype_out
+
+    age = AgeSession(spark)
+    g = age.create_graph("objord")
+    # objects with jsonb key order (length, byte): key 'a' < 'b'; a strict
+    # pair-prefix sorts first; values decide when keys tie
+    g = age.cypher(
+        g,
+        "CREATE (:M {v: {a: 2}}), (:M {v: {a: 1, b: 9}}), (:M {v: {a: 1}}), "
+        "(:M {v: 7})",
+    ).graph
+    got = [
+        agtype_out(r.v)
+        for r in age.cypher(g, "MATCH (n:M) RETURN n.v AS v ORDER BY n.v").df.collect()
+    ]
+    assert got == ['{"a": 1}', '{"a": 1, "b": 9}', '{"a": 2}', "7"]
