@@ -800,15 +800,69 @@ def procedure(name):
     return deco
 
 
+def _sql_literal_arg(ctx: QueryContext, e) -> str:
+    """Render a CALL argument as a SQL literal for a table-function
+    invocation (only constants/params are CALL-able table-function args —
+    the reference's SRF calls are likewise per-statement, not lateral)."""
+    if isinstance(e, A.Param):
+        v = ctx.params[e.name]
+    elif isinstance(e, A.Lit):
+        v = e.value
+    elif isinstance(e, A.Unary) and e.op == "-" and isinstance(e.expr, A.Lit):
+        v = -e.expr.value
+    elif isinstance(e, A.ListLit):
+        return "array(" + ", ".join(_sql_literal_arg(ctx, i) for i in e.items) + ")"
+    else:
+        raise CompileError(
+            "table-function CALL arguments must be literals or parameters"
+        )
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, (int, float)):
+        return repr(v)
+    if isinstance(v, str):
+        return "'" + v.replace("'", "''") + "'"
+    if isinstance(v, list):
+        return "array(" + ", ".join(
+            _sql_literal_arg(ctx, A.Lit(x)) for x in v
+        ) + ")"
+    raise CompileError(f"cannot pass {type(v).__name__} to a table function")
+
+
+def _call_spark_table_function(ctx: QueryContext, c: A.CallProc) -> DataFrame:
+    """CALL fallthrough for names outside the @procedure registry: resolve
+    against Spark-registered table functions (UDTFs via spark.udtf.register
+    and SQL built-ins like range). Parity: the reference CALLs ANY
+    set-returning SQL function (cypher_gram.y:436-553,
+    regress/sql/cypher_call.sql), its scalar twin being the external-
+    function fallthrough already in exprs.py."""
+    import re
+
+    name = c.name
+    if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_.]*", name):
+        raise CompileError(f"unknown procedure {name}")
+    try:
+        known = ctx.spark.catalog.functionExists(name)
+    except Exception:
+        known = False
+    if not known:
+        raise CompileError(f"unknown procedure {name}")
+    arg_sql = ", ".join(_sql_literal_arg(ctx, a) for a in c.args)
+    return ctx.spark.sql(f"SELECT * FROM {name}({arg_sql})")  # noqa: S608 — name validated, args rendered as literals
+
+
 def compile_call(ctx: QueryContext, st: State, c: A.CallProc) -> State:
     from ..runtime import procedures as _procs  # registers built-ins
 
     impl = PROCEDURES.get(c.name.lower())
     if impl is None:
-        raise CompileError(f"unknown procedure {c.name}")
-    scope = ExprScope(ctx, st.df if st.df is not None else _unit_df(ctx), st.env)
-    args = [compile_expr(scope, a) for a in c.args]
-    out = impl(ctx, c.args, args)
+        out = _call_spark_table_function(ctx, c)
+    else:
+        scope = ExprScope(ctx, st.df if st.df is not None else _unit_df(ctx), st.env)
+        args = [compile_expr(scope, a) for a in c.args]
+        out = impl(ctx, c.args, args)
     if st.df is not None:
         out = st.df.crossJoin(out)
     env = st.env

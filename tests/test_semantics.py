@@ -667,3 +667,38 @@ def test_external_function_fallthrough(spark):
 
     with pytest.raises(CompileError):
         age.cypher(g, "RETURN definitely_not_a_function(1)")
+
+
+def test_call_spark_table_function_fallthrough(spark):
+    """CALL of names outside the @procedure registry resolves against
+    Spark-registered table functions (parity with the reference CALLing
+    any set-returning SQL function — cypher_gram.y:436-553,
+    regress/sql/cypher_call.sql)."""
+    from pyspark.sql.functions import udtf
+
+    from age_spark.compiler.context import CompileError
+
+    age = AgeSession(spark)
+    g = age.create_graph("callsrf")
+
+    @udtf(returnType="n int, squared int")
+    class SquaresUdtf:
+        def eval(self, limit: int):
+            for i in range(limit):
+                yield i, i * i
+
+    spark.udtf.register("call_squares", SquaresUdtf)
+
+    got = rows(age, g, "CALL call_squares(5) YIELD n, squared WHERE n >= 2 RETURN n, squared ORDER BY n")
+    assert got == [(2, 4), (3, 9), (4, 16)]
+    # SQL built-in table functions work too, and solo CALL returns all cols
+    got = rows(age, g, "CALL range(3) YIELD id RETURN id ORDER BY id")
+    assert got == [(0,), (1,), (2,)]
+    # string/param args render as literals
+    got = rows(age, g, "CALL call_squares($k) YIELD n RETURN count(*) AS c", params={"k": 4})
+    assert got == [(4,)]
+    # non-literal args are rejected, unknown names still error
+    with pytest.raises(CompileError, match="literals or parameters"):
+        age.cypher(g, "MATCH (x:Nope) CALL call_squares(x.v) YIELD n RETURN n")
+    with pytest.raises(CompileError, match="unknown procedure"):
+        age.cypher(g, "CALL definitely_not_registered()")
