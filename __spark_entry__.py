@@ -544,11 +544,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         .select("doc_id")
     )
 
-    def _media(s, d):  # Pandas-UDF multimodal plumbing
-        from age_spark.pipeline.multimodal import attach_fake_media, extract_features
+    def _media(s, d):  # Pandas-UDF multimodal plumbing + REAL PPM decode
+        from age_spark.pipeline.multimodal import attach_generated_ppm, extract_features
 
         docs = _docs(s, d).limit(50)
-        out = extract_features(attach_fake_media(docs))
+        out = extract_features(attach_generated_ppm(docs), fake=False)
         return out.select("doc_id", F.size("features").alias("feat_dim"))
 
     q["m_media_features"] = _media

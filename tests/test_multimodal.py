@@ -40,10 +40,78 @@ def test_extract_features_shape_and_determinism(docs):
     }
 
 
-def test_real_decode_raises(docs):
+def test_unsupported_format_raises(docs):
+    # fake media content is raw utf-8 text, not a decodable image
     out = extract_features(attach_fake_media(docs), fake=False)
-    with pytest.raises(Exception, match="NotImplementedError|image"):
+    with pytest.raises(Exception, match="NotImplementedError|image|PPM"):
         out.collect()
+
+
+def test_ppm_p6_roundtrip():
+    from age_spark.pipeline.multimodal import decode_image, encode_ppm
+
+    rgb = bytes(range(2 * 3 * 3))  # 2x3 image
+    w, h, out = decode_image(encode_ppm(2, 3, rgb))
+    assert (w, h, out) == (2, 3, rgb)
+
+
+def test_ppm_p3_with_comments():
+    from age_spark.pipeline.multimodal import decode_image
+
+    p3 = b"P3\n# a comment\n2 1 # dims\n255\n255 0 0  0 255 0\n"
+    w, h, rgb = decode_image(p3)
+    assert (w, h) == (2, 1)
+    assert rgb == bytes([255, 0, 0, 0, 255, 0])
+
+
+def test_bmp_24bit_decode():
+    import struct
+
+    from age_spark.pipeline.multimodal import decode_image
+
+    # 2x2 bottom-up 24-bit BMP: rows padded to 4 bytes (2*3=6 -> 8)
+    # pixel layout (BGR): bottom row first
+    bottom = bytes([10, 20, 30, 40, 50, 60]) + b"\x00\x00"  # (30,20,10), (60,50,40)
+    top = bytes([70, 80, 90, 100, 110, 120]) + b"\x00\x00"  # (90,80,70), (120,110,100)
+    raster = bottom + top
+    header = b"BM" + struct.pack("<IHHI", 54 + len(raster), 0, 0, 54)
+    dib = struct.pack("<IiiHHIIiiII", 40, 2, 2, 1, 24, 0, len(raster), 2835, 2835, 0, 0)
+    w, h, rgb = decode_image(header + dib + raster)
+    assert (w, h) == (2, 2)
+    # top-down RGB: top row first
+    assert rgb == bytes([90, 80, 70, 120, 110, 100, 30, 20, 10, 60, 50, 40])
+
+
+def test_real_decode_features_end_to_end(docs):
+    from age_spark.pipeline.multimodal import attach_generated_ppm
+
+    media = attach_generated_ppm(docs)
+    out = extract_features(media, fake=False)
+    rows = out.select("doc_id", "features").collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert len(r.features) == FEATURE_DIM
+        assert all(0.0 <= f <= 1.0 for f in r.features)
+        # the luminance histogram (dims 3..) sums to ~1
+        assert abs(sum(r.features[3:]) - 1.0) < 1e-3
+    # deterministic across runs
+    rows2 = extract_features(attach_generated_ppm(docs), fake=False).select(
+        "doc_id", "features"
+    ).collect()
+    assert {r.doc_id: tuple(r.features) for r in rows} == {
+        r.doc_id: tuple(r.features) for r in rows2
+    }
+
+
+def test_real_resize_resamples_pixels(docs):
+    from age_spark.pipeline.multimodal import attach_generated_ppm, decode_image
+
+    media = attach_generated_ppm(docs, width=8, height=8)
+    resized = resize_plan(media, width=4, height=2, fake=False)
+    row = resized.select("media").first().media
+    assert row.meta.width == 4 and row.meta.height == 2
+    w, h, rgb = decode_image(row.content)
+    assert (w, h) == (4, 2) and len(rgb) == 4 * 2 * 3
 
 
 def test_resize_updates_meta_only(docs):
