@@ -220,6 +220,57 @@ def compile_expr(scope: ExprScope, e: A.Expr) -> Column:
                 for c, dt in zip(cols, dts)
             ]
             return F.array(*tagged)
+        if kinds == {"object"}:
+            # list of objects with differing shapes ([{b: true}, {a: 1}]):
+            # one Spark array type needs one struct schema, so tag each
+            # object (the order key keeps element-wise object comparison)
+            from ..graph import TAGGED_TYPE, tag_column
+
+            shapes = {
+                dt.simpleString() for dt in dts
+                if dt is not None and not isinstance(dt, T.NullType)
+            }
+            if len(shapes) > 1:
+                return F.array(
+                    *[
+                        F.lit(None).cast(TAGGED_TYPE)
+                        if dt is None or isinstance(dt, T.NullType)
+                        else tag_column(c, dt)
+                        for c, dt in zip(cols, dts)
+                    ]
+                )
+        if kinds == {"array"}:
+            # list of lists whose ELEMENT types disagree (e.g.
+            # [[1, 'string'], [1, 1]] — the first is element-tagged, the
+            # second concrete): lift every inner list to array<tagged> so
+            # the outer array has one type
+            from ..graph import TAGGED_TYPE, is_tagged_type, tag_column
+
+            ets = [
+                dt.elementType if isinstance(dt, T.ArrayType) else None
+                for dt in dts
+            ]
+            concrete = set(
+                et.simpleString() for et in ets
+                if et is not None and not isinstance(et, T.NullType)
+            )
+            if len(concrete) > 1:
+                def _lift(src):
+                    # closure factory: a default-arg lambda would read as a
+                    # 2-ary (value, index) transform lambda to PySpark
+                    if src is None or isinstance(src, T.NullType):
+                        return lambda x: F.lit(None).cast(TAGGED_TYPE)
+                    return lambda x: tag_column(x, src)
+
+                lifted = []
+                for c, dt, et in zip(cols, dts, ets):
+                    if dt is None or isinstance(dt, T.NullType):
+                        lifted.append(F.lit(None).cast(T.ArrayType(TAGGED_TYPE)))
+                    elif et is not None and is_tagged_type(et):
+                        lifted.append(c)
+                    else:
+                        lifted.append(F.transform(c, _lift(et)))
+                return F.array(*lifted)
         return F.array(*cols)
     if isinstance(e, A.MapLit):
         if not e.items:
@@ -636,12 +687,28 @@ def fn(name: str):
     return deco
 
 
+# single-arg entity/container accessors that return SQL NULL for a NULL
+# argument (the reference's strict fns: label(NULL), keys(null), id(null)
+# etc. all yield null rather than erroring — agtype.out null-arg blocks)
+_NULL_STRICT_FNS = frozenset(
+    {
+        "id", "label", "type", "properties", "startnode", "endnode",
+        "start_id", "end_id", "keys", "head", "last", "tail", "nodes",
+        "relationships", "length",
+    }
+)
+
+
 def _compile_func(scope: ExprScope, e: A.FuncCall) -> Column:
     name = e.name
     if name in AGG_FNS:
         raise CompileError(
             f"aggregate {name}() must appear in a RETURN/WITH projection"
         )
+    if name in _NULL_STRICT_FNS and len(e.args) == 1:
+        a0 = e.args[0]
+        if isinstance(a0, A.Lit) and a0.value is None:
+            return F.lit(None)
     impl = FUNCTIONS.get(name)
     if impl is None:
         # External-function fallthrough (reference parity: ANY SQL function
@@ -938,32 +1005,132 @@ def _fn_tonumeric(scope, args, cols):
     return cols[0].cast("decimal(38,18)")
 
 
+@fn("castint")
+def _fn_castint(scope, args, cols):
+    """The ::int / ::integer TYPECAST — distinct from toInteger(): it
+    ROUNDS floats (2.71::int = 3, agtype_typecast_int) and accepts
+    booleans (true::int = 1), while toInteger() truncates and rejects
+    bools (expr.out toInteger vs typecast blocks)."""
+    c, dt = cols[0], dtype_of(scope, cols[0])
+    if _is_tagged(dt):
+        k, n, s, b = _tagged_parts(c)
+        i = c.getField("__i")
+        return (
+            F.when(k == 7, F.coalesce(i, F.round(n, 0).cast("long")))
+            .when(k == 6, b.cast("long"))
+            .when(k == 5, F.coalesce(s.try_cast("long"), F.round(s.try_cast("double"), 0).cast("long")))
+        )
+    if dt is not None and isinstance(dt, T.BooleanType):
+        return c.cast("long")
+    if dt is not None and _is_integral(dt):
+        return c
+    if dt is not None and isinstance(dt, (T.FloatType, T.DoubleType, T.DecimalType)):
+        return F.round(c.cast("double"), 0).cast("long")
+    return F.coalesce(c.try_cast("long"), F.round(c.try_cast("double"), 0).cast("long"))
+
+
+@fn("castpgfloat8")
+def _fn_castpgfloat8(scope, args, cols):
+    """::pg_float8 — PG float8in semantics: accepts NaN / [+-]inf[inity]
+    spellings case-insensitively (ag_float8_supp.c:31
+    float8in_internal_null)."""
+    c, dt = cols[0], dtype_of(scope, cols[0])
+    if dt is None or _is_string(dt) or isinstance(dt, T.NullType):
+        lc = F.lower(F.trim(c.cast("string")))
+        return (
+            F.when(lc == "nan", F.lit(float("nan")))
+            .when(lc.isin("inf", "infinity", "+inf", "+infinity"), F.lit(float("inf")))
+            .when(lc.isin("-inf", "-infinity"), F.lit(float("-inf")))
+            .otherwise(c.try_cast("double"))
+        )
+    return c.cast("double")
+
+
+def _entity_cast(scope, col, want_edge: bool):
+    dt = dtype_of(scope, col)
+    if dt is None or isinstance(dt, T.NullType):
+        return F.lit(None)
+    if not isinstance(dt, T.StructType):
+        raise CompileError("::vertex/::edge requires a map value")
+    names = {f.name for f in dt.fields}
+    need = {"id", "label", "properties"} | ({"start_id", "end_id"} if want_edge else set())
+    if not need <= names:
+        raise CompileError(
+            f"map is missing {sorted(need - names)} for the entity cast"
+        )
+    fields = [
+        col.getField("id").cast("long").alias("id"),
+        col.getField("label").cast("string").alias("label"),
+    ]
+    if want_edge:
+        fields += [
+            col.getField("start_id").cast("long").alias("start_id"),
+            col.getField("end_id").cast("long").alias("end_id"),
+        ]
+    fields.append(col.getField("properties").alias("properties"))
+    return F.struct(*fields)
+
+
+@fn("castvertex")
+def _fn_castvertex(scope, args, cols):
+    """{id, label, properties}::vertex (1.8 composite casts,
+    sql/agtype_graphid.sql:49-61; agtype.out ::vertex blocks)."""
+    return _entity_cast(scope, cols[0], want_edge=False)
+
+
+@fn("castedge")
+def _fn_castedge(scope, args, cols):
+    return _entity_cast(scope, cols[0], want_edge=True)
+
+
+def _empty_list_null(col: Column, out: Column) -> Column:
+    """Every age_to*list() returns NULL for an EMPTY input list
+    (agtype.c `if (count == 0) PG_RETURN_NULL()`, e.g. :7476;
+    expr.out toBooleanList([]) block)."""
+    return F.when(F.size(col) == 0, F.lit(None)).otherwise(out)
+
+
 @fn("tointegerlist")
 def _fn_tointegerlist(scope, args, cols):
     if _elem_tagged(scope, cols[0]):
-        return F.transform(cols[0], _tagged_to_integer)
-    return F.transform(cols[0], lambda x: F.coalesce(x.try_cast("long"), x.try_cast("double").cast("long")))
+        return _empty_list_null(cols[0], F.transform(cols[0], _tagged_to_integer))
+    return _empty_list_null(
+        cols[0],
+        F.transform(cols[0], lambda x: F.coalesce(x.try_cast("long"), x.try_cast("double").cast("long"))),
+    )
 
 
 @fn("tofloatlist")
 def _fn_tofloatlist(scope, args, cols):
     if _elem_tagged(scope, cols[0]):
-        return F.transform(cols[0], _tagged_to_float)
-    return F.transform(cols[0], lambda x: x.try_cast("double"))
+        return _empty_list_null(cols[0], F.transform(cols[0], _tagged_to_float))
+    return _empty_list_null(cols[0], F.transform(cols[0], lambda x: x.try_cast("double")))
 
 
 @fn("tobooleanlist")
 def _fn_tobooleanlist(scope, args, cols):
     if _elem_tagged(scope, cols[0]):
-        return F.transform(cols[0], _tagged_to_boolean)
-    return F.transform(cols[0], lambda x: _to_boolean(x, None))
+        return _empty_list_null(cols[0], F.transform(cols[0], _tagged_to_boolean))
+    dt = dtype_of(scope, cols[0])
+    et = dt.elementType if isinstance(dt, T.ArrayType) else None
+    # numeric elements convert (0 -> false, else true): expr.out:3384
+    return _empty_list_null(cols[0], F.transform(cols[0], lambda x: _to_boolean(x, et)))
 
 
 @fn("tostringlist")
 def _fn_tostringlist(scope, args, cols):
+    # the reference's list variant does NOT convert booleans — they come
+    # back null (expr.out:3936-3941), unlike scalar toString(true)
     if _elem_tagged(scope, cols[0]):
-        return F.transform(cols[0], _tagged_to_string)
-    return F.transform(cols[0], lambda x: x.cast("string"))
+        k = lambda c: F.when(c.getField("__k") == 6, F.lit(None).cast("string")).otherwise(_tagged_to_string(c))  # noqa: E731
+        return _empty_list_null(cols[0], F.transform(cols[0], k))
+    dt = dtype_of(scope, cols[0])
+    et = dt.elementType if isinstance(dt, T.ArrayType) else None
+    if et is not None and isinstance(et, T.BooleanType):
+        return _empty_list_null(
+            cols[0], F.transform(cols[0], lambda x: F.lit(None).cast("string"))
+        )
+    return _empty_list_null(cols[0], F.transform(cols[0], lambda x: x.cast("string")))
 
 
 # -- strings (agtype.c:8234-9547; 0-based offsets!)
@@ -1064,9 +1231,12 @@ for _name, _f in [
     ("floor", lambda c: F.floor(c).cast("double")),
     ("sqrt", F.sqrt),
     ("exp", F.exp), ("log", F.log), ("log10", F.log10), ("sin", F.sin),
-    ("cos", F.cos), ("tan", F.tan), ("asin", F.asin), ("acos", F.acos),
+    ("cos", F.cos), ("tan", F.tan),
+    # out-of-domain asin/acos return NULL in the reference (expr.out
+    # asin(1.1) block), not NaN
+    ("asin", lambda c: F.when(F.abs(c.cast("double")) <= 1.0, F.asin(c))),
+    ("acos", lambda c: F.when(F.abs(c.cast("double")) <= 1.0, F.acos(c))),
     ("atan", F.atan), ("degrees", F.degrees), ("radians", F.radians),
-    ("sign", F.signum),
 ]:
     def _mk(f):
         def impl(scope, args, cols):
@@ -1085,11 +1255,22 @@ def _fn_atan2(scope, args, cols):
     return F.atan2(cols[0], cols[1])
 
 
+@fn("sign")
+def _fn_sign(scope, args, cols):
+    # age_sign returns an INTEGER (expr.out:6010-6026 prints 1/-1/0 bare)
+    return F.signum(cols[0]).cast("long")
+
+
 @fn("round")
 def _fn_round(scope, args, cols):
+    # round always returns FLOAT (round(0) -> 0.0, round(7, 2) -> 7.0) and
+    # a NULL precision means 0, not null-propagation (expr.out round block)
+    c = cols[0].cast("double")
     if len(cols) > 1:
-        return F.round(cols[0], cols[1])
-    return F.round(cols[0], 0)
+        if isinstance(args[1], A.Lit) and args[1].value is None:
+            return F.round(c, 0)
+        return F.round(c, cols[1])
+    return F.round(c, 0)
 
 
 @fn("pi")

@@ -50,12 +50,17 @@ KEYWORDS = {
 
 _ESCAPES = {"n": "\n", "t": "\t", "r": "\r", "b": "\b", "f": "\f", "'": "'", '"': '"', "\\": "\\", "/": "/"}
 
-# ::target -> conversion function (sql typecasts, cypher_gram.y:1836-1846)
+# ::target -> conversion function (sql typecasts, cypher_gram.y:1836-1846).
+# ::int is NOT toInteger(): the cast ROUNDS (2.71::int = 3, expr.out) and
+# accepts booleans, while toInteger() truncates (toInteger(1.2) = 1) and
+# rejects booleans — distinct kernels.
 _CAST_FNS = {
-    "int": "tointeger", "integer": "tointeger",
+    "int": "castint", "integer": "castint",
     "float": "tofloat", "numeric": "tonumeric",
     "bool": "toboolean", "boolean": "toboolean",
     "string": "tostring",
+    "pg_float8": "castpgfloat8",
+    "vertex": "castvertex", "edge": "castedge",
 }
 
 
@@ -487,12 +492,29 @@ class Parser:
             return A.Unary("not", self.parse_not())
         return self.parse_comparison()
 
+    _CHAIN_OPS = ("=", "<>", "<", "<=", ">", ">=")
+
     def parse_comparison(self) -> A.Expr:
         left = self.parse_additive()
         while True:
-            if self.at_op("=", "<>", "<", "<=", ">", ">=", "=~"):
-                op = self.advance().value
-                left = A.Binary(op, left, self.parse_additive())
+            if self.at_op(*self._CHAIN_OPS):
+                # openCypher chained comparisons are CONJUNCTIVE:
+                # `1 = 1 = 1` means (1 = 1) AND (1 = 1) -> true, while the
+                # parenthesized `(1 = 1) = 1` compares bool to int -> false
+                # (expr.out chained-comparison block)
+                links = []
+                cur = left
+                while self.at_op(*self._CHAIN_OPS):
+                    op = self.advance().value
+                    rhs = self.parse_additive()
+                    links.append(A.Binary(op, cur, rhs))
+                    cur = rhs
+                left = links[0]
+                for link in links[1:]:
+                    left = A.Binary("and", left, link)
+            elif self.at_op("=~"):
+                self.advance()
+                left = A.Binary("=~", left, self.parse_additive())
             elif self.at_kw("in"):
                 self.advance()
                 left = A.Binary("in", left, self.parse_additive())

@@ -136,6 +136,8 @@ def _out(v: Any) -> str:
 def _obj(d: dict) -> str:
     items = []
     for k in _jsonb_key_order(d.keys()):
+        if k == "_none" and d[k] is None:
+            continue  # the engine's empty-map sentinel field, not a key
         items.append(f"{json.dumps(k, ensure_ascii=False)}: {_out(d[k])}")
     return "{" + ", ".join(items) + "}"
 

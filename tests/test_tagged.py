@@ -131,7 +131,7 @@ def test_heterogeneous_literal_lists(spark):
     assert out("'a' IN [1, 'a']") == "true"
     assert out("2 IN [1, 'a']") == "false"
     assert out("[1, 'a'] = [1, 'a']") == "true"
-    assert out("toStringList([1, 2.5, true])") == '["1", "2.5", "true"]'
+    assert out("toStringList([1, 2.5, true])") == '["1", "2.5", null]'  # ref: bools -> null
     assert out("toIntegerList([1, '2', true])") == "[1, 2, 1]"
 
 
