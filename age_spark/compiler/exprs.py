@@ -310,9 +310,58 @@ def compile_expr(scope: ExprScope, e: A.Expr) -> Column:
 # ---- property access
 
 
+def _tagged_container_access(c: Column, path: str) -> Column:
+    """x.key / x[i] where x is a tagged dynamic value whose row holds an
+    object/array kind: navigate the __j JSON payload with Spark's VARIANT
+    functions and re-tag the extracted value (kind from schema_of_variant,
+    int/float distinction preserved — JSON keeps the '.0'). The access
+    operator over dynamic containers mirrors agtype_access_operator
+    (agtype.c:4482). Stays JVM-side; no Python."""
+    from ..graph import ORDER_KEY_TYPE, TAGGED_TYPE, let_column
+
+    def _from_variant(v: Column) -> Column:
+        sch = F.schema_of_variant(v)
+        is_int = sch.isin("TINYINT", "SMALLINT", "INT", "BIGINT")
+        is_float = sch.startswith("DECIMAL") | sch.isin("DOUBLE", "FLOAT")
+        is_str = sch == F.lit("STRING")
+        is_bool = sch == F.lit("BOOLEAN")
+        is_arr = sch.startswith("ARRAY")
+        is_obj = sch.startswith("OBJECT") | sch.startswith("STRUCT") | sch.startswith("MAP")
+        k = (
+            F.when(is_obj, 3).when(is_arr, 4).when(is_str, 5).when(is_bool, 6)
+            .when(is_int | is_float, 7)
+        ).cast("tinyint")
+        tagged = F.struct(
+            k.alias("__k"),
+            F.when(is_int | is_float, F.try_variant_get(v, "$", "double")).alias("__n"),
+            F.when(is_int, F.try_variant_get(v, "$", "long")).alias("__i"),
+            F.when(is_str, F.try_variant_get(v, "$", "string")).alias("__s"),
+            F.when(is_bool, F.try_variant_get(v, "$", "boolean")).alias("__b"),
+            F.lit(None).cast(ORDER_KEY_TYPE).alias("__o"),
+            F.when(is_obj | is_arr, F.to_json(v)).alias("__j"),
+        )
+        return F.when(
+            v.isNull() | (sch == F.lit("VOID")), F.lit(None).cast(TAGGED_TYPE)
+        ).otherwise(tagged)
+
+    # bind the base and the extracted variant each exactly once: chained
+    # accesses stay linear in tree size instead of exponential
+    return let_column(
+        c,
+        lambda cc: let_column(
+            F.try_variant_get(F.parse_json(cc.getField("__j")), path, "variant"),
+            _from_variant,
+        ),
+    )
+
+
 def _deref_entity(scope: ExprScope, base: Column, dt: T.DataType, key: str) -> Column:
     """x.key where x is a struct: entity structs auto-deref into properties
     (``agtype.c:4482 agtype_access_operator`` derefs vertex/edge)."""
+    if _is_tagged(dt):
+        if _re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", key):
+            return _tagged_container_access(base, f"$.{key}")
+        return F.lit(None)
     if _is_struct(dt):
         names = _entity_fields(dt)
         if key in names:
@@ -344,6 +393,16 @@ def _compile_index(scope: ExprScope, e: A.Index) -> Column:
     base = compile_expr(scope, e.expr)
     idx = compile_expr(scope, e.index)
     dt = dtype_of(scope, base)
+    if dt is not None and _is_tagged(dt):
+        # dynamic container subscript: constant paths navigate the JSON
+        # payload (variant); others are unresolvable per-row kinds -> null
+        if isinstance(e.index, A.Lit) and isinstance(e.index.value, str):
+            if _re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", e.index.value):
+                return _tagged_container_access(base, f"$.{e.index.value}")
+            return F.lit(None)
+        if isinstance(e.index, A.Lit) and isinstance(e.index.value, int) and e.index.value >= 0:
+            return _tagged_container_access(base, f"$[{e.index.value}]")
+        return F.lit(None)
     if dt is not None and _is_map(dt):
         return F.element_at(base, idx)
     if dt is not None and _is_struct(dt):

@@ -152,6 +152,17 @@ def _container_kind(dt: T.DataType) -> Optional[str]:
     return None
 
 
+def let_column(col: Column, body) -> Column:
+    """Let-binding for Column trees: embed ``col``'s expression tree ONCE
+    and hand ``body`` a cheap lambda-variable reference to it. Without
+    this, an expression that mentions a subtree k times duplicates the
+    whole tree k times — nested dynamic-value operations (order keys,
+    container access, casts) then grow exponentially and analysis alone
+    takes minutes. The array wrapper evaluates interpreted (HOFs skip
+    codegen), which is acceptable on the dynamic-value fallback path."""
+    return F.get(F.transform(F.array(col), body), 0)
+
+
 def _null_kind_elem_key() -> Column:
     """agtype NULL sorts LAST (priority 8, agtype_util.c:271) — a null
     element inside a container gets an explicit kind-8 key so it outranks
@@ -293,11 +304,20 @@ def tag_column(col: Column, src_dt: T.DataType) -> Column:
     s = col if kind == "string" else F.lit(None).cast("string")
     b = col if kind == "bool" else F.lit(None).cast("boolean")
     if kind in ("array", "object"):
-        o = _order_key(col, src_dt, kind)
-        j = F.to_json(col, {"ignoreNullFields": "false"})
-    else:
-        o = F.lit(None).cast(ORDER_KEY_TYPE)
-        j = F.lit(None).cast("string")
+        # containers reference `col` many times (order-key slots + JSON
+        # payload): bind it once so the tree stays linear
+        def _build(cc: Column) -> Column:
+            o = _order_key(cc, src_dt, kind)
+            j = F.to_json(cc, {"ignoreNullFields": "false"})
+            tagged = F.struct(
+                k.alias("__k"), n.alias("__n"), i.alias("__i"),
+                s.alias("__s"), b.alias("__b"), o.alias("__o"), j.alias("__j"),
+            )
+            return F.when(cc.isNull(), F.lit(None).cast(TAGGED_TYPE)).otherwise(tagged)
+
+        return let_column(col, _build)
+    o = F.lit(None).cast(ORDER_KEY_TYPE)
+    j = F.lit(None).cast("string")
     tagged = F.struct(
         k.alias("__k"), n.alias("__n"), i.alias("__i"),
         s.alias("__s"), b.alias("__b"), o.alias("__o"), j.alias("__j"),
