@@ -455,6 +455,63 @@ def _compile_map_projection(scope: ExprScope, e: A.MapProjection) -> Column:
 # ---- binary ops
 
 
+def _tagged_arith(
+    op: str, l: Column, ldt, lt_tag: bool, r: Column, rdt, rt_tag: bool
+) -> Column:
+    """Kind-preserving + - * / % over dynamic numeric values
+    (age_agtype add/sub/mul/div/mod): all-int rows compute exactly in
+    int64 (truncating division, C-style modulo) and stay int kind; any
+    float operand promotes that row to float8. Non-numeric rows (string/
+    bool/container kinds in the dynamic column) yield NULL. The result is
+    itself a tagged value so kinds can differ per row."""
+    from ..graph import ORDER_KEY_TYPE, TAGGED_TYPE
+
+    def parts(c, dt, tagged):
+        if tagged:
+            num = F.when(c.getField("__k") == 7, c.getField("__n"))
+            return num, c.getField("__i")
+        if dt is not None and _is_integral(dt):
+            return c.cast("double"), c.cast("long")
+        if dt is not None and isinstance(dt, (T.FloatType, T.DoubleType, T.DecimalType)):
+            return c.cast("double"), F.lit(None).cast("long")
+        # strings/bools/containers/null literals never contribute a number
+        return F.lit(None).cast("double"), F.lit(None).cast("long")
+
+    ln, li = parts(l, ldt, lt_tag)
+    rn, ri = parts(r, rdt, rt_tag)
+    both_int = li.isNotNull() & ri.isNotNull()
+    if op == "+":
+        nv, iv = ln + rn, li + ri
+    elif op == "-":
+        nv, iv = ln - rn, li - ri
+    elif op == "*":
+        nv, iv = ln * rn, li * ri
+    elif op == "/":
+        nv = ln / rn
+        # SQL div: exact int64 division truncating toward zero
+        iv = F.when(ri != 0, F.call_function("div", li, ri))
+    else:  # %
+        nv = F.when(rn == 0.0, F.lit(float("nan"))).otherwise(ln % rn)
+        iv = F.when(ri != 0, li % ri)  # int%0 -> null (not NaN)
+    final_i = F.when(both_int, iv)
+    # the sort key mirrors the row's actual kind: exact-int rows key on the
+    # int result (7/2 keys 3, not 3.5), float rows on the float8 result
+    final_n = F.when(final_i.isNotNull(), final_i.cast("double")).otherwise(
+        F.when(~both_int, nv)
+    )
+    return F.when(final_n.isNull(), F.lit(None).cast(TAGGED_TYPE)).otherwise(
+        F.struct(
+            F.lit(7).cast("tinyint").alias("__k"),
+            final_n.cast("double").alias("__n"),
+            final_i.alias("__i"),
+            F.lit(None).cast("string").alias("__s"),
+            F.lit(None).cast("boolean").alias("__b"),
+            F.lit(None).cast(ORDER_KEY_TYPE).alias("__o"),
+            F.lit(None).cast("string").alias("__j"),
+        )
+    )
+
+
 def _numeric_binary(op: str, l: Column, r: Column, ldt, rdt) -> Column:
     if op == "+":
         return l + r
@@ -629,13 +686,19 @@ def _compile_binary(scope: ExprScope, e: A.Binary) -> Column:
 
         ldt = _operand_dtype(scope, e.left, l)
         rdt = _operand_dtype(scope, e.right, r)
-        # arithmetic on a mixed-kind dynamic value uses its numeric slot;
+        # arithmetic on a mixed-kind dynamic value uses its numeric slots;
         # non-numeric rows null-propagate (the reference raises per value —
-        # a per-row error is not expressible in a vectorized plan)
-        if ldt is not None and is_tagged_type(ldt):
-            l, ldt = l.getField("__n"), T.DoubleType()
-        if rdt is not None and is_tagged_type(rdt):
-            r, rdt = r.getField("__n"), T.DoubleType()
+        # a per-row error is not expressible in a vectorized plan). The
+        # numeric KIND is preserved per age_agtype ops: int op int stays
+        # exact int64 via the __i payloads, any float promotes.
+        lt_tag = ldt is not None and is_tagged_type(ldt)
+        rt_tag = rdt is not None and is_tagged_type(rdt)
+        if lt_tag or rt_tag:
+            if op == "^":  # always float8 (agtype_ops.c power)
+                ln = l.getField("__n") if lt_tag else l.cast("double")
+                rn = r.getField("__n") if rt_tag else r.cast("double")
+                return F.pow(ln, rn)
+            return _tagged_arith(op, l, ldt, lt_tag, r, rdt, rt_tag)
         if op == "+":
             if (ldt is not None and _is_string(ldt)) or (rdt is not None and _is_string(rdt)):
                 return F.concat(l.cast("string"), r.cast("string"))

@@ -63,13 +63,36 @@ def test_tagged_conversions(mixed):
     ]
 
 
-def test_tagged_arithmetic_null_propagates(mixed):
+def test_tagged_arithmetic_kind_preserving(mixed):
+    """Arithmetic over a dynamic column preserves the numeric kind
+    (agtype_ops.c add/sub/...): int rows stay exact ints, float rows stay
+    float8, non-numeric rows null-propagate."""
+    from age_spark.runtime.agvalue import agtype_out
+
     age, g = mixed
-    got = rows(
-        age, g,
-        "MATCH (n) WHERE n.val IS NOT NULL RETURN n.val + 1 AS v ORDER BY n.val",
-    )
-    assert got == [(None,), (None,), (None,), (2.0,), (3.5,)]
+    got = [
+        agtype_out(r.v)
+        for r in age.cypher(
+            g, "MATCH (n) WHERE n.val IS NOT NULL RETURN n.val + 1 AS v ORDER BY n.val"
+        ).df.collect()
+    ]
+    assert got == [None, None, None, "2", "3.5"]
+    got = [
+        agtype_out(r.v)
+        for r in age.cypher(
+            g,
+            "MATCH (n) WHERE n.val IS NOT NULL AND NOT n.val IN ['x', '1', true] "
+            "RETURN n.val * 2 AS v ORDER BY n.val",
+        ).df.collect()
+    ]
+    assert got == ["2", "5.0"]
+    row = age.cypher(
+        g,
+        "MATCH (n) WHERE n.val = 1 RETURN n.val / 2 AS d, n.val % 2 AS m, "
+        "n.val ^ 2 AS p",
+    ).df.collect()[0]
+    got = [agtype_out(row.d), agtype_out(row.m), agtype_out(row.p)]
+    assert got == ["0", "1", "1.0"]  # int div truncates; ^ is always float
 
 
 def test_is_null_and_nulls_largest(mixed):
