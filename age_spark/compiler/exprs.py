@@ -480,7 +480,35 @@ def _tagged_arith(
     ln, li = parts(l, ldt, lt_tag)
     rn, ri = parts(r, rdt, rt_tag)
     both_int = li.isNotNull() & ri.isNotNull()
+    str_concat = None
     if op == "+":
+        # string-kind rows concatenate: 'str' + 1 -> "str1" (agtype_any_add;
+        # expr.out:659-663 keeps the float ".0" in "1.0str")
+        def as_text(c, dt, tagged):
+            from ..graph import _scalar_kind
+
+            if tagged:
+                # only string/numeric kinds join a concat (agtype_add:31-35
+                # — bool + string is an error, so that row nulls out)
+                return F.when(c.getField("__k") != 6, _tagged_to_string(c))
+            if dt is not None and _is_string(dt):
+                return c
+            if dt is not None and _scalar_kind(dt) == "numeric":
+                return c.cast("string")
+            return F.lit(None).cast("string")
+
+        lstr = (
+            F.when(l.getField("__k") == 5, l.getField("__s")) if lt_tag
+            else (l if ldt is not None and _is_string(ldt) else F.lit(None).cast("string"))
+        )
+        rstr = (
+            F.when(r.getField("__k") == 5, r.getField("__s")) if rt_tag
+            else (r if rdt is not None and _is_string(rdt) else F.lit(None).cast("string"))
+        )
+        str_concat = (
+            F.when(lstr.isNotNull(), F.concat(lstr, as_text(r, rdt, rt_tag)))
+            .when(rstr.isNotNull(), F.concat(as_text(l, ldt, lt_tag), rstr))
+        )
         nv, iv = ln + rn, li + ri
     elif op == "-":
         nv, iv = ln - rn, li - ri
@@ -499,12 +527,15 @@ def _tagged_arith(
     final_n = F.when(final_i.isNotNull(), final_i.cast("double")).otherwise(
         F.when(~both_int, nv)
     )
-    return F.when(final_n.isNull(), F.lit(None).cast(TAGGED_TYPE)).otherwise(
+    is_str = str_concat.isNotNull() if str_concat is not None else F.lit(False)
+    return F.when(
+        ~is_str & final_n.isNull(), F.lit(None).cast(TAGGED_TYPE)
+    ).otherwise(
         F.struct(
-            F.lit(7).cast("tinyint").alias("__k"),
-            final_n.cast("double").alias("__n"),
-            final_i.alias("__i"),
-            F.lit(None).cast("string").alias("__s"),
+            F.when(is_str, 5).otherwise(7).cast("tinyint").alias("__k"),
+            F.when(~is_str, final_n.cast("double")).alias("__n"),
+            F.when(~is_str, final_i).alias("__i"),
+            (str_concat if str_concat is not None else F.lit(None).cast("string")).alias("__s"),
             F.lit(None).cast("boolean").alias("__b"),
             F.lit(None).cast(ORDER_KEY_TYPE).alias("__o"),
             F.lit(None).cast("string").alias("__j"),

@@ -76,7 +76,9 @@ def test_tagged_arithmetic_kind_preserving(mixed):
             g, "MATCH (n) WHERE n.val IS NOT NULL RETURN n.val + 1 AS v ORDER BY n.val"
         ).df.collect()
     ]
-    assert got == [None, None, None, "2", "3.5"]
+    # string rows CONCAT with the number ('1' + 1 -> "11", agtype_any_add);
+    # the bool row nulls out; numeric rows keep their kind
+    assert got == ['"11"', '"x1"', None, "2", "3.5"]
     got = [
         agtype_out(r.v)
         for r in age.cypher(
@@ -93,6 +95,16 @@ def test_tagged_arithmetic_kind_preserving(mixed):
     ).df.collect()[0]
     got = [agtype_out(row.d), agtype_out(row.m), agtype_out(row.p)]
     assert got == ["0", "1", "1.0"]  # int div truncates; ^ is always float
+    # string-kind rows CONCATENATE on + ('str' + 1 -> "str1",
+    # expr.out:659-663); numeric rows append with kind-faithful text;
+    # bool rows null out
+    got = [
+        agtype_out(r.v)
+        for r in age.cypher(
+            g, "MATCH (n) WHERE n.val IS NOT NULL RETURN n.val + 'z' AS v ORDER BY n.val"
+        ).df.collect()
+    ]
+    assert got == ['"1z"', '"xz"', None, '"1z"', '"2.5z"']
 
 
 def test_is_null_and_nulls_largest(mixed):
