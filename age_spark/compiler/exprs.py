@@ -455,6 +455,96 @@ def _compile_map_projection(scope: ExprScope, e: A.MapProjection) -> Column:
 # ---- binary ops
 
 
+def _as_tagged_array(arr: Column, et) -> Column:
+    from ..graph import TAGGED_TYPE, is_tagged_type, tag_column
+
+    if et is not None and is_tagged_type(et):
+        return arr
+    if et is None or isinstance(et, T.NullType):
+        return F.transform(arr, lambda x: F.lit(None).cast(TAGGED_TYPE))
+    return F.transform(arr, lambda x: tag_column(x, et))
+
+
+def _compile_concat_op(scope: ExprScope, e: A.Binary, l: Column, r: Column) -> Column:
+    """`||` — jsonb-style agtype concatenation (agtype_concat_impl,
+    agtype_ops.c:1761; regress/sql/jsonb_operators.sql concat block):
+    object||object merges (right wins), array||array concatenates,
+    array||anything appends it as an element, scalar||array prepends,
+    scalar||scalar builds a 2-element array; object on only ONE side of a
+    non-object is an error."""
+    from ..graph import TAGGED_TYPE, _container_kind, is_tagged_type, tag_column
+
+    ldt = _operand_dtype(scope, e.left, l)
+    rdt = _operand_dtype(scope, e.right, r)
+    if isinstance(ldt, T.NullType) or isinstance(rdt, T.NullType):
+        return F.lit(None)
+
+    def kind_of(dt):
+        if dt is None:
+            return None
+        if is_tagged_type(dt):
+            return "dynamic"
+        if isinstance(dt, T.ArrayType):
+            return "array"
+        ck = _container_kind(dt)
+        if ck == "object" or isinstance(dt, (T.MapType,)):
+            return "object"
+        if isinstance(dt, T.StructType):
+            return "object"  # entity structs merge like objects
+        return "scalar"
+
+    lk, rk = kind_of(ldt), kind_of(rdt)
+    if lk == "object" and rk == "object":
+        if isinstance(ldt, T.StructType) and isinstance(rdt, T.StructType):
+            names = []
+            cols = {}
+            for f2 in ldt.fields:
+                if f2.name != "_none":
+                    names.append(f2.name)
+                    cols[f2.name] = l.getField(f2.name)
+            for f2 in rdt.fields:
+                if f2.name != "_none":
+                    if f2.name not in cols:
+                        names.append(f2.name)
+                    cols[f2.name] = r.getField(f2.name)  # right wins
+            if not names:
+                return F.struct(F.lit(None).cast("string").alias("_none"))
+            return F.struct(*[cols[nm].alias(nm) for nm in names])
+        if isinstance(ldt, T.MapType) and isinstance(rdt, T.MapType):
+            return F.map_concat(l, r)
+        raise CompileError("cannot concatenate these object representations")
+    if lk == "object" or rk == "object":
+        if lk == "array":
+            # array || object appends the object as an element
+            return _concat_arrays(l, ldt.elementType, F.array(r), rdt)
+        side = "left" if lk == "object" else "right"
+        # jsonb rule: an object concatenates only with an object (or into
+        # an array) — anything else is an error, not a coercion
+        raise CompileError(f"invalid {side} operand for agtype concatenation")
+    if lk == "array" and rk == "array":
+        return _concat_arrays(l, ldt.elementType, r, rdt.elementType)
+    if lk == "array":
+        return _concat_arrays(l, ldt.elementType, F.array(r), rdt)
+    if rk == "array":
+        return _concat_arrays(F.array(l), ldt, r, rdt.elementType)
+    # scalar || scalar -> 2-element array (kinds may differ -> tag)
+    return _concat_arrays(F.array(l), ldt, F.array(r), rdt)
+
+
+def _concat_arrays(l: Column, let_, r: Column, ret_) -> Column:
+    lt = _strip(let_)
+    rt = _strip(ret_)
+    if lt is not None and rt is not None and lt == rt:
+        return F.concat(l, r)
+    return F.concat(_as_tagged_array(l, let_), _as_tagged_array(r, ret_))
+
+
+def _strip(dt):
+    from ..graph import _strip_nullability
+
+    return None if dt is None else _strip_nullability(dt)
+
+
 def _tagged_arith(
     op: str, l: Column, ldt, lt_tag: bool, r: Column, rdt, rt_tag: bool
 ) -> Column:
@@ -712,6 +802,8 @@ def _compile_binary(scope: ExprScope, e: A.Binary) -> Column:
         return l.contains(r)
     if op == "=~":
         return F.regexp_like(l, r)
+    if op == "||":
+        return _compile_concat_op(scope, e, l, r)
     if op in ("+", "-", "*", "/", "%", "^"):
         from ..graph import is_tagged_type
 
@@ -735,8 +827,11 @@ def _compile_binary(scope: ExprScope, e: A.Binary) -> Column:
                 return F.concat(l.cast("string"), r.cast("string"))
             if ldt is not None and _is_array(ldt):
                 if rdt is not None and _is_array(rdt):
-                    return F.concat(l, r)
-                return F.concat(l, F.array(r))  # list + elem appends (agtype_ops.c:145)
+                    # element types may differ ([] + [x], [1] + ['a']):
+                    # align via element tagging like any dynamic list
+                    return _concat_arrays(l, ldt.elementType, r, rdt.elementType)
+                # list + elem appends (agtype_ops.c:145)
+                return _concat_arrays(l, ldt.elementType, F.array(r), rdt)
         return _numeric_binary(op, l, r, ldt, rdt)
     raise CompileError(f"unknown binary op {op}")
 
@@ -778,6 +873,9 @@ def _compile_listcomp(scope: ExprScope, e: A.ListComp) -> Column:
 
 def _compile_predfn(scope: ExprScope, e: A.PredFn) -> Column:
     src = compile_expr(scope, e.source)
+    sdt = dtype_of(scope, src)
+    if sdt is not None and isinstance(sdt, T.NullType):
+        return F.lit(None).cast("boolean")  # all/any/... over NULL -> NULL
     et = _elem_type(scope, src)
 
     def pred(x):
@@ -790,7 +888,16 @@ def _compile_predfn(scope: ExprScope, e: A.PredFn) -> Column:
     if e.kind == "none":
         return ~F.exists(src, pred)
     if e.kind == "single":
-        return F.size(F.filter(src, pred)) == 1
+        # three-valued: a NULL predicate row makes the exactly-one verdict
+        # unknowable unless two trues already force false
+        # (predicate_functions.out single() null blocks)
+        n_true = F.size(F.filter(src, pred))
+        has_null = F.exists(src, lambda x: pred(x).isNull())
+        return (
+            F.when(n_true > 1, F.lit(False))
+            .when(has_null, F.lit(None).cast("boolean"))
+            .otherwise(n_true == 1)
+        )
     raise CompileError(f"unknown predicate function {e.kind}")
 
 
@@ -799,6 +906,9 @@ def _compile_reduce(scope: ExprScope, e: A.Reduce) -> Column:
     init = compile_expr(scope, e.init)
     et = _elem_type(scope, src)
     idt = dtype_of(scope, init)
+    sdt = dtype_of(scope, src)
+    if sdt is not None and isinstance(sdt, T.NullType):
+        return F.lit(None)  # reduce over NULL -> NULL (age_reduce.out)
 
     # F.aggregate requires merge-result type == init type; probe the merge
     # type with stand-in columns (driver-side schema analysis, no job) and
@@ -812,6 +922,8 @@ def _compile_reduce(scope: ExprScope, e: A.Reduce) -> Column:
         scope.child({e.acc: init, e.var: F.get(src, 0)}, probe_types), e.expr
     )
     rdt = dtype_of(scope, probe)
+    if rdt is not None and isinstance(rdt, T.NullType):
+        return F.lit(None)  # a constant-NULL fold body nulls every step
     if rdt is not None and idt is not None and rdt != idt:
         init = init.cast(rdt)
         idt = rdt
@@ -992,7 +1104,7 @@ def _fn_tail(scope, args, cols):
 @fn("size")
 def _fn_size(scope, args, cols):
     c = cols[0]
-    dt = dtype_of(scope, c)
+    dt = _operand_dtype(scope, args[0], c) if args else dtype_of(scope, c)
     if dt is not None and _is_string(dt):
         return F.length(c)
     if dt is not None and _is_struct(dt):

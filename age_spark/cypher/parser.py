@@ -31,10 +31,10 @@ _TOKEN_RE = re.compile(
     (?P<ws>\s+|//[^\n]*|/\*.*?\*/)
   | (?P<float>(\d+\.(?!\.)\d*|\.\d+)([eE][+-]?\d+)?|\d+[eE][+-]?\d+)
   | (?P<int>\d+)
-  | (?P<string>'(?:[^'\\]|\\.)*'|"(?:[^"\\]|\\.)*")
+  | (?P<string>'(?:[^'\\]|\\.|'')*'|"(?:[^"\\]|\\.|"")*")
   | (?P<name>[A-Za-z_][A-Za-z0-9_]*|`[^`]*`)
   | (?P<param>\$[A-Za-z_][A-Za-z0-9_]*)
-  | (?P<op><>|<=|>=|=~|\+=|\.\.|->|<-|::|[()\[\]{},:;.|=<>+\-*/%^])
+  | (?P<op><>|<=|>=|=~|\+=|\.\.|->|<-|::|\|\||[()\[\]{},:;.|=<>+\-*/%^])
     """,
     re.VERBOSE | re.DOTALL,
 )
@@ -65,10 +65,17 @@ _CAST_FNS = {
 
 
 def _unquote(s: str) -> str:
+    q = s[0]
     body = s[1:-1]
     out, i = [], 0
     while i < len(body):
         c = body[i]
+        if c == q and i + 1 < len(body) and body[i + 1] == q:
+            # SQL-style doubled quote ('it''s', "say ""hi""") — the
+            # reference lexer accepts both escapes (scan.l / regress scan)
+            out.append(q)
+            i += 2
+            continue
         if c == "\\" and i + 1 < len(body):
             nxt = body[i + 1]
             if nxt == "u" and i + 5 < len(body):
@@ -539,7 +546,7 @@ class Parser:
 
     def parse_additive(self) -> A.Expr:
         left = self.parse_multiplicative()
-        while self.at_op("+", "-"):
+        while self.at_op("+", "-", "||"):
             op = self.advance().value
             left = A.Binary(op, left, self.parse_multiplicative())
         return left
