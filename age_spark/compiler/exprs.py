@@ -465,6 +465,54 @@ def _as_tagged_array(arr: Column, et) -> Column:
     return F.transform(arr, lambda x: tag_column(x, et))
 
 
+def _compile_path_extract(scope: ExprScope, e: A.Binary, l: Column, as_text: bool) -> Column:
+    """`#>` / `#>>` — extract at a constant path list (agtype_ops.c:2024,
+    `#>>` returns the value as text; regress jsonb_operators `#>` block):
+    int elements index arrays (negatives count from the end), strings key
+    into objects, an empty path returns the operand, and any mis-typed
+    path element or walk off the value yields NULL."""
+    if not isinstance(e.right, A.ListLit):
+        raise CompileError("#> requires a constant path list")
+    cur = e.left
+    dt = dtype_of(scope, l)
+    for step in e.right.items:
+        # unary minus arrives as Unary("-", Lit): negative array indexes
+        if isinstance(step, A.Unary) and step.op == "-" and isinstance(step.expr, A.Lit) \
+                and isinstance(step.expr.value, int):
+            step = A.Lit(-step.expr.value)
+        if isinstance(step, A.Lit) and isinstance(step.value, bool):
+            return F.lit(None)
+        if isinstance(step, A.Lit) and isinstance(step.value, int):
+            if not (dt is None or isinstance(dt, T.ArrayType) or _is_tagged(dt)):
+                return F.lit(None)  # int step into a non-array
+            cur = A.Index(cur, step)
+            dt = dt.elementType if isinstance(dt, T.ArrayType) else None
+        elif isinstance(step, A.Lit) and isinstance(step.value, str):
+            ok = dt is None or _is_tagged(dt) or _is_map(dt) or (
+                isinstance(dt, T.StructType)
+            )
+            if not ok:
+                return F.lit(None)  # string step into a non-object
+            cur = A.Index(cur, step)
+            if isinstance(dt, T.StructType):
+                dt = dt[step.value].dataType if step.value in {f.name for f in dt.fields} else T.NullType()
+            elif _is_map(dt):
+                dt = dt.valueType
+            else:
+                dt = None
+        else:
+            return F.lit(None)  # non-int/string path element (e.g. [{}])
+        if isinstance(dt, T.NullType):
+            return F.lit(None)
+    out = compile_expr(scope, cur)
+    if as_text:
+        dt = dtype_of(scope, out)
+        if _is_tagged(dt):
+            return _tagged_to_string(out)
+        return out.cast("string")
+    return out
+
+
 def _compile_concat_op(scope: ExprScope, e: A.Binary, l: Column, r: Column) -> Column:
     """`||` — jsonb-style agtype concatenation (agtype_concat_impl,
     agtype_ops.c:1761; regress/sql/jsonb_operators.sql concat block):
@@ -804,6 +852,8 @@ def _compile_binary(scope: ExprScope, e: A.Binary) -> Column:
         return F.regexp_like(l, r)
     if op == "||":
         return _compile_concat_op(scope, e, l, r)
+    if op in ("#>", "#>>"):
+        return _compile_path_extract(scope, e, l, op == "#>>")
     if op in ("+", "-", "*", "/", "%", "^"):
         from ..graph import is_tagged_type
 

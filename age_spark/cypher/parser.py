@@ -34,7 +34,7 @@ _TOKEN_RE = re.compile(
   | (?P<string>'(?:[^'\\]|\\.|'')*'|"(?:[^"\\]|\\.|"")*")
   | (?P<name>[A-Za-z_][A-Za-z0-9_]*|`[^`]*`)
   | (?P<param>\$[A-Za-z_][A-Za-z0-9_]*)
-  | (?P<op><>|<=|>=|=~|\+=|\.\.|->|<-|::|\|\||[()\[\]{},:;.|=<>+\-*/%^])
+  | (?P<op><>|<=|>=|=~|\+=|\.\.|->|<-|::|\|\||\#>>|\#>|[()\[\]{},:;.|=<>+\-*/%^])
     """,
     re.VERBOSE | re.DOTALL,
 )
@@ -546,7 +546,7 @@ class Parser:
 
     def parse_additive(self) -> A.Expr:
         left = self.parse_multiplicative()
-        while self.at_op("+", "-", "||"):
+        while self.at_op("+", "-", "||", "#>", "#>>"):
             op = self.advance().value
             left = A.Binary(op, left, self.parse_multiplicative())
         return left
