@@ -100,3 +100,26 @@ def test_tagged_scan_keeps_pushdown(spark):
     # in-memory demo tables have no parquet scan, but the filter must stay
     # a native comparison on the typed column — no Python eval anywhere
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_dynamic_value_ops_stay_jvm_side(spark):
+    """The whole dynamic-value surface — tagging, ladder ORDER BY,
+    kind-preserving arithmetic, variant container access, || and #> — must
+    compile to JVM expressions: no Python evaluation node may appear in
+    the plan (UDFs are the slow path; SURVEY §4 codegen notes)."""
+    age = AgeSession(spark)
+    g = age.create_graph("plans_dyn")
+    g = age.cypher(
+        g, "CREATE (:P {v: 1}), (:P {v: 2.5}), (:P {v: 'x'}), (:P {v: [1, 2]})"
+    ).graph
+    for q in [
+        "MATCH (n:P) RETURN n.v AS v ORDER BY n.v",
+        "MATCH (n:P) WHERE n.v = 2.5 RETURN count(*) AS c",
+        "MATCH (n:P) RETURN n.v + 1 AS v",
+        "MATCH (n:P) RETURN n.v[0] AS first",
+        "RETURN [1, 'a'] || {a: 1} AS v, {a: {b: 1}} #> ['a', 'b'] AS w",
+        "MATCH (n:P) RETURN sum(n.v) AS s",
+    ]:
+        plan = age.explain(g, q)
+        for marker in ("BatchEvalPython", "ArrowEvalPython", "PythonUDF", "MapInPandas"):
+            assert marker not in plan, f"{marker} in plan for {q}"
