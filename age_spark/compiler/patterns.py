@@ -158,7 +158,12 @@ class MatchState:
         if direction == "in":
             return scan.select(e, F.col("end_id").alias(src), F.col("start_id").alias(dst))
         fwd = scan.select(e, F.col("start_id").alias(src), F.col("end_id").alias(dst))
-        rev = scan.select(e, F.col("end_id").alias(src), F.col("start_id").alias(dst))
+        # undirected: self-loops match once, not once per orientation
+        # (the reference's separate edges_self list,
+        # age_global_graph.c:642-657)
+        rev = scan.filter(F.col("start_id") != F.col("end_id")).select(
+            e, F.col("end_id").alias(src), F.col("start_id").alias(dst)
+        )
         return fwd.unionByName(rev)
 
     # ----- nodes

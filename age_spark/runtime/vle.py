@@ -56,7 +56,14 @@ def _oriented_edges(
     rev = scan.select(e, F.col("end_id").alias("_s"), F.col("start_id").alias("_d"))
     if direction == "in":
         return rev
-    return fwd.unionByName(rev)
+    # undirected: a SELF-LOOP must appear once, not once per orientation —
+    # the reference keeps self-loops in their own edges_self list exactly
+    # so traversal visits them once (age_global_graph.c:642-657). The
+    # filter pushes to the scan; no shuffle.
+    rev_noloop = scan.filter(F.col("start_id") != F.col("end_id")).select(
+        e, F.col("end_id").alias("_s"), F.col("start_id").alias("_d")
+    )
+    return fwd.unionByName(rev_noloop)
 
 
 def vle_pairs(
