@@ -398,7 +398,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ---- §2.3 shortest paths, §2.9 stats (CALL procedures)
     q["g_shortest_path"] = lambda s, d: _cypher(
         s, d,
-        'CALL shortest_path("Customer", "Region") YIELD src, dst, hops '
+        'CALL shortest_path("Customer", "Region", null, "out") YIELD src, dst, hops '
         'RETURN hops, count(*) AS n',
     )
     q["g_graph_stats"] = lambda s, d: _cypher(

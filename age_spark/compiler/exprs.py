@@ -356,20 +356,24 @@ def _tagged_container_access(c: Column, path: str) -> Column:
 
 
 def _deref_entity(scope: ExprScope, base: Column, dt: T.DataType, key: str) -> Column:
-    """x.key where x is a struct: entity structs auto-deref into properties
-    (``agtype.c:4482 agtype_access_operator`` derefs vertex/edge)."""
+    """x.key where x is a struct: entity structs ALWAYS deref into their
+    properties object — `n.id` is the PROPERTY named id, never the graphid
+    (``agtype_access_operator`` extracts pairs[2]/pairs[4] = properties for
+    vertex/edge before the map access, ``agtype.c:4556-4564``; structural
+    fields are reachable via id()/startNode()/... functions only)."""
     if _is_tagged(dt):
         if _re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", key):
             return _tagged_container_access(base, f"$.{key}")
         return F.lit(None)
     if _is_struct(dt):
         names = _entity_fields(dt)
-        if key in names:
-            return base.getField(key)
         if "properties" in names and "id" in names:
             pdt = next(f.dataType for f in dt.fields if f.name == "properties")
             if _is_struct(pdt) and key in _entity_fields(pdt):
                 return base.getField("properties").getField(key)
+            return F.lit(None)
+        if key in names:
+            return base.getField(key)
         return F.lit(None)
     if _is_map(dt):
         return base.getItem(key)

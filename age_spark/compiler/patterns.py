@@ -84,12 +84,15 @@ def _props_filter(scope: ExprScope, struct_col: Column, props: A.Expr, struct_dt
         if not isinstance(struct_dt, T.StructType):
             return None
         names = {f.name for f in struct_dt.fields}
-        if key in names:
-            return struct_dt[key].dataType
+        # entities deref into PROPERTIES — a {id: ...} constraint matches
+        # the property named id, never the graphid (agtype.c:4556)
         if "properties" in names and "id" in names:
             pdt = struct_dt["properties"].dataType
             if isinstance(pdt, T.StructType) and key in {f.name for f in pdt.fields}:
                 return pdt[key].dataType
+            return None
+        if key in names:
+            return struct_dt[key].dataType
         return None
 
     cond = F.lit(True)
@@ -107,6 +110,27 @@ def _props_filter(scope: ExprScope, struct_col: Column, props: A.Expr, struct_dt
     return cond
 
 
+def _props_refs_vars(props: Optional[A.Expr]) -> bool:
+    """True when a pattern property constraint references VARIABLES
+    (`(a:N {id: i})` with i from a prior clause). Such constraints cannot
+    filter the label scan — they become post-join quals, exactly the
+    reference's shape (create_property_constraints emits quals evaluated
+    in the join context, cypher_clause.c:5530)."""
+    from .clauses import transform_expr
+
+    if props is None or isinstance(props, A.Param):
+        return False
+    found = []
+
+    def fn(x):
+        if isinstance(x, A.Var):
+            found.append(x.name)
+        return x
+
+    transform_expr(props, fn)
+    return bool(found)
+
+
 class MatchState:
     """Builds up one MATCH clause: df + env + bookkeeping for uniqueness."""
 
@@ -116,6 +140,7 @@ class MatchState:
         self.env = env
         self.edge_bindings: list[Binding] = []  # for edge-uniqueness quals
         self.helpers: list[str] = []  # helper cols to drop at clause end
+        self.deferred_props: list[tuple[str, A.Expr]] = []  # (var, props) post-join quals
 
     # ----- scans
     def _vertex_scan(self, name: str, labels: list[str], props: Optional[A.Expr]) -> DataFrame:
@@ -125,9 +150,12 @@ class MatchState:
             F.struct(F.col("id"), F.col("label"), F.col("properties")).alias(name)
         )
         if props is not None:
-            dt = out.schema[0].dataType
-            scope = ExprScope(self.ctx, out, Env({}))
-            out = out.filter(_props_filter(scope, F.col(name), props, dt))
+            if _props_refs_vars(props):
+                self.deferred_props.append((name, props))
+            else:
+                dt = out.schema[0].dataType
+                scope = ExprScope(self.ctx, out, Env({}))
+                out = out.filter(_props_filter(scope, F.col(name), props, dt))
         return out
 
     def _edge_scan(
@@ -140,6 +168,9 @@ class MatchState:
         ``cypher_clause.c:5208``)."""
         g = self.ctx.graph
         scan = g.scan_edges(types or None)
+        if props is not None and _props_refs_vars(props):
+            self.deferred_props.append((name, props))
+            props = None
         if props is not None:
             est = scan.select(
                 F.struct(F.col("id"), F.col("start_id"), F.col("end_id"), F.col("label"), F.col("properties")).alias("_e")
@@ -366,6 +397,16 @@ def compile_match_patterns(
     for path in patterns:
         _compile_one_path(st, path)
     st.apply_edge_uniqueness([])
+    # property constraints that reference VARIABLES apply after the joins,
+    # when every binding is in scope (the reference's qual placement)
+    for name, props in st.deferred_props:
+        dt = st.df.schema[name].dataType
+        if isinstance(dt, T.ArrayType):
+            raise CompileError(
+                "variable-length property prototypes cannot reference variables"
+            )
+        scope = ExprScope(ctx, st.df, st.env)
+        st.df = st.df.filter(_props_filter(scope, F.col(name), props, dt))
     return st.df, st.env, st
 
 

@@ -41,6 +41,21 @@ from .catalog import (
 VERTEX_RESERVED = ("id",)
 EDGE_RESERVED = ("id", "start_id", "end_id")
 
+# Label tables store properties as FLAT columns beside the structural
+# id/start_id/end_id columns, but agtype property names are unrestricted —
+# the reference's own fixtures use `{id: i}` (age_shortest_path.sql:245).
+# Reserved-named properties are therefore stored under an escaped column
+# name and surfaced with their real name in the properties struct.
+RESERVED_PROP_PREFIX = "__p_"
+
+
+def prop_store_name(k: str, reserved) -> str:
+    return RESERVED_PROP_PREFIX + k if k in reserved else k
+
+
+def prop_display_name(nm: str) -> str:
+    return nm[len(RESERVED_PROP_PREFIX):] if nm.startswith(RESERVED_PROP_PREFIX) else nm
+
 
 # -------- tagged dynamic values (the reference's heterogeneous agtype) --
 #
@@ -428,28 +443,47 @@ def _strip_nullability(dt: T.DataType) -> T.DataType:
     return dt
 
 
-def _prop_col(nm: str, dt: T.DataType, have: dict[str, T.DataType]) -> Column:
+def _escape_reserved_props(df: DataFrame, reserved, consumed=()) -> Column:
+    """Rename reserved-named PROPERTY columns of a source DataFrame to their
+    escaped storage names before the structural columns are added. Columns
+    in ``consumed`` (the id/endpoint source columns) are eaten by packing
+    and stay untouched."""
+    for c in df.columns:
+        if c in reserved and c not in consumed:
+            df = df.withColumnRenamed(c, prop_store_name(c, reserved))
+    return df
+
+
+def _prop_col(nm: str, dt: T.DataType, have: dict[str, tuple[str, T.DataType]]) -> Column:
     """One property column of a per-label scan, conformed to the merged
-    schema: absent -> typed NULL; tagged target -> kind-tagged wrap."""
+    schema: absent -> typed NULL; tagged target -> kind-tagged wrap.
+    ``have`` maps display name -> (stored column name, dtype)."""
     if nm not in have:
         return F.lit(None).cast(dt)
-    if is_tagged_type(dt) and not is_tagged_type(have[nm]):
-        return tag_column(F.col(nm), have[nm])
-    return F.col(nm).cast(dt)
+    stored, sdt = have[nm]
+    if is_tagged_type(dt) and not is_tagged_type(sdt):
+        return tag_column(F.col(stored), sdt)
+    return F.col(stored).cast(dt)
 
 
-def merge_property_schema(dfs: Iterable[DataFrame], reserved: tuple[str, ...]) -> list[tuple[str, T.DataType]]:
-    """Merged (name, type) list over all property columns, sorted by name for
-    deterministic struct layout."""
+def merge_property_schema(
+    dfs: Iterable[DataFrame], reserved: tuple[str, ...], display: bool = True
+) -> list[tuple[str, T.DataType]]:
+    """Merged (name, type) list over all property columns, sorted by name
+    for deterministic struct layout. ``display=True`` (the scan surface)
+    unescapes reserved-named properties to their real name; ``display=False``
+    keeps STORED column names (the label-table union path, where `__p_id`
+    must stay distinct from the structural `id`)."""
     merged: dict[str, T.DataType] = {}
     for df in dfs:
         for f in df.schema.fields:
             if f.name in reserved:
                 continue
-            if f.name in merged:
-                merged[f.name] = _widen(merged[f.name], f.dataType)
+            nm = prop_display_name(f.name) if display else f.name
+            if nm in merged:
+                merged[nm] = _widen(merged[nm], f.dataType)
             else:
-                merged[f.name] = f.dataType
+                merged[nm] = f.dataType
     return sorted(merged.items())
 
 
@@ -529,6 +563,7 @@ class Graph:
         plain int64.
         """
         meta = self.create_vlabel(label)
+        df = _escape_reserved_props(df, VERTEX_RESERVED, consumed=(id_col,))
         packed = self._pack_ids(df, meta, id_col)
         self.vertex_dfs[label] = self._append(self.vertex_dfs.get(label), packed, VERTEX_RESERVED)
 
@@ -548,7 +583,9 @@ class Graph:
         the direct-pack fast path of the reference's edge loader
         (``age_load.c:653`` resolves (entry_id, label) -> graphid)."""
         meta = self.create_elabel(label)
-        out = df
+        out = _escape_reserved_props(
+            df, EDGE_RESERVED, consumed=(id_col, start_col, end_col)
+        )
         if start_label is not None:
             sid = self.meta.label(start_label).label_id
             out = out.withColumn(
@@ -646,7 +683,11 @@ class Graph:
         parts = []
         for m in metas:
             df = self.vertex_dfs[m.name]
-            have = {f.name: f.dataType for f in df.schema.fields}
+            have = {
+                prop_display_name(f.name): (f.name, f.dataType)
+                for f in df.schema.fields
+                if f.name not in VERTEX_RESERVED
+            }
             props = [_prop_col(nm, dt, have).alias(nm) for nm, dt in schema]
             cols = [F.col("id"), F.lit(m.name).alias("label")]
             if props:
@@ -668,7 +709,11 @@ class Graph:
         parts = []
         for m in metas:
             df = self.edge_dfs[m.name]
-            have = {f.name: f.dataType for f in df.schema.fields}
+            have = {
+                prop_display_name(f.name): (f.name, f.dataType)
+                for f in df.schema.fields
+                if f.name not in EDGE_RESERVED
+            }
             props = [_prop_col(nm, dt, have).alias(nm) for nm, dt in schema]
             cols = [
                 F.col("id"),
@@ -852,8 +897,9 @@ def conform_col(col: Column, src: T.DataType, dst: T.DataType) -> Column:
 
 def union_by_merged_schema(dfs: list[DataFrame]) -> DataFrame:
     """Union DataFrames whose schemas may differ; missing columns become
-    NULL, conflicting types widen (deep for structs/arrays)."""
-    merged = merge_property_schema(dfs, ())
+    NULL, conflicting types widen (deep for structs/arrays). Operates on
+    STORED column names (label-table layout)."""
+    merged = merge_property_schema(dfs, (), display=False)
     parts = []
     for df in dfs:
         have = {f.name: f.dataType for f in df.schema.fields}

@@ -141,9 +141,13 @@ def _create_node(ctx, graph, df, env, node: A.NodePattern, n_rows, sink):
             F.struct(F.lit(None).cast("string").alias("_none")).alias("properties")
         )
     df = df.withColumn(name, F.struct(*struct_fields))
-    # rows to append to the label table (flat columns)
+    # rows to append to the label table (flat columns; reserved-named
+    # properties store escaped — graph.prop_store_name)
+    from ..graph import VERTEX_RESERVED, prop_store_name
+
     row_cols = [F.col(name).getField("id").alias("id")] + [
-        F.col(name).getField("properties").getField(k).alias(k) for k, _ in props
+        F.col(name).getField("properties").getField(k).alias(prop_store_name(k, VERTEX_RESERVED))
+        for k, _ in props
     ]
     sink.setdefault(label, []).append(df.select(*row_cols))
     env = env.bind(Binding(name, VERTEX, (label,), hidden=node.var is None))
@@ -181,11 +185,16 @@ def _create_edge(ctx, graph, df, env, rel: A.RelPattern, a: str, b: str, n_rows,
             F.struct(F.lit(None).cast("string").alias("_none")).alias("properties")
         )
     df = df.withColumn(name, F.struct(*struct_fields))
+    from ..graph import EDGE_RESERVED, prop_store_name
+
     row_cols = [
         F.col(name).getField("id").alias("id"),
         F.col(name).getField("start_id").alias("start_id"),
         F.col(name).getField("end_id").alias("end_id"),
-    ] + [F.col(name).getField("properties").getField(k).alias(k) for k, _ in props]
+    ] + [
+        F.col(name).getField("properties").getField(k).alias(prop_store_name(k, EDGE_RESERVED))
+        for k, _ in props
+    ]
     sink.setdefault(label, []).append(df.select(*row_cols))
     env = env.bind(Binding(name, EDGE, (label,), hidden=rel.var is None))
     return df, env
@@ -247,26 +256,34 @@ def compile_set(ctx: QueryContext, st, items: list[A.SetItem]):
             joined = base.join(upd.withColumnRenamed("_uid", "_uid2"), base["id"] == F.col("_uid2"), "left")
             matched = F.col("_uid2").isNotNull()
             reserved = ("id",) if b.kind == VERTEX else ("id", "start_id", "end_id")
+            from ..graph import prop_store_name
+
+            # SET keys address label-table columns by their STORED name
+            # (reserved-named properties are escaped, graph.prop_store_name)
+            stored_kvs = {prop_store_name(k, reserved): k for k, _ in kvs}
             out_cols = []
             existing = [f.name for f in base.schema.fields]
-            new_keys = [k for k, _ in kvs if k not in existing]
+            new_keys = [
+                k for k, _ in kvs if prop_store_name(k, reserved) not in existing
+            ]
             for cname in existing:
                 if cname in reserved:
                     out_cols.append(F.col(cname))
                     continue
-                if replace_all and not any(k == cname for k, _ in kvs):
+                if replace_all and cname not in stored_kvs:
                     out_cols.append(
                         F.when(matched, F.lit(None)).otherwise(F.col(cname)).alias(cname)
                     )
-                elif any(k == cname for k, _ in kvs):
+                elif cname in stored_kvs:
                     from ..graph import is_tagged_type, tag_column
 
-                    nv = F.col(f"_nv_{cname}")
-                    tgt = _widen_pair(base.schema[cname].dataType, upd_schema[f"_nv_{cname}"])
+                    k = stored_kvs[cname]
+                    nv = F.col(f"_nv_{k}")
+                    tgt = _widen_pair(base.schema[cname].dataType, upd_schema[f"_nv_{k}"])
                     if is_tagged_type(tgt):
                         # kind conflict between old and new value: keep both
                         # kinds via the tagged dynamic-value struct
-                        nvv = tag_column(nv, upd_schema[f"_nv_{cname}"])
+                        nvv = tag_column(nv, upd_schema[f"_nv_{k}"])
                         old = tag_column(F.col(cname), base.schema[cname].dataType)
                     else:
                         nvv, old = nv.cast(tgt), F.col(cname).cast(tgt)
@@ -275,7 +292,9 @@ def compile_set(ctx: QueryContext, st, items: list[A.SetItem]):
                     out_cols.append(F.col(cname))
             for k in new_keys:
                 out_cols.append(
-                    F.when(matched, F.col(f"_nv_{k}")).otherwise(F.lit(None)).alias(k)
+                    F.when(matched, F.col(f"_nv_{k}"))
+                    .otherwise(F.lit(None))
+                    .alias(prop_store_name(k, reserved))
                 )
             newtab = joined.select(*out_cols)
             (vupd if b.kind == VERTEX else eupd)[label] = newtab

@@ -53,25 +53,36 @@ def _endpoint_filter(arg_ast):
 
 def _shortest(ctx: QueryContext, arg_asts, all_paths: bool) -> DataFrame:
     """shortest_path/all_shortest_paths (age_vle.c:3877/3892) as a CALL-able:
-    CALL shortest_path(<start label|id>, <end label|id> [, edge_label [, dir]])
-    YIELD src, dst, hops."""
+    CALL shortest_path(<start label|id>, <end label|id>
+                       [, edge_label [, dir [, min_hops [, max_hops]]]])
+    YIELD src, dst, hops. A NULL/omitted direction means UNDIRECTED — the
+    reference's default (sp_agtype_to_direction, age_vle.c:2912:
+    'NULL defaults to undirected')."""
     from ..cypher import ast as A
     from .vle import shortest_path_pairs
 
     if len(arg_asts) < 2:
         raise ValueError("shortest_path requires start and end arguments")
     types = None
-    direction = "out"
+    direction = "both"
+    min_hops = 0
+    max_hops = None
     if len(arg_asts) > 2 and isinstance(arg_asts[2], A.Lit) and arg_asts[2].value is not None:
         types = [arg_asts[2].value]
-    if len(arg_asts) > 3 and isinstance(arg_asts[3], A.Lit):
+    if len(arg_asts) > 3 and isinstance(arg_asts[3], A.Lit) and arg_asts[3].value is not None:
         direction = arg_asts[3].value
+    if len(arg_asts) > 4 and isinstance(arg_asts[4], A.Lit) and arg_asts[4].value is not None:
+        min_hops = int(arg_asts[4].value)
+    if len(arg_asts) > 5 and isinstance(arg_asts[5], A.Lit) and arg_asts[5].value is not None:
+        max_hops = int(arg_asts[5].value)
     out = shortest_path_pairs(
         ctx.graph,
         _endpoint_filter(arg_asts[0]),
         _endpoint_filter(arg_asts[1]),
         types=types,
         direction=direction,
+        min_hops=min_hops,
+        max_hops=max_hops,
         all_paths=all_paths,
         slim=True,  # YIELD surface is (src, dst, hops)
     )
