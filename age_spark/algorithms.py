@@ -93,7 +93,10 @@ def connected_components(
     ).unionByName(
         edges.select(F.col("end_id").alias("a"), F.col("start_id").alias("b"))
     )
+    from .runtime.cache import release_plan_checkpoints
+
     state = vertices.select("id").distinct().withColumn("component", F.col("id"))
+    prev_checkpointed = None  # the superseded iteration's pinned blocks
 
     for _ in range(max_iterations):
         neigh = (
@@ -114,9 +117,19 @@ def connected_components(
             .limit(1)
             .count()
         )
+        # nxt and the convergence check are both materialized, so the
+        # superseded state's checkpoint blocks are dead — release them now
+        # (they are NOT auto-freed; a 20-iteration run would otherwise pin
+        # 20 copies of the vertex set for the life of the session)
+        if prev_checkpointed is not None:
+            release_plan_checkpoints(prev_checkpointed)
+        prev_checkpointed = nxt
         state = nxt
         if changed == 0:
             break
+    # the final state stays pinned — it IS the result's storage (lineage was
+    # truncated). The caller owns releasing it via release_plan_checkpoints
+    # once the result is consumed.
     return state
 
 

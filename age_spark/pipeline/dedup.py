@@ -339,7 +339,14 @@ def near_dedup(
     aren't a dedup (A~B, B~C must collapse to one survivor even if A!~C).
     Components come from min-id label propagation (algorithms.py) over the
     pair edges — iterations bounded by duplicate-cluster diameter, which is
-    tiny in practice."""
+    tiny in practice.
+
+    Storage contract: the component labels are the one set of checkpoint
+    blocks the returned plan reads from (iterative results have no lineage
+    to recompute). Superseded iterations are released inside the loop; when
+    the caller is done with the result,
+    ``age_spark.runtime.cache.release_plan_checkpoints(result)`` frees the
+    final one — nothing else stays pinned."""
     from ..algorithms import connected_components
 
     pairs = minhash_dedup_pairs(
