@@ -130,6 +130,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["p_ann_topk"] = _ann
 
+    # ---- pgvector-parity vector kernels (compiler/vectors.py) over the
+    # embeddings table: consecutive-id pairs through l2 / cosine / inner /
+    # l1 / dims — the same zip_with/aggregate kernels the Cypher surface
+    # compiles to (regress/sql/pgvector.sql functions block)
+    def _vector_fns(s, d):
+        from age_spark.compiler import vectors as V
+
+        emb = _emb(s, d)
+        a = (
+            emb.filter(F.col("vec_id") < 200)
+            .select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+        )
+        b = emb.select(
+            (F.col("vec_id") - 1).alias("id_a"),
+            F.col("vec_id").alias("id_b"),
+            F.col("embedding").alias("vb"),
+        )
+        va, vb = F.col("va"), F.col("vb")
+        return (
+            a.join(b, "id_a")
+            .select(
+                "id_a",
+                "id_b",
+                F.round(V.l2_distance(va, vb), 6).alias("l2"),
+                F.round(V.cosine_distance(va, vb), 6).alias("cos_dist"),
+                F.round(V.inner_product(va, vb), 6).alias("ip"),
+                F.round(V.l1_distance(va, vb), 6).alias("l1"),
+                F.size(va).cast("long").alias("dims"),
+            )
+        )
+
+    q["p_vector_fns"] = _vector_fns
+
     # ---- events: typed agg / latest-per-key / sessionize / tumbling
     q["e_type_agg"] = lambda s, d: (
         _events(s, d)
@@ -603,6 +636,17 @@ def oracle_sql() -> dict[str, str]:
         "  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank FROM scored) "
         "SELECT query_id, vec_id, round(cos, 6) AS cosine, CAST(rank AS INT) AS rank "
         "FROM ranked WHERE rank <= 5"
+    )
+    O["p_vector_fns"] = (
+        "SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
+        "round(list_distance(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS l2, "
+        "round(1 - list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos_dist, "
+        "round(list_inner_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS ip, "
+        "round(list_aggregate(list_transform(list_zip(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), "
+        "x -> abs(x[1] - x[2])), 'sum'), 6) AS l1, "
+        "CAST(len(a.embedding) AS BIGINT) AS dims "
+        "FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1 "
+        "WHERE a.vec_id < 200"
     )
     O["e_type_agg"] = (
         "SELECT event_type, CAST(count(*) AS BIGINT) AS n, round(sum(value), 2) AS sum_value, "

@@ -786,6 +786,15 @@ def _compile_binary(scope: ExprScope, e: A.Binary) -> Column:
     op = e.op
     l = compile_expr(scope, e.left)
     r = compile_expr(scope, e.right)
+    if op in ("<->", "<#>", "<=>", "<+>"):
+        # pgvector distance operators (vectors.py; pgvector.out operator
+        # block). `<->` only reaches here via OPERATOR(`<->`) — bare it is
+        # a pattern arrow in both lexers.
+        from . import vectors as V
+
+        a = V.as_vector(l, _operand_dtype(scope, e.left, l))
+        b = V.as_vector(r, _operand_dtype(scope, e.right, r))
+        return V.DISTANCE_OPS[op](a, b)
     if op in ("and", "or"):
         lb, rb = l.cast("boolean"), r.cast("boolean")
         return lb & rb if op == "and" else lb | rb
@@ -863,6 +872,15 @@ def _compile_binary(scope: ExprScope, e: A.Binary) -> Column:
 
         ldt = _operand_dtype(scope, e.left, l)
         rdt = _operand_dtype(scope, e.right, r)
+        if op in ("+", "-", "*"):
+            from . import vectors as V
+
+            if V.is_vector_dt(ldt) or V.is_vector_dt(rdt):
+                # a ::vector operand flips + - * to elementwise float4
+                # arithmetic (pgvector.out: [1,2,3]::vector + [1,2,4]::vector
+                # = [2,4,7]); || concat needs no branch — float arrays
+                # concatenate type-preserving below
+                return V.elementwise(op, V.as_vector(l, ldt), V.as_vector(r, rdt))
         # arithmetic on a mixed-kind dynamic value uses its numeric slots;
         # non-numeric rows null-propagate (the reference raises per value —
         # a per-row error is not expressible in a vectorized plan). The
@@ -1616,3 +1634,104 @@ def _fn_timestamp(scope, args, cols):
 @fn("sqrt2")
 def _fn_sqrt2(scope, args, cols):  # pragma: no cover - convenience
     return F.sqrt(cols[0])
+
+
+# ---- pgvector parity (regress/sql/pgvector.sql; kernels in vectors.py).
+# Each function coerces its arguments like the extension's input function
+# (vector-text strings, agtype lists, dynamic values), then runs the pure
+# higher-order-function kernel — no UDFs, codegen throughout.
+
+def _vec_arg(scope, node, col) -> Column:
+    from . import vectors as V
+
+    return V.as_vector(col, _operand_dtype(scope, node, col))
+
+
+def _vec_pair_fn(kernel_name: str):
+    def impl(scope, args, cols):
+        from . import vectors as V
+
+        a = _vec_arg(scope, args[0], cols[0])
+        b = _vec_arg(scope, args[1], cols[1])
+        return getattr(V, kernel_name)(a, b)
+
+    return impl
+
+
+for _name in ("l2_distance", "inner_product", "cosine_distance", "l1_distance"):
+    fn(_name)(_vec_pair_fn(_name))
+
+
+@fn("vector_dims")
+def _fn_vector_dims(scope, args, cols):
+    return F.size(_vec_arg(scope, args[0], cols[0])).cast("long")
+
+
+@fn("vector_norm")
+def _fn_vector_norm(scope, args, cols):
+    from . import vectors as V
+
+    return V.vector_norm(_vec_arg(scope, args[0], cols[0]))
+
+
+@fn("l2_normalize")
+def _fn_l2_normalize(scope, args, cols):
+    from . import vectors as V
+
+    return V.l2_normalize(_vec_arg(scope, args[0], cols[0]))
+
+
+@fn("subvector")
+def _fn_subvector(scope, args, cols):
+    from . import vectors as V
+
+    return V.subvector(
+        _vec_arg(scope, args[0], cols[0]), cols[1].cast("int"), cols[2].cast("int")
+    )
+
+
+@fn("binary_quantize")
+def _fn_binary_quantize(scope, args, cols):
+    from . import vectors as V
+
+    return V.binary_quantize(_vec_arg(scope, args[0], cols[0]))
+
+
+@fn("castvector")
+def _fn_castvector(scope, args, cols):
+    """``::vector`` / ``::vector(n)`` — the typed entry point that flips a
+    list into elementwise-arithmetic vector semantics (array<float>)."""
+    from . import vectors as V
+
+    v = _vec_arg(scope, args[0], cols[0])
+    if len(cols) > 1:
+        if not isinstance(args[1], A.Lit):
+            raise CompileError("::vector(n) requires a literal dimension")
+        return V.check_dims(v, int(args[1].value))
+    return v
+
+
+@fn("castagtype")
+def _fn_castagtype(scope, args, cols):
+    # ::agtype — on a vector this reproduces the reference's
+    # through-the-text-form cast (vectors.vector_to_agtype); on anything
+    # already agtype-shaped it is the identity
+    from . import vectors as V
+
+    dt = _operand_dtype(scope, args[0], cols[0])
+    if V.is_vector_dt(dt):
+        return V.vector_to_agtype(cols[0])
+    return cols[0]
+
+
+@fn("casttext")
+def _fn_casttext(scope, args, cols):
+    """``::text``: on a vector the reference's text form round-trips back
+    through agtype_in in its AS clause (same observable result as
+    ::agtype); every other kind stringifies like toString()."""
+    from . import vectors as V
+
+    dt = _operand_dtype(scope, args[0], cols[0])
+    if V.is_vector_dt(dt):
+        return V.vector_to_agtype(cols[0])
+    return _fn_tostring(scope, args, cols)

@@ -34,7 +34,7 @@ _TOKEN_RE = re.compile(
   | (?P<string>'(?:[^'\\]|\\.|'')*'|"(?:[^"\\]|\\.|"")*")
   | (?P<name>[A-Za-z_][A-Za-z0-9_]*|`[^`]*`)
   | (?P<param>\$[A-Za-z_][A-Za-z0-9_]*)
-  | (?P<op><>|<=|>=|=~|\+=|\.\.|->|<-|::|\|\||\#>>|\#>|[()\[\]{},:;.|=<>+\-*/%^])
+  | (?P<op><=>|<\#>|<\+>|<>|<=|>=|=~|\+=|\.\.|->|<-|::|\|\||\#>>|\#>|[()\[\]{},:;.|=<>+\-*/%^])
     """,
     re.VERBOSE | re.DOTALL,
 )
@@ -61,6 +61,10 @@ _CAST_FNS = {
     "string": "tostring",
     "pg_float8": "castpgfloat8",
     "vertex": "castvertex", "edge": "castedge",
+    # pgvector interop (regress/sql/pgvector.sql): ::vector optionally
+    # takes a checked dimension (::vector(3)); ::agtype / ::text are the
+    # round-trip casts its fixtures chain after vector expressions
+    "vector": "castvector", "agtype": "castagtype", "text": "casttext",
 }
 
 
@@ -544,12 +548,46 @@ class Parser:
             else:
                 return left
 
+    # infix operators reachable through the PG OPERATOR ( op ) syntax the
+    # reference needs for `<->` (a bare `<->` is a pattern arrow in both
+    # lexers — pgvector.sql's comment block); backticked names lex as name
+    # tokens, symbolic ones as op tokens
+    _OPERATOR_SYNTAX_OPS = {"+", "-", "*", "||", "<->", "<#>", "<=>", "<+>"}
+
+    def _try_operator_syntax(self) -> Optional[str]:
+        """At an infix position, parse `OPERATOR ( [schema.] op )` and
+        return the operator symbol, or None if not at that syntax."""
+        if not (self.cur.kind == "name" and self.cur.value.upper() == "OPERATOR"):
+            return None
+        if not (self.peek().kind == "op" and self.peek().value == "("):
+            return None
+        self.advance()
+        self.advance()
+        t = self.advance()
+        sym = t.value if t.kind in ("name", "op") else t.text
+        if t.kind == "name" and self.at_op("."):
+            # schema-qualified: public.<op> — the qualifier is PG catalog
+            # addressing; only the operator matters here
+            self.advance()
+            t = self.advance()
+            sym = t.value if t.kind in ("name", "op") else t.text
+        if sym not in self._OPERATOR_SYNTAX_OPS:
+            raise CypherSyntaxError(f"unsupported OPERATOR ({sym}) at offset {t.pos}")
+        self.expect_op(")")
+        return sym
+
     def parse_additive(self) -> A.Expr:
         left = self.parse_multiplicative()
-        while self.at_op("+", "-", "||", "#>", "#>>"):
-            op = self.advance().value
-            left = A.Binary(op, left, self.parse_multiplicative())
-        return left
+        while True:
+            if self.at_op("+", "-", "||", "#>", "#>>", "<#>", "<=>", "<+>"):
+                op = self.advance().value
+                left = A.Binary(op, left, self.parse_multiplicative())
+                continue
+            op = self._try_operator_syntax()
+            if op is not None:
+                left = A.Binary(op, left, self.parse_multiplicative())
+                continue
+            return left
 
     def parse_multiplicative(self) -> A.Expr:
         left = self.parse_power()
@@ -602,7 +640,18 @@ class Parser:
                     raise CypherSyntaxError(
                         f"unsupported typecast ::{target} at offset {t.pos}"
                     )
-                e = A.FuncCall(fn, [e])
+                cast_args = [e]
+                if fn == "castvector" and self.at_op("("):
+                    # dimension-checked cast: ::vector(3) (pgvector.sql)
+                    self.advance()
+                    dim = self.advance()
+                    if dim.kind != "int":
+                        raise CypherSyntaxError(
+                            f"::vector(n) needs an integer dimension at offset {dim.pos}"
+                        )
+                    self.expect_op(")")
+                    cast_args.append(A.Lit(dim.value))
+                e = A.FuncCall(fn, cast_args)
             else:
                 return e
 

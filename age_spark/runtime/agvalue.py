@@ -19,6 +19,7 @@ from __future__ import annotations
 import decimal as _decimal
 import json
 import math
+import struct as _struct
 from typing import Any, Optional
 
 try:  # Row is only needed for isinstance checks
@@ -47,6 +48,19 @@ def _fmt_float(v: float) -> str:
         return "Infinity" if v > 0 else "-Infinity"
     if v == int(v) and abs(v) < 1e16:
         return f"{int(v)}.0"
+    try:
+        f32_exact = _struct.unpack("f", _struct.pack("f", v))[0] == v
+    except OverflowError:  # |v| beyond float4 range
+        f32_exact = False
+    if f32_exact:
+        # exactly float4-representable: print float4 shortest digits.
+        # pgvector values reach agtype through their float4 text form
+        # (pgvector.out:459 — 0.26726124, not the widened float8 digits),
+        # and a float8 COMPUTATION landing exactly on a float4 value is a
+        # ~2^-29 coincidence whose shorter print still reads back equal.
+        import numpy as _np
+
+        return repr(_np.float32(v))
     return repr(v)
 
 

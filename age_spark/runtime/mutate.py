@@ -279,12 +279,29 @@ def compile_set(ctx: QueryContext, st, items: list[A.SetItem]):
 
                     k = stored_kvs[cname]
                     nv = F.col(f"_nv_{k}")
-                    tgt = _widen_pair(base.schema[cname].dataType, upd_schema[f"_nv_{k}"])
+                    old_dt = base.schema[cname].dataType
+                    new_dt = upd_schema[f"_nv_{k}"]
+                    tgt = _widen_pair(old_dt, new_dt)
                     if is_tagged_type(tgt):
                         # kind conflict between old and new value: keep both
                         # kinds via the tagged dynamic-value struct
-                        nvv = tag_column(nv, upd_schema[f"_nv_{k}"])
-                        old = tag_column(F.col(cname), base.schema[cname].dataType)
+                        nvv = tag_column(nv, new_dt)
+                        old = tag_column(F.col(cname), old_dt)
+                    elif (
+                        isinstance(tgt, T.ArrayType) and is_tagged_type(tgt.elementType)
+                    ):
+                        # element-KIND conflict between two lists (e.g. SET
+                        # embedding = l2_normalize(...)::agtype over a plain
+                        # numeric array): element-tag both sides — a cast
+                        # can't build tagged structs
+                        from ..compiler.exprs import _as_tagged_array
+
+                        def _etag(c, dt):
+                            et = dt.elementType if isinstance(dt, T.ArrayType) else None
+                            return _as_tagged_array(c, et)
+
+                        nvv = _etag(nv, new_dt)
+                        old = _etag(F.col(cname), old_dt)
                     else:
                         nvv, old = nv.cast(tgt), F.col(cname).cast(tgt)
                     out_cols.append(F.when(matched, nvv).otherwise(old).alias(cname))
