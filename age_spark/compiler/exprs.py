@@ -1735,3 +1735,66 @@ def _fn_casttext(scope, args, cols):
     if V.is_vector_dt(dt):
         return V.vector_to_agtype(cols[0])
     return _fn_tostring(scope, args, cols)
+
+
+# ---- fuzzystrmatch parity (regress/sql/fuzzystrmatch.sql). soundex and
+# levenshtein reach Spark's built-ins through the external-function
+# fallthrough (values verified identical to the extension's); difference
+# and metaphone need their own kernels.
+
+@fn("difference")
+def _fn_difference(scope, args, cols):
+    """Number of matching soundex code positions (0-4) — fuzzystrmatch's
+    difference(); expected/fuzzystrmatch.out difference block."""
+    s1 = F.soundex(cols[0].cast("string"))
+    s2 = F.soundex(cols[1].cast("string"))
+    hits = [
+        (F.substring(s1, i, 1) == F.substring(s2, i, 1)).cast("int")
+        for i in (1, 2, 3, 4)
+    ]
+    return (hits[0] + hits[1] + hits[2] + hits[3]).cast("long")
+
+
+@fn("metaphone")
+def _fn_metaphone(scope, args, cols):
+    """Original-Metaphone code (runtime/phonetic.py) through an
+    Arrow-batched pandas UDF — a per-string rule cascade has no Column
+    expression form; fuzzystrmatch runs the same published algorithm in C."""
+    from ..runtime.phonetic import metaphone as _mp
+
+    if len(args) > 1:
+        if not isinstance(args[1], A.Lit):
+            raise CompileError("metaphone() needs a literal max length")
+        ml = int(args[1].value)
+    else:
+        ml = 255
+
+    @F.pandas_udf("string")
+    def _mp_udf(s):
+        return s.map(lambda x: _mp(x, ml))
+
+    return _mp_udf(cols[0].cast("string"))
+
+
+@fn("dmetaphone")
+def _fn_dmetaphone(scope, args, cols):
+    """Primary Double Metaphone code (runtime/phonetic.py, Philips 2000) —
+    fuzzystrmatch's dmetaphone(); Arrow-batched like metaphone()."""
+    from ..runtime.phonetic import dmetaphone as _dm
+
+    @F.pandas_udf("string")
+    def _dm_udf(s):
+        return s.map(_dm)
+
+    return _dm_udf(cols[0].cast("string"))
+
+
+@fn("dmetaphone_alt")
+def _fn_dmetaphone_alt(scope, args, cols):
+    from ..runtime.phonetic import dmetaphone_alt as _dma
+
+    @F.pandas_udf("string")
+    def _dma_udf(s):
+        return s.map(_dma)
+
+    return _dma_udf(cols[0].cast("string"))
