@@ -76,6 +76,12 @@ def literal_to_column(value) -> Column:
         if not value:
             return F.expr("array()")
         return F.array(*[literal_to_column(v) for v in value])
+    if isinstance(value, int) and not isinstance(value, bool) and not (
+        -(2**63) <= value <= 2**63 - 1
+    ):
+        # agtype integers are int64 (agtype.out: 'value "9223372036854775808"
+        # is out of range for type bigint')
+        raise CompileError(f'value "{value}" is out of range for type bigint')
     return F.lit(value)
 
 
@@ -171,7 +177,7 @@ def compile_expr(scope: ExprScope, e: A.Expr) -> Column:
     if isinstance(e, A.Lit):
         if e.value is None:
             return F.lit(None)
-        return F.lit(e.value)
+        return literal_to_column(e.value)
     if isinstance(e, A.Param):
         if e.name not in scope.ctx.params:
             raise CompileError(f"parameter ${e.name} not supplied")
@@ -806,8 +812,36 @@ def _compile_binary(scope: ExprScope, e: A.Binary) -> Column:
         lk, rk = _ladder_rank(ldt), _ladder_rank(rdt)
         if lk is not None and rk is not None and lk != rk:
             return _cross_kind_compare(op, l, r, lk, rk)
+        if (
+            lk == 3
+            and rk == 3
+            and not (isinstance(ldt, T.MapType) and isinstance(rdt, T.MapType) and ldt == rdt)
+        ):
+            # object vs object with (possibly) different shapes: native
+            # struct comparison either fails analysis or ignores the jsonb
+            # rules — go through the container order keys (pair-count
+            # first, then pairs in jsonb key order)
+            from ..graph import tag_column, tagged_cmp_key
+
+            l, r = tagged_cmp_key(tag_column(l, ldt)), tagged_cmp_key(tag_column(r, rdt))
+            return {
+                "=": l == r, "<>": l != r,
+                "<": l < r, "<=": l <= r, ">": l > r, ">=": l >= r,
+            }[op]
         l_arr_t = isinstance(ldt, T.ArrayType) and _is_tagged(ldt.elementType)
         r_arr_t = isinstance(rdt, T.ArrayType) and _is_tagged(rdt.elementType)
+        if (
+            isinstance(ldt, T.ArrayType)
+            and isinstance(rdt, T.ArrayType)
+            and not (l_arr_t or r_arr_t)
+            and _strip(ldt.elementType) != _strip(rdt.elementType)
+        ):
+            # same-kind lists with different element types ([1,2] vs ['a']):
+            # element-tag both so the cross-kind ladder decides per element
+            l_arr_t = r_arr_t = True
+            l = F.transform(_as_tagged_array(l, ldt.elementType), lambda x: x)
+            r = F.transform(_as_tagged_array(r, rdt.elementType), lambda x: x)
+            ldt = rdt = T.ArrayType(_TAGGED_TYPE_CACHE())
         if (l_arr_t or r_arr_t) and isinstance(ldt, T.ArrayType) and isinstance(rdt, T.ArrayType):
             # at least one list is dynamic-kind: lift the concrete one and
             # compare element cmp-keys so the ladder applies and int/float
@@ -1338,7 +1372,17 @@ def _fn_tostring(scope, args, cols):
 @fn("tonumeric")
 def _fn_tonumeric(scope, args, cols):
     # agtype NUMERIC = arbitrary-precision decimal; DECIMAL(38,18) is the
-    # closest Spark type (documented precision bound)
+    # closest Spark type (documented precision bound). A numeric LITERAL
+    # parses its exact source digits — the float lexeme has already lost
+    # them ('100000000000.0000000000001'::numeric, agtype.out:86)
+    a0 = args[0] if args else None
+    if isinstance(a0, A.Lit) and getattr(a0, "raw", None) is not None:
+        import decimal as _dec
+
+        try:
+            return F.lit(_dec.Decimal(a0.raw)).cast("decimal(38,18)")
+        except _dec.InvalidOperation:
+            pass
     return cols[0].cast("decimal(38,18)")
 
 
@@ -1798,3 +1842,9 @@ def _fn_dmetaphone_alt(scope, args, cols):
         return s.map(_dma)
 
     return _dma_udf(cols[0].cast("string"))
+
+
+def _TAGGED_TYPE_CACHE():
+    from ..graph import TAGGED_TYPE
+
+    return TAGGED_TYPE

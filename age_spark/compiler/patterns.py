@@ -62,9 +62,138 @@ def edge_struct() -> Column:
     )
 
 
+_MISS = object()
+
+
+def _lit_tree(e):
+    """Python value of a pure literal expression tree, or _MISS if any leaf
+    is not a literal (variable/param/function constraints keep the
+    equality path)."""
+    if isinstance(e, A.Lit):
+        return e.value
+    if isinstance(e, A.ListLit):
+        vals = [_lit_tree(x) for x in e.items]
+        return _MISS if any(v is _MISS for v in vals) else vals
+    if isinstance(e, A.MapLit):
+        out = {}
+        for k, v in e.items:
+            vv = _lit_tree(v)
+            if vv is _MISS:
+                return _MISS
+            out[k] = vv
+        return out
+    return _MISS
+
+
+def _scalar_lit_dt(q) -> T.DataType:
+    if isinstance(q, bool):
+        return T.BooleanType()
+    if isinstance(q, int):
+        return T.LongType()
+    if isinstance(q, float):
+        return T.DoubleType()
+    return T.StringType()
+
+
+def _contains(col: Column, dt, q) -> Column:
+    """jsonb-style containment of literal ``q`` in a property value — the
+    reference's DEFAULT property-constraint semantics
+    (age.enable_containment = on, cypher_match.sql:1082-1135): objects
+    match a recursive key subset, arrays match when every requested
+    element is contained in SOME target element (order-free, extras
+    allowed), scalars match by value."""
+    from ..graph import _strip_nullability, is_tagged_type, tag_column, tagged_cmp_key
+    from .exprs import _tagged_container_access, literal_to_column
+
+    dt = _strip_nullability(dt) if dt is not None else None
+    tagged = dt is not None and is_tagged_type(dt)
+    if isinstance(q, dict):
+        if tagged:
+            conj = col.getField("__k") == 3
+            for k, v in q.items():
+                from ..graph import TAGGED_TYPE
+
+                conj = conj & _contains(_tagged_container_access(col, f"$.{k}"), TAGGED_TYPE, v)
+            return conj
+        if isinstance(dt, T.StructType):
+            names = {f.name for f in dt.fields if f.name != "_none"}
+            conj = col.isNotNull()
+            for k, v in q.items():
+                if k not in names:
+                    return F.lit(False)
+                conj = conj & _contains(col.getField(k), dt[k].dataType, v)
+            return conj
+        if isinstance(dt, T.MapType):
+            conj = col.isNotNull()
+            for k, v in q.items():
+                conj = conj & _contains(col.getItem(k), dt.valueType, v)
+            return conj
+        return F.lit(False)
+    if isinstance(q, (list, tuple)):
+        if isinstance(dt, T.ArrayType):
+            et = dt.elementType
+
+            def _pred(qe):  # bind qe per element (F.exists wants 1-arg)
+                return lambda e: _elem_contains(e, et, qe)
+
+            conj = col.isNotNull()
+            for qe in q:
+                conj = conj & F.exists(col, _pred(qe))
+            return conj
+        return F.lit(False)
+    if q is None:
+        # a stored explicit null is indistinguishable from an absent key in
+        # the engine's object convention -> a null constraint never matches
+        # (the reference's {string_key: NULL} block also returns 0 rows)
+        return F.lit(False)
+    # scalar: match by VALUE (int and float kinds compare equal, the
+    # numeric ladder rule)
+    if tagged:
+        return tagged_cmp_key(col) == tagged_cmp_key(
+            tag_column(literal_to_column(q), _scalar_lit_dt(q))
+        )
+    if isinstance(q, bool):
+        return (col == q) if isinstance(dt, T.BooleanType) else F.lit(False)
+    if isinstance(q, (int, float)):
+        from ..graph import _NUMERIC_TYPES
+
+        if dt is not None and isinstance(dt, _NUMERIC_TYPES):
+            from ..graph import _INT_TYPES
+
+            if isinstance(q, int) and isinstance(dt, _INT_TYPES):
+                return col == q  # exact int64
+            return col.cast("double") == float(q)
+        return F.lit(False)
+    return (col == q) if isinstance(dt, T.StringType) else F.lit(False)
+
+
+def _elem_contains(e: Column, et, qe) -> Column:
+    """Containment of one requested array element in a target element."""
+    from ..graph import _strip_nullability, is_tagged_type
+
+    sdt = _strip_nullability(et) if et is not None else None
+    tagged = sdt is not None and is_tagged_type(sdt)
+    if qe is None:
+        return e.isNull()
+    if isinstance(qe, dict) and not qe:
+        # empty object is contained in any object
+        return (e.getField("__k") == 3) if tagged else (
+            e.isNotNull() if isinstance(sdt, (T.StructType, T.MapType)) else F.lit(False)
+        )
+    if isinstance(qe, (list, tuple)) and not qe:
+        # empty array is contained in any array
+        return (e.getField("__k") == 4) if tagged else (
+            e.isNotNull() if isinstance(sdt, T.ArrayType) else F.lit(False)
+        )
+    return _contains(e, et, qe)
+
+
 def _props_filter(scope: ExprScope, struct_col: Column, props: A.Expr, struct_dt) -> Column:
-    """(n {k: v, ...}) -> conjunction of per-key equalities
-    (``create_property_constraints``, ``cypher_clause.c:5530-5640``)."""
+    """(n {k: v, ...}) -> conjunction of per-key constraints: scalar
+    literals as pushdown-friendly equalities, container literals with the
+    jsonb containment semantics the reference applies by default
+    (``create_property_constraints``, ``cypher_clause.c:5530-5640``;
+    ``age.enable_containment`` blocks of cypher_match.sql)."""
     from .exprs import _deref_entity  # late import to avoid cycle
 
     if isinstance(props, A.Param):
@@ -98,8 +227,17 @@ def _props_filter(scope: ExprScope, struct_col: Column, props: A.Expr, struct_dt
     cond = F.lit(True)
     for k, vexpr in items:
         lcol = _deref_entity(scope, struct_col, struct_dt, k)
-        rcol = compile_expr(scope, vexpr)
         fdt = _field_dt(k)
+        qv = _lit_tree(vexpr)
+        if qv is not _MISS and isinstance(qv, (dict, list, tuple)):
+            # container-literal constraint -> containment semantics
+            if fdt is None:
+                # key absent from every row of the label: nothing contains
+                cond = cond & F.lit(False)
+            else:
+                cond = cond & _contains(lcol, fdt, qv)
+            continue
+        rcol = compile_expr(scope, vexpr)
         # mixed-kind (tagged dynamic) property: wrap the constraint value so
         # equality dispatches on the reference's kind ladder, not raw types
         if fdt is not None and is_tagged_type(fdt):
@@ -207,9 +345,13 @@ class MatchState:
                 raise CompileError(f"variable `{name}` already bound to a non-vertex")
             # bound-variable label filter: arithmetic on packed id, no join
             if node.labels:
-                ids = [self.ctx.graph.meta.label(l).label_id for l in node.labels]
+                # an unknown label is a legal constraint no vertex satisfies
+                # (the reference rewrites missing labels to WHERE false,
+                # cypher_clause.c:8104) — never a catalog error
+                meta = self.ctx.graph.meta
+                ids = [meta.labels[l].label_id for l in node.labels if l in meta.labels]
                 idcol = F.col(name).getField("id")
-                cond = F.shiftright(idcol, ENTRY_ID_BITS).isin(ids)
+                cond = F.shiftright(idcol, ENTRY_ID_BITS).isin(ids) if ids else F.lit(False)
                 self.df = self.df.filter(cond)
             if node.props is not None:
                 dt = self.df.select(F.col(name)).schema[0].dataType
@@ -220,7 +362,22 @@ class MatchState:
         if self.df is None:
             self.df = scan
         else:
-            self.df = self.df.crossJoin(scan)
+            # a genuine pattern product (disconnected patterns) runs as
+            # CartesianProductExec whose partition count is LEFT x RIGHT —
+            # label-union scans on both sides multiply into hundreds of
+            # thousands of near-empty tasks. A narrow coalesce caps the
+            # stage's task count at the session's declared parallelism
+            # without changing the result or adding a shuffle. Connected
+            # patterns are unaffected: their equi-quals rewrite the cross
+            # join into a shuffled join anyway.
+            bound = 64
+            try:
+                bound = int(
+                    self.df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+                )
+            except Exception:
+                pass
+            self.df = self.df.crossJoin(scan).coalesce(bound)
         self.env = self.env.bind(Binding(name, VERTEX, tuple(node.labels), hidden=hidden))
         return name
 
@@ -230,11 +387,18 @@ class MatchState:
         hidden = node.var is None
         existing = self.env.get(name)
         if existing is not None:
+            if existing.kind != VERTEX:
+                # (an edge var in a NODE slot silently "matched" on its id
+                # field before — the reference errors)
+                raise CompileError(f"variable `{name}` already bound to a non-vertex")
             self.df = self.df.filter(F.col(dst_col) == F.col(name).getField("id"))
             if node.labels:
-                ids = [self.ctx.graph.meta.label(l).label_id for l in node.labels]
+                meta = self.ctx.graph.meta
+                ids = [meta.labels[l].label_id for l in node.labels if l in meta.labels]
                 self.df = self.df.filter(
                     F.shiftright(F.col(name).getField("id"), ENTRY_ID_BITS).isin(ids)
+                    if ids
+                    else F.lit(False)
                 )
             if node.props is not None:
                 dt = self.df.select(F.col(name)).schema[0].dataType
@@ -251,8 +415,47 @@ class MatchState:
         """Join one edge hop; returns (edge_var, dst_helper_col)."""
         name = rel.var or self.ctx.fresh()
         hidden = rel.var is None
-        if self.env.get(name) is not None:
-            raise CompileError(f"edge variable `{name}` reused — not supported")
+        existing = self.env.get(name)
+        if existing is not None:
+            # a bound edge variable REUSED in a later pattern constrains the
+            # hop to that same edge (the reference joins on the transform
+            # entity, cypher_match.sql:360-384 "valid variable reuse for
+            # edge labels across clauses") — no new scan, just quals
+            if existing.kind != EDGE:
+                raise CompileError(f"variable `{name}` already bound to a non-edge")
+            if rel.varlen is not None:
+                raise CompileError(
+                    f"variable `{name}` already bound — cannot rebind as variable-length"
+                )
+            e = F.col(name)
+            from_id = F.col(from_var).getField("id")
+            if rel.direction == "out":
+                self.df = self.df.filter(e.getField("start_id") == from_id)
+                dcol = e.getField("end_id")
+            elif rel.direction == "in":
+                self.df = self.df.filter(e.getField("end_id") == from_id)
+                dcol = e.getField("start_id")
+            else:
+                self.df = self.df.filter(
+                    (e.getField("start_id") == from_id) | (e.getField("end_id") == from_id)
+                )
+                dcol = F.when(
+                    e.getField("start_id") == from_id, e.getField("end_id")
+                ).otherwise(e.getField("start_id"))
+            if rel.types:
+                self.df = self.df.filter(e.getField("label").isin(list(rel.types)))
+            if rel.props is not None:
+                dt = self.df.select(e).schema[0].dataType
+                scope = ExprScope(self.ctx, self.df, self.env)
+                self.df = self.df.filter(_props_filter(scope, e, rel.props, dt))
+            dst = f"_dst_{self.ctx.fresh()}"
+            self.df = self.df.withColumn(dst, dcol)
+            self.helpers.append(dst)
+            # the reused edge still participates in THIS clause's pairwise
+            # edge-uniqueness against other edges (once, not against itself)
+            if all(b.name != name for b in self.edge_bindings):
+                self.edge_bindings.append(existing)
+            return name, dst
         if rel.varlen is not None:
             return self._bind_vle(rel, name, from_var, hidden, in_named_path)
         scan = self._edge_scan(name, rel.types, rel.direction, rel.props)

@@ -23,6 +23,10 @@ class Expr:
 @dataclass
 class Lit(Expr):
     value: object  # int | float | str | bool | None
+    # original numeric spelling, kept so ::numeric can parse the exact
+    # decimal digits (a float lexeme loses precision the reference's
+    # NUMERIC keeps: '100000000000.0000000000001'::numeric, agtype.sql)
+    raw: object = None
 
 
 @dataclass

@@ -120,9 +120,11 @@ def tokenize(text: str) -> list[Tok]:
         if kind == "ws":
             continue
         if kind == "int":
-            toks.append(Tok("int", int(v), m.start()))
+            toks.append(Tok("int", int(v), m.start(), v))
         elif kind == "float":
-            toks.append(Tok("float", float(v), m.start()))
+            # keep the spelling: ::numeric needs the exact decimal digits
+            # the float value has already rounded away
+            toks.append(Tok("float", float(v), m.start(), v))
         elif kind == "string":
             toks.append(Tok("string", _unquote(v), m.start()))
         elif kind == "param":
@@ -606,7 +608,18 @@ class Parser:
     def parse_unary(self) -> A.Expr:
         if self.at_op("-"):
             self.advance()
-            return A.Unary("-", self.parse_unary())
+            inner = self.parse_unary()
+            if (
+                isinstance(inner, A.Lit)
+                and isinstance(inner.value, (int, float))
+                and not isinstance(inner.value, bool)
+            ):
+                # fold into the literal so INT64_MIN is representable
+                # (-9223372036854775808: the positive magnitude alone
+                # overflows, agtype.out int64 bounds block) and ::numeric
+                # keeps the signed spelling
+                return A.Lit(-inner.value, raw=("-" + inner.raw) if inner.raw else None)
+            return A.Unary("-", inner)
         if self.at_op("+"):
             self.advance()
             return self.parse_unary()
@@ -725,7 +738,10 @@ class Parser:
 
     def parse_atom(self) -> A.Expr:
         t = self.cur
-        if t.kind == "int" or t.kind == "float" or t.kind == "string":
+        if t.kind == "int" or t.kind == "float":
+            self.advance()
+            return A.Lit(t.value, raw=t.text)
+        if t.kind == "string":
             self.advance()
             return A.Lit(t.value)
         if t.kind == "param":

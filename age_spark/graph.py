@@ -108,6 +108,11 @@ _PAIR_TYPE = T.StructType(
     [T.StructField("k", T.StringType(), True), T.StructField("v", _ELEM_KEY_TYPE, True)]
 )
 ORDER_KEY_WIDTH = 8
+# both arrays AND objects compare element-/pair-wise with the
+# prefix-shorter-first rule — the reference's comparator hits
+# `case AGTV_OBJECT: break` at the BEGIN token (agtype_util.c:447) and
+# decides on pairs, with a premature END sorting first; there is NO
+# pair-count fast path
 ORDER_KEY_TYPE = T.StructType(
     [T.StructField(f"e{i}", _PAIR_TYPE, True) for i in range(ORDER_KEY_WIDTH)]
 )
@@ -219,12 +224,41 @@ def _elem_key(c: Column, dt: T.DataType) -> Column:
         (c if kind == "string" else F.lit(None).cast("string")).alias("__s"),
         (c if kind == "bool" else F.lit(None).cast("boolean")).alias("__b"),
         (
-            F.to_json(c, {"ignoreNullFields": "false"})
+            # canonical key order at every depth: the JSON doubles as the
+            # nested-container comparison key, so pair ORDER must not
+            # affect identity
+            F.to_json(_jsonb_canonical(c, dt), {"ignoreNullFields": "false"})
             if kind in ("array", "object") or rank in (1, 2)
             else F.lit(None).cast("string")
         ).alias("__j"),
     )
     return F.when(c.isNull(), _null_kind_elem_key()).otherwise(key)
+
+
+def _jsonb_canonical(col: Column, dt: T.DataType) -> Column:
+    """Reorder every (nested) struct level into jsonb (length, byte) key
+    order. The serialized payload doubles as the container comparison
+    tiebreak, so pair ORDER must not affect identity — {a:1, b:2} equals
+    {b:2, a:1} at any depth (jsonb object semantics)."""
+    if isinstance(dt, T.StructType):
+        ordered = sorted(
+            (f for f in dt.fields if f.name != "_none"),
+            key=lambda f: (len(f.name), f.name),
+        )
+        if not ordered:
+            return col
+        return F.struct(
+            *[
+                _jsonb_canonical(col.getField(f.name), f.dataType).alias(f.name)
+                for f in ordered
+            ]
+        )
+    if isinstance(dt, T.ArrayType) and isinstance(
+        _strip_nullability(dt.elementType), (T.StructType, T.ArrayType)
+    ):
+        et = dt.elementType
+        return F.transform(col, lambda x: _jsonb_canonical(x, et))
+    return col
 
 
 def _order_key(col: Column, src_dt: T.DataType, kind: str) -> Column:
@@ -323,7 +357,11 @@ def tag_column(col: Column, src_dt: T.DataType) -> Column:
         # payload): bind it once so the tree stays linear
         def _build(cc: Column) -> Column:
             o = _order_key(cc, src_dt, kind)
-            j = F.to_json(cc, {"ignoreNullFields": "false"})
+            # the JSON payload is also the final comparison tiebreak, so
+            # objects serialize with their keys in jsonb (length, byte)
+            # order — otherwise {a:1, b:2} != {b:2, a:1} (pair ORDER is
+            # not part of jsonb object identity)
+            j = F.to_json(_jsonb_canonical(cc, src_dt), {"ignoreNullFields": "false"})
             tagged = F.struct(
                 k.alias("__k"), n.alias("__n"), i.alias("__i"),
                 s.alias("__s"), b.alias("__b"), o.alias("__o"), j.alias("__j"),

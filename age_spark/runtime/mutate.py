@@ -110,15 +110,34 @@ def compile_create(ctx: QueryContext, st, clause: A.Create):
     for label, parts in new_vertex_rows.items():
         base = graph.vertex_dfs.get(label)
         allparts = ([base] if base is not None and "id" in base.columns and len(base.columns) > 0 else []) + parts
-        vupd[label] = union_by_merged_schema(allparts).localCheckpoint(eager=False)
+        vupd[label] = _bounded_snapshot(union_by_merged_schema(allparts))
     for label, parts in new_edge_rows.items():
         base = graph.edge_dfs.get(label)
         allparts = ([base] if base is not None else []) + parts
-        eupd[label] = union_by_merged_schema(allparts).localCheckpoint(eager=False)
+        eupd[label] = _bounded_snapshot(union_by_merged_schema(allparts))
     newgraph = graph.snapshot(vertex_dfs=vupd, edge_dfs=eupd)
 
     df = df.drop(_ROWID)
     return State(df, env), ctx.with_graph(newgraph)
+
+
+def _bounded_snapshot(df: DataFrame) -> DataFrame:
+    """Checkpoint a post-write label table with a BOUNDED partition count.
+
+    A union snapshot has the sum of its branches' partitions, so a chain of
+    write statements (every regression fixture; any ETL session) grows the
+    partition count linearly — by statement 50 each action schedules
+    thousands of near-empty tasks. Coalesce (narrow, no shuffle) back to
+    the session's shuffle parallelism before the checkpoint; tables already
+    at or below the bound are untouched, so large parquet-backed graphs
+    keep their scan parallelism."""
+    try:
+        bound = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    except Exception:
+        bound = 64
+    # coalesce never INCREASES partitions, so this is a no-op for tables
+    # already at or below the bound — no getNumPartitions probe needed
+    return df.coalesce(bound).localCheckpoint(eager=False)
 
 
 def _create_node(ctx, graph, df, env, node: A.NodePattern, n_rows, sink):

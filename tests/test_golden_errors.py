@@ -15,6 +15,8 @@ ERROR_CASES = [
     "range(0, -10.0, -3.0)",      # expr.out:8070 unsupported argument type
     "range(1.5, 3)",
     "bogus_fn_xyz(1)",            # unknown fn, no Spark registry match
+    "9223372036854775808",        # agtype.out:104 out of range for bigint
+    "-9223372036854775809",       # agtype.out:108
 ]
 
 
