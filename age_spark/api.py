@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from .catalog import GraphMeta
 from .cypher import parse_cypher
+from .cypher.parser import CypherSyntaxError
 from .compiler import compile_query
 from .compiler.context import QueryContext
 from .graph import Graph, create_graph
@@ -38,6 +39,8 @@ class CypherResult:
 class AgeSession:
     def __init__(self, spark: SparkSession):
         self.spark = spark
+        # reference GUC parity: age.enable_containment (cypher_match.sql:1082)
+        self.enable_containment = True
 
     # ---- DDL (graph_commands.c:47-299 parity)
     def create_graph(self, name: str) -> Graph:
@@ -128,13 +131,23 @@ class AgeSession:
         # EXPLAIN prefix (cypher_gram.y:376-423): return the Catalyst plan
         # as rows, like the reference surfaces PG's EXPLAIN output
         stripped = query.lstrip()
-        if stripped[:7].lower() == "explain" and (len(stripped) == 7 or stripped[7].isspace()):
-            plan = self.explain(graph, stripped[7:], params)
+        if stripped[:7].lower() == "explain" and (
+            len(stripped) == 7 or stripped[7].isspace() or stripped[7] == "("
+        ):
+            rest = stripped[7:].lstrip()
+            if rest.startswith("("):
+                # PG explain options ((COSTS OFF), (FORMAT ...), ...) don't
+                # map to Catalyst's formatted plan — accepted and ignored
+                close = rest.find(")")
+                if close < 0:
+                    raise CypherSyntaxError("unterminated EXPLAIN options")
+                rest = rest[close + 1:]
+            plan = self.explain(graph, rest, params)
             rows = [(ln,) for ln in plan.splitlines()]
             df = self.spark.createDataFrame(rows, "`QUERY PLAN` string")
             return CypherResult(df=df, graph=graph)
         ast = parse_cypher(query)
-        ctx = QueryContext(spark=self.spark, graph=graph, params=params or {})
+        ctx = QueryContext(spark=self.spark, graph=graph, params=params or {}, enable_containment=self.enable_containment)
         df, ctx = compile_query(ctx, ast)
         return CypherResult(df=df, graph=ctx.graph)
 
@@ -154,7 +167,7 @@ class AgeSession:
         ast = parse_cypher(stmt)
 
         def run(params: Optional[dict] = None) -> CypherResult:
-            ctx = QueryContext(spark=self.spark, graph=graph, params=params or {})
+            ctx = QueryContext(spark=self.spark, graph=graph, params=params or {}, enable_containment=self.enable_containment)
             df, out_ctx = compile_query(ctx, ast)
             return CypherResult(df=df, graph=out_ctx.graph)
 

@@ -416,6 +416,10 @@ def compile_projection(
     if star:
         star_items = [A.ReturnItem(A.Var(n), n) for n in env.visible_names()]
         items = star_items + items
+        if not items and is_with:
+            # WITH * over only-anonymous bindings carries the rows through
+            # unchanged (cypher_match.sql:1060 CREATE () WITH * MATCH ...)
+            return State(df, Env({}))
     if not items:
         raise CompileError("empty projection")
 
@@ -739,7 +743,10 @@ def compile_single(ctx: QueryContext, q: A.SingleQuery) -> tuple[DataFrame, Quer
 
     st = State(None, Env({}))
     returned = False
+    effectful = False
     for clause in q.clauses:
+        if isinstance(clause, (A.Create, A.SetClause, A.RemoveClause, A.Delete, A.Merge, A.CallProc)):
+            effectful = True
         if isinstance(clause, A.Match):
             st = compile_match(ctx, st, clause)
         elif isinstance(clause, A.Unwind):
@@ -770,6 +777,10 @@ def compile_single(ctx: QueryContext, q: A.SingleQuery) -> tuple[DataFrame, Quer
         else:
             raise CompileError(f"unsupported clause {type(clause).__name__}")
     if not returned:
+        if not effectful:
+            # a pure reading query must end in RETURN (the reference:
+            # 'query must end with RETURN', cypher_match.sql:331)
+            raise CompileError("query must end with a RETURN clause")
         # write-only query: execute side effects, return empty frame
         if st.df is not None:
             st.df.count()

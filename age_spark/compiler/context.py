@@ -69,6 +69,10 @@ class QueryContext:
     spark: object
     graph: object  # Graph (import cycle avoided)
     params: dict = field(default_factory=dict)
+    # property-constraint semantics: containment (the reference default,
+    # age.enable_containment=on) vs per-key equality (off). The `={...}`
+    # syntax forces equality per constraint regardless.
+    enable_containment: bool = True
     _counter: int = 0
 
     def fresh(self, prefix: str = "_anon") -> str:

@@ -1251,6 +1251,29 @@ def _fn_isempty(scope, args, cols):
     dt = dtype_of(scope, c)
     if dt is not None and _is_string(dt):
         return F.length(c) == 0
+    if dt is not None and _is_struct(dt):
+        # object emptiness: a properties/map-literal struct is empty when
+        # every key slot is null (null value == absent key convention);
+        # the reference's isEmpty(properties(u)) block (cypher_match.sql:626)
+        fields = [f.name for f in dt.fields if f.name != "_none"]
+        if not fields:
+            return F.when(c.isNull(), F.lit(None)).otherwise(F.lit(True))
+        non_null = [c.getField(nm).isNotNull().cast("int") for nm in fields]
+        total = non_null[0]
+        for x in non_null[1:]:
+            total = total + x
+        return F.when(c.isNull(), F.lit(None)).otherwise(total == 0)
+    from ..graph import is_tagged_type
+
+    if dt is not None and is_tagged_type(dt):
+        k = c.getField("__k")
+        j = c.getField("__j")
+        return (
+            F.when(c.isNull(), F.lit(None))
+            .when(k == 5, F.length(c.getField("__s")) == 0)
+            .when(k.isin(3, 4), (j == "{}") | (j == "[]"))
+            .otherwise(F.lit(False))
+        )
     return F.size(c) == 0
 
 

@@ -196,6 +196,10 @@ def _props_filter(scope: ExprScope, struct_col: Column, props: A.Expr, struct_dt
     ``age.enable_containment`` blocks of cypher_match.sql)."""
     from .exprs import _deref_entity  # late import to avoid cycle
 
+    exact = False
+    if isinstance(props, A.ExactProps):
+        exact = True
+        props = props.inner
     if isinstance(props, A.Param):
         pval = scope.ctx.params.get(props.name)
         if not isinstance(pval, dict):
@@ -229,13 +233,28 @@ def _props_filter(scope: ExprScope, struct_col: Column, props: A.Expr, struct_dt
         lcol = _deref_entity(scope, struct_col, struct_dt, k)
         fdt = _field_dt(k)
         qv = _lit_tree(vexpr)
+        if not getattr(scope.ctx, "enable_containment", True):
+            exact = True  # session opted into per-key equality semantics
         if qv is not _MISS and isinstance(qv, (dict, list, tuple)):
-            # container-literal constraint -> containment semantics
             if fdt is None:
-                # key absent from every row of the label: nothing contains
+                # key absent from every row of the label: nothing matches
                 cond = cond & F.lit(False)
-            else:
+                continue
+            if not exact:
+                # container-literal constraint -> containment semantics
                 cond = cond & _contains(lcol, fdt, qv)
+                continue
+            # ={...} exact container equality: compare through the tagged
+            # kind machinery so a SHAPE mismatch is simply false, not a
+            # Spark analysis error
+            rcol = compile_expr(scope, vexpr)
+            rdt = _operand_dtype(scope, vexpr, rcol)
+            from ..graph import tagged_cmp_key
+
+            cond = cond & (
+                tagged_cmp_key(tag_column(lcol, fdt))
+                == tagged_cmp_key(tag_column(rcol, rdt))
+            )
             continue
         rcol = compile_expr(scope, vexpr)
         # mixed-kind (tagged dynamic) property: wrap the constraint value so
@@ -276,6 +295,10 @@ class MatchState:
         self.ctx = ctx
         self.df = df
         self.env = env
+        # names bound BEFORE this clause: edge-variable reuse is legal only
+        # for these (cypher_match.sql:360 valid-reuse block); a variable
+        # first introduced in this same clause may not repeat (:225-228)
+        self._initial_names = set(env.bindings)
         self.edge_bindings: list[Binding] = []  # for edge-uniqueness quals
         self.helpers: list[str] = []  # helper cols to drop at clause end
         self.deferred_props: list[tuple[str, A.Expr]] = []  # (var, props) post-join quals
@@ -335,8 +358,27 @@ class MatchState:
         )
         return fwd.unionByName(rev)
 
+    @staticmethod
+    def _check_varname(var):
+        if var is not None and var.startswith("_age_default_"):
+            # internal-alias namespace (issue #883; cypher_match.sql:1055)
+            raise CompileError(
+                "variables cannot begin with the reserved prefix _age_default_"
+            )
+
+    def _check_relabel(self, name, existing, labels):
+        """A bound variable may repeat its ORIGINAL label constraint, but a
+        new or different label is an error (cypher_match.sql:334-358
+        'invalid variable reuse': MATCH (a) MATCH (a:v1) fails; MATCH
+        (r1:invalid), (r1:invalid) is fine)."""
+        if tuple(labels) != tuple(existing.labels):
+            raise CompileError(
+                f"multiple labels for variable `{name}` are not supported"
+            )
+
     # ----- nodes
     def bind_node(self, node: A.NodePattern) -> str:
+        self._check_varname(node.var)
         name = node.var or self.ctx.fresh()
         hidden = node.var is None
         existing = self.env.get(name)
@@ -345,6 +387,7 @@ class MatchState:
                 raise CompileError(f"variable `{name}` already bound to a non-vertex")
             # bound-variable label filter: arithmetic on packed id, no join
             if node.labels:
+                self._check_relabel(name, existing, node.labels)
                 # an unknown label is a legal constraint no vertex satisfies
                 # (the reference rewrites missing labels to WHERE false,
                 # cypher_clause.c:8104) — never a catalog error
@@ -383,6 +426,7 @@ class MatchState:
 
     def bind_node_at(self, node: A.NodePattern, dst_col: str) -> str:
         """Bind the far-side node of an edge hop, joined on its id."""
+        self._check_varname(node.var)
         name = node.var or self.ctx.fresh()
         hidden = node.var is None
         existing = self.env.get(name)
@@ -393,6 +437,7 @@ class MatchState:
                 raise CompileError(f"variable `{name}` already bound to a non-vertex")
             self.df = self.df.filter(F.col(dst_col) == F.col(name).getField("id"))
             if node.labels:
+                self._check_relabel(name, existing, node.labels)
                 meta = self.ctx.graph.meta
                 ids = [meta.labels[l].label_id for l in node.labels if l in meta.labels]
                 self.df = self.df.filter(
@@ -413,6 +458,7 @@ class MatchState:
     # ----- edges
     def bind_edge(self, rel: A.RelPattern, from_var: str, in_named_path: bool = False) -> tuple[str, str]:
         """Join one edge hop; returns (edge_var, dst_helper_col)."""
+        self._check_varname(rel.var)
         name = rel.var or self.ctx.fresh()
         hidden = rel.var is None
         existing = self.env.get(name)
@@ -426,6 +472,19 @@ class MatchState:
             if rel.varlen is not None:
                 raise CompileError(
                     f"variable `{name}` already bound — cannot rebind as variable-length"
+                )
+            if name not in self._initial_names:
+                # repeating an edge variable WITHIN its introducing clause
+                # is invalid (cypher_match.sql:225-228); only cross-clause
+                # reuse joins on the same edge
+                raise CompileError(
+                    f"duplicate edge variable `{name}` within one MATCH pattern"
+                )
+            if rel.types and tuple(rel.types) != tuple(existing.labels):
+                # like vertex labels: a reused edge variable may repeat its
+                # ORIGINAL type list, not introduce a different one
+                raise CompileError(
+                    f"multiple types for variable `{name}` are not supported"
                 )
             e = F.col(name)
             from_id = F.col(from_var).getField("id")
@@ -442,8 +501,6 @@ class MatchState:
                 dcol = F.when(
                     e.getField("start_id") == from_id, e.getField("end_id")
                 ).otherwise(e.getField("start_id"))
-            if rel.types:
-                self.df = self.df.filter(e.getField("label").isin(list(rel.types)))
             if rel.props is not None:
                 dt = self.df.select(e).schema[0].dataType
                 scope = ExprScope(self.ctx, self.df, self.env)
@@ -561,8 +618,14 @@ def normalize_vertex(ctx: QueryContext, col: Column, cur_dt: T.StructType) -> Co
     schema = ctx.graph.vertex_property_schema(None)
     cur_props = next((f.dataType for f in cur_dt.fields if f.name == "properties"), None)
     have = {f.name: f.dataType for f in cur_props.fields} if isinstance(cur_props, T.StructType) else {}
+    from ..graph import conform_col
+
     props = [
-        (col.getField("properties").getField(nm).cast(dt) if nm in have else F.lit(None).cast(dt)).alias(nm)
+        (
+            conform_col(col.getField("properties").getField(nm), have[nm], dt)
+            if nm in have
+            else F.lit(None).cast(dt)
+        ).alias(nm)
         for nm, dt in schema
     ] or [F.lit(None).cast("string").alias("_none")]
     return F.struct(
@@ -576,8 +639,14 @@ def normalize_edge(ctx: QueryContext, col: Column, cur_dt: T.StructType) -> Colu
     schema = ctx.graph.edge_property_schema(None)
     cur_props = next((f.dataType for f in cur_dt.fields if f.name == "properties"), None)
     have = {f.name: f.dataType for f in cur_props.fields} if isinstance(cur_props, T.StructType) else {}
+    from ..graph import conform_col
+
     props = [
-        (col.getField("properties").getField(nm).cast(dt) if nm in have else F.lit(None).cast(dt)).alias(nm)
+        (
+            conform_col(col.getField("properties").getField(nm), have[nm], dt)
+            if nm in have
+            else F.lit(None).cast(dt)
+        ).alias(nm)
         for nm, dt in schema
     ] or [F.lit(None).cast("string").alias("_none")]
     return F.struct(
@@ -681,5 +750,10 @@ def _materialize_path(st: MatchState, pvar: str, node_vars: list[str], edge_vars
         F.concat(*node_segments).alias("nodes"),
         (edges_col if edge_parts else F.lit(None).cast("array<string>")).alias("edges"),
     )
+    if st.env.get(pvar) is not None:
+        # p=(p), ()-[p]->() in the same pattern, or a prior clause's
+        # vertex/edge variable reused as a path name — all invalid
+        # (cypher_match.sql:229-240)
+        raise CompileError(f"variable `{pvar}` already bound — cannot name a path")
     st.df = df.withColumn(pvar, path_col)
     st.env = st.env.bind(Binding(pvar, PATH))

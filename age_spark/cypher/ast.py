@@ -165,6 +165,14 @@ class CountSubquery(Expr):
 
 
 @dataclass
+class ExactProps(Expr):
+    """`={...}` pattern constraint: per-key EQUALITY even when containment
+    is the session default (cypher_match.sql `MATCH (x:Customer ={...})`
+    blocks)."""
+    inner: Expr
+
+
+@dataclass
 class NodePattern:
     var: Optional[str]
     labels: list[str]

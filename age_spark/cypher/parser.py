@@ -409,6 +409,9 @@ class Parser:
             labels.append(self.expect_name())
         if self.at_op("{"):
             props = self.parse_map_literal()
+        elif self.accept_op("="):
+            # ={...}: exact (equality) constraint overriding containment
+            props = A.ExactProps(self.parse_map_literal())
         elif self.cur.kind == "param":
             props = A.Param(self.advance().value)
         self.expect_op(")")
@@ -448,6 +451,8 @@ class Parser:
                 varlen = (lo, hi)
             if self.at_op("{"):
                 props = self.parse_map_literal()
+            elif self.accept_op("="):
+                props = A.ExactProps(self.parse_map_literal())
             elif self.cur.kind == "param":
                 props = A.Param(self.advance().value)
             self.expect_op("]")
@@ -842,6 +847,13 @@ class Parser:
                 return A.ExistsSubquery([pat], None)
             e = self.parse_expr()
             self.expect_op(")")
+            if isinstance(e, (A.Var, A.ListLit)):
+                # the reference grammar only admits a pattern or a property
+                # reference inside EXISTS( ): a bare variable or a list is
+                # a syntax error (cypher_match.out:1214,1354)
+                raise CypherSyntaxError(
+                    "EXISTS() expects a pattern or a property reference"
+                )
             return A.FuncCall("exists", [e])
         self.expect_op("{")
         self.accept_kw("match")
@@ -849,8 +861,21 @@ class Parser:
         while self.accept_op(","):
             pats.append(self.parse_path_pattern())
         where = self.parse_expr() if self.accept_kw("where") else None
+        self._skip_subquery_return()
         self.expect_op("}")
         return A.ExistsSubquery(pats, where)
+
+    def _skip_subquery_return(self) -> None:
+        """EXISTS/COUNT subqueries accept a full body with RETURN
+        (cypher_match.sql EXISTS { MATCH (x:Person) RETURN x }); only row
+        existence matters, so the projection parses and is discarded."""
+        if self.accept_kw("return"):
+            while True:
+                self.parse_expr()
+                if self.accept_kw("as"):
+                    self.expect_name()
+                if not self.accept_op(","):
+                    break
 
     def _at_pattern_inside_paren(self) -> bool:
         # after consuming 'exists(' — pattern iff '(' follows
@@ -866,6 +891,7 @@ class Parser:
         while self.accept_op(","):
             pats.append(self.parse_path_pattern())
         where = self.parse_expr() if self.accept_kw("where") else None
+        self._skip_subquery_return()
         self.expect_op("}")
         return A.CountSubquery(pats, where)
 

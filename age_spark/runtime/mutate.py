@@ -86,12 +86,14 @@ def compile_create(ctx: QueryContext, st, clause: A.Create):
     new_vertex_rows: dict[str, list[DataFrame]] = {}
     new_edge_rows: dict[str, list[DataFrame]] = {}
 
+    named_paths: list[tuple[str, list[str], list[str]]] = []
     for path in clause.patterns:
         elems = path.elements
         # bind/create first node
         prev_var, df, env = _create_node(
             ctx, graph, df, env, elems[0], n_rows, new_vertex_rows
         )
+        nvars, evars = [prev_var], []
         i = 1
         while i < len(elems):
             rel: A.RelPattern = elems[i]
@@ -99,11 +101,19 @@ def compile_create(ctx: QueryContext, st, clause: A.Create):
             nxt_var, df, env = _create_node(
                 ctx, graph, df, env, node, n_rows, new_vertex_rows
             )
-            df, env = _create_edge(
+            ename, df, env = _create_edge(
                 ctx, graph, df, env, rel, prev_var, nxt_var, n_rows, new_edge_rows
             )
+            nvars.append(nxt_var)
+            evars.append(ename)
             prev_var = nxt_var
             i += 2
+        if path.var is not None:
+            if env.get(path.var) is not None:
+                raise CompileError(
+                    f"variable `{path.var}` already bound — cannot name a path"
+                )
+            named_paths.append((path.var, nvars, evars))
 
     # build the new snapshot
     vupd, eupd = {}, {}
@@ -116,6 +126,33 @@ def compile_create(ctx: QueryContext, st, clause: A.Create):
         allparts = ([base] if base is not None else []) + parts
         eupd[label] = _bounded_snapshot(union_by_merged_schema(allparts))
     newgraph = graph.snapshot(vertex_dfs=vupd, edge_dfs=eupd)
+
+    if named_paths:
+        # CREATE p=(...) — materialize the path value from the created
+        # entities, normalized to the POST-create merged property schema
+        from ..compiler.context import PATH, Binding as _Binding
+        from ..compiler.patterns import normalize_edge, normalize_vertex
+
+        ctx2 = ctx.with_graph(newgraph)
+        for pvar, nvars, evars in named_paths:
+            node_cols = [
+                normalize_vertex(ctx2, F.col(v), df.select(F.col(v)).schema[0].dataType)
+                for v in nvars
+            ]
+            edge_cols = [
+                normalize_edge(ctx2, F.col(e), df.select(F.col(e)).schema[0].dataType)
+                for e in evars
+            ]
+            path_col = F.struct(
+                F.array(*node_cols).alias("nodes"),
+                (
+                    F.array(*edge_cols)
+                    if edge_cols
+                    else F.lit(None).cast("array<string>")
+                ).alias("edges"),
+            )
+            df = df.withColumn(pvar, path_col)
+            env = env.bind(_Binding(pvar, PATH))
 
     df = df.drop(_ROWID)
     return State(df, env), ctx.with_graph(newgraph)
@@ -174,6 +211,7 @@ def _create_node(ctx, graph, df, env, node: A.NodePattern, n_rows, sink):
 
 
 def _create_edge(ctx, graph, df, env, rel: A.RelPattern, a: str, b: str, n_rows, sink):
+    # returns (edge_var, df, env)
     if rel.direction == "both":
         raise CompileError("CREATE requires a directed relationship")
     if rel.varlen is not None:
@@ -216,7 +254,7 @@ def _create_edge(ctx, graph, df, env, rel: A.RelPattern, a: str, b: str, n_rows,
     ]
     sink.setdefault(label, []).append(df.select(*row_cols))
     env = env.bind(Binding(name, EDGE, (label,), hidden=rel.var is None))
-    return df, env
+    return name, df, env
 
 
 # --------------------------------------------------------------------- SET
