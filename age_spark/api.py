@@ -37,10 +37,18 @@ class CypherResult:
 
 
 class AgeSession:
-    def __init__(self, spark: SparkSession):
+    def __init__(self, spark: SparkSession, mutable_graphs: bool = False):
         self.spark = spark
         # reference GUC parity: age.enable_containment (cypher_match.sql:1082)
         self.enable_containment = True
+        # The reference has ONE mutable graph per name; this engine returns
+        # immutable snapshots from every write. mutable_graphs=True opts
+        # into the reference's lifecycle: after each write the REPLACED
+        # label tables' checkpoint blocks are released (the new tables are
+        # eagerly checkpointed first, so they never depend on freed
+        # blocks). Without it, a long write session pins one snapshot per
+        # statement — fine for bounded pipelines, unbounded for REPL use.
+        self.mutable_graphs = mutable_graphs
 
     # ---- DDL (graph_commands.c:47-299 parity)
     def create_graph(self, name: str) -> Graph:
@@ -149,6 +157,13 @@ class AgeSession:
         ast = parse_cypher(query)
         ctx = QueryContext(spark=self.spark, graph=graph, params=params or {}, enable_containment=self.enable_containment)
         df, ctx = compile_query(ctx, ast)
+        if self.mutable_graphs and ctx.graph is not graph:
+            if len(df.columns) > 0:
+                # a write with RETURN executes NOW (the reference runs each
+                # statement eagerly too) so freeing the superseded blocks
+                # cannot invalidate the pending result
+                df = df.localCheckpoint(eager=True)
+            _release_superseded(graph, ctx.graph)
         return CypherResult(df=df, graph=ctx.graph)
 
     def register_views(self, graph: Graph, prefix: Optional[str] = None) -> list[str]:
@@ -187,3 +202,21 @@ class AgeSession:
         return res.df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
             res.df._jdf.queryExecution(), "formatted"
         )
+
+
+def _release_superseded(old: Graph, new: Graph) -> None:
+    """Mutable-graph lifecycle: pin the new snapshot's replaced tables as
+    their own eager checkpoints, then free the superseded tables' blocks.
+    Only REPLACED labels are touched — unreplaced tables are shared with
+    the new snapshot and stay live."""
+    from .runtime.cache import release_plan_checkpoints
+
+    for kind in ("vertex_dfs", "edge_dfs"):
+        od = getattr(old, kind)
+        nd = getattr(new, kind)
+        for label, tab in list(nd.items()):
+            prev = od.get(label)
+            if prev is None or prev is tab:
+                continue
+            nd[label] = tab.localCheckpoint(eager=True)
+            release_plan_checkpoints(prev)

@@ -182,6 +182,13 @@ def _attach_subquery(ctx: QueryContext, st: State, node, out_name: str) -> State
     elif isinstance(node, A.ExistsSubquery):
         pats, where = node.patterns, node.where
         want_count = False
+        if node.paren_form:
+            for v in sorted(pattern_vars(pats)):
+                if st.env.get(v) is None:
+                    raise CompileError(
+                        f"EXISTS(pattern) cannot create variable `{v}` — only "
+                        "references to bound variables are allowed"
+                    )
     else:
         pats, where = node.patterns, node.where
         want_count = True
@@ -744,14 +751,22 @@ def compile_single(ctx: QueryContext, q: A.SingleQuery) -> tuple[DataFrame, Quer
     st = State(None, Env({}))
     returned = False
     effectful = False
+    after_optional = False
     for clause in q.clauses:
         if isinstance(clause, (A.Create, A.SetClause, A.RemoveClause, A.Delete, A.Merge, A.CallProc)):
             effectful = True
         if isinstance(clause, A.Match):
+            if after_optional and not clause.optional:
+                # the reference rejects MATCH after OPTIONAL MATCH inside
+                # one reading block (cypher_match.sql:808 'this syntax is
+                # invalid'); a WITH barrier resets the block
+                raise CompileError("MATCH cannot follow OPTIONAL MATCH")
+            after_optional = after_optional or clause.optional
             st = compile_match(ctx, st, clause)
         elif isinstance(clause, A.Unwind):
             st = compile_unwind(ctx, st, clause)
         elif isinstance(clause, A.With):
+            after_optional = False
             st = compile_projection(
                 ctx, st, clause.items, clause.distinct, clause.star,
                 clause.order_by, clause.skip, clause.limit, clause.where, True,

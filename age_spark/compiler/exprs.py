@@ -1128,7 +1128,18 @@ def _fn_type(scope, args, cols):
 
 @fn("properties")
 def _fn_properties(scope, args, cols):
-    return cols[0].getField("properties")
+    # a bare properties() projection must PRINT with the null-means-absent
+    # convention ({} for a propertyless vertex, cypher_match.out isEmpty
+    # block) — entities get this via the entity printer; a standalone
+    # struct needs the marker field agvalue keys on
+    p = cols[0].getField("properties")
+    dt = dtype_of(scope, p)
+    if isinstance(dt, T.StructType):
+        return F.struct(
+            F.lit(None).cast("string").alias("_pstruct"),
+            *[p.getField(f.name).alias(f.name) for f in dt.fields],
+        )
+    return p
 
 
 @fn("keys")
@@ -1252,10 +1263,15 @@ def _fn_isempty(scope, args, cols):
     if dt is not None and _is_string(dt):
         return F.length(c) == 0
     if dt is not None and _is_struct(dt):
+        if _entity_fields(dt) in ({"id", "label", "properties"},
+                                  {"id", "start_id", "end_id", "label", "properties"}):
+            # isEmpty(vertex/edge) is an error in the reference
+            # (cypher_match.out 'should give an error' isEmpty block)
+            raise CompileError("isEmpty() argument must be a list, map or string")
         # object emptiness: a properties/map-literal struct is empty when
         # every key slot is null (null value == absent key convention);
         # the reference's isEmpty(properties(u)) block (cypher_match.sql:626)
-        fields = [f.name for f in dt.fields if f.name != "_none"]
+        fields = [f.name for f in dt.fields if f.name not in ("_none", "_pstruct")]
         if not fields:
             return F.when(c.isNull(), F.lit(None)).otherwise(F.lit(True))
         non_null = [c.getField(nm).isNotNull().cast("int") for nm in fields]

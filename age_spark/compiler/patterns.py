@@ -233,8 +233,12 @@ def _props_filter(scope: ExprScope, struct_col: Column, props: A.Expr, struct_dt
         lcol = _deref_entity(scope, struct_col, struct_dt, k)
         fdt = _field_dt(k)
         qv = _lit_tree(vexpr)
-        if not getattr(scope.ctx, "enable_containment", True):
-            exact = True  # session opted into per-key equality semantics
+        # NB: age.enable_containment is NOT a semantic switch — the
+        # reference's regression runs the same queries in both modes and
+        # pins IDENTICAL results (cypher_match.sql:1110-1135); the GUC only
+        # chooses between the @> operator (GIN-indexable) and access-
+        # operator quals. Catalyst owns physical planning here, so both
+        # modes compile the same constraints.
         if qv is not _MISS and isinstance(qv, (dict, list, tuple)):
             if fdt is None:
                 # key absent from every row of the label: nothing matches
@@ -508,10 +512,12 @@ class MatchState:
             dst = f"_dst_{self.ctx.fresh()}"
             self.df = self.df.withColumn(dst, dcol)
             self.helpers.append(dst)
-            # the reused edge still participates in THIS clause's pairwise
-            # edge-uniqueness against other edges (once, not against itself)
-            if all(b.name != name for b in self.edge_bindings):
-                self.edge_bindings.append(existing)
+            # the reused edge participates in THIS clause's pairwise
+            # edge-uniqueness — including against ITSELF when the variable
+            # repeats: the reference emits id(e) <> id(e) and the pattern
+            # is decisively empty (cypher_match.out:852 -> 0 rows;
+            # EXISTS((u)-[e]->(v)-[e]->(u)) prints false even on a loop)
+            self.edge_bindings.append(existing)
             return name, dst
         if rel.varlen is not None:
             return self._bind_vle(rel, name, from_var, hidden, in_named_path)

@@ -150,9 +150,13 @@ class PatternPred(Expr):
 
 @dataclass
 class ExistsSubquery(Expr):
-    """EXISTS { MATCH ... [WHERE ...] } — cypher_gram.y:1977-2032."""
+    """EXISTS { MATCH ... [WHERE ...] } — cypher_gram.y:1977-2032.
+    ``paren_form`` marks EXISTS(pattern): that form may only REFERENCE
+    variables (a new named variable is the reference's 'variable creation
+    error'), while the braced subquery may introduce its own."""
     patterns: list["PathPattern"]
     where: Optional[Expr]
+    paren_form: bool = False
 
 
 @dataclass

@@ -410,8 +410,12 @@ class Parser:
         if self.at_op("{"):
             props = self.parse_map_literal()
         elif self.accept_op("="):
-            # ={...}: exact (equality) constraint overriding containment
-            props = A.ExactProps(self.parse_map_literal())
+            # ={...} / =$param: exact (equality) constraint overriding
+            # containment
+            if self.cur.kind == "param":
+                props = A.ExactProps(A.Param(self.advance().value))
+            else:
+                props = A.ExactProps(self.parse_map_literal())
         elif self.cur.kind == "param":
             props = A.Param(self.advance().value)
         self.expect_op(")")
@@ -452,7 +456,10 @@ class Parser:
             if self.at_op("{"):
                 props = self.parse_map_literal()
             elif self.accept_op("="):
-                props = A.ExactProps(self.parse_map_literal())
+                if self.cur.kind == "param":
+                    props = A.ExactProps(A.Param(self.advance().value))
+                else:
+                    props = A.ExactProps(self.parse_map_literal())
             elif self.cur.kind == "param":
                 props = A.Param(self.advance().value)
             self.expect_op("]")
@@ -844,7 +851,7 @@ class Parser:
             if self._at_pattern_inside_paren():
                 pat = self.parse_path_pattern()
                 self.expect_op(")")
-                return A.ExistsSubquery([pat], None)
+                return A.ExistsSubquery([pat], None, paren_form=True)
             e = self.parse_expr()
             self.expect_op(")")
             if isinstance(e, (A.Var, A.ListLit)):

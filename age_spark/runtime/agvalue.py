@@ -148,10 +148,16 @@ def _out(v: Any) -> str:
 
 
 def _obj(d: dict) -> str:
+    # the _pstruct marker tags a bare properties() struct: its null fields
+    # mean ABSENT keys (label-table storage convention), unlike a map
+    # literal where an explicit null prints
+    props_conv = "_pstruct" in d
     items = []
     for k in _jsonb_key_order(d.keys()):
-        if k == "_none" and d[k] is None:
-            continue  # the engine's empty-map sentinel field, not a key
+        if k in ("_none", "_pstruct") and d[k] is None:
+            continue  # engine sentinel fields, not keys
+        if props_conv and d[k] is None:
+            continue
         items.append(f"{json.dumps(k, ensure_ascii=False)}: {_out(d[k])}")
     return "{" + ", ".join(items) + "}"
 
