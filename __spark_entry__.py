@@ -801,8 +801,8 @@ def oracle_sql() -> dict[str, str]:
         "to_json(['name', 'acctbal', 'mktsegment'])::VARCHAR AS ks FROM customer"
     )
     O["g_id_label_fns"] = (
-        # Customer label_id = 3 -> id = 3 << 48 | custkey
-        "SELECT CAST(3 * 281474976710656 + c_custkey AS BIGINT) AS cid, "
+        # Customer label_id = 5 (defaults take 1-2, Region 3, Nation 4)
+        "SELECT CAST(5 * 281474976710656 + c_custkey AS BIGINT) AS cid, "
         "'Customer' AS lbl FROM customer ORDER BY cid LIMIT 20"
     )
     O["g_reduce_predicates"] = (
@@ -821,8 +821,8 @@ def oracle_sql() -> dict[str, str]:
         "(SELECT count(*) FROM lineitem) AS BIGINT) AS num_edges"
     )
     O["g_vertex_stats"] = (
-        # id = label_id(Nation)=2 << 48 | nationkey — checks graphid packing parity
-        "SELECT CAST(2 * 281474976710656 + n_nationkey AS BIGINT) AS id, "
+        # id = label_id(Nation)=4 << 48 | nationkey — checks graphid packing parity
+        "SELECT CAST(4 * 281474976710656 + n_nationkey AS BIGINT) AS id, "
         "CAST((SELECT count(*) FROM customer WHERE c_nationkey = n_nationkey) + "
         "(SELECT count(*) FROM supplier WHERE s_nationkey = n_nationkey) AS BIGINT) AS in_degree, "
         "CAST(1 AS BIGINT) AS out_degree FROM nation"

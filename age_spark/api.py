@@ -209,8 +209,13 @@ def _release_superseded(old: Graph, new: Graph) -> None:
     their own eager checkpoints, then free the superseded tables' blocks.
     Only REPLACED labels are touched — unreplaced tables are shared with
     the new snapshot and stay live."""
-    from .runtime.cache import release_plan_checkpoints
+    from .runtime.cache import checkpoint_rdd_ids, release_plan_checkpoints
 
+    # two phases: a replaced table's plan can read ANY superseded table
+    # (a SET over `MATCH (n)` derives every label's new table from the
+    # all-label union scan), so every replacement must be pinned before
+    # the first superseded block is freed
+    superseded = []
     for kind in ("vertex_dfs", "edge_dfs"):
         od = getattr(old, kind)
         nd = getattr(new, kind)
@@ -219,4 +224,14 @@ def _release_superseded(old: Graph, new: Graph) -> None:
             if prev is None or prev is tab:
                 continue
             nd[label] = tab.localCheckpoint(eager=True)
-            release_plan_checkpoints(prev)
+            superseded.append(prev)
+    # a checkpoint leaf can be SHARED between a superseded table and a
+    # still-live un-replaced one (one CREATE statement materializes several
+    # label tables from a single checkpointed input) — protect every leaf
+    # the new snapshot still reads
+    protected: set[int] = set()
+    for kind in ("vertex_dfs", "edge_dfs"):
+        for tab in getattr(new, kind).values():
+            protected.update(checkpoint_rdd_ids(tab))
+    for prev in superseded:
+        release_plan_checkpoints(prev, protected_ids=protected)

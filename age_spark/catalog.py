@@ -36,6 +36,13 @@ _NAME_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_]{0,62}$")
 VERTEX_KIND = "v"
 EDGE_KIND = "e"
 
+# Default label names (include/commands/label_commands.h:25-26); created
+# with the graph so they consume label ids 1 and 2 from the sequence and
+# user labels start at 3 — graphid parity with the reference's regression
+# outputs (e.g. first user vertex label packs ids as 3 << 48 | entry).
+DEFAULT_VLABEL = "_ag_label_vertex"
+DEFAULT_ELABEL = "_ag_label_edge"
+
 
 class CatalogError(ValueError):
     pass
@@ -108,6 +115,14 @@ class GraphMeta:
     name: str
     labels: dict[str, LabelMeta] = field(default_factory=dict)
     next_label_id: int = 1
+
+    def __post_init__(self):
+        # graph_commands.c create_graph: the two default labels are created
+        # with the graph, taking ids 1 and 2 (from_dict replays a stored
+        # sequence and skips this)
+        if self.next_label_id == 1 and not self.labels:
+            self.create_label(DEFAULT_VLABEL, VERTEX_KIND)
+            self.create_label(DEFAULT_ELABEL, EDGE_KIND)
 
     def label(self, name: str) -> LabelMeta:
         try:

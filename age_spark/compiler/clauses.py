@@ -114,13 +114,26 @@ def expr_vars(e) -> set[str]:
 
 
 def pattern_vars(pats: list[A.PathPattern]) -> set[str]:
+    """Variables a pattern list touches: element/path names plus variables
+    REFERENCED inside property constraints (`MERGE ({i: n.i})` correlates
+    on n even though n names no element)."""
+    from .exprs import _ast_any
+
     out: set[str] = set()
+
+    def note(x):
+        if isinstance(x, A.Var):
+            out.add(x.name)
+        return False
+
     for p in pats:
         if p.var:
             out.add(p.var)
         for el in p.elements:
             if el.var:
                 out.add(el.var)
+            if el.props is not None and not isinstance(el.props, A.Param):
+                _ast_any(el.props, note)
     return out
 
 
@@ -731,15 +744,78 @@ def _compile_optional_match(ctx: QueryContext, st: State, m: A.Match) -> State:
 
 
 def compile_unwind(ctx: QueryContext, st: State, u: A.Unwind) -> State:
+    from ..graph import is_tagged_type
+
     df = st.df if st.df is not None else _unit_df(ctx)
     scope = ExprScope(ctx, df, st.env)
     col = compile_expr(scope, u.expr)
-    # explode (not explode_outer): NULL/empty list yields no rows, matching
-    # age_unnest (agtype.c:13042)
+    dt = df.select(col.alias("_uw")).schema["_uw"].dataType
+    # age_unnest semantics (cypher_unwind.out): a list explodes to its
+    # elements (empty -> no rows), but NULL and non-list scalars unnest to
+    # THEMSELVES — one row each (`UNWIND NULL` -> one null row)
+    if isinstance(dt, T.NullType):
+        col = F.array(F.lit(None).cast("string"))
+    elif is_tagged_type(dt):
+        col = _unwind_tagged_elements(col)
+    elif isinstance(dt, T.ArrayType):
+        col = F.when(
+            col.isNull(), F.array(F.lit(None).cast(dt.elementType))
+        ).otherwise(col)
+    elif not isinstance(dt, T.MapType):
+        col = F.array(col)
     out = df.select("*", F.explode(col).alias(u.var))
     dt = out.schema[u.var].dataType
     env = st.env.bind(Binding(u.var, _infer_kind(dt)))
     return State(out, env)
+
+
+def _unwind_tagged_elements(col: Column) -> Column:
+    """Element array of a dynamic (tagged) value for UNWIND: array-kind
+    payloads re-materialize per element with kinds preserved (VARIANT
+    parse of the JSON payload, JVM-side), scalar kinds unnest to
+    themselves, null drops the row.  Container elements inside lose their
+    element-wise order key (lexical-JSON fallback, documented)."""
+    from ..graph import TAGGED_TYPE, let_column
+
+    def _elem_to_tagged(e: Column) -> Column:
+        sch = F.schema_of_variant(e)
+        is_int = sch.isin("BIGINT", "INT", "SMALLINT", "TINYINT")
+        is_num = is_int | sch.isin("DOUBLE", "FLOAT") | sch.startswith("DECIMAL")
+        is_str = sch == "STRING"
+        is_bool = sch == "BOOLEAN"
+        is_arr = sch.startswith("ARRAY")
+        k = (
+            F.when(is_num, F.lit(7))
+            .when(is_bool, F.lit(6))
+            .when(is_str, F.lit(5))
+            .when(is_arr, F.lit(4))
+            .otherwise(F.lit(3))
+            .cast("tinyint")
+        )
+        return F.named_struct(
+            F.lit("__k"), k,
+            F.lit("__n"), F.when(is_num, F.try_variant_get(e, "$", "double")),
+            F.lit("__i"), F.when(is_int, F.try_variant_get(e, "$", "bigint")),
+            F.lit("__s"), F.when(is_str, F.try_variant_get(e, "$", "string")),
+            F.lit("__b"), F.when(is_bool, F.try_variant_get(e, "$", "boolean")),
+            F.lit("__o"), F.lit(None).cast(
+                next(f.dataType for f in TAGGED_TYPE.fields if f.name == "__o")
+            ),
+            F.lit("__j"), F.when(is_arr | (k == 3), F.to_json(e)),
+        ).cast(TAGGED_TYPE)
+
+    def _build(c: Column) -> Column:
+        k = c.getField("__k")
+        parsed = F.transform(
+            F.from_json(c.getField("__j"), "array<variant>"), _elem_to_tagged
+        )
+        return (
+            F.when(c.isNull(), F.array(F.lit(None).cast(TAGGED_TYPE)))
+            .when(k == 4, parsed)
+            .otherwise(F.array(c))
+        )
+
+    return let_column(col, _build)
 
 
 # ----------------------------------------------------------------- driver
@@ -806,12 +882,65 @@ def compile_single(ctx: QueryContext, q: A.SingleQuery) -> tuple[DataFrame, Quer
 
 def compile_query(ctx: QueryContext, q: A.UnionQuery) -> tuple[DataFrame, QueryContext]:
     df, ctx = compile_single(ctx, q.parts[0])
-    for part, keep_all in zip(q.parts[1:], q.alls):
+    if len(q.parts) == 1:
+        return df, ctx
+    # UNION is positional with the FIRST branch's column names
+    # (cypher_union.sql: `MATCH (n) RETURN n UNION RETURN 1` is valid), and
+    # kind-preserving: int/float (or any cross-kind) branches merge into
+    # tagged dynamic values, deduplicated by VALUE on the agtype ladder
+    # (`1.0::int UNION 1::float` -> one row printing "1") with the earliest
+    # branch's representative kept.
+    df = df.withColumn("_ub", F.lit(0))
+    for bi, (part, keep_all) in enumerate(zip(q.parts[1:], q.alls), start=1):
         nxt, ctx = compile_single(ctx, part)
-        df = df.unionByName(nxt)
+        if len(nxt.columns) != len(df.columns) - 1:
+            raise CompileError(
+                "UNION branches must return the same number of columns"
+            )
+        df = _union_positional(df, nxt.withColumn("_ub", F.lit(bi)))
         if not keep_all:
-            df = df.distinct()
-    return df, ctx
+            df = _union_distinct(df)
+    return df.drop("_ub"), ctx
+
+
+def _union_positional(df: DataFrame, nxt: DataFrame) -> DataFrame:
+    from ..graph import _widen, conform_col
+
+    lnames = df.columns
+    lcols, rcols = [], []
+    for ln, rn in zip(lnames, nxt.columns):
+        ldt = df.schema[ln].dataType
+        rdt = nxt.schema[rn].dataType
+        if ldt == rdt:
+            lcols.append(F.col(ln))
+            rcols.append(F.col(rn).alias(ln))
+            continue
+        tgt = _widen(ldt, rdt)
+        lcols.append(conform_col(F.col(ln), ldt, tgt).alias(ln))
+        rcols.append(conform_col(F.col(rn), rdt, tgt).alias(ln))
+    return df.select(*lcols).unionByName(nxt.select(*rcols))
+
+
+def _union_distinct(df: DataFrame) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from ..graph import is_tagged_type, tagged_cmp_key
+
+    data_cols = [c for c in df.columns if c != "_ub"]
+    if not any(is_tagged_type(df.schema[c].dataType) for c in data_cols):
+        # plain distinct, but keep the smallest branch ordinal so later
+        # tagged unions still see earliest-branch representatives
+        return df.groupBy(*data_cols).agg(F.min("_ub").alias("_ub"))
+    keys = [
+        tagged_cmp_key(F.col(c)) if is_tagged_type(df.schema[c].dataType) else F.col(c)
+        for c in data_cols
+    ]
+    w = Window.partitionBy(*keys).orderBy(F.col("_ub"), F.monotonically_increasing_id())
+    return (
+        df.withColumn("_urn", F.row_number().over(w))
+        .where(F.col("_urn") == 1)
+        .drop("_urn")
+    )
 
 
 # -------------------------------------------------------------- CALL procs

@@ -29,6 +29,9 @@ class Binding:
     kind: str  # one of the constants above
     labels: tuple[str, ...] = ()  # statically-known label restriction ((), = any)
     hidden: bool = False  # anonymous pattern variables (not visible to RETURN *)
+    deleted: bool = False  # entity deleted by an earlier DELETE in this query
+    # (later CREATE through it must error: "vertex assigned to variable x
+    # was deleted", executor/cypher_create.c)
 
 
 @dataclass

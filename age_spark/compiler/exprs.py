@@ -439,27 +439,42 @@ def _compile_map_projection(scope: ExprScope, e: A.MapProjection) -> Column:
     b = scope.env.require(e.var)
     base = F.col(e.var)
     dt = dtype_of(scope, base)
-    fields: list[Column] = []
+    # base-type validation (map_projection.out:14-15 error parity)
+    if dt is not None and isinstance(dt, T.NullType):
+        # NULL base projects to the empty object (map_projection.out:11)
+        return F.struct(F.lit(None).cast("string").alias("_none"))
+    if dt is not None and isinstance(dt, T.ArrayType):
+        raise CompileError("properties() argument must resolve to an object")
+    if dt is not None and not _is_struct(dt) and not isinstance(dt, T.MapType):
+        raise CompileError("properties() argument must be a vertex, an edge or null")
+    # EXPLICIT entries (key:expr, bare variables) always win over `.*`,
+    # regardless of their order in the projection
+    # (map_projection.out: `map { name:'Tom', .* }` keeps name = 'Tom')
+    fields: dict[str, Column] = {}
     for kind, payload in e.items:
         if kind == "prop":
-            fields.append(_deref_entity(scope, base, dt, payload).alias(payload))
-        elif kind == "all":
-            pdt = dt
-            if b.kind in (VERTEX, EDGE) and _is_struct(dt):
-                base_p = base.getField("properties")
-                pdt = next(f.dataType for f in dt.fields if f.name == "properties")
-                for f2 in pdt.fields:
-                    if f2.name != "_none":
-                        fields.append(base_p.getField(f2.name).alias(f2.name))
-            elif _is_struct(pdt):
-                for f2 in pdt.fields:
-                    fields.append(base.getField(f2.name).alias(f2.name))
+            fields.setdefault(payload, _deref_entity(scope, base, dt, payload).alias(payload))
         elif kind == "var":
-            fields.append(F.col(payload).alias(payload))
-        else:  # expr
+            fields[payload] = F.col(payload).alias(payload)
+        elif kind == "expr":
             key, sub = payload
-            fields.append(compile_expr(scope, sub).alias(key))
-    return F.struct(*fields)
+            fields[key] = compile_expr(scope, sub).alias(key)
+    for kind, payload in e.items:
+        if kind != "all":
+            continue
+        pdt = dt
+        if b.kind in (VERTEX, EDGE) and _is_struct(dt):
+            base_p = base.getField("properties")
+            pdt = next(f.dataType for f in dt.fields if f.name == "properties")
+            for f2 in pdt.fields:
+                if f2.name != "_none":
+                    fields.setdefault(f2.name, base_p.getField(f2.name).alias(f2.name))
+        elif _is_struct(pdt):
+            for f2 in pdt.fields:
+                fields.setdefault(f2.name, base.getField(f2.name).alias(f2.name))
+    if not fields:
+        return F.struct(F.lit(None).cast("string").alias("_none"))
+    return F.struct(*fields.values())
 
 
 # ---- binary ops
@@ -782,10 +797,69 @@ def _tag_align(scope: ExprScope, l: Column, r: Column) -> tuple[Column, Column]:
 
 def _operand_dtype(scope: ExprScope, node: A.Expr, col: Column) -> Optional[T.DataType]:
     """Operand type, resolving lambda variables via the scope's hint map
-    (a namedlambdavariable Column is not schema-resolvable)."""
+    (a namedlambdavariable Column is not schema-resolvable).  Composite
+    expressions OVER lambda variables (`[x * x]` inside a reduce body)
+    are schema-unresolvable too — fall back to AST-level inference so
+    operator dispatch (e.g. list-concat vs list-append) stays correct."""
     if isinstance(node, A.Var) and node.name in scope.lambda_types:
         return scope.lambda_types[node.name]
-    return dtype_of(scope, col)
+    dt = dtype_of(scope, col)
+    if dt is None:
+        dt = _infer_ast_dtype(scope, node)
+    return dt
+
+
+def _infer_ast_dtype(scope: ExprScope, node) -> Optional[T.DataType]:
+    """Static type of an expression AST when the Column is unresolvable
+    (lambda context). Covers the shapes that appear in fold/comprehension
+    bodies; None = unknown (callers keep their conservative path)."""
+    if isinstance(node, A.Var):
+        if node.name in scope.lambda_types:
+            return scope.lambda_types[node.name]
+        return dtype_of(scope, F.col(node.name))
+    if isinstance(node, A.Lit):
+        v = node.value
+        if v is None:
+            return T.NullType()
+        if isinstance(v, bool):
+            return T.BooleanType()
+        if isinstance(v, int):
+            return T.LongType()
+        if isinstance(v, float):
+            return T.DoubleType()
+        if isinstance(v, str):
+            return T.StringType()
+        return None
+    if isinstance(node, A.ListLit):
+        from ..graph import _widen
+
+        ets = [_infer_ast_dtype(scope, it) for it in node.items]
+        if not ets:
+            return T.ArrayType(T.NullType())
+        if any(e2 is None for e2 in ets):
+            return None
+        tgt = ets[0]
+        try:
+            for e2 in ets[1:]:
+                tgt = _widen(tgt, e2)
+        except Exception:
+            return None
+        return T.ArrayType(tgt)
+    if isinstance(node, A.Binary) and node.op in ("+", "-", "*", "/", "%", "^"):
+        if node.op == "^":
+            return T.DoubleType()
+        ldt = _infer_ast_dtype(scope, node.left)
+        rdt = _infer_ast_dtype(scope, node.right)
+        if ldt is None or rdt is None:
+            return None
+        flt = (T.DoubleType, T.FloatType, T.DecimalType)
+        ints = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+        if isinstance(ldt, ints + flt) and isinstance(rdt, ints + flt):
+            if isinstance(ldt, flt) or isinstance(rdt, flt):
+                return T.DoubleType()
+            return T.LongType()
+        return None
+    return None
 
 
 def _compile_binary(scope: ExprScope, e: A.Binary) -> Column:
@@ -889,13 +963,24 @@ def _compile_binary(scope: ExprScope, e: A.Binary) -> Column:
                 hay = F.transform(r, lambda x: tagged_cmp_key(tag_column(x, et)))
             return F.array_contains(hay, tagged_cmp_key(needle))
         return F.array_contains(r, l)
-    if op == "starts with":
-        return l.startswith(r)
-    if op == "ends with":
-        return l.endswith(r)
-    if op == "contains":
-        return l.contains(r)
-    if op == "=~":
+    if op in ("starts with", "ends with", "contains", "=~"):
+        from ..graph import is_tagged_type
+
+        # a dynamic-kind operand contributes its string slot; non-string
+        # kinds yield NULL -> three-valued null, matching the reference's
+        # string-op null result on non-string agtype input
+        ldt = _operand_dtype(scope, e.left, l)
+        rdt = _operand_dtype(scope, e.right, r)
+        if ldt is not None and is_tagged_type(ldt):
+            l = l.getField("__s")
+        if rdt is not None and is_tagged_type(rdt):
+            r = r.getField("__s")
+        if op == "starts with":
+            return l.startswith(r)
+        if op == "ends with":
+            return l.endswith(r)
+        if op == "contains":
+            return l.contains(r)
         return F.regexp_like(l, r)
     if op == "||":
         return _compile_concat_op(scope, e, l, r)
@@ -1007,14 +1092,81 @@ def _compile_predfn(scope: ExprScope, e: A.PredFn) -> Column:
     raise CompileError(f"unknown predicate function {e.kind}")
 
 
+def _tagged_null() -> Column:
+    """An agtype-null marker (kind 8): unlike a SQL NULL, it PRINTS as
+    `null` — the reference's reduce() returns AGTV_NULL when a step
+    evaluates to null, and psql shows the literal text
+    (age_reduce.out:158), where a strict-function SQL NULL would show an
+    empty cell."""
+    from ..graph import TAGGED_TYPE
+
+    return F.named_struct(
+        F.lit("__k"), F.lit(8).cast("tinyint"),
+        F.lit("__n"), F.lit(None).cast("double"),
+        F.lit("__i"), F.lit(None).cast("long"),
+        F.lit("__s"), F.lit(None).cast("string"),
+        F.lit("__b"), F.lit(None).cast("boolean"),
+        F.lit("__o"), F.lit(None).cast(
+            next(f.dataType for f in TAGGED_TYPE.fields if f.name == "__o")
+        ),
+        F.lit("__j"), F.lit(None).cast("string"),
+    ).cast(TAGGED_TYPE)
+
+
+def _ast_any(e, pred) -> bool:
+    """Walk an expression AST; True if pred holds anywhere."""
+    if pred(e):
+        return True
+    for v in vars(e).values() if hasattr(e, "__dict__") else []:
+        items = v if isinstance(v, (list, tuple)) else [v]
+        for it in items:
+            if isinstance(it, tuple):
+                items2 = list(it)
+            else:
+                items2 = [it]
+            for it2 in items2:
+                if hasattr(it2, "__dict__") and it2.__class__.__module__.endswith("ast"):
+                    if _ast_any(it2, pred):
+                        return True
+    return False
+
+
+def _reduce_may_null(scope: ExprScope, e: A.Reduce) -> bool:
+    """Static check: can this reduce() see a null during folding?  True
+    when a null literal appears in the subtree or a referenced variable's
+    column is typed NULL.  Only such reduces pay the dynamic-value wrap
+    that preserves the agtype-null print."""
+    def p(x):
+        if isinstance(x, A.Lit) and x.value is None:
+            return True
+        if isinstance(x, A.Var):
+            try:
+                dt = dtype_of(scope, F.col(x.name))
+            except Exception:
+                return False
+            return dt is not None and isinstance(dt, T.NullType)
+        return False
+
+    return any(_ast_any(part, p) for part in (e.source, e.init, e.expr))
+
+
 def _compile_reduce(scope: ExprScope, e: A.Reduce) -> Column:
+    # the reference transforms reduce() with a dedicated walker that
+    # rejects nested subqueries/reduces (age_reduce.out parity)
+    # only the fold BODY rejects nesting — a reduce() as the init value is
+    # fine (age_reduce.out: init `s = reduce(...)` runs, body nesting errors)
+    if _ast_any(e.expr, lambda x: isinstance(x, A.Reduce)):
+        raise CompileError(
+            "subqueries (including a nested reduce()) are not supported in a reduce() expression"
+        )
     src = compile_expr(scope, e.source)
     init = compile_expr(scope, e.init)
     et = _elem_type(scope, src)
     idt = dtype_of(scope, init)
     sdt = dtype_of(scope, src)
     if sdt is not None and isinstance(sdt, T.NullType):
-        return F.lit(None)  # reduce over NULL -> NULL (age_reduce.out)
+        # reduce over NULL: strict SQL NULL (empty cell, age_reduce.out:10)
+        return F.lit(None)
 
     # F.aggregate requires merge-result type == init type; probe the merge
     # type with stand-in columns (driver-side schema analysis, no job) and
@@ -1029,7 +1181,15 @@ def _compile_reduce(scope: ExprScope, e: A.Reduce) -> Column:
     )
     rdt = dtype_of(scope, probe)
     if rdt is not None and isinstance(rdt, T.NullType):
-        return F.lit(None)  # a constant-NULL fold body nulls every step
+        # a constant-NULL fold body nulls every step — but only if a step
+        # RUNS: the empty list returns the (SQL-null) init as an empty
+        # cell, a non-empty one folds to agtype null which prints
+        # (age_reduce.out:11 vs :13)
+        from ..graph import TAGGED_TYPE
+
+        return F.when(
+            F.coalesce(F.size(src), F.lit(0)) > 0, _tagged_null()
+        ).otherwise(F.lit(None).cast(TAGGED_TYPE))
     if rdt is not None and idt is not None and rdt != idt:
         init = init.cast(rdt)
         idt = rdt
@@ -1042,7 +1202,27 @@ def _compile_reduce(scope: ExprScope, e: A.Reduce) -> Column:
             types[e.acc] = idt
         return compile_expr(scope.child({e.acc: acc, e.var: x}, types), e.expr)
 
-    return F.aggregate(src, init, merge)
+    out = F.aggregate(src, init, merge)
+    if _reduce_may_null(scope, e):
+        # a null CAN flow through the fold: dynamic-value result so a null
+        # outcome prints as agtype `null` (age_reduce.out:158), not an
+        # empty SQL cell; non-null outcomes keep their kind via tagging
+        from ..graph import TAGGED_TYPE, is_tagged_type, tag_column
+
+        rdt2 = rdt if rdt is not None else dtype_of(scope, out)
+        if rdt2 is None or isinstance(rdt2, T.NullType):
+            # same empty-source rule as the constant-NULL body above
+            return F.when(
+                F.coalesce(F.size(src), F.lit(0)) > 0, _tagged_null()
+            ).otherwise(F.lit(None).cast(TAGGED_TYPE))
+        tagged = out if is_tagged_type(rdt2) else tag_column(out, rdt2)
+        # agtype-null only when a fold STEP produced it — an empty source
+        # passes the SQL-null init through unchanged (age_reduce.out:11)
+        return F.when(
+            F.coalesce(F.size(src), F.lit(0)) > 0,
+            F.coalesce(tagged, _tagged_null()),
+        ).otherwise(tagged)
+    return out
 
 
 # ---- function registry
@@ -1119,6 +1299,18 @@ def _fn_end_id(scope, args, cols):
 @fn("label")
 def _fn_label(scope, args, cols):
     return cols[0].getField("label")
+
+
+@fn("labels")
+def _fn_labels(scope, args, cols):
+    # agtype_labels: the vertex's label list (single-label model -> one
+    # entry; the default label is no label at all). cypher_merge.out:1766
+    from ..catalog import DEFAULT_VLABEL
+
+    lbl = cols[0].getField("label")
+    return F.when(
+        lbl == DEFAULT_VLABEL, F.array().cast("array<string>")
+    ).otherwise(F.array(lbl))
 
 
 @fn("type")

@@ -261,12 +261,39 @@ def _props_filter(scope: ExprScope, struct_col: Column, props: A.Expr, struct_dt
             )
             continue
         rcol = compile_expr(scope, vexpr)
-        # mixed-kind (tagged dynamic) property: wrap the constraint value so
-        # equality dispatches on the reference's kind ladder, not raw types
-        if fdt is not None and is_tagged_type(fdt):
-            rdt = _operand_dtype(scope, vexpr, rcol)
-            if rdt is not None and not is_tagged_type(rdt):
-                rcol = tag_column(rcol, rdt)
+        # kind-aligned equality: if either side is a dynamic (tagged) value
+        # or their concrete kinds differ, compare through the kind ladder —
+        # a kind mismatch is simply FALSE, never a Spark cast error
+        # (cypher_merge.sql `MERGE ({j: n.i})` with mixed-kind n.i)
+        rdt = _operand_dtype(scope, vexpr, rcol)
+        lt = fdt is not None and is_tagged_type(fdt)
+        rt = rdt is not None and is_tagged_type(rdt)
+        if lt or rt:
+            from ..graph import tagged_cmp_key
+
+            lk = lcol if lt else tag_column(lcol, fdt) if fdt is not None else None
+            rk = rcol if rt else tag_column(rcol, rdt) if rdt is not None else None
+            if lk is None or rk is None:
+                cond = cond & (lcol == rcol)
+            else:
+                cond = cond & (tagged_cmp_key(lk) == tagged_cmp_key(rk))
+            continue
+        if fdt is not None and rdt is not None:
+            from ..graph import _widen, is_tagged_type as _itt
+
+            try:
+                tgt = _widen(fdt, rdt)
+            except Exception:
+                cond = cond & F.lit(False)
+                continue
+            if _itt(tgt):
+                from ..graph import tagged_cmp_key
+
+                cond = cond & (
+                    tagged_cmp_key(tag_column(lcol, fdt))
+                    == tagged_cmp_key(tag_column(rcol, rdt))
+                )
+                continue
         cond = cond & (lcol == rcol)
     return cond
 

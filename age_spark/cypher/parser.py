@@ -248,13 +248,21 @@ class Parser:
         if self.accept_kw("merge"):
             pat = self.parse_path_pattern()
             on_create, on_match = [], []
+            seen_c = seen_m = False
             while self.at_kw("on"):
                 self.advance()
                 which = self.advance()
                 if which.kind == "kw" and which.value == "create":
+                    if seen_c:
+                        # cypher_merge.out:261 parity
+                        self.err("ON CREATE SET specified more than once")
+                    seen_c = True
                     self.expect_kw("set")
                     on_create.extend(self.parse_set_items())
                 elif which.kind == "kw" and which.value == "match":
+                    if seen_m:
+                        self.err("ON MATCH SET specified more than once")
+                    seen_m = True
                     self.expect_kw("set")
                     on_match.extend(self.parse_set_items())
                 else:

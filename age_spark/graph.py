@@ -130,8 +130,11 @@ TAGGED_TYPE = T.StructType(
     ]
 )
 # reference sort priorities (agtype_util.c:271):
-# object=3, array=4, string=5, bool=6, numeric=7
-_KIND_RANK = {"object": 3, "array": 4, "string": 5, "bool": 6, "numeric": 7}
+# path=0, edge=1, vertex=2, object=3, array=4, string=5, bool=6, numeric=7
+_KIND_RANK = {
+    "path": 0, "edge": 1, "vertex": 2,
+    "object": 3, "array": 4, "string": 5, "bool": 6, "numeric": 7,
+}
 _NUMERIC_TYPES = (
     T.ByteType, T.ShortType, T.IntegerType, T.LongType,
     T.FloatType, T.DoubleType, T.DecimalType,
@@ -153,6 +156,22 @@ def _scalar_kind(dt: T.DataType) -> Optional[str]:
         return "string"
     if isinstance(dt, T.BooleanType):
         return "bool"
+    return None
+
+
+def _entity_kind(dt: T.DataType) -> Optional[str]:
+    """Graph-entity kind of a concretely-typed struct (vertex/edge/path).
+    Entities can enter a dynamic column too — e.g. `MATCH (n) RETURN n
+    UNION RETURN 1` (cypher_union.sql) — with the reference's sort
+    priorities (path=0 < edge=1 < vertex=2, agtype_util.c:271)."""
+    if isinstance(dt, T.StructType) and not is_tagged_type(dt):
+        names = {f.name for f in dt.fields}
+        if names == {"id", "start_id", "end_id", "label", "properties"}:
+            return "edge"
+        if names == {"id", "label", "properties"}:
+            return "vertex"
+        if names == {"nodes", "edges"}:
+            return "path"
     return None
 
 
@@ -337,6 +356,31 @@ def tag_column(col: Column, src_dt: T.DataType) -> Column:
     kind meet inside one dynamic column; documented in COVERAGE.md)."""
     if is_tagged_type(src_dt):
         return col
+    ek = _entity_kind(src_dt)
+    if ek is not None:
+        # vertex/edge/path payload rides in __j (the agtype JSON body);
+        # within-kind ordering: vertices/edges compare by id (zero-padded
+        # in __s so lexical == numeric), paths fall to the lexical-JSON
+        # tiebreak (documented container fallback)
+        k = F.lit(_KIND_RANK[ek]).cast("tinyint")
+        idc = (
+            F.format_string("%020d", col.getField("id"))
+            if ek in ("vertex", "edge")
+            else F.lit(None).cast("string")
+        )
+        exact = (
+            col.getField("id") if ek in ("vertex", "edge") else F.lit(None).cast("long")
+        )
+        tagged = F.struct(
+            k.alias("__k"),
+            F.lit(None).cast("double").alias("__n"),
+            exact.alias("__i"),
+            idc.alias("__s"),
+            F.lit(None).cast("boolean").alias("__b"),
+            F.lit(None).cast(ORDER_KEY_TYPE).alias("__o"),
+            F.to_json(col).alias("__j"),
+        )
+        return F.when(col.isNull(), F.lit(None).cast(TAGGED_TYPE)).otherwise(tagged)
     kind = _scalar_kind(src_dt) or _container_kind(src_dt)
     if kind is None:
         raise CatalogError(f"cannot represent {src_dt.simpleString()} as a dynamic value")
@@ -433,6 +477,12 @@ def _widen(a: T.DataType, b: T.DataType) -> T.DataType:
         raise CatalogError(
             f"cannot merge {other.simpleString()} into a dynamic scalar value"
         )
+    eka, ekb = _entity_kind(a), _entity_kind(b)
+    if (eka or ekb) and eka != ekb:
+        # vertex/edge/path meeting a different kind (scalar, container, or
+        # another entity kind): dynamic value with the reference's sort
+        # priorities — never a field-merge of unrelated struct shapes
+        return TAGGED_TYPE
     if isinstance(a, T.StructType) and isinstance(b, T.StructType):
         fields: dict[str, T.DataType] = {}
         order: list[str] = []
@@ -499,9 +549,9 @@ def _prop_col(nm: str, dt: T.DataType, have: dict[str, tuple[str, T.DataType]]) 
     if nm not in have:
         return F.lit(None).cast(dt)
     stored, sdt = have[nm]
-    if is_tagged_type(dt) and not is_tagged_type(sdt):
-        return tag_column(F.col(stored), sdt)
-    return F.col(stored).cast(dt)
+    # deep conform, not a raw cast: array<string> -> array<tagged> needs an
+    # element-wise wrap, struct targets need field fill (cast would fail)
+    return conform_col(F.col(stored), sdt, dt)
 
 
 def merge_property_schema(
@@ -860,6 +910,8 @@ class Graph:
         v, e = {}, {}
         for m in meta.labels.values():
             t = f"{prefix}_{'v' if m.kind == VERTEX_KIND else 'e'}_{m.name}"
+            if not spark.catalog.tableExists(t):
+                continue  # registered label with no rows (e.g. the defaults)
             (v if m.kind == VERTEX_KIND else e)[m.name] = spark.table(t)
         return cls(spark, meta, v, e)
 
@@ -870,7 +922,10 @@ class Graph:
         v, e = {}, {}
         for m in meta.labels.values():
             prefix = "v_" if m.kind == VERTEX_KIND else "e_"
-            df = spark.read.parquet(os.path.join(path, prefix + m.name))
+            p = os.path.join(path, prefix + m.name)
+            if not os.path.isdir(p):
+                continue  # registered label with no rows (e.g. the defaults)
+            df = spark.read.parquet(p)
             (v if m.kind == VERTEX_KIND else e)[m.name] = df
         return cls(spark, meta, v, e)
 

@@ -102,7 +102,10 @@ def _out(v: Any) -> str:
         if "__k" in v and set(v.keys()) <= {"__k", "__n", "__i", "__s", "__b", "__o", "__j"}:
             # tagged dynamic value (mixed-kind property): print its payload
             k = v["__k"]
-            if k in (3, 4):  # object/array kind: JSON payload round-trip
+            if k in (0, 1, 2, 3, 4):
+                # path/edge/vertex/object/array kinds: JSON payload
+                # round-trip (entity payloads re-dispatch through the
+                # entity-dict formatting below, keeping ::vertex suffixes)
                 return _out(json.loads(v["__j"]))
             if k == 5:
                 return json.dumps(v["__s"], ensure_ascii=False)

@@ -41,13 +41,22 @@ def checkpoint_rdd_ids(df: DataFrame) -> list[int]:
     return [n.rdd().id() for n in _logical_rdd_leaves(df)]
 
 
-def release_plan_checkpoints(df: DataFrame, blocking: bool = False) -> int:
+def release_plan_checkpoints(
+    df: DataFrame, blocking: bool = False, protected_ids: set[int] | None = None
+) -> int:
     """Unpersist every checkpoint RDD in ``df``'s plan; returns how many.
 
     After this, ``df`` (and anything derived from it) can no longer be
-    evaluated — call it only when the result is fully consumed."""
+    evaluated — call it only when the result is fully consumed.
+    ``protected_ids``: RDD ids still referenced by live plans (e.g. the
+    un-replaced tables of a mutable graph, which may share a checkpoint
+    leaf with a superseded table created in the same statement); those
+    leaves are left pinned."""
     n = 0
     for node in _logical_rdd_leaves(df):
-        node.rdd().unpersist(blocking)
+        rdd = node.rdd()
+        if protected_ids and rdd.id() in protected_ids:
+            continue
+        rdd.unpersist(blocking)
         n += 1
     return n

@@ -37,8 +37,7 @@ from ..compiler.context import (
 from ..compiler.exprs import ExprScope, compile_expr
 from ..graph import union_by_merged_schema
 
-DEFAULT_VLABEL = "_ag_label_vertex"  # parity: include/commands/label_commands.h:25
-DEFAULT_ELABEL = "_ag_label_edge"
+from ..catalog import DEFAULT_ELABEL, DEFAULT_VLABEL  # label_commands.h:25-26
 
 _ROWID = "_rowid"
 
@@ -91,13 +90,18 @@ def compile_create(ctx: QueryContext, st, clause: A.Create):
         elems = path.elements
         # bind/create first node
         prev_var, df, env = _create_node(
-            ctx, graph, df, env, elems[0], n_rows, new_vertex_rows
+            ctx, graph, df, env, elems[0], n_rows, new_vertex_rows,
+            standalone=len(elems) == 1,
         )
         nvars, evars = [prev_var], []
         i = 1
         while i < len(elems):
             rel: A.RelPattern = elems[i]
             node: A.NodePattern = elems[i + 1]
+            # label ids allocate in pattern TEXTUAL order — (n)-[e]->(m)
+            # registers e before m (cypher_delete.out id expectations)
+            if rel.types:
+                graph.create_elabel(rel.types[0])
             nxt_var, df, env = _create_node(
                 ctx, graph, df, env, node, n_rows, new_vertex_rows
             )
@@ -177,10 +181,23 @@ def _bounded_snapshot(df: DataFrame) -> DataFrame:
     return df.coalesce(bound).localCheckpoint(eager=False)
 
 
-def _create_node(ctx, graph, df, env, node: A.NodePattern, n_rows, sink):
+def _create_node(ctx, graph, df, env, node: A.NodePattern, n_rows, sink, standalone=False):
     name = node.var or ctx.fresh()
-    if env.get(name) is not None:
-        if node.labels or node.props:
+    b = env.get(name)
+    if b is not None:
+        # transform_cypher_create parity (regress/sql/cypher_create.sql):
+        # a bound variable may only appear as an ENDPOINT of an
+        # edge-containing path ("CREATE (a)-[:e]->(b)"); a standalone
+        # re-declaration, or reuse of a non-vertex binding, errors
+        if standalone or b.kind != VERTEX:
+            raise CompileError(f"variable {name} already exists")
+        if b.deleted:
+            raise CompileError(f"vertex assigned to variable {name} was deleted")
+        if node.props or (
+            node.labels and tuple(node.labels) != tuple(b.labels or ())
+        ):
+            # restating the SAME label is fine (`MERGE (x:P)-[:E]->(x:P)`,
+            # cypher_merge.sql); a different one is a relabel error
             raise CompileError(f"variable `{name}` already bound; CREATE cannot relabel it")
         return name, df, env
     label = node.labels[0] if node.labels else DEFAULT_VLABEL
@@ -219,7 +236,11 @@ def _create_edge(ctx, graph, df, env, rel: A.RelPattern, a: str, b: str, n_rows,
     name = rel.var or ctx.fresh()
     if env.get(name) is not None:
         raise CompileError(f"edge variable `{name}` already bound")
-    label = rel.types[0] if rel.types else DEFAULT_ELABEL
+    if not rel.types:
+        # cypher_create.out:118 — unlike vertices (default label), edges
+        # must name their label in CREATE
+        raise CompileError("relationships must be specify a label in CREATE")
+    label = rel.types[0]
     meta = graph.create_elabel(label) or graph.meta.label(label)
     first = meta.allocate(max(n_rows, 1))
     shift = meta.label_id << ENTRY_ID_BITS
@@ -228,6 +249,28 @@ def _create_edge(ctx, graph, df, env, rel: A.RelPattern, a: str, b: str, n_rows,
         s, d = a, b
     else:
         s, d = b, a
+    # runtime deleted-endpoint check (cypher_delete.out:288 "vertex assigned
+    # to variable m was deleted"): a DELETE earlier in this statement may
+    # have removed the vertex a pre-bound endpoint variable points at in
+    # SOME rows (`MATCH (n)-[e]->(m) DETACH DELETE n CREATE (m)-...`: m's
+    # vertex can be deleted through n).  Only statements that actually
+    # deleted something pay the validation action.
+    if any(bb.deleted for bb in env.bindings.values()):
+        for ep in (s, d):
+            epb = env.get(ep)
+            if epb is None or epb.deleted:
+                continue  # deleted-by-name errors in _create_node already
+            live = [t.select("id") for t in graph.vertex_dfs.values()]
+            if not live:
+                raise CompileError(f"vertex assigned to variable {ep} was deleted")
+            alive = live[0]
+            for t in live[1:]:
+                alive = alive.unionByName(t)
+            gone = df.select(F.col(ep).getField("id").alias("_eid")).join(
+                alive, F.col("_eid") == alive["id"], "left_anti"
+            )
+            if not gone.isEmpty():
+                raise CompileError(f"vertex assigned to variable {ep} was deleted")
     props = _eval_props(ctx, df, env, rel.props)
     struct_fields = [
         idcol.alias("id"),
@@ -260,6 +303,45 @@ def _create_edge(ctx, graph, df, env, rel: A.RelPattern, a: str, b: str, n_rows,
 # --------------------------------------------------------------------- SET
 
 
+def _set_target_kind(env, df, var):
+    """Kind (VERTEX/EDGE) and labels of a SET/REMOVE target.  Besides
+    pattern-bound entities, an entity that traveled through projection as a
+    plain value (``WITH nodes(p)[0] AS n SET n.k = 99``,
+    regress/sql/cypher_set.sql) is addressable by its struct shape — the
+    reference re-resolves the entity from its graphid at update time
+    (cypher_set.c:286)."""
+    b = env.require(var)
+    if b.kind in (VERTEX, EDGE):
+        return b.kind, tuple(b.labels or ())
+    dt = df.schema[var].dataType if var in df.columns else None
+    if isinstance(dt, T.StructType):
+        names = {f.name for f in dt.fields}
+        if {"id", "start_id", "end_id", "properties"} <= names:
+            return EDGE, ()
+        if {"id", "label", "properties"} <= names:
+            return VERTEX, ()
+    raise CompileError(f"SET target `{var}` is not an entity")
+
+
+def _map_expr_kvs(scope, df, expr) -> list[tuple[str, Column]]:
+    """Expand a map-valued SET source expression into (key, Column) pairs.
+    Entity sources contribute their properties struct."""
+    from ..graph import prop_display_name
+
+    c = compile_expr(scope, expr)
+    dt = df.select(c.alias("_v")).schema["_v"].dataType
+    if isinstance(dt, T.StructType) and {"id", "properties"} <= {f.name for f in dt.fields}:
+        c = c.getField("properties")
+        dt = next(f.dataType for f in dt.fields if f.name == "properties")
+    if not isinstance(dt, T.StructType):
+        raise CompileError("SET n = / += requires a map value")
+    return [
+        (prop_display_name(f.name), c.getField(f.name))
+        for f in dt.fields
+        if f.name != "_none"
+    ]
+
+
 def compile_set(ctx: QueryContext, st, items: list[A.SetItem]):
     """SET n.p = expr / SET n += map / SET n = map; NULL value removes the
     key (``executor/cypher_set.c:99 update_entity_tuple``). Updates both the
@@ -275,44 +357,53 @@ def compile_set(ctx: QueryContext, st, items: list[A.SetItem]):
     per_var: dict[str, list[tuple[str, Column]]] = {}
     scope = ExprScope(ctx, df, env)
     for it in items:
-        b = env.require(it.var)
-        if b.kind not in (VERTEX, EDGE):
-            raise CompileError(f"SET target `{it.var}` is not an entity")
+        _set_target_kind(env, df, it.var)  # validate early
         if it.kind == "prop":
             per_var.setdefault(it.var, []).append((it.key, compile_expr(scope, it.expr)))
         elif it.kind in ("replace", "merge"):
-            if not isinstance(it.expr, A.MapLit):
-                raise CompileError("SET n = / += requires a literal map in this version")
-            kvs = [(k, compile_expr(scope, v)) for k, v in it.expr.items]
+            if isinstance(it.expr, A.MapLit):
+                kvs = [(k, compile_expr(scope, v)) for k, v in it.expr.items]
+            else:
+                # SET n = properties(m) / SET n = m / SET n = <map-valued
+                # expr> (cypher_set.c accepts any map-evaluating expression;
+                # regress/sql/cypher_set.sql "SET at = properties(pn)"):
+                # the value's struct schema is static, so expand per field
+                kvs = _map_expr_kvs(scope, df, it.expr)
             if it.kind == "replace":
                 per_var.setdefault(it.var, []).append(("__replace__", F.lit(True)))
             per_var.setdefault(it.var, []).extend(kvs)
+            per_var.setdefault(it.var, [])
 
     vupd: dict[str, DataFrame] = {}
     eupd: dict[str, DataFrame] = {}
     for var, kvs in per_var.items():
-        b = env.require(var)
+        tkind, tlabels = _set_target_kind(env, df, var)
         replace_all = any(k == "__replace__" for k, _ in kvs)
         kvs = [(k, c) for k, c in kvs if k != "__replace__"]
+        if not kvs and not replace_all:
+            continue  # SET n += {} is a no-op (cypher_set.sql)
         # Last-update-wins must be deterministic: F.last() depends on the
         # partial-agg merge order, so pick the winner by an explicit row id
         # (partition-major order) via max_by — merge-order independent.
-        upd = df.select(
-            F.col(var).getField("id").alias("_uid"),
-            F.monotonically_increasing_id().alias("_rowid"),
-            *[c.alias(f"_nv_{k}") for k, c in kvs],
-        ).groupBy("_uid").agg(
-            *[F.max_by(f"_nv_{k}", "_rowid").alias(f"_nv_{k}") for k, _ in kvs]
-        )
+        if kvs:
+            upd = df.select(
+                F.col(var).getField("id").alias("_uid"),
+                F.monotonically_increasing_id().alias("_rowid"),
+                *[c.alias(f"_nv_{k}") for k, c in kvs],
+            ).groupBy("_uid").agg(
+                *[F.max_by(f"_nv_{k}", "_rowid").alias(f"_nv_{k}") for k, _ in kvs]
+            )
+        else:  # SET n = {}: clear all properties of the matched ids
+            upd = df.select(F.col(var).getField("id").alias("_uid")).distinct()
 
-        tables = graph.vertex_dfs if b.kind == VERTEX else graph.edge_dfs
-        labels = list(b.labels) if b.labels else list(tables.keys())
+        tables = graph.vertex_dfs if tkind == VERTEX else graph.edge_dfs
+        labels = list(tlabels) if tlabels else list(tables.keys())
         upd_schema = {f.name: f.dataType for f in upd.schema.fields}
         for label in labels:
             base = tables[label]
             joined = base.join(upd.withColumnRenamed("_uid", "_uid2"), base["id"] == F.col("_uid2"), "left")
             matched = F.col("_uid2").isNotNull()
-            reserved = ("id",) if b.kind == VERTEX else ("id", "start_id", "end_id")
+            reserved = ("id",) if tkind == VERTEX else ("id", "start_id", "end_id")
             from ..graph import prop_store_name
 
             # SET keys address label-table columns by their STORED name
@@ -371,14 +462,17 @@ def compile_set(ctx: QueryContext, st, items: list[A.SetItem]):
                     .alias(prop_store_name(k, reserved))
                 )
             newtab = joined.select(*out_cols)
-            (vupd if b.kind == VERTEX else eupd)[label] = newtab
+            (vupd if tkind == VERTEX else eupd)[label] = newtab
 
     newgraph = graph.snapshot(vertex_dfs=vupd, edge_dfs=eupd)
 
     # re-point in-flight structs
     for var, kvs in per_var.items():
-        b = env.require(var)
+        tkind, _ = _set_target_kind(env, df, var)
+        replace_all = any(k == "__replace__" for k, _ in kvs)
         kvs2 = [(k, c) for k, c in kvs if k != "__replace__"]
+        if not kvs2 and not replace_all:
+            continue  # += {} no-op
         cur = F.col(var)
         dt = df.schema[var].dataType
         pdt = next(f.dataType for f in dt.fields if f.name == "properties")
@@ -388,13 +482,18 @@ def compile_set(ctx: QueryContext, st, items: list[A.SetItem]):
             rep = next((c for kk, c in kvs2 if kk == k), None)
             if rep is not None:
                 newprops.append(rep.alias(k))
+            elif replace_all:
+                # SET n = {...}: keys absent from the map are removed
+                newprops.append(
+                    F.lit(None).cast(next(f.dataType for f in pdt.fields if f.name == k)).alias(k)
+                )
             else:
                 newprops.append(cur.getField("properties").getField(k).alias(k))
         for k, c in kvs2:
             if k not in existing:
                 newprops.append(c.alias(k))
         fields = [cur.getField("id").alias("id")]
-        if b.kind == EDGE:
+        if tkind == EDGE:
             fields += [cur.getField("start_id").alias("start_id"), cur.getField("end_id").alias("end_id")]
         fields += [cur.getField("label").alias("label"), F.struct(*newprops).alias("properties")]
         df = df.withColumn(var, F.struct(*fields))
@@ -480,6 +579,13 @@ def compile_delete(ctx: QueryContext, st, clause: A.Delete):
             eupd[label] = base.join(edel, base["id"] == F.col("_did"), "left_anti")
 
     newgraph = graph.snapshot(vertex_dfs=vupd, edge_dfs=eupd)
+    # mark the variables: a later CREATE through a deleted entity errors
+    # ("vertex assigned to variable x was deleted", cypher_delete.out:288)
+    for e in clause.exprs:
+        b = env.require(e.name)
+        env = env.bind(
+            Binding(b.name, b.kind, b.labels, hidden=b.hidden, deleted=True)
+        )
     return State(df, env), ctx.with_graph(newgraph)
 
 
@@ -498,6 +604,12 @@ def compile_merge(ctx: QueryContext, st, clause: A.Merge):
     if df is None:
         df, env = _unit_df(ctx), Env({})
     pat = clause.pattern
+
+    # a MERGE pattern cannot reuse a bound edge variable
+    # (cypher_merge.out: `MATCH ()-[e]-() MERGE ()-[e]->()` errors)
+    for el in pat.elements:
+        if isinstance(el, A.RelPattern) and el.var and env.get(el.var) is not None:
+            raise CompileError(f"variable {el.var} already exists")
 
     # MERGE implicitly creates missing labels (the reference's transform
     # creates label tables up front, cypher_clause.c:8362 path)
@@ -542,16 +654,57 @@ def compile_merge(ctx: QueryContext, st, clause: A.Merge):
             st2, ctx = compile_set(ctx, st2, clause.on_match)
         return st2, ctx
 
-    # 2) distinct creation keys: bound vars referenced + property values
-    bound_refs = sorted(v for v in _pattern_var_names(ctx, pat) if env.get(v) is not None)
+    # 2) distinct creation keys = bound PATTERN vars (endpoints) + the
+    # pattern's property VALUES (cypher_merge.c:594-637 path-key dedup).
+    # Props may reference OUTER variables too (`MATCH (n) MERGE ({i: n.i})`
+    # or `UNWIND maps AS m MERGE (v {first: m.first})`): those columns ride
+    # along as a REPRESENTATIVE (first input row per key) so the CREATE
+    # pass can evaluate the property expressions — but they are NOT part
+    # of the key (two rows with equal pattern-prop values merge into ONE
+    # created path, issue_1709 block).
+    bound_refs = sorted(
+        v for v in _pattern_var_names(ctx, pat) if env.get(v) is not None
+    )
+    outer_only = sorted(
+        _pattern_outer_refs(pat, env) - set(_pattern_var_names(ctx, pat))
+    )
     key_cols = [F.col(v) for v in bound_refs]
     prop_keys = _pattern_prop_exprs(ctx, missing, env, pat)
     key_names = [f"_mk{i}" for i in range(len(prop_keys))]
     sel = key_cols + [c.alias(n) for (c, n) in zip(prop_keys, key_names)]
-    dedup = missing.select(*sel).distinct() if sel else _unit_df(ctx)
+    if sel:
+        if outer_only:
+            proj = missing.select(
+                *sel,
+                *[F.col(v) for v in outer_only],
+                F.monotonically_increasing_id().alias("_mrow"),
+            )
+            dedup = proj.groupBy(*[c for c in (bound_refs + key_names)]).agg(
+                *[F.min_by(v, "_mrow").alias(v) for v in outer_only]
+            )
+        else:
+            dedup = missing.select(*sel).distinct()
+    elif outer_only:
+        proj = missing.select(
+            *[F.col(v) for v in outer_only],
+            F.monotonically_increasing_id().alias("_mrow"),
+        )
+        dedup = proj.orderBy("_mrow").limit(1).drop("_mrow")
+    else:
+        dedup = _unit_df(ctx)
 
-    env_dd = Env({v: env.require(v) for v in bound_refs})
-    created_state, ctx = compile_create(ctx, State(dedup, env_dd), A.Create([pat]))
+    env_dd = Env({v: env.require(v) for v in bound_refs + outer_only})
+    # an undirected MERGE edge matches either orientation but CREATES
+    # left-to-right (cypher_merge.out: `MERGE ()-[:e]-()` then
+    # `MATCH p=()-[]->()` finds one path)
+    create_elems = [
+        A.RelPattern(el.var, el.types, el.props, "out", el.varlen)
+        if isinstance(el, A.RelPattern) and el.direction == "both"
+        else el
+        for el in pat.elements
+    ]
+    create_pat = A.PathPattern(pat.var, create_elems)
+    created_state, ctx = compile_create(ctx, State(dedup, env_dd), A.Create([create_pat]))
 
     # 3) join created rows back to the full missing set on the keys
     join_cond = None
@@ -594,6 +747,23 @@ def compile_merge(ctx: QueryContext, st, clause: A.Merge):
     cols = st_found.df.columns
     out = union_by_merged_schema([st_found.df, st_created.df.select(*cols)])
     return State(out, _rehide(opt.env, synthesized)), ctx
+
+
+def _pattern_outer_refs(pat: A.PathPattern, env: Env) -> set[str]:
+    """Bound variables referenced inside the pattern's property maps."""
+    from ..compiler.exprs import _ast_any
+
+    refs: set[str] = set()
+
+    def note(x):
+        if isinstance(x, A.Var) and env.get(x.name) is not None:
+            refs.add(x.name)
+        return False
+
+    for el in pat.elements:
+        if el.props is not None and not isinstance(el.props, A.Param):
+            _ast_any(el.props, note)
+    return refs
 
 
 def _rehide(env: Env, names: list[str]) -> Env:

@@ -27,8 +27,24 @@ def extract(path: str) -> list[dict]:
     lines = open(path).read().split("\n")
     i = 0
     cases: list[dict] = []
+    prepared: dict[str, tuple[str, str]] = {}  # PREPARE name -> (graph, q)
+    functions: dict[str, tuple[str, str]] = {}  # plpgsql fn name -> (graph, q)
     while i < len(lines):
         ln = lines[i]
+        if ln.startswith("CREATE FUNCTION"):
+            # single-cypher-query plpgsql wrappers (e.g. delete_test()):
+            # remember the inner query; a later SELECT ... <name>() replays it
+            mfn = re.match(r"CREATE FUNCTION\s+(\w+)\s*\(", ln)
+            body = []
+            while i < len(lines) and not lines[i].rstrip().endswith("$BODY$;"):
+                body.append(lines[i])
+                i += 1
+            body.append(lines[i] if i < len(lines) else "")
+            i += 1
+            mcy = re.search(r"cypher\('([^']+)'\s*,\s*\$\$(.*?)\$\$", "\n".join(body), re.S)
+            if mfn and mcy:
+                functions[mfn.group(1)] = (mcy.group(1), " ".join(mcy.group(2).split()))
+            continue
         if not ln.startswith(("SELECT", "PREPARE", "EXECUTE", "SET ")):
             i += 1
             continue
@@ -41,11 +57,13 @@ def extract(path: str) -> list[dict]:
         res_start = i
         nrows = None
         err = False
+        errmsg = ""
         values: list[str] = []
         while i < len(lines):
             l2 = lines[i]
             if l2.startswith("ERROR:"):
                 err = True
+                errmsg = l2[len("ERROR:"):].strip()
                 i += 1
                 while i < len(lines) and lines[i].startswith(
                     ("LINE", "HINT", "DETAIL", "CONTEXT", "^", " ")
@@ -71,25 +89,60 @@ def extract(path: str) -> list[dict]:
             cases.append({"kind": "containment", "on": mset.group(1) == "on"})
             continue
         m = re.search(r"cypher\('([^']+)'\s*,\s*\$\$(.*?)\$\$", stmt_text, re.S)
+        params = None
+        if m and stmt_text.startswith("PREPARE"):
+            mp = re.match(r"PREPARE\s+(\w+)", stmt_text)
+            if mp:
+                prepared[mp.group(1)] = (m.group(1), " ".join(m.group(2).split()))
+            # a PREPARE block has no execution result of its own — the
+            # EXECUTE blocks replay it below
+            continue
+        if not m and stmt_text.startswith("EXECUTE"):
+            me = re.match(r"EXECUTE\s+(\w+)\s*(?:\(\s*'(.*)'\s*\))?\s*;", stmt_text, re.S)
+            if me and me.group(1) in prepared:
+                gname, q0 = prepared[me.group(1)]
+                m = None
+                c = {"g": gname, "q": q0}
+                if me.group(2):
+                    try:
+                        params = json.loads(me.group(2))
+                    except ValueError:
+                        continue
+                    c["params"] = params
+                _finish_case(c, err, errmsg, stmt_text, values, nrows)
+                cases.append(c)
+            continue
         if not m:
+            # SELECT [* FROM] fn(); of a remembered single-cypher function
+            mf = re.match(r"SELECT\s+(?:\*\s+FROM\s+)?(\w+)\s*\(\s*\)", stmt_text)
+            if mf and mf.group(1) in functions:
+                gname, q0 = functions[mf.group(1)]
+                c = {"g": gname, "q": q0}
+                _finish_case(c, err, errmsg, stmt_text, values, nrows)
+                cases.append(c)
             continue
         q = " ".join(m.group(2).split())
         c: dict = {"g": m.group(1), "q": q}
-        if err:
-            c["expect"] = "error"
-        elif re.match(r"SELECT\s+count\(\*\)", stmt_text):
-            c["n"] = int(values[0]) if values else None
-        else:
-            c["n"] = nrows
-            idfree = values and len(values) == (nrows or -1) and all(
-                "::vertex" not in v and "::edge" not in v and "::path" not in v
-                and '"id"' not in v
-                for v in values
-            )
-            if idfree and nrows is not None and nrows <= 40:
-                c["vals"] = values
+        _finish_case(c, err, errmsg, stmt_text, values, nrows)
         cases.append(c)
     return cases
+
+
+def _finish_case(c: dict, err, errmsg, stmt_text, values, nrows) -> None:
+    if err:
+        c["expect"] = "error"
+        c["errmsg"] = errmsg
+    elif re.match(r"SELECT\s+count\(\*\)", stmt_text):
+        c["n"] = int(values[0]) if values else None
+    else:
+        c["n"] = nrows
+        idfree = values and len(values) == (nrows or -1) and all(
+            "::vertex" not in v and "::edge" not in v and "::path" not in v
+            and '"id"' not in v
+            for v in values
+        )
+        if idfree and nrows is not None and nrows <= 40:
+            c["vals"] = values
 
 
 def main(names: list[str]) -> None:
