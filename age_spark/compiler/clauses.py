@@ -107,6 +107,15 @@ def expr_vars(e) -> set[str]:
     def fn(x):
         if isinstance(x, A.Var):
             out.add(x.name)
+        # pattern-shaped subexpressions reference variables too — an
+        # OPTIONAL MATCH ... WHERE (a)-[:KNOWS]->(b) correlates on a;
+        # missing it makes the predicate evaluate against ANY a
+        elif isinstance(x, A.PatternPred):
+            out.update(pattern_vars([x.pattern]))
+        elif isinstance(x, (A.ExistsSubquery, A.CountSubquery)):
+            out.update(pattern_vars(x.patterns))
+            if x.where is not None:
+                out.update(expr_vars(x.where))
         return x
 
     transform_expr(e, fn)
@@ -228,7 +237,9 @@ def _attach_subquery(ctx: QueryContext, st: State, node, out_name: str) -> State
         seed = _unit_df(ctx)
 
     env_sub = Env({v: env.require(v) for v in shared})
-    sub_df, sub_env, _ = compile_match_patterns(ctx, seed if shared else None, env_sub, pats)
+    sub_df, sub_env, _ = compile_match_patterns(
+        ctx, seed if shared else None, env_sub, pats, lenient_relabel=True
+    )
     sub_st = State(sub_df, sub_env)
     if where is not None:
         sub_st, w = lift_subqueries(ctx, sub_st, where)
@@ -772,46 +783,16 @@ def compile_unwind(ctx: QueryContext, st: State, u: A.Unwind) -> State:
 def _unwind_tagged_elements(col: Column) -> Column:
     """Element array of a dynamic (tagged) value for UNWIND: array-kind
     payloads re-materialize per element with kinds preserved (VARIANT
-    parse of the JSON payload, JVM-side), scalar kinds unnest to
-    themselves, null drops the row.  Container elements inside lose their
-    element-wise order key (lexical-JSON fallback, documented)."""
+    parse of the JSON payload, JVM-side, exprs.tagged_json_elements),
+    scalar kinds and NULL unnest to themselves."""
     from ..graph import TAGGED_TYPE, let_column
-
-    def _elem_to_tagged(e: Column) -> Column:
-        sch = F.schema_of_variant(e)
-        is_int = sch.isin("BIGINT", "INT", "SMALLINT", "TINYINT")
-        is_num = is_int | sch.isin("DOUBLE", "FLOAT") | sch.startswith("DECIMAL")
-        is_str = sch == "STRING"
-        is_bool = sch == "BOOLEAN"
-        is_arr = sch.startswith("ARRAY")
-        k = (
-            F.when(is_num, F.lit(7))
-            .when(is_bool, F.lit(6))
-            .when(is_str, F.lit(5))
-            .when(is_arr, F.lit(4))
-            .otherwise(F.lit(3))
-            .cast("tinyint")
-        )
-        return F.named_struct(
-            F.lit("__k"), k,
-            F.lit("__n"), F.when(is_num, F.try_variant_get(e, "$", "double")),
-            F.lit("__i"), F.when(is_int, F.try_variant_get(e, "$", "bigint")),
-            F.lit("__s"), F.when(is_str, F.try_variant_get(e, "$", "string")),
-            F.lit("__b"), F.when(is_bool, F.try_variant_get(e, "$", "boolean")),
-            F.lit("__o"), F.lit(None).cast(
-                next(f.dataType for f in TAGGED_TYPE.fields if f.name == "__o")
-            ),
-            F.lit("__j"), F.when(is_arr | (k == 3), F.to_json(e)),
-        ).cast(TAGGED_TYPE)
+    from .exprs import tagged_json_elements
 
     def _build(c: Column) -> Column:
         k = c.getField("__k")
-        parsed = F.transform(
-            F.from_json(c.getField("__j"), "array<variant>"), _elem_to_tagged
-        )
         return (
             F.when(c.isNull(), F.array(F.lit(None).cast(TAGGED_TYPE)))
-            .when(k == 4, parsed)
+            .when(k == 4, tagged_json_elements(c))
             .otherwise(F.array(c))
         )
 

@@ -202,12 +202,25 @@ def compile_expr(scope: ExprScope, e: A.Expr) -> Column:
         for dt in dts:
             if dt is None or isinstance(dt, T.NullType):
                 continue
-            from ..graph import _INT_TYPES, _container_kind, _scalar_kind, is_tagged_type
+            from ..graph import (
+                _INT_TYPES,
+                _container_kind,
+                _entity_kind,
+                _scalar_kind,
+                is_tagged_type,
+            )
 
             if is_tagged_type(dt):
                 k = "tagged"
             else:
-                k = _scalar_kind(dt) or _container_kind(dt) or "other"
+                # entities are taggable kinds too ([1, u] with a vertex u —
+                # list_comprehension.sql:109)
+                k = (
+                    _scalar_kind(dt)
+                    or _entity_kind(dt)
+                    or _container_kind(dt)
+                    or "other"
+                )
             if k == "numeric":
                 # int and float are distinct agtype kinds (agtype.h:307):
                 # [1, 2.5] element-tags so 1 stays an exact, bare-printing int
@@ -604,6 +617,109 @@ def _compile_concat_op(scope: ExprScope, e: A.Binary, l: Column, r: Column) -> C
     return _concat_arrays(F.array(l), ldt, F.array(r), rdt)
 
 
+def tagged_json_elements(col: Column) -> Column:
+    """Element array of a dynamic (tagged) ARRAY payload: parses the JSON
+    payload as VARIANT (JVM-side) and re-materializes each element as a
+    tagged value with kinds preserved.  Container elements lose their
+    element-wise order key (lexical-JSON fallback, documented)."""
+    from ..graph import TAGGED_TYPE
+
+    def _elem_to_tagged(e: Column) -> Column:
+        sch = F.schema_of_variant(e)
+        is_int = sch.isin("BIGINT", "INT", "SMALLINT", "TINYINT")
+        is_num = is_int | sch.isin("DOUBLE", "FLOAT") | sch.startswith("DECIMAL")
+        is_str = sch == "STRING"
+        is_bool = sch == "BOOLEAN"
+        is_arr = sch.startswith("ARRAY")
+        k = (
+            F.when(is_num, F.lit(7))
+            .when(is_bool, F.lit(6))
+            .when(is_str, F.lit(5))
+            .when(is_arr, F.lit(4))
+            .otherwise(F.lit(3))
+            .cast("tinyint")
+        )
+        return F.named_struct(
+            F.lit("__k"), k,
+            F.lit("__n"), F.when(is_num, F.try_variant_get(e, "$", "double")),
+            F.lit("__i"), F.when(is_int, F.try_variant_get(e, "$", "bigint")),
+            F.lit("__s"), F.when(is_str, F.try_variant_get(e, "$", "string")),
+            F.lit("__b"), F.when(is_bool, F.try_variant_get(e, "$", "boolean")),
+            F.lit("__o"), F.lit(None).cast(
+                next(f.dataType for f in TAGGED_TYPE.fields if f.name == "__o")
+            ),
+            F.lit("__j"), F.when(is_arr | (k == 3), F.to_json(e)),
+        ).cast(TAGGED_TYPE)
+
+    return F.transform(
+        F.from_json(col.getField("__j"), "array<variant>"), _elem_to_tagged
+    )
+
+
+def dyn_array_contains(l: Column, ldt, r: Column, rdt) -> Column:
+    """jsonb-style array containment `l @> r` for COLUMN-valued operands
+    (the literal-constraint twin is patterns._contains): every element of
+    r must equal SOME element of l, compared on the kind ladder via
+    element cmp-keys (order-free, duplicates irrelevant)."""
+    lk = F.transform(
+        _as_tagged_array(l, ldt.elementType if isinstance(ldt, T.ArrayType) else None),
+        _containment_key,
+    )
+    rk = F.transform(
+        _as_tagged_array(r, rdt.elementType if isinstance(rdt, T.ArrayType) else None),
+        _containment_key,
+    )
+    return F.forall(rk, lambda e: F.array_contains(lk, e))
+
+
+def _ck(c: Column) -> Column:
+    from ..graph import tagged_cmp_key
+
+    return tagged_cmp_key(c)
+
+
+def _containment_key(c: Column) -> Column:
+    """Containment equality is KIND-STRICT, unlike the ordering ladder:
+    `[5] @> [5.0]` is FALSE (list_comprehension.out:46 — the int and float
+    kinds do not cross-match in agtype_deep_contains). Keep the exact-int
+    slot so 5 != 5.0; drop the shape-dependent order key."""
+    return F.struct(
+        c.getField("__k").alias("__k"),
+        c.getField("__n").alias("__n"),
+        c.getField("__i").alias("__i"),
+        c.getField("__s").alias("__s"),
+        c.getField("__b").alias("__b"),
+        c.getField("__j").alias("__j"),
+    )
+
+
+def compile_containment(big: Column, bdt, small: Column, sdt) -> Column:
+    """`big @> small` across the value shapes a column can take: array ⊇
+    array via element cmp-keys; a dynamic (tagged) big side contains when
+    its array-kind payload does; non-container shapes fall to kind-aligned
+    equality (scalar @> scalar is equality in jsonb)."""
+    from ..graph import is_tagged_type, tag_column, tagged_cmp_key
+
+    if isinstance(bdt, T.ArrayType) and isinstance(sdt, T.ArrayType):
+        return dyn_array_contains(big, bdt, small, sdt)
+    if bdt is not None and is_tagged_type(bdt):
+        if isinstance(sdt, T.ArrayType):
+            elems = F.transform(tagged_json_elements(big), _containment_key)
+            sk = F.transform(_as_tagged_array(small, sdt.elementType), _containment_key)
+            return F.when(
+                big.getField("__k") == 4,
+                F.forall(sk, lambda x: F.array_contains(elems, x)),
+            ).otherwise(F.lit(False))
+        return tagged_cmp_key(big) == tagged_cmp_key(
+            small if (sdt is not None and is_tagged_type(sdt)) else tag_column(small, sdt)
+        )
+    if bdt is not None and sdt is not None:
+        return tagged_cmp_key(tag_column(big, bdt)) == tagged_cmp_key(
+            tag_column(small, sdt)
+        )
+    return big == small
+
+
 def _concat_arrays(l: Column, let_, r: Column, ret_) -> Column:
     lt = _strip(let_)
     rt = _strip(ret_)
@@ -776,14 +892,21 @@ def _cross_kind_compare(op: str, l: Column, r: Column, lk: int, rk: int) -> Colu
     ).otherwise(F.lit(const))
 
 
-def _tag_align(scope: ExprScope, l: Column, r: Column) -> tuple[Column, Column]:
+def _tag_align(
+    scope: ExprScope, l: Column, r: Column, ldt=None, rdt=None
+) -> tuple[Column, Column]:
     """If either comparison side is a tagged dynamic value, wrap the other
     and reduce both to comparison KEYS (the struct minus the exact-int
     payload slot) so struct ordering applies the reference's cross-type
-    ladder and `2 = 2.0` stays true (expr.out:680-685)."""
+    ladder and `2 = 2.0` stays true (expr.out:680-685).  Callers that
+    already resolved operand types (lambda-aware) pass them in — a lambda
+    variable's Column is not schema-resolvable here."""
     from ..graph import is_tagged_type, tag_column, tagged_cmp_key
 
-    ldt, rdt = dtype_of(scope, l), dtype_of(scope, r)
+    if ldt is None:
+        ldt = dtype_of(scope, l)
+    if rdt is None:
+        rdt = dtype_of(scope, r)
     lt = ldt is not None and is_tagged_type(ldt)
     rt = rdt is not None and is_tagged_type(rdt)
     if lt and not rt and rdt is not None:
@@ -934,7 +1057,7 @@ def _compile_binary(scope: ExprScope, e: A.Binary) -> Column:
                 l = F.transform(l, tagged_cmp_key)
                 r = F.transform(r, tagged_cmp_key)
         else:
-            l, r = _tag_align(scope, l, r)
+            l, r = _tag_align(scope, l, r, ldt, rdt)
     if op == "=":
         return l == r
     if op == "<>":
@@ -982,6 +1105,14 @@ def _compile_binary(scope: ExprScope, e: A.Binary) -> Column:
         if op == "contains":
             return l.contains(r)
         return F.regexp_like(l, r)
+    if op in ("@>", "<@"):
+        # jsonb containment over column operands (agtype_ops.c @>/<@;
+        # list_comprehension.sql `u.list@>[i IN range(0,6,2)]`)
+        ldt = _operand_dtype(scope, e.left, l)
+        rdt = _operand_dtype(scope, e.right, r)
+        if op == "@>":
+            return compile_containment(l, ldt, r, rdt)
+        return compile_containment(r, rdt, l, ldt)
     if op == "||":
         return _compile_concat_op(scope, e, l, r)
     if op in ("#>", "#>>"):
@@ -1050,8 +1181,23 @@ def _elem_type(scope: ExprScope, src_col: Column) -> Optional[T.DataType]:
 
 
 def _compile_listcomp(scope: ExprScope, e: A.ListComp) -> Column:
+    from ..graph import TAGGED_TYPE, is_tagged_type, let_column
+
     src = compile_expr(scope, e.source)
-    et = _elem_type(scope, src)
+    sdt = dtype_of(scope, src)
+    if sdt is not None and is_tagged_type(sdt):
+        # dynamic source: iterate the array-kind payload's elements (kinds
+        # preserved); non-array rows yield NULL like the reference's
+        # iterator on a non-list
+        src = let_column(
+            src,
+            lambda c: F.when(c.getField("__k") == 4, tagged_json_elements(c)).otherwise(
+                F.lit(None).cast(T.ArrayType(TAGGED_TYPE))
+            ),
+        )
+        et = TAGGED_TYPE
+    else:
+        et = _elem_type(scope, src)
     out = src
     if e.where is not None:
         out = F.filter(out, lambda x: compile_expr(

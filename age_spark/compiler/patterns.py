@@ -146,24 +146,26 @@ def _contains(col: Column, dt, q) -> Column:
         # the engine's object convention -> a null constraint never matches
         # (the reference's {string_key: NULL} block also returns 0 rows)
         return F.lit(False)
-    # scalar: match by VALUE (int and float kinds compare equal, the
-    # numeric ladder rule)
+    # scalar: containment equality is KIND-STRICT (agtype_deep_contains —
+    # int 5 does not match float 5.0, list_comprehension.out:46)
     if tagged:
-        return tagged_cmp_key(col) == tagged_cmp_key(
+        from .exprs import _containment_key
+
+        return _containment_key(col) == _containment_key(
             tag_column(literal_to_column(q), _scalar_lit_dt(q))
         )
     if isinstance(q, bool):
         return (col == q) if isinstance(dt, T.BooleanType) else F.lit(False)
     if isinstance(q, (int, float)):
-        from ..graph import _NUMERIC_TYPES
+        from ..graph import _INT_TYPES, _NUMERIC_TYPES
 
-        if dt is not None and isinstance(dt, _NUMERIC_TYPES):
-            from ..graph import _INT_TYPES
-
-            if isinstance(q, int) and isinstance(dt, _INT_TYPES):
-                return col == q  # exact int64
-            return col.cast("double") == float(q)
-        return F.lit(False)
+        if dt is None or not isinstance(dt, _NUMERIC_TYPES):
+            return F.lit(False)
+        if isinstance(q, int):
+            return (col == q) if isinstance(dt, _INT_TYPES) else F.lit(False)
+        if isinstance(dt, _INT_TYPES):
+            return F.lit(False)
+        return col.cast("double") == float(q)
     return (col == q) if isinstance(dt, T.StringType) else F.lit(False)
 
 
@@ -266,6 +268,19 @@ def _props_filter(scope: ExprScope, struct_col: Column, props: A.Expr, struct_dt
         # a kind mismatch is simply FALSE, never a Spark cast error
         # (cypher_merge.sql `MERGE ({j: n.i})` with mixed-kind n.i)
         rdt = _operand_dtype(scope, vexpr, rcol)
+        if (
+            not exact
+            and isinstance(rdt, T.ArrayType)
+            and fdt is not None
+            and (isinstance(fdt, T.ArrayType) or is_tagged_type(fdt))
+        ):
+            # default (containment) semantics apply to COMPUTED array
+            # constraints too: `(u {list:[i IN range(0,12,2) WHERE i>4]})`
+            # matches supersets (list_comprehension.sql)
+            from .exprs import compile_containment
+
+            cond = cond & compile_containment(lcol, fdt, rcol, rdt)
+            continue
         lt = fdt is not None and is_tagged_type(fdt)
         rt = rdt is not None and is_tagged_type(rdt)
         if lt or rt:
@@ -279,16 +294,30 @@ def _props_filter(scope: ExprScope, struct_col: Column, props: A.Expr, struct_dt
                 cond = cond & (tagged_cmp_key(lk) == tagged_cmp_key(rk))
             continue
         if fdt is not None and rdt is not None:
-            from ..graph import _widen, is_tagged_type as _itt
+            from ..graph import _strip_nullability, _widen, is_tagged_type as _itt
+            from ..graph import tagged_cmp_key
 
+            if isinstance(fdt, T.ArrayType) and isinstance(rdt, T.ArrayType) and (
+                is_tagged_type(fdt.elementType)
+                or is_tagged_type(rdt.elementType)
+                or _strip_nullability(fdt.elementType) != _strip_nullability(rdt.elementType)
+            ):
+                # list vs list with differing/dynamic element kinds:
+                # element-tag both and compare cmp-keys (the `=` operator's
+                # list path) — a MERGE {list:[i IN [1,2,3]]} against a
+                # tagged-element stored list must not fail analysis
+                from .exprs import _as_tagged_array
+
+                lc = F.transform(_as_tagged_array(lcol, fdt.elementType), tagged_cmp_key)
+                rc = F.transform(_as_tagged_array(rcol, rdt.elementType), tagged_cmp_key)
+                cond = cond & (lc == rc)
+                continue
             try:
                 tgt = _widen(fdt, rdt)
             except Exception:
                 cond = cond & F.lit(False)
                 continue
             if _itt(tgt):
-                from ..graph import tagged_cmp_key
-
                 cond = cond & (
                     tagged_cmp_key(tag_column(lcol, fdt))
                     == tagged_cmp_key(tag_column(rcol, rdt))
@@ -308,6 +337,10 @@ def _props_refs_vars(props: Optional[A.Expr]) -> bool:
 
     if props is None or isinstance(props, A.Param):
         return False
+    if isinstance(props, A.ExactProps):
+        # the exact-equality wrapper hides its inner map from the generic
+        # AST walk — `(u ={list:[i IN u.list]})` must still defer
+        return _props_refs_vars(props.inner)
     found = []
 
     def fn(x):
@@ -322,10 +355,16 @@ def _props_refs_vars(props: Optional[A.Expr]) -> bool:
 class MatchState:
     """Builds up one MATCH clause: df + env + bookkeeping for uniqueness."""
 
-    def __init__(self, ctx: QueryContext, df: Optional[DataFrame], env: Env):
+    def __init__(self, ctx: QueryContext, df: Optional[DataFrame], env: Env,
+                 lenient_relabel: bool = False):
         self.ctx = ctx
         self.df = df
         self.env = env
+        # predicate contexts (EXISTS((a:Company)), pattern-as-boolean) treat
+        # a DIFFERENT label on a bound variable as a label-check filter;
+        # a top-level MATCH errors (cypher_match.sql:334 vs
+        # pattern_expression.sql EXISTS((a:Company)) -> 0 rows)
+        self.lenient_relabel = lenient_relabel
         # names bound BEFORE this clause: edge-variable reuse is legal only
         # for these (cypher_match.sql:360 valid-reuse block); a variable
         # first introduced in this same clause may not repeat (:225-228)
@@ -401,7 +440,14 @@ class MatchState:
         """A bound variable may repeat its ORIGINAL label constraint, but a
         new or different label is an error (cypher_match.sql:334-358
         'invalid variable reuse': MATCH (a) MATCH (a:v1) fails; MATCH
-        (r1:invalid), (r1:invalid) is fine)."""
+        (r1:invalid), (r1:invalid) is fine). Predicate contexts are
+        lenient: the label becomes a filter instead."""
+        if self.lenient_relabel and not existing.labels:
+            # adding a label CHECK to an unconstrained binding is legal in
+            # predicate position (EXISTS((a:Company)) -> filter); but a
+            # variable already constrained to a DIFFERENT label is an error
+            # even there ((a:Person) ... (a:Animal), pattern_expression.out)
+            return
         if tuple(labels) != tuple(existing.labels):
             raise CompileError(
                 f"multiple labels for variable `{name}` are not supported"
@@ -696,9 +742,10 @@ def compile_match_patterns(
     df: Optional[DataFrame],
     env: Env,
     patterns: list[A.PathPattern],
+    lenient_relabel: bool = False,
 ) -> tuple[DataFrame, Env, MatchState]:
     """Compile a list of comma-separated path patterns into joins."""
-    st = MatchState(ctx, df, env)
+    st = MatchState(ctx, df, env, lenient_relabel=lenient_relabel)
     for path in patterns:
         _compile_one_path(st, path)
     st.apply_edge_uniqueness([])

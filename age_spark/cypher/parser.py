@@ -34,7 +34,7 @@ _TOKEN_RE = re.compile(
   | (?P<string>'(?:[^'\\]|\\.|'')*'|"(?:[^"\\]|\\.|"")*")
   | (?P<name>[A-Za-z_][A-Za-z0-9_]*|`[^`]*`)
   | (?P<param>\$[A-Za-z_][A-Za-z0-9_]*)
-  | (?P<op><=>|<\#>|<\+>|<>|<=|>=|=~|\+=|\.\.|->|<-|::|\|\||\#>>|\#>|[()\[\]{},:;.|=<>+\-*/%^])
+  | (?P<op><=>|<\#>|<\+>|@>|<@|<>|<=|>=|=~|\+=|\.\.|->|<-|::|\|\||\#>>|\#>|[()\[\]{},:;.|=<>+\-*/%^])
     """,
     re.VERBOSE | re.DOTALL,
 )
@@ -548,6 +548,9 @@ class Parser:
             elif self.at_op("=~"):
                 self.advance()
                 left = A.Binary("=~", left, self.parse_additive())
+            elif self.at_op("@>", "<@"):
+                op = self.advance().value
+                left = A.Binary(op, left, self.parse_additive())
             elif self.at_kw("in"):
                 self.advance()
                 left = A.Binary("in", left, self.parse_additive())
@@ -731,6 +734,18 @@ class Parser:
                 return False  # (a.x ... / (a + ... — expression
         else:
             return False  # (1 + ... — expression
+        # a LABELED single node is a pattern even with no relationship
+        # continuation — `(a:Person)` in expression position is a
+        # node-pattern predicate (regress/sql/pattern_expression.sql
+        # `MATCH (a) WHERE (a:Person) ...`); `:` cannot start an
+        # expression operator here, so there is no ambiguity
+        second = self.toks[self.i + 2] if self.i + 2 < len(self.toks) else None
+        labeled = (first.kind == "op" and first.value == ":") or (
+            first.kind in ("name", "kw")
+            and second is not None
+            and second.kind == "op"
+            and second.value == ":"
+        )
         depth = 0
         j = self.i
         while j < len(self.toks):
@@ -742,7 +757,7 @@ class Parser:
                 if depth == 0:
                     nxt = self.toks[j + 1] if j + 1 < len(self.toks) else None
                     if nxt is None or nxt.kind != "op":
-                        return False
+                        return labeled
                     after = self.toks[j + 2] if j + 2 < len(self.toks) else None
                     if nxt.value in ("-", "<-"):
                         # a rel needs '[' (typed) or another '-' (anonymous);
@@ -752,7 +767,7 @@ class Parser:
                             and after.kind == "op"
                             and after.value in ("[", "-")
                         )
-                    return False
+                    return labeled
             j += 1
         return False
 

@@ -59,6 +59,10 @@ def _unit_df(ctx: QueryContext) -> DataFrame:
 def _eval_props(ctx: QueryContext, df: DataFrame, env: Env, props) -> list[tuple[str, Column]]:
     if props is None:
         return []
+    if isinstance(props, A.ExactProps):
+        # `=` exact-constraint wrapper changes MATCH semantics only; the
+        # CREATE side of a MERGE evaluates the same map
+        props = props.inner
     scope = ExprScope(ctx, df, env)
     if isinstance(props, A.Param):
         pval = ctx.params.get(props.name)
@@ -353,6 +357,21 @@ def compile_set(ctx: QueryContext, st, items: list[A.SetItem]):
     if df is None:
         raise CompileError("SET requires bound variables")
     graph = ctx.graph
+
+    # SET values may be pattern expressions / EXISTS subqueries
+    # (pattern_expression.sql `SET a.is_social = (a)-[:KNOWS]->(:Person)`):
+    # lift them into helper columns first
+    from ..compiler.clauses import lift_subqueries
+
+    lifted = []
+    st_l = State(df, env)
+    for it in items:
+        ne = it.expr
+        if ne is not None:
+            st_l, ne = lift_subqueries(ctx, st_l, ne)
+        lifted.append(A.SetItem(it.kind, it.var, it.key, ne))
+    df, env = st_l.df, st_l.env
+    items = lifted
 
     per_var: dict[str, list[tuple[str, Column]]] = {}
     scope = ExprScope(ctx, df, env)

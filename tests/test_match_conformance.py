@@ -5,87 +5,18 @@ replayed in order against this engine.
 `tests/data/cypher_match_cases.json` is auto-extracted from
 regress/expected/cypher_match.out: each case pins the row count, the
 value multiset when the output is id-free, or the fact that the reference
-errors. Graph state threads statement to statement exactly as the psql
-script runs. Known engine-model differences are in SKIP below, each with
-its reason — everything else must match.
+errors.  Graph state threads statement to statement exactly as the psql
+script runs; prepared-statement cases replay with their EXECUTE-time
+parameter maps.  Shared runner: tests/conformance_replay.py.
 """
 
-import json
 import os
 
-import pytest
-
-from age_spark import AgeSession
-from age_spark.runtime.agvalue import agtype_out
+from conformance_replay import replay
 
 CASES_PATH = os.path.join(os.path.dirname(__file__), "data", "cypher_match_cases.json")
 
-# query-text → reason; consulted per case (exact match on the normalized q)
-SKIP = {
-    # SQL-level PREPARE/EXECUTE passes the constraint map as a bind
-    # parameter; covered instead by test_semantics.py::test_prepared_statement
-    "MATCH (n $props) RETURN n": "SQL-level prepared-statement parameter",
-    "MATCH ()-[r $props]->() RETURN r": "SQL-level prepared-statement parameter",
-    "MATCH (n = $props) RETURN n": "SQL-level prepared-statement parameter",
-    "MATCH ()-[r = $props]->() RETURN r": "SQL-level prepared-statement parameter",
-}
-
-
-def _norm_ref_row(s: str):
-    return tuple(c.strip() for c in s.split("|"))
-
-
-def _norm_our_row(row):
-    out = []
-    for v in row:
-        fv = agtype_out(v)
-        out.append("" if fv is None else " ".join(fv.split()))
-    return tuple(out)
-
 
 def test_cypher_match_conformance(spark):
-    cases = json.load(open(CASES_PATH))
-    # mutable_graphs: the reference's lifecycle — a 400-statement replay
-    # would otherwise pin one superseded snapshot per write statement
-    age = AgeSession(spark, mutable_graphs=True)
-    graphs = {}
-    failures = []
-    for idx, c in enumerate(cases):
-        if c.get("kind") == "containment":
-            # the GUC switches plan shape in the reference, not results —
-            # tracked only so the replay stays faithful to the script
-            age.enable_containment = c["on"]
-            continue
-        gname, q = c["g"], c["q"]
-        if q in SKIP:
-            continue
-        if gname not in graphs:
-            graphs[gname] = age.create_graph(f"cm_{gname}")
-        g = graphs[gname]
-        expect_err = c.get("expect") == "error"
-        try:
-            r = age.cypher(g, q)
-            rows = r.df.collect() if r.df is not None else []
-            graphs[gname] = r.graph
-            if expect_err:
-                failures.append(f"[{idx}] expected error, ran: {q[:90]}")
-                continue
-            if q.upper().startswith("EXPLAIN"):
-                if not rows:
-                    failures.append(f"[{idx}] empty plan: {q[:90]}")
-                continue
-            n = c.get("n")
-            if n is not None and len(rows) != n:
-                failures.append(f"[{idx}] rows {len(rows)} != {n}: {q[:90]}")
-                continue
-            if "vals" in c:
-                want = sorted(_norm_ref_row(v) for v in c["vals"])
-                got = sorted(_norm_our_row(row) for row in rows)
-                if want != got:
-                    failures.append(
-                        f"[{idx}] values differ ({got[:2]}... vs {want[:2]}...): {q[:80]}"
-                    )
-        except Exception as ex:
-            if not expect_err:
-                failures.append(f"[{idx}] raised {type(ex).__name__}: {str(ex)[:100]} | {q[:80]}")
+    failures = replay(spark, CASES_PATH, "cm")
     assert not failures, f"{len(failures)} conformance failures:\n" + "\n".join(failures[:25])

@@ -125,14 +125,18 @@ def test_widen_merges_all_agtype_kinds():
     assert _widen(T.IntegerType(), T.LongType()) == T.LongType()
     assert _widen(T.FloatType(), T.DoubleType()) == T.DoubleType()
     assert is_tagged_type(_widen(TAGGED_TYPE, T.BooleanType()))
-    # entity structs never merge into a dynamic value
+    # entity structs merge into a dynamic value too (vertex kind rank 2,
+    # agtype_util.c:271 — `MATCH (n) RETURN n UNION RETURN 1` is valid,
+    # cypher_union.sql)
     vertex = T.StructType([
         T.StructField("id", T.LongType()),
         T.StructField("label", T.StringType()),
         T.StructField("properties", T.StructType([])),
     ])
-    with pytest.raises(CatalogError):
-        _widen(vertex, T.LongType())
+    assert is_tagged_type(_widen(vertex, T.LongType()))
+    # but two SAME-kind entity structs field-merge, staying concrete
+    assert isinstance(_widen(vertex, vertex), T.StructType)
+    assert not is_tagged_type(_widen(vertex, vertex))
 
 
 def test_set_mixed_kind_update(spark):
