@@ -171,21 +171,52 @@ def lift_subqueries(ctx: QueryContext, st: State, e):
             name = ctx.fresh("_vn")
             pending.append((x, name))
             return A.Var(name)
+        if isinstance(x, A.FuncCall) and x.name == "vertex_stats" and len(x.args) == 1:
+            # scalar vertex_stats(v) (age_global_graph.c:1502 — usable in
+            # any expression, expr.out:7781): joined from the per-vertex
+            # degree aggregation on the packed id
+            name = ctx.fresh("_vs")
+            pending.append((x, name))
+            return A.Var(name)
         return x
 
     new_e = transform_expr(e, detect)
     for node, name in pending:
-        if isinstance(node, A.FuncCall):
+        if isinstance(node, A.FuncCall) and node.name == "vertex_stats":
+            st = _attach_vertex_stats(ctx, st, node, name)
+        elif isinstance(node, A.FuncCall):
             st = _attach_vertex_lookup(ctx, st, node, name)
         else:
             st = _attach_subquery(ctx, st, node, name)
     return st, new_e
 
 
+def _attach_vertex_stats(ctx: QueryContext, st: State, node: A.FuncCall, out_name: str) -> State:
+    from ..runtime.procedures import vertex_stats as _vs_proc
+
+    df = st.df if st.df is not None else _unit_df(ctx)
+    scope = ExprScope(ctx, df, st.env)
+    vcol = compile_expr(scope, node.args[0])
+    stats = _vs_proc(ctx, [], []).select(
+        F.struct("id", "label", "in_degree", "out_degree", "self_loops").alias(out_name)
+    )
+    out = df.join(
+        stats, vcol.getField("id") == F.col(out_name).getField("id"), "left"
+    )
+    return State(out, st.env.bind(Binding(out_name, SCALAR, hidden=True)))
+
+
 def _attach_vertex_lookup(ctx: QueryContext, st: State, node: A.FuncCall, out_name: str) -> State:
     df = st.df if st.df is not None else _unit_df(ctx)
     scope = ExprScope(ctx, df, st.env)
     edge_col = compile_expr(scope, node.args[0])
+    from .exprs import dtype_of
+
+    adt = dtype_of(scope, edge_col)
+    if adt is not None and isinstance(adt, T.NullType):
+        # startNode(null) / endNode(null) -> null (expr.out:341)
+        out = df.withColumn(out_name, F.lit(None).cast("string"))
+        return State(out, st.env.bind(Binding(out_name, SCALAR, hidden=True)))
     fld = "start_id" if node.name == "startnode" else "end_id"
     vscan = ctx.graph.scan_vertices(None).select(
         F.struct(F.col("id"), F.col("label"), F.col("properties")).alias(out_name)
@@ -219,8 +250,16 @@ def _attach_subquery(ctx: QueryContext, st: State, node, out_name: str) -> State
     if df is None:
         df = _unit_df(ctx)
 
+    ret_vars: set[str] = set()
+    for rexpr in getattr(node, "returns", None) or []:
+        ret_vars |= expr_vars(rexpr)
     shared = sorted(
-        v for v in (pattern_vars(pats) | (expr_vars(where) if where else set()))
+        v
+        for v in (
+            pattern_vars(pats)
+            | (expr_vars(where) if where else set())
+            | ret_vars
+        )
         if env.get(v) is not None
     )
     keys = []
@@ -245,6 +284,13 @@ def _attach_subquery(ctx: QueryContext, st: State, node, out_name: str) -> State
         sub_st, w = lift_subqueries(ctx, sub_st, where)
         scope = ExprScope(ctx, sub_st.df, sub_st.env)
         sub_st = State(sub_st.df.filter(compile_expr(scope, w).cast("boolean")), sub_st.env)
+    # the subquery's RETURN items matter only for existence, but their
+    # variable references must resolve in the sub-scope
+    # (cypher_subquery.out: `EXISTS { MATCH (b) RETURN a }` with no outer
+    # `a` errors 'could not find rte for a')
+    for v in sorted(ret_vars):
+        if sub_st.env.get(v) is None:
+            raise CompileError(f"could not find rte for {v}")
     sub_df = sub_st.df
 
     key_cols = []
@@ -512,6 +558,11 @@ def _sort_cols(order_specs: list[tuple[Column, bool]]) -> list[Column]:
 
 
 def _project_plain(ctx, df, env, items, aliases, order_by, distinct):
+    # remember (or clear) the clause's ordering for a following collect()
+    if order_by:
+        ctx.scratch["pending_order"] = order_by
+    else:
+        ctx.scratch.pop("pending_order", None)
     scope = ExprScope(ctx, df, env)
     proj_cols = {}
     for i, it in enumerate(items):
@@ -571,6 +622,36 @@ def _order_col_on_projected(scope, expr, aliases, items):
     return compile_expr(scope, expr)
 
 
+def _ordered_collect(arg_col: Column, ord_ascs: list[bool]) -> Column:
+    """collect() honoring the previous clause's ORDER BY: gather
+    (sort-keys, value) structs, then array_sort with a comparator that
+    applies per-key direction and the NULLS-LARGEST rule, and strip the
+    keys.  NULL values still drop (collect never includes nulls)."""
+    st = F.struct(
+        *[F.col(f"_ob{i}").alias(f"k{i}") for i in range(len(ord_ascs))],
+        arg_col.alias("v"),
+    )
+    arr = F.collect_list(F.when(arg_col.isNotNull(), st))
+
+    def comparator(l, r):
+        out = F.lit(0)
+        for i in reversed(range(len(ord_ascs))):
+            asc = ord_ascs[i]
+            lk, rk = l.getField(f"k{i}"), r.getField(f"k{i}")
+            cmp_i = (
+                F.when(lk.isNull() & rk.isNull(), F.lit(0))
+                .when(lk.isNull(), F.lit(1 if asc else -1))  # nulls largest
+                .when(rk.isNull(), F.lit(-1 if asc else 1))
+                .when(lk < rk, F.lit(-1 if asc else 1))
+                .when(lk > rk, F.lit(1 if asc else -1))
+                .otherwise(F.lit(0))
+            )
+            out = F.when(cmp_i != 0, cmp_i).otherwise(out)
+        return out.cast("int")
+
+    return F.transform(F.array_sort(arr, comparator), lambda x: x.getField("v"))
+
+
 def _project_aggregate(ctx, df, env, items, aliases, order_by, distinct):
     scope = ExprScope(ctx, df, env)
 
@@ -594,6 +675,28 @@ def _project_aggregate(ctx, df, env, items, aliases, order_by, distinct):
     pre = df
     for name, c in key_cols.items():
         pre = pre.withColumn(name, c)
+    # a preceding `WITH ... ORDER BY` defines the row order collect() sees
+    # in the reference's sequential executor (pattern_expression.sql
+    # `WITH a ORDER BY a.name RETURN collect(...)`); materialize the sort
+    # keys pre-agg so collect can re-sort its elements deterministically
+    pending = ctx.scratch.pop("pending_order", None)
+    ord_specs_pre: list[bool] = []
+    if pending:
+        try:
+            sc_ord = ExprScope(ctx, pre, env)
+            cols_pre = [(compile_expr(sc_ord, ob.expr), ob.asc) for ob in pending]
+            for i, (c, asc) in enumerate(cols_pre):
+                pre = pre.withColumn(f"_ob{i}", c)
+                ord_specs_pre.append(asc)
+        except Exception:
+            ord_specs_pre = []
+    if not ord_specs_pre:
+        # no explicit ordering: collect in INPUT ROW order (partition-major
+        # position) — the deterministic analogue of the reference's heap
+        # scan order (expr.out collect blocks pin insertion order), instead
+        # of Spark's merge-order lottery
+        pre = pre.withColumn("_ob0", F.monotonically_increasing_id())
+        ord_specs_pre = [True]
     arg_names: list[Optional[str]] = []
     for j, node in enumerate(uniq):
         if node.args and not isinstance(node.args[0], A.Star):
@@ -607,6 +710,16 @@ def _project_aggregate(ctx, df, env, items, aliases, order_by, distinct):
     for j, node in enumerate(uniq):
         arg_col = F.col(arg_names[j]) if arg_names[j] else None
         arg_dt = pre.schema[arg_names[j]].dataType if arg_names[j] else None
+        if (
+            node.name == "collect"
+            and not node.distinct
+            and ord_specs_pre
+            and arg_col is not None
+        ):
+            aggs.append(
+                _ordered_collect(arg_col, ord_specs_pre).alias(f"_a{j}")
+            )
+            continue
         aggs.append(_agg_column(ctx, node, arg_col, arg_dt).alias(f"_a{j}"))
 
     if key_idx:
@@ -621,13 +734,27 @@ def _project_aggregate(ctx, df, env, items, aliases, order_by, distinct):
     for j in range(len(uniq)):
         helper_env = helper_env.bind(Binding(f"_a{j}", SCALAR))
 
+    def _key_sub(x):
+        for i in key_idx:
+            if x == items[i].expr:
+                return A.Var(f"_k{i}")
+        return x
+
+    # transform_expr rewrites BOTTOM-UP, so an aggregate's ARGUMENTS get
+    # key-substituted before the aggregate node itself is compared — match
+    # against both the original and the key-substituted spelling
+    uniq_keyed = [transform_expr(u, _key_sub) for u in uniq]
+
     def rewrite(e):
         def fn(x):
             if isinstance(x, A.FuncCall) and x.name in AGG_FNS:
-                for j, u in enumerate(uniq):
-                    if x == u:
+                for j, (u, uk) in enumerate(zip(uniq, uniq_keyed)):
+                    if x == u or x == uk:
                         return A.Var(f"_a{j}")
-            return x
+            # references to a GROUPING item inside a mixed expression
+            # (`RETURN n, CASE n.j WHEN 1 THEN count(*) ...`, expr.out:843)
+            # read the grouped key column
+            return _key_sub(x)
 
         return transform_expr(e, fn)
 

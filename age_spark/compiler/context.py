@@ -77,6 +77,11 @@ class QueryContext:
     # syntax forces equality per constraint regardless.
     enable_containment: bool = True
     _counter: int = 0
+    # cross-clause scratch (SHARED by reference across with_graph copies):
+    # e.g. "pending_order" — the ORDER BY of the previous projection, so a
+    # following collect() aggregates in the sorted order the reference's
+    # sequential executor would see
+    scratch: dict = field(default_factory=dict)
 
     def fresh(self, prefix: str = "_anon") -> str:
         self._counter += 1

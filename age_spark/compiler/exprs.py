@@ -226,6 +226,27 @@ def compile_expr(scope: ExprScope, e: A.Expr) -> Column:
                 # [1, 2.5] element-tags so 1 stays an exact, bare-printing int
                 k = "int" if isinstance(dt, _INT_TYPES) else "float"
             kinds.add(k)
+        if kinds == {"vertex", "edge"}:
+            # vertex/edge mix stays CONCRETE via field union (vertices get
+            # a null start_id) — the shape ::path consumes (expr.out ::path
+            # literals); tagging would JSON-freeze the entities
+            from ..graph import _widen, conform_col
+
+            fields: dict = {}
+            order: list[str] = []
+            for dt2 in dts:
+                for f2 in dt2.fields:
+                    if f2.name in fields:
+                        fields[f2.name] = _widen(fields[f2.name], f2.dataType)
+                    else:
+                        fields[f2.name] = f2.dataType
+                        order.append(f2.name)
+            target = T.StructType(
+                [T.StructField(nm, fields[nm], True) for nm in order]
+            )
+            return F.array(
+                *[conform_col(c, dt2, target) for c, dt2 in zip(cols, dts)]
+            )
         if len(kinds - {"other"}) > 1 and "other" not in kinds:
             # heterogeneous scalar literal list ([1, 'a', true] — agtype is
             # dynamically typed, agtype.h:307): element-tag so one Spark
@@ -294,12 +315,30 @@ def compile_expr(scope: ExprScope, e: A.Expr) -> Column:
     if isinstance(e, A.MapLit):
         if not e.items:
             return F.struct(F.lit(None).cast("string").alias("_none"))
-        return F.struct(*[compile_expr(scope, v).alias(k) for k, v in e.items])
+        # duplicate keys: the LAST occurrence wins (jsonb object semantics;
+        # agtype.out `{ a:'aa', b:'bb', b:'xx' }` keeps b:'xx')
+        dedup: dict = {}
+        for k, v in e.items:
+            dedup[k] = v
+        return F.struct(*[compile_expr(scope, v).alias(k) for k, v in dedup.items()])
     if isinstance(e, A.MapProjection):
         return _compile_map_projection(scope, e)
     if isinstance(e, A.Unary):
         c = compile_expr(scope, e.expr)
         if e.op == "not":
+            from ..graph import _scalar_kind, is_tagged_type
+
+            sdt = _operand_dtype(scope, e.expr, c)
+            if sdt is not None and not isinstance(sdt, (T.NullType, T.BooleanType)):
+                if is_tagged_type(sdt):
+                    return ~c.getField("__b")
+                k = _scalar_kind(sdt)
+                if k in ("numeric", "string"):
+                    # expr.out:156 `NOT 1` errors like AND/OR operands
+                    kindname = "integer" if k == "numeric" else "string"
+                    raise CompileError(
+                        f"cannot cast agtype {kindname} to type boolean"
+                    )
             return ~c.cast("boolean")
         if e.op == "-":
             return -c
@@ -423,15 +462,49 @@ def _compile_index(scope: ExprScope, e: A.Index) -> Column:
             if _re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", e.index.value):
                 return _tagged_container_access(base, f"$.{e.index.value}")
             return F.lit(None)
-        if isinstance(e.index, A.Lit) and isinstance(e.index.value, int) and e.index.value >= 0:
-            return _tagged_container_access(base, f"$[{e.index.value}]")
-        return F.lit(None)
+        # int indexes (literal or dynamic): materialize the element array
+        # (kinds preserved) and index it — scalar payloads self-index at
+        # 0/-1 (expr.out l[2][-2]; jsonb_operators.out ->'float'->0)
+        from ..graph import TAGGED_TYPE, let_column
+
+        def _idx(c):
+            elems = tagged_json_elements(c)
+            i = idx.cast("int")
+            picked = F.when(i >= 0, F.get(elems, i)).otherwise(
+                F.get(elems, F.size(elems) + i)
+            )
+            k = c.getField("__k")
+            return (
+                F.when(k == 4, picked)
+                # scalar kinds index like a one-element list: 0 / -1
+                # return the value itself (jsonb_operators.out:63)
+                .when((k >= 5) & ((i == 0) | (i == -1)), c)
+                .otherwise(F.lit(None).cast(TAGGED_TYPE))
+            )
+
+        return let_column(base, _idx)
     if dt is not None and _is_map(dt):
         return F.element_at(base, idx)
     if dt is not None and _is_struct(dt):
         if isinstance(e.index, A.Lit) and isinstance(e.index.value, str):
             return _deref_entity(scope, base, dt, e.index.value)
+        if isinstance(e.index, A.Lit) or isinstance(e.index, A.Unary):
+            # int subscript into an object: no match, null (jsonb `->`)
+            return F.lit(None)
         raise CompileError("struct subscript requires a constant string key")
+    if dt is not None and not isinstance(dt, (T.ArrayType, T.NullType)):
+        # subscript into a scalar: agtype treats the scalar as a
+        # one-element list — index 0 or -1 returns it, others null
+        # (jsonb_operators.out `...->'bool'->-1` = false)
+        i0 = idx.cast("int")
+        return F.when((i0 == 0) | (i0 == -1), base)
+    if (
+        dt is not None
+        and isinstance(dt, T.ArrayType)
+        and isinstance(e.index, A.Lit)
+        and isinstance(e.index.value, str)
+    ):
+        return F.lit(None)  # string key into a list: null
     # list: 0-based, negative counts from end (agtype.c:4452)
     i = idx.cast("int")
     return F.when(i >= 0, F.get(base, i)).otherwise(F.get(base, F.size(base) + i))
@@ -439,13 +512,40 @@ def _compile_index(scope: ExprScope, e: A.Index) -> Column:
 
 def _compile_slice(scope: ExprScope, e: A.Slice) -> Column:
     base = compile_expr(scope, e.expr)
+    bdt = dtype_of(scope, base)
+    if bdt is not None and _is_tagged(bdt):
+        # slice of a dynamic list: materialize the element array, slice it,
+        # and keep the result an array<tagged> (expr.out l[2][-2..])
+        from ..graph import TAGGED_TYPE, let_column
+
+        def _sl(c):
+            elems = tagged_json_elements(c)
+            return F.when(c.getField("__k") == 4, _slice_array(scope, e, elems)).otherwise(
+                F.lit(None).cast(T.ArrayType(TAGGED_TYPE))
+            )
+
+        return let_column(base, _sl)
+    return _slice_array(scope, e, base)
+
+
+def _slice_array(scope: ExprScope, e: A.Slice, base: Column) -> Column:
     n = F.size(base)
-    lo = compile_expr(scope, e.lo).cast("int") if e.lo is not None else F.lit(0)
-    hi = compile_expr(scope, e.hi).cast("int") if e.hi is not None else n
+    # clamp bounds into int range BEFORE the int cast — a literal like
+    # -2147483649 must clamp, not overflow (expr.out:62)
+    lo = (
+        _clamp_i32(compile_expr(scope, e.lo)) if e.lo is not None else F.lit(0)
+    )
+    hi = _clamp_i32(compile_expr(scope, e.hi)) if e.hi is not None else n
     lo = F.when(lo < 0, F.greatest(n + lo, F.lit(0))).otherwise(F.least(lo, n))
     hi = F.when(hi < 0, F.greatest(n + hi, F.lit(0))).otherwise(F.least(hi, n))
     length = F.greatest(hi - lo, F.lit(0))
     return F.slice(base, lo + 1, length)
+
+
+def _clamp_i32(col: Column) -> Column:
+    lo, hi = -(2**31), 2**31 - 1
+    c = col.cast("long")
+    return F.least(F.greatest(c, F.lit(lo)), F.lit(hi)).cast("int")
 
 
 def _compile_map_projection(scope: ExprScope, e: A.MapProjection) -> Column:
@@ -490,6 +590,10 @@ def _compile_map_projection(scope: ExprScope, e: A.MapProjection) -> Column:
     return F.struct(*fields.values())
 
 
+
+
+
+
 # ---- binary ops
 
 
@@ -511,13 +615,31 @@ def _compile_path_extract(scope: ExprScope, e: A.Binary, l: Column, as_text: boo
     path element or walk off the value yields NULL."""
     if not isinstance(e.right, A.ListLit):
         raise CompileError("#> requires a constant path list")
+    from ..graph import _entity_kind, _scalar_kind, _strip_nullability
+
     cur = e.left
     dt = dtype_of(scope, l)
+    if dt is not None and _scalar_kind(_strip_nullability(dt)) is not None:
+        # a non-entity scalar has no paths (jsonb_operators.out:122)
+        raise CompileError("scalar object must be a vertex or edge")
+    if dt is not None and _entity_kind(_strip_nullability(dt)) in ("vertex", "edge"):
+        # entities path-extract through their properties object
+        # (jsonb_operators.out: `n #> []` prints the properties)
+        cur = A.FuncCall("properties", [cur])
+        dt = next(
+            f.dataType for f in _strip_nullability(dt).fields if f.name == "properties"
+        )
     for step in e.right.items:
         # unary minus arrives as Unary("-", Lit): negative array indexes
         if isinstance(step, A.Unary) and step.op == "-" and isinstance(step.expr, A.Lit) \
                 and isinstance(step.expr.value, int):
             step = A.Lit(-step.expr.value)
+        if isinstance(step, A.Lit) and isinstance(step.value, str) and (
+            dt is None or isinstance(dt, T.ArrayType) or _is_tagged(dt)
+        ) and _re.fullmatch(r"-?\d+", step.value):
+            # a numeric STRING step indexes arrays ("-1" — the reference
+            # coerces path text to an index, jsonb_operators.out:93)
+            step = A.Lit(int(step.value))
         if isinstance(step, A.Lit) and isinstance(step.value, bool):
             return F.lit(None)
         if isinstance(step, A.Lit) and isinstance(step.value, int):
@@ -572,14 +694,40 @@ def _compile_concat_op(scope: ExprScope, e: A.Binary, l: Column, r: Column) -> C
             return "dynamic"
         if isinstance(dt, T.ArrayType):
             return "array"
+        from ..graph import _entity_kind
+
+        if _entity_kind(dt) is not None:
+            return "entity"
         ck = _container_kind(dt)
         if ck == "object" or isinstance(dt, (T.MapType,)):
             return "object"
         if isinstance(dt, T.StructType):
-            return "object"  # entity structs merge like objects
+            return "object"
         return "scalar"
 
     lk, rk = kind_of(ldt), kind_of(rdt)
+    # entity operands: on the LEFT of an object they merge through their
+    # properties (jsonb_operators.out:133 runs `n || {list: ...}`); with
+    # scalars/arrays/entities they pair as scalar VALUES ([vertex, 1],
+    # :132); an object REFUSES an entity on its right (:138)
+    if lk == "entity" and rk == "object":
+        return _compile_concat_op(
+            scope,
+            A.Binary("||", A.FuncCall("properties", [e.left]), e.right),
+            l.getField("properties"),
+            r,
+        )
+    if rk == "entity" and lk == "object":
+        return _compile_concat_op(
+            scope,
+            A.Binary("||", e.left, A.FuncCall("properties", [e.right])),
+            l,
+            r.getField("properties"),
+        )
+    if lk == "entity":
+        lk = "scalar"
+    if rk == "entity":
+        rk = "scalar"
     if lk == "object" and rk == "object":
         if isinstance(ldt, T.StructType) and isinstance(rdt, T.StructType):
             names = []
@@ -603,9 +751,13 @@ def _compile_concat_op(scope: ExprScope, e: A.Binary, l: Column, r: Column) -> C
         if lk == "array":
             # array || object appends the object as an element
             return _concat_arrays(l, ldt.elementType, F.array(r), rdt)
+        if rk == "array":
+            # object || array prepends it (jsonb_operators.out:136
+            # `n.json || [1, 2, 3]` = [{...}, 1, 2, 3])
+            return _concat_arrays(F.array(l), ldt, r, rdt.elementType)
         side = "left" if lk == "object" else "right"
-        # jsonb rule: an object concatenates only with an object (or into
-        # an array) — anything else is an error, not a coercion
+        # a plain object refuses scalar concatenation
+        # (jsonb_operators.out:139-141)
         raise CompileError(f"invalid {side} operand for agtype concatenation")
     if lk == "array" and rk == "array":
         return _concat_arrays(l, ldt.elementType, r, rdt.elementType)
@@ -691,6 +843,61 @@ def _containment_key(c: Column) -> Column:
         c.getField("__b").alias("__b"),
         c.getField("__j").alias("__j"),
     )
+
+
+def _existence_keys(col: Column, dt) -> "Optional[Column]":
+    """The string set a jsonb existence operator tests against: an object's
+    top-level keys, an array's string elements, a string itself.  Entities
+    contribute their property keys (the vertex IS its properties object
+    for `n ? 'k'`).  None = statically not key-bearing."""
+    from ..graph import (
+        _entity_kind,
+        _strip_nullability,
+        is_tagged_type,
+        prop_display_name,
+    )
+
+    if dt is None:
+        return None
+    dt = _strip_nullability(dt)
+    if is_tagged_type(dt):
+        k = col.getField("__k")
+        obj_keys = F.json_object_keys(col.getField("__j"))
+        arr_elems = F.filter(
+            F.transform(tagged_json_elements(col), lambda x: x.getField("__s")),
+            lambda x: x.isNotNull(),
+        )
+        return (
+            F.when(k == 3, obj_keys)
+            .when(k == 4, arr_elems)
+            .when(k == 5, F.array(col.getField("__s")))
+        )
+    if _entity_kind(dt) in ("vertex", "edge"):
+        pdt = next(f.dataType for f in dt.fields if f.name == "properties")
+        props = col.getField("properties")
+        return _struct_key_array(props, pdt)
+    if isinstance(dt, T.StructType):
+        return _struct_key_array(col, dt)
+    if isinstance(dt, T.ArrayType):
+        return F.filter(
+            F.transform(col, lambda x: x.cast("string")), lambda x: x.isNotNull()
+        )
+    if isinstance(dt, T.StringType):
+        return F.array(col)
+    return None
+
+
+def _struct_key_array(col: Column, dt: T.StructType) -> Column:
+    from ..graph import prop_display_name
+
+    slots = [
+        F.when(col.getField(f.name).isNotNull(), F.lit(prop_display_name(f.name)))
+        for f in dt.fields
+        if f.name != "_none"
+    ]
+    if not slots:
+        return F.array().cast("array<string>")
+    return F.filter(F.array(*slots), lambda x: x.isNotNull())
 
 
 def compile_containment(big: Column, bdt, small: Column, sdt) -> Column:
@@ -998,14 +1205,52 @@ def _compile_binary(scope: ExprScope, e: A.Binary) -> Column:
         a = V.as_vector(l, _operand_dtype(scope, e.left, l))
         b = V.as_vector(r, _operand_dtype(scope, e.right, r))
         return V.DISTANCE_OPS[op](a, b)
-    if op in ("and", "or"):
-        lb, rb = l.cast("boolean"), r.cast("boolean")
+    if op in ("and", "or", "xor"):
+        # strictly boolean operands (expr.out:152 'cannot cast agtype
+        # integer to type boolean'): a statically non-boolean scalar errors;
+        # dynamic/unknown types cast at runtime (non-bool rows null out)
+        from ..graph import _scalar_kind, is_tagged_type
+
+        for side, sdt in ((e.left, _operand_dtype(scope, e.left, l)),
+                          (e.right, _operand_dtype(scope, e.right, r))):
+            if sdt is None or isinstance(sdt, (T.NullType, T.BooleanType)):
+                continue
+            if is_tagged_type(sdt):
+                continue
+            k = _scalar_kind(sdt)
+            if k in ("numeric", "string"):
+                kindname = "integer" if k == "numeric" else "string"
+                raise CompileError(
+                    f"cannot cast agtype {kindname} to type boolean"
+                )
+        ldt2 = _operand_dtype(scope, e.left, l)
+        rdt2 = _operand_dtype(scope, e.right, r)
+
+        def _boolish(col, sdt):
+            if sdt is not None and is_tagged_type(sdt):
+                return col.getField("__b")  # non-bool kinds -> NULL
+            return col.cast("boolean")
+
+        lb, rb = _boolish(l, ldt2), _boolish(r, rdt2)
+        if op == "xor":
+            return lb != rb
         return lb & rb if op == "and" else lb | rb
-    if op == "xor":
-        return l.cast("boolean") != r.cast("boolean")
     if op in ("=", "<>", "<", "<=", ">", ">="):
+        from ..graph import _entity_kind, _strip_nullability
+
         ldt = _operand_dtype(scope, e.left, l)
         rdt = _operand_dtype(scope, e.right, r)
+        lek = _entity_kind(_strip_nullability(ldt)) if ldt is not None else None
+        rek = _entity_kind(_strip_nullability(rdt)) if rdt is not None else None
+        if lek is not None and lek == rek and lek in ("vertex", "edge"):
+            # entities compare by IDENTITY — raw struct equality nulls out
+            # on absent properties (expr.out `WHERE r1 = r2` matches the
+            # same edge regardless of null property slots)
+            li, ri = l.getField("id"), r.getField("id")
+            return {
+                "=": li == ri, "<>": li != ri,
+                "<": li < ri, "<=": li <= ri, ">": li > ri, ">=": li >= ri,
+            }[op]
         lk, rk = _ladder_rank(ldt), _ladder_rank(rdt)
         if lk is not None and rk is not None and lk != rk:
             return _cross_kind_compare(op, l, r, lk, rk)
@@ -1065,19 +1310,50 @@ def _compile_binary(scope: ExprScope, e: A.Binary) -> Column:
     if op in ("<", "<=", ">", ">="):
         return {"<": l < r, "<=": l <= r, ">": l > r, ">=": l >= r}[op]
     if op == "in":
-        from ..graph import is_tagged_type, tag_column, tagged_cmp_key
+        from ..graph import _strip_nullability, is_tagged_type, tag_column, tagged_cmp_key
 
         ldt, rdt = _operand_dtype(scope, e.left, l), _operand_dtype(scope, e.right, r)
-        # NULL on either side -> NULL (three-valued; array_contains rejects
-        # NullType operands at analysis)
-        if isinstance(ldt, T.NullType) or isinstance(rdt, T.NullType):
+        # the IN object must be list-shaped (expr.out:42 'object of IN
+        # must be a list'); a statically non-list right side errors
+        if rdt is not None and not isinstance(rdt, (T.ArrayType, T.NullType)) and not (
+            is_tagged_type(rdt)
+        ):
+            raise CompileError("object of IN must be a list")
+        if isinstance(rdt, T.NullType):
             return F.lit(None).cast("boolean")
+        if isinstance(ldt, T.NullType):
+            # NULL needle: an EMPTY list still yields false (no element to
+            # compare, expr.out:38); otherwise three-valued NULL
+            return F.when(
+                F.coalesce(F.size(r), F.lit(0)) == 0, F.lit(False)
+            ).otherwise(F.lit(None).cast("boolean"))
+        from ..graph import _entity_kind
+
+        if (
+            ldt is not None
+            and _entity_kind(_strip_nullability(ldt)) in ("vertex", "edge")
+            and isinstance(rdt, T.ArrayType)
+            and _entity_kind(_strip_nullability(rdt.elementType)) is not None
+        ):
+            # entity membership compares by IDENTITY (id), like entity =
+            return F.array_contains(
+                F.transform(r, lambda x: x.getField("id")), l.getField("id")
+            )
         needle_tagged = ldt is not None and is_tagged_type(ldt)
         hay_tagged = isinstance(rdt, T.ArrayType) and is_tagged_type(rdt.elementType)
-        if hay_tagged or (needle_tagged and isinstance(rdt, T.ArrayType)):
+        kind_mismatch = (
+            not needle_tagged
+            and not hay_tagged
+            and ldt is not None
+            and isinstance(rdt, T.ArrayType)
+            and not isinstance(rdt.elementType, T.NullType)
+            and _strip_nullability(ldt) != _strip_nullability(rdt.elementType)
+        )
+        if hay_tagged or kind_mismatch or (needle_tagged and isinstance(rdt, T.ArrayType)):
             # membership on the dynamic-kind ladder: compare cmp-keys so
             # 1.0 IN [..., 1, ...] is true (expr.out:174-178 — numeric
-            # kinds compare by value)
+            # kinds compare by value) and 1 IN [[1]] is simply false
+            # rather than an analysis error
             needle = l if needle_tagged else tag_column(l, ldt)
             if hay_tagged:
                 hay = F.transform(r, tagged_cmp_key)
@@ -1110,15 +1386,66 @@ def _compile_binary(scope: ExprScope, e: A.Binary) -> Column:
         # list_comprehension.sql `u.list@>[i IN range(0,6,2)]`)
         ldt = _operand_dtype(scope, e.left, l)
         rdt = _operand_dtype(scope, e.right, r)
-        if op == "@>":
-            return compile_containment(l, ldt, r, rdt)
-        return compile_containment(r, rdt, l, ldt)
+        big, bdt = (l, ldt) if op == "@>" else (r, rdt)
+        small_ast = e.right if op == "@>" else e.left
+        small, sdt = (r, rdt) if op == "@>" else (l, ldt)
+        from ..graph import _entity_kind, _strip_nullability
+
+        if bdt is not None and _entity_kind(_strip_nullability(bdt)) in ("vertex", "edge"):
+            # an entity contains what its properties object contains
+            # (jsonb_operators.sql `n @> {json: ...}`)
+            big = big.getField("properties")
+            bdt = next(
+                f.dataType for f in _strip_nullability(bdt).fields if f.name == "properties"
+            )
+        from .patterns import _lit_tree, _MISS, _contains
+
+        qv = _lit_tree(small_ast)
+        if qv is not _MISS:
+            # literal small side: full recursive jsonb subset semantics
+            return _contains(big, bdt, qv)
+        return compile_containment(big, bdt, small, sdt)
+    if op in ("?", "?|", "?&"):
+        # jsonb existence operators (regress/sql/jsonb_operators.sql):
+        # objects check top-level KEYS, arrays their string ELEMENTS,
+        # a scalar string itself — `?` one key, `?|` any, `?&` all
+        ldt = _operand_dtype(scope, e.left, l)
+        keys = _existence_keys(l, ldt)
+        if keys is None:
+            return F.lit(None).cast("boolean")
+        if op == "?":
+            return F.array_contains(keys, r.cast("string"))
+        rdt = _operand_dtype(scope, e.right, r)
+        if rdt is not None and not isinstance(rdt, (T.ArrayType, T.NullType)):
+            # ?| / ?& take a key LIST (jsonb_operators.out:33-39 errors)
+            raise CompileError(
+                f"{op} requires an agtype list of strings on the right side"
+            )
+        rarr = r if isinstance(rdt, T.ArrayType) else F.array(r)
+        rarr = F.transform(rarr, lambda x: x.cast("string"))
+        if op == "?|":
+            return F.exists(rarr, lambda x: F.array_contains(keys, x))
+        return F.forall(rarr, lambda x: F.array_contains(keys, x))
+    if op == "->>":
+        # jsonb `->>`: access, then the value AS TEXT (strings unquoted,
+        # containers as their JSON text)
+        inner = compile_expr(scope, A.Index(e.left, e.right))
+        idt = dtype_of(scope, inner)
+        if idt is None or isinstance(idt, T.NullType):
+            return inner
+        from ..graph import is_tagged_type
+
+        if is_tagged_type(idt):
+            return _tagged_to_string(inner)
+        if isinstance(idt, (T.ArrayType, T.StructType, T.MapType)):
+            return F.to_json(inner)
+        return inner.cast("string")
     if op == "||":
         return _compile_concat_op(scope, e, l, r)
     if op in ("#>", "#>>"):
         return _compile_path_extract(scope, e, l, op == "#>>")
     if op in ("+", "-", "*", "/", "%", "^"):
-        from ..graph import is_tagged_type
+        from ..graph import _entity_kind, _scalar_kind, is_tagged_type
 
         ldt = _operand_dtype(scope, e.left, l)
         rdt = _operand_dtype(scope, e.right, r)
@@ -1144,6 +1471,48 @@ def _compile_binary(scope: ExprScope, e: A.Binary) -> Column:
                 rn = r.getField("__n") if rt_tag else r.cast("double")
                 return F.pow(ln, rn)
             return _tagged_arith(op, l, ldt, lt_tag, r, rdt, rt_tag)
+        if op == "-":
+            # jsonb removal operators (expr.out:165-167): map - 'key'
+            # drops the key, list - i drops the element at index i
+            # (negatives count from the end; out-of-range is a no-op)
+            if (
+                ldt is not None
+                and _is_struct(ldt)
+                and _entity_kind(_strip(ldt)) is None
+                and rdt is not None
+                and _is_string(rdt)
+                and isinstance(e.right, A.Lit)
+            ):
+                key = e.right.value
+                keep = [
+                    l.getField(f.name).alias(f.name)
+                    for f in ldt.fields
+                    if f.name != key
+                ]
+                if len(keep) == len(ldt.fields):
+                    return l  # unknown key: unchanged
+                if not keep:
+                    return F.struct(F.lit(None).cast("string").alias("_none"))
+                return F.struct(*keep)
+            if (
+                ldt is not None
+                and _is_array(ldt)
+                and rdt is not None
+                and not isinstance(rdt, (T.FloatType, T.DoubleType, T.DecimalType))
+                and _scalar_kind(_strip(rdt)) == "numeric"
+            ):
+                def _rm(arr):
+                    n = F.size(arr)
+                    i0 = r.cast("int")
+                    i = F.when(i0 < 0, n + i0).otherwise(i0)
+                    return F.when(
+                        (i >= 0) & (i < n),
+                        F.concat(F.slice(arr, 1, i), F.slice(arr, i + 2, n - i - 1)),
+                    ).otherwise(arr)
+
+                from ..graph import let_column
+
+                return let_column(l, _rm)
         if op == "+":
             if (ldt is not None and _is_string(ldt)) or (rdt is not None and _is_string(rdt)):
                 return F.concat(l.cast("string"), r.cast("string"))
@@ -1159,19 +1528,66 @@ def _compile_binary(scope: ExprScope, e: A.Binary) -> Column:
 
 
 def _compile_case(scope: ExprScope, e: A.CaseExpr) -> Column:
-    out = None
-    for cond, res in e.whens:
-        c = compile_expr(scope, cond)
+    from ..graph import _scalar_kind, is_tagged_type, tag_column
+
+    # conditions: operand form compares on the KIND LADDER (CASE n.j WHEN
+    # 'b' with a non-string n.j is false, not an analysis error — reuse the
+    # `=` machinery); searched form wants a boolean — a statically
+    # numeric/string condition errors like AND/OR operands (expr.out:825),
+    # dynamic values read their bool slot
+    conds: list[Column] = []
+    for cond, _res in e.whens:
         if e.operand is not None:
-            c = compile_expr(scope, e.operand) == c
-        else:
-            c = c.cast("boolean")
-        rcol = compile_expr(scope, res)
+            conds.append(compile_expr(scope, A.Binary("=", e.operand, cond)))
+            continue
+        c = compile_expr(scope, cond)
+        cdt = _operand_dtype(scope, cond, c)
+        if cdt is not None and not isinstance(cdt, (T.NullType, T.BooleanType)):
+            if is_tagged_type(cdt):
+                c = c.getField("__b")
+            else:
+                k = _scalar_kind(cdt)
+                if k in ("numeric", "string"):
+                    raise CompileError(
+                        "cannot cast agtype "
+                        + ("integer" if k == "numeric" else "string")
+                        + " to type boolean"
+                    )
+        conds.append(c.cast("boolean"))
+
+    # branch RESULTS with conflicting kinds merge into a dynamic value
+    # (CASE WHEN ... THEN 'text' ELSE n.i END — expr.out CASE blocks)
+    results = [(res, compile_expr(scope, res)) for _c, res in e.whens]
+    if e.default is not None:
+        results.append((e.default, compile_expr(scope, e.default)))
+    dts = [_operand_dtype(scope, ast_e, c) for ast_e, c in results]
+    from ..graph import TAGGED_TYPE, _strip_nullability, _widen
+
+    tgt = None
+    known = [dt for dt in dts if dt is not None and not isinstance(dt, T.NullType)]
+    if len(known) > 1:
+        try:
+            tgt = known[0]
+            for dt in known[1:]:
+                tgt = _widen(tgt, dt)
+        except Exception:
+            tgt = None
+    cols = []
+    for (ast_e, c), dt in zip(results, dts):
+        if tgt is not None and is_tagged_type(tgt):
+            if dt is None or isinstance(dt, T.NullType):
+                c = F.lit(None).cast(TAGGED_TYPE)
+            elif not is_tagged_type(dt):
+                c = tag_column(c, dt)
+        cols.append(c)
+
+    out = None
+    for c, rcol in zip(conds, cols[: len(e.whens)]):
         out = F.when(c, rcol) if out is None else out.when(c, rcol)
     if out is None:
         raise CompileError("CASE requires at least one WHEN")
     if e.default is not None:
-        out = out.otherwise(compile_expr(scope, e.default))
+        out = out.otherwise(cols[-1])
     return out
 
 
@@ -1444,6 +1860,15 @@ def _fn_end_id(scope, args, cols):
 
 @fn("label")
 def _fn_label(scope, args, cols):
+    # expr.out:358-359 — label() rejects non-entity arguments (a list, a
+    # plain map without entity shape) at transform time
+    k = _arg_kind(scope, args[0], cols[0])
+    if k == "null":
+        return F.lit(None)
+    if k not in (None, "vertex", "edge") or isinstance(args[0], A.MapLit):
+        # a LITERAL map is an object, not an entity, even when its keys
+        # mimic the vertex shape (expr.out:359)
+        raise CompileError("label() argument must resolve to an edge or vertex")
     return cols[0].getField("label")
 
 
@@ -1453,6 +1878,8 @@ def _fn_labels(scope, args, cols):
     # entry; the default label is no label at all). cypher_merge.out:1766
     from ..catalog import DEFAULT_VLABEL
 
+    if _arg_kind(scope, args[0], cols[0]) == "null":
+        return F.lit(None)
     lbl = cols[0].getField("label")
     return F.when(
         lbl == DEFAULT_VLABEL, F.array().cast("array<string>")
@@ -1461,6 +1888,13 @@ def _fn_labels(scope, args, cols):
 
 @fn("type")
 def _fn_type(scope, args, cols):
+    # type() is edge-only (expr.out:350 'type() argument must be an edge
+    # or null'; agtype.c age_type)
+    k = _arg_kind(scope, args[0], cols[0])
+    if k == "null":
+        return F.lit(None)
+    if k not in (None, "edge") or isinstance(args[0], A.MapLit):
+        raise CompileError("type() argument must be an edge or null")
     return cols[0].getField("label")
 
 
@@ -1482,8 +1916,21 @@ def _fn_properties(scope, args, cols):
 
 @fn("keys")
 def _fn_keys(scope, args, cols):
+    if isinstance(args[0], A.MapLit):
+        # a LITERAL map keeps explicitly-null-valued keys
+        # (expr.out:1077 keys({a: null}) = ["a"]) — unlike stored
+        # properties, where null means absent
+        names = sorted({k for k, _ in args[0].items}, key=lambda k: (len(k), k))
+        if not names:
+            return F.expr("array()").cast("array<string>")
+        return F.array(*[F.lit(nm) for nm in names])
     c = cols[0]
     dt = dtype_of(scope, c)
+    from ..graph import _entity_kind, _strip_nullability
+
+    if dt is not None and _entity_kind(_strip_nullability(dt)) == "path":
+        # expr.out:887 — a PATH has no keys
+        raise CompileError("keys() argument must be a vertex, edge, object or null")
     if dt is not None and _is_struct(dt):
         names = _entity_fields(dt)
         if "properties" in names and "id" in names:
@@ -1738,11 +2185,57 @@ def _fn_toboolean(scope, args, cols):
     return _to_boolean(cols[0], dtype_of(scope, cols[0]))
 
 
+def _float_literal_ok(txt: str) -> bool:
+    t = txt.strip().lower()
+    if t in ("nan", "inf", "infinity", "+inf", "+infinity", "-inf", "-infinity"):
+        return True
+    try:
+        float(t)
+        return True
+    except ValueError:
+        return False
+
+
+@fn("castfloat")
+def _fn_castfloat(scope, args, cols):
+    """::float — unlike toFloat() (null on bad strings), the CAST raises
+    on malformed text ('2:71'::float, expr.out:259)."""
+    a0 = args[0] if args else None
+    if isinstance(a0, A.Lit) and isinstance(a0.value, str) and not _float_literal_ok(a0.value):
+        raise CompileError(
+            f'invalid input syntax for type double precision: "{a0.value}"'
+        )
+    return _fn_tofloat(scope, args, cols)
+
+
+@fn("castbool")
+def _fn_castbool(scope, args, cols):
+    """::bool — integers and booleans only (floats error, expr.out:226);
+    bad boolean text errors instead of nulling."""
+    a0 = args[0] if args else None
+    if isinstance(a0, A.Lit):
+        v = a0.value
+        if isinstance(v, float):
+            raise CompileError("typecast expression must be an integer or a boolean")
+        if isinstance(v, str) and v.strip().lower() not in ("true", "false", "t", "f"):
+            raise CompileError(f'invalid input syntax for type boolean: "{v}"')
+    dt = dtype_of(scope, cols[0]) if cols else None
+    if dt is not None and isinstance(dt, (T.FloatType, T.DoubleType, T.DecimalType)):
+        raise CompileError("typecast expression must be an integer or a boolean")
+    return _fn_toboolean(scope, args, cols)
+
+
 @fn("tostring")
 def _fn_tostring(scope, args, cols):
     dt = dtype_of(scope, cols[0])
     if _is_tagged(dt):
         return _tagged_to_string(cols[0])
+    if isinstance(dt, T.DecimalType):
+        # numeric prints without the fixed-scale zero padding
+        # (toString(3.14::numeric) = "3.14", expr.out:464)
+        c = cols[0].cast("string")
+        trimmed = F.regexp_replace(c, r"(\.\d*?)0+$", r"$1")
+        return F.regexp_replace(trimmed, r"\.$", "")
     return cols[0].cast("string")
 
 
@@ -1760,7 +2253,32 @@ def _fn_tonumeric(scope, args, cols):
             return F.lit(_dec.Decimal(a0.raw)).cast("decimal(38,18)")
         except _dec.InvalidOperation:
             pass
+    dt = dtype_of(scope, cols[0])
+    if _is_tagged(dt):
+        # dynamic input (e.g. a heterogeneous-list element): numeric kinds
+        # convert, strings parse, other kinds null (expr.out:236-239)
+        c = cols[0]
+        k = c.getField("__k")
+        return (
+            F.when(k == 7, F.coalesce(
+                c.getField("__i").cast("decimal(38,18)"),
+                _f8_to_numeric(c.getField("__n")),
+            ))
+            .when(k == 5, c.getField("__s").try_cast("decimal(38,18)"))
+        )
+    if dt is not None and isinstance(dt, (T.FloatType, T.DoubleType)):
+        return _f8_to_numeric(cols[0])
     return cols[0].cast("decimal(38,18)")
+
+
+def _f8_to_numeric(col: Column) -> Column:
+    # PG casts float8 -> numeric through float8out's %.15g text:
+    # ((1 + 2.71) * 3)::numeric = 11.13, not 11.129999999999999
+    # (expr.out:235) — 15 significant digits, zeros trimmed
+    s = F.format_string("%.15g", col)
+    s = F.regexp_replace(s, r"(\.\d*?)0+(e[+-]?\d+)?$", r"$1$2")
+    s = F.regexp_replace(s, r"\.(e|$)", r"$1")
+    return s.cast("decimal(38,18)")
 
 
 @fn("castint")
@@ -1768,7 +2286,14 @@ def _fn_castint(scope, args, cols):
     """The ::int / ::integer TYPECAST — distinct from toInteger(): it
     ROUNDS floats (2.71::int = 3, agtype_typecast_int) and accepts
     booleans (true::int = 1), while toInteger() truncates and rejects
-    bools (expr.out toInteger vs typecast blocks)."""
+    bools (expr.out toInteger vs typecast blocks). STRING input must be
+    strict bigint text ('0.0'::int errors, expr.out:218)."""
+    a0 = args[0] if args else None
+    if isinstance(a0, A.Lit) and isinstance(a0.value, str):
+        if not _re.fullmatch(r"[+-]?\d+", a0.value.strip()):
+            raise CompileError(
+                f'invalid input syntax for type bigint: "{a0.value}"'
+            )
     c, dt = cols[0], dtype_of(scope, cols[0])
     if _is_tagged(dt):
         k, n, s, b = _tagged_parts(c)
@@ -1791,8 +2316,28 @@ def _fn_castint(scope, args, cols):
 def _fn_castpgfloat8(scope, args, cols):
     """::pg_float8 — PG float8in semantics: accepts NaN / [+-]inf[inity]
     spellings case-insensitively (ag_float8_supp.c:31
-    float8in_internal_null)."""
+    float8in_internal_null); malformed text raises (expr.out:278-280)."""
+    a0 = args[0] if args else None
+    if isinstance(a0, A.Lit) and isinstance(a0.value, str) and not _float_literal_ok(a0.value):
+        raise CompileError(
+            f'invalid input syntax for type double precision: "{a0.value}"'
+        )
     c, dt = cols[0], dtype_of(scope, cols[0])
+    if _is_tagged(dt):
+        # dynamic input: numeric kinds convert, strings parse through the
+        # float8in spellings, other kinds null (expr.out:266-271)
+        k = c.getField("__k")
+        lc = F.lower(F.trim(c.getField("__s")))
+        from_s = (
+            F.when(lc == "nan", F.lit(float("nan")))
+            .when(lc.isin("inf", "infinity", "+inf", "+infinity"), F.lit(float("inf")))
+            .when(lc.isin("-inf", "-infinity"), F.lit(float("-inf")))
+            .otherwise(c.getField("__s").try_cast("double"))
+        )
+        return (
+            F.when(k == 7, c.getField("__n"))
+            .when(k == 5, from_s)
+        )
     if dt is None or _is_string(dt) or isinstance(dt, T.NullType):
         lc = F.lower(F.trim(c.cast("string")))
         return (
@@ -1816,6 +2361,15 @@ def _entity_cast(scope, col, want_edge: bool):
         raise CompileError(
             f"map is missing {sorted(need - names)} for the entity cast"
         )
+    kindname = "edge" if want_edge else "vertex"
+    for fld in sorted(need - {"label", "properties"}):
+        fdt = next(f.dataType for f in dt.fields if f.name == fld)
+        if not isinstance(fdt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+            # expr.out:294 '{id:"0", ...}::vertex' errors — graphids must
+            # be integers, never strings/floats
+            raise CompileError(
+                f"{kindname} typecast object has invalid or missing {fld}"
+            )
     fields = [
         col.getField("id").cast("long").alias("id"),
         col.getField("label").cast("string").alias("label"),
@@ -1839,6 +2393,62 @@ def _fn_castvertex(scope, args, cols):
 @fn("castedge")
 def _fn_castedge(scope, args, cols):
     return _entity_cast(scope, cols[0], want_edge=True)
+
+
+@fn("castpath")
+def _fn_castpath(scope, args, cols):
+    """[v, e, v, ...]::path (agtype.out ::path blocks): an odd-length
+    alternating vertex/edge array becomes a path value; null -> null."""
+    col = cols[0]
+    # a valid path literal alternates v,e,v,... — at least 3 elements,
+    # odd length (expr.out:301-302 single-entity lists error)
+    a0 = args[0] if args else None
+    if isinstance(a0, A.ListLit) and (len(a0.items) < 3 or len(a0.items) % 2 == 0):
+        raise CompileError("typecast argument is not a valid path")
+    dt = dtype_of(scope, col)
+    if dt is None or isinstance(dt, T.NullType):
+        return F.lit(None)
+    if not isinstance(dt, T.ArrayType) or not isinstance(dt.elementType, T.StructType):
+        raise CompileError("::path requires a list of alternating vertices and edges")
+    from ..graph import _entity_kind
+
+    et = dt.elementType
+    names = {f.name for f in et.fields}
+    if _entity_kind(et) == "vertex" or (
+        {"id", "label", "properties"} <= names and "start_id" not in names
+    ):
+        # homogeneous vertex array can't alternate unless length 1 —
+        # still build it (cast validation is shape-level)
+        nodes, edges = col, F.array().cast(
+            "array<struct<id:long,start_id:long,end_id:long,label:string,properties:struct<_none:string>>>"
+        )
+        return F.struct(nodes.alias("nodes"), edges.alias("edges"))
+    # mixed vertex/edge structs field-merged: split by start_id presence
+    has_se = "start_id" in names and "end_id" in names
+    if not has_se:
+        raise CompileError("::path requires a list of alternating vertices and edges")
+    is_edge = lambda x: x.getField("start_id").isNotNull()
+    nodes = F.filter(col, lambda x: ~is_edge(x))
+    nodes = F.transform(
+        nodes,
+        lambda x: F.struct(
+            x.getField("id").cast("long").alias("id"),
+            x.getField("label").cast("string").alias("label"),
+            x.getField("properties").alias("properties"),
+        ),
+    )
+    edges = F.filter(col, is_edge)
+    edges = F.transform(
+        edges,
+        lambda x: F.struct(
+            x.getField("id").cast("long").alias("id"),
+            x.getField("start_id").cast("long").alias("start_id"),
+            x.getField("end_id").cast("long").alias("end_id"),
+            x.getField("label").cast("string").alias("label"),
+            x.getField("properties").alias("properties"),
+        ),
+    )
+    return F.struct(nodes.alias("nodes"), edges.alias("edges"))
 
 
 def _empty_list_null(col: Column, out: Column) -> Column:
@@ -1891,60 +2501,138 @@ def _fn_tostringlist(scope, args, cols):
     return _empty_list_null(cols[0], F.transform(cols[0], lambda x: x.cast("string")))
 
 
+
+def _arg_kind(scope, node, col):
+    """Static agtype kind of a function argument: 'string' / 'numeric' /
+    'bool' / 'array' / 'object' / entity kind / 'null' / None (unknown)."""
+    from ..graph import _container_kind, _entity_kind, _scalar_kind, is_tagged_type
+
+    dt = _operand_dtype(scope, node, col)
+    if dt is None:
+        return None
+    if isinstance(dt, T.NullType):
+        return "null"
+    if is_tagged_type(dt):
+        return None
+    return _entity_kind(dt) or _scalar_kind(dt) or _container_kind(dt)
+
+
+def _require_string(scope, name, args, cols, positions, errmsg=None):
+    """Reference string functions raise on statically non-string scalar
+    arguments (expr.out: reverse(true), toUpper(true), split(123, ...) all
+    error); dynamic/unknown kinds pass through (runtime null-out)."""
+    for p in positions:
+        if p >= len(args):
+            continue
+        k = _arg_kind(scope, args[p], cols[p])
+        if k in ("numeric", "bool", "object", "array"):
+            kindno = {"numeric": 3, "bool": 4, "array": 5, "object": 6}[k]
+            raise CompileError(
+                errmsg or f"{name}() unsupported argument agtype {kindno}"
+            )
+
+
+def _nonneg_len(scope, name, arg, col):
+    # left()/right() reject negative lengths with a dedicated message
+    # (expr.out:529) and int4-overflowing ones like PG (expr.out:533)
+    if isinstance(arg, A.Unary) and arg.op == "-":
+        raise CompileError(
+            f"{name}() negative values are not supported for length"
+        )
+    if isinstance(arg, A.Lit) and isinstance(arg.value, int):
+        if arg.value < 0:
+            raise CompileError(
+                f"{name}() negative values are not supported for length"
+            )
+        if arg.value > 2**31 - 1:
+            raise CompileError(f"{name}() length out of integer range")
+    return _clamp_i32(col)
+
+
 # -- strings (agtype.c:8234-9547; 0-based offsets!)
 
 @fn("toupper")
 def _fn_toupper(scope, args, cols):
+    _require_string(scope, "toUpper", args, cols, [0])
     return F.upper(cols[0])
 
 
 @fn("tolower")
 def _fn_tolower(scope, args, cols):
+    _require_string(scope, "toLower", args, cols, [0])
     return F.lower(cols[0])
 
 
 @fn("trim")
 def _fn_trim(scope, args, cols):
+    _require_string(scope, "trim", args, cols, [0])
     return F.trim(cols[0])
 
 
 @fn("ltrim")
 def _fn_ltrim(scope, args, cols):
+    _require_string(scope, "lTrim", args, cols, [0])
     return F.ltrim(cols[0])
 
 
 @fn("rtrim")
 def _fn_rtrim(scope, args, cols):
+    _require_string(scope, "rTrim", args, cols, [0])
     return F.rtrim(cols[0])
 
 
 @fn("reverse")
 def _fn_reverse(scope, args, cols):
+    # reverse() accepts strings and lists — never numerics/booleans
+    # (expr.out: reverse(true) / reverse(3.14) error)
+    k = _arg_kind(scope, args[0], cols[0])
+    if k in ("numeric", "bool", "object"):
+        raise CompileError("reverse() unsupported argument agtype")
     return F.reverse(cols[0])
 
 
 @fn("left")
 def _fn_left(scope, args, cols):
-    return F.substring(cols[0], 1, cols[1])
+    _require_string(scope, "left", args, cols, [0])
+    n = _nonneg_len(scope, "left", args[1], cols[1])
+    return F.substring(cols[0], 1, n)
 
 
 @fn("right")
 def _fn_right(scope, args, cols):
-    c, n = cols[0], cols[1]
+    _require_string(scope, "right", args, cols, [0])
+    c = cols[0]
+    n = _nonneg_len(scope, "right", args[1], cols[1])
     return F.substring(c, F.greatest(F.length(c) - n + 1, F.lit(1)).cast("int"), F.length(c))
 
 
 @fn("substring")
 def _fn_substring(scope, args, cols):
+    _require_string(scope, "substring", args, cols, [0])
+    if isinstance(args[0], A.Lit) and args[0].value is None:
+        # substring(null, ...) is null, whatever the other args
+        # (expr.out:549-550) — the offset checks apply to real strings only
+        return F.lit(None).cast("string")
+    # offset/length must be non-null, non-negative (expr.out:552-560)
+    for a in args[1:]:
+        if isinstance(a, A.Lit) and a.value is None:
+            raise CompileError("substring() offset or length cannot be null")
+        if (isinstance(a, A.Unary) and a.op == "-") or (
+            isinstance(a, A.Lit) and isinstance(a.value, int) and a.value < 0
+        ):
+            raise CompileError(
+                "substring() negative values are not supported for offset or length"
+            )
     c = cols[0]
-    start = cols[1].cast("int") + 1  # 0-based in Cypher (agtype.c:9181)
+    start = _clamp_i32(cols[1]) + 1  # 0-based in Cypher (agtype.c:9181)
     if len(cols) > 2:
-        return F.substring(c, start, cols[2].cast("int"))
+        return F.substring(c, start, _clamp_i32(cols[2]))
     return F.substring(c, start, F.length(c))
 
 
 @fn("split")
 def _fn_split(scope, args, cols):
+    _require_string(scope, "split", args, cols, [0, 1])
     # AGE split is literal-delimiter (agtype.c:9399); Spark's is regex
     if isinstance(args[1], A.Lit) and isinstance(args[1].value, str):
         return F.split(cols[0], _re.escape(args[1].value))
@@ -1953,6 +2641,7 @@ def _fn_split(scope, args, cols):
 
 @fn("replace")
 def _fn_replace(scope, args, cols):
+    _require_string(scope, "replace", args, cols, [0, 1, 2])
     return F.replace(cols[0], cols[1], cols[2])
 
 
@@ -1960,6 +2649,11 @@ def _fn_replace(scope, args, cols):
 
 @fn("range")
 def _fn_range(scope, args, cols):
+    # a NULL start/stop errors (expr.out:917 range(null, -10, -3)); only
+    # the STEP may be null (defaulting to 1)
+    for a in args[:2]:
+        if isinstance(a, A.Lit) and a.value is None:
+            raise CompileError("range(): neither start nor stop can be null")
     for c in cols:
         cdt = dtype_of(scope, c)
         if cdt is not None and isinstance(cdt, (T.FloatType, T.DoubleType, T.DecimalType)):
@@ -1987,7 +2681,9 @@ for _name, _f in [
     # Spark's return LONG — cast back
     ("ceil", lambda c: F.ceil(c).cast("double")),
     ("floor", lambda c: F.floor(c).cast("double")),
-    ("sqrt", F.sqrt),
+    # sqrt of a negative returns NULL in the reference (expr.out:718)
+    ("sqrt", lambda c: F.when(c.cast("double") >= 0, F.sqrt(c))),
+    ("age_sqrt", lambda c: F.when(c.cast("double") >= 0, F.sqrt(c))),
     ("exp", F.exp), ("log", F.log), ("log10", F.log10), ("sin", F.sin),
     ("cos", F.cos), ("tan", F.tan),
     # out-of-domain asin/acos return NULL in the reference (expr.out
@@ -1996,26 +2692,39 @@ for _name, _f in [
     ("acos", lambda c: F.when(F.abs(c.cast("double")) <= 1.0, F.acos(c))),
     ("atan", F.atan), ("degrees", F.degrees), ("radians", F.radians),
 ]:
-    def _mk(f):
+    def _mk(f, name):
         def impl(scope, args, cols):
+            _require_numeric(scope, name, args, cols)
             return f(cols[0])
         return impl
-    FUNCTIONS[_name] = _mk(_f)
+    FUNCTIONS[_name] = _mk(_f, _name)
+
+
+def _require_numeric(scope, name, args, cols):
+    """Math functions reject statically non-numeric scalar arguments
+    (expr.out:599 sin(\"0\") errors)."""
+    for a, c in zip(args, cols):
+        k = _arg_kind(scope, a, c)
+        if k in ("string", "bool", "object", "array"):
+            raise CompileError(f"{name}() argument must resolve to a number")
 
 
 @fn("cot")
 def _fn_cot(scope, args, cols):
+    _require_numeric(scope, "cot", args, cols)
     return F.lit(1.0) / F.tan(cols[0])
 
 
 @fn("atan2")
 def _fn_atan2(scope, args, cols):
+    _require_numeric(scope, "atan2", args, cols)
     return F.atan2(cols[0], cols[1])
 
 
 @fn("sign")
 def _fn_sign(scope, args, cols):
     # age_sign returns an INTEGER (expr.out:6010-6026 prints 1/-1/0 bare)
+    _require_numeric(scope, "sign", args, cols)
     return F.signum(cols[0]).cast("long")
 
 
@@ -2023,6 +2732,7 @@ def _fn_sign(scope, args, cols):
 def _fn_round(scope, args, cols):
     # round always returns FLOAT (round(0) -> 0.0, round(7, 2) -> 7.0) and
     # a NULL precision means 0, not null-propagation (expr.out round block)
+    _require_numeric(scope, "round", args[:1], cols[:1])
     c = cols[0].cast("double")
     if len(cols) > 1:
         if isinstance(args[1], A.Lit) and args[1].value is None:
@@ -2225,3 +2935,58 @@ def _TAGGED_TYPE_CACHE():
     from ..graph import TAGGED_TYPE
 
     return TAGGED_TYPE
+
+
+@fn("agtype_build_map")
+def _fn_agtype_build_map(scope, args, cols):
+    """ag_catalog.agtype_build_map(k1, v1, ...) — callable from Cypher via
+    the schema-qualified form (agtype.out:3806). Keys stringify like the
+    reference (2 -> "2", 3.14 -> "3.14"); jsonb key order applies at
+    print."""
+    if len(args) % 2:
+        raise CompileError(
+            "agtype_build_map() argument list must have an even number of elements"
+        )
+    if not args:
+        return F.struct(F.lit(None).cast("string").alias("_none"))
+    fields: dict = {}
+    for i in range(0, len(args), 2):
+        ka = args[i]
+        if not isinstance(ka, A.Lit) or ka.value is None or isinstance(
+            ka.value, (dict, list)
+        ):
+            raise CompileError(
+                "agtype_build_map_as_agtype_value only supports scalar arguments"
+            )
+        key = (
+            ka.value
+            if isinstance(ka.value, str)
+            else (getattr(ka, "raw", None) or str(ka.value))
+        )
+        fields[key] = cols[i + 1]
+    return F.struct(*[c.alias(k) for k, c in fields.items()])
+
+
+@fn("agtype_build_list")
+def _fn_agtype_build_list(scope, args, cols):
+    return compile_expr(scope, A.ListLit(list(args)))
+
+@fn("pg_typeof")
+def _fn_pg_typeof(scope, args, cols):
+    # inside cypher() every value IS agtype (expr.out:948)
+    return F.lit("agtype")
+
+
+@fn("pg_sqrt")
+def _fn_pg_sqrt(scope, args, cols):
+    _require_numeric(scope, "sqrt", args, cols)
+    a0 = args[0] if args else None
+    neg = isinstance(a0, A.Unary) and a0.op == "-"
+    if not neg and isinstance(a0, A.FuncCall) and a0.args:
+        # -1::pg_float8 arrives as castpgfloat8(Unary(-,1))
+        inner = a0.args[0]
+        neg = isinstance(inner, A.Unary) and inner.op == "-"
+    if neg:
+        raise CompileError("cannot take square root of a negative number")
+    return F.sqrt(cols[0])
+

@@ -157,12 +157,15 @@ class ExistsSubquery(Expr):
     patterns: list["PathPattern"]
     where: Optional[Expr]
     paren_form: bool = False
+    returns: Optional[list[Expr]] = None  # RETURN items (existence only —
+    # kept so variable references validate, cypher_subquery.out rte errors)
 
 
 @dataclass
 class CountSubquery(Expr):
     patterns: list["PathPattern"]
     where: Optional[Expr]
+    returns: Optional[list[Expr]] = None
 
 
 # ------------------------------------------------------------------ patterns

@@ -30,11 +30,12 @@ _TOKEN_RE = re.compile(
     r"""
     (?P<ws>\s+|//[^\n]*|/\*.*?\*/)
   | (?P<float>(\d+\.(?!\.)\d*|\.\d+)([eE][+-]?\d+)?|\d+[eE][+-]?\d+)
+  | (?P<hex>0[xX][0-9A-Fa-f]+)
   | (?P<int>\d+)
   | (?P<string>'(?:[^'\\]|\\.|'')*'|"(?:[^"\\]|\\.|"")*")
   | (?P<name>[A-Za-z_][A-Za-z0-9_]*|`[^`]*`)
   | (?P<param>\$[A-Za-z_][A-Za-z0-9_]*)
-  | (?P<op><=>|<\#>|<\+>|@>|<@|<>|<=|>=|=~|\+=|\.\.|->|<-|::|\|\||\#>>|\#>|[()\[\]{},:;.|=<>+\-*/%^])
+  | (?P<op><=>|<\#>|<\+>|@>|<@|<>|<=|>=|=~|\+=|\.\.|->>|->|<-|::|\|\||\#>>|\#>|\?\||\?&|\?|[()\[\]{},:;.|=<>+\-*/%^])
     """,
     re.VERBOSE | re.DOTALL,
 )
@@ -56,11 +57,11 @@ _ESCAPES = {"n": "\n", "t": "\t", "r": "\r", "b": "\b", "f": "\f", "'": "'", '"'
 # rejects booleans — distinct kernels.
 _CAST_FNS = {
     "int": "castint", "integer": "castint",
-    "float": "tofloat", "numeric": "tonumeric",
-    "bool": "toboolean", "boolean": "toboolean",
+    "float": "castfloat", "numeric": "tonumeric",
+    "bool": "castbool", "boolean": "castbool",
     "string": "tostring",
-    "pg_float8": "castpgfloat8",
-    "vertex": "castvertex", "edge": "castedge",
+    "pg_float8": "castpgfloat8", "pg_bigint": "castint",
+    "vertex": "castvertex", "edge": "castedge", "path": "castpath",
     # pgvector interop (regress/sql/pgvector.sql): ::vector optionally
     # takes a checked dimension (::vector(3)); ::agtype / ::text are the
     # round-trip casts its fixtures chain after vector expressions
@@ -86,12 +87,22 @@ def _unquote(s: str) -> str:
                 out.append(chr(int(body[i + 2 : i + 6], 16)))
                 i += 6
                 continue
+            if nxt == "U" and i + 9 < len(body):
+                out.append(chr(int(body[i + 2 : i + 10], 16)))
+                i += 10
+                continue
             out.append(_ESCAPES.get(nxt, nxt))
             i += 2
         else:
             out.append(c)
             i += 1
-    return "".join(out)
+    joined = "".join(out)
+    # escape-built surrogate pairs combine into the real code point
+    # (scan.out: "\ud835\U0000DEF0" prints one character)
+    try:
+        return joined.encode("utf-16", "surrogatepass").decode("utf-16")
+    except UnicodeDecodeError:
+        return joined
 
 
 class Tok:
@@ -119,8 +130,25 @@ def tokenize(text: str) -> list[Tok]:
         v = m.group()
         if kind == "ws":
             continue
-        if kind == "int":
-            toks.append(Tok("int", int(v), m.start(), v))
+        if kind == "hex":
+            # hex integer literals (the reference scanner, scan.l);
+            # out-of-range values widen to FLOAT (scan.out:17)
+            hv = int(v, 16)
+            if hv > 2**63 - 1:
+                toks.append(Tok("float", float(hv), m.start(), v))
+            else:
+                toks.append(Tok("int", hv, m.start(), v))
+        elif kind == "int":
+            # a leading 0 with octal digits is an OCTAL literal (scan.l:
+            # 010 = 8); 0-prefixed literals with 8/9 stay decimal
+            if len(v) > 1 and v[0] == "0" and all(c in "01234567" for c in v):
+                iv = int(v, 8)
+                if iv > 2**63 - 1:
+                    toks.append(Tok("float", float(iv), m.start(), v))
+                else:
+                    toks.append(Tok("int", iv, m.start(), v))
+            else:
+                toks.append(Tok("int", int(v), m.start(), v))
         elif kind == "float":
             # keep the spelling: ::numeric needs the exact decimal digits
             # the float value has already rounded away
@@ -551,6 +579,9 @@ class Parser:
             elif self.at_op("@>", "<@"):
                 op = self.advance().value
                 left = A.Binary(op, left, self.parse_additive())
+            elif self.at_op("?", "?|", "?&"):
+                op = self.advance().value
+                left = A.Binary(op, left, self.parse_additive())
             elif self.at_kw("in"):
                 self.advance()
                 left = A.Binary("in", left, self.parse_additive())
@@ -664,6 +695,18 @@ class Parser:
                 else:
                     e = A.Index(e, lo)
                 self.expect_op("]")
+            elif self.at_op("->", "->>"):
+                # jsonb access operators INSIDE Cypher text
+                # (regress/sql/jsonb_operators.sql `lst->-1`, `n->'json'`):
+                # `->` is unambiguous in expression position — pattern
+                # arrows only follow a node/edge group, which the atom
+                # parser consumed as a pattern already
+                op = self.advance().value
+                rhs = self.parse_unary_minus_atom()
+                if op == "->":
+                    e = A.Index(e, rhs)
+                else:
+                    e = A.Binary("->>", e, rhs)
             elif self.at_op("{") and isinstance(e, A.Var):
                 e = self.parse_map_projection(e.name)
             elif self.at_op("::"):
@@ -690,6 +733,12 @@ class Parser:
                 e = A.FuncCall(fn, cast_args)
             else:
                 return e
+
+    def parse_unary_minus_atom(self) -> A.Expr:
+        if self.at_op("-"):
+            self.advance()
+            return A.Unary("-", self.parse_atom())
+        return self.parse_atom()
 
     def parse_map_projection(self, var: str) -> A.MapProjection:
         self.expect_op("{")
@@ -825,6 +874,23 @@ class Parser:
             if nxt.kind == "op" and nxt.value == "(":
                 name = self.advance().value
                 return self.parse_func_call(name.lower())
+            # schema-qualified call (`ag_catalog.agtype_build_map(...)`,
+            # agtype.out): consume the schema, dispatch on the bare name
+            nxt2 = self.toks[self.i + 2] if self.i + 2 < len(self.toks) else None
+            nxt3 = self.toks[self.i + 3] if self.i + 3 < len(self.toks) else None
+            if (
+                nxt.kind == "op" and nxt.value == "."
+                and nxt2 is not None and nxt2.kind == "name"
+                and nxt3 is not None and nxt3.kind == "op" and nxt3.value == "("
+            ):
+                schema = self.advance().value.lower()  # schema
+                self.advance()  # .
+                name = self.advance().value.lower()
+                if schema == "pg_catalog" and name == "sqrt":
+                    # PG's sqrt is STRICT about negatives (errors) unlike
+                    # age_sqrt's null (expr.out:727 vs :718)
+                    return self.parse_func_call("pg_sqrt")
+                return self.parse_func_call(name)
             self.advance()
             return A.Var(t.value)
         if t.kind == "op" and t.value == "(":
@@ -886,26 +952,49 @@ class Parser:
                 )
             return A.FuncCall("exists", [e])
         self.expect_op("{")
+        branches = [self._parse_subquery_branch()]
+        # a braced EXISTS body is a full reading query — UNION included
+        # (cypher_subquery.sql); existence is the OR of the branches, with
+        # the reference's column-arity check
+        while self.accept_kw("union"):
+            self.accept_kw("all")
+            branches.append(self._parse_subquery_branch())
+        self.expect_op("}")
+        arities = {len(r or []) for _, _, r in branches}
+        if len(branches) > 1 and len(arities) > 1:
+            raise CypherSyntaxError(
+                "each UNION query must have the same number of columns"
+            )
+        out = None
+        for pats, where, rets in branches:
+            node = A.ExistsSubquery(pats, where, returns=rets)
+            out = node if out is None else A.Binary("or", out, node)
+        return out
+
+    def _parse_subquery_branch(self):
         self.accept_kw("match")
         pats = [self.parse_path_pattern()]
         while self.accept_op(","):
             pats.append(self.parse_path_pattern())
         where = self.parse_expr() if self.accept_kw("where") else None
-        self._skip_subquery_return()
-        self.expect_op("}")
-        return A.ExistsSubquery(pats, where)
+        rets = self._parse_subquery_return()
+        return pats, where, rets
 
-    def _skip_subquery_return(self) -> None:
+    def _parse_subquery_return(self):
         """EXISTS/COUNT subqueries accept a full body with RETURN
         (cypher_match.sql EXISTS { MATCH (x:Person) RETURN x }); only row
-        existence matters, so the projection parses and is discarded."""
-        if self.accept_kw("return"):
-            while True:
-                self.parse_expr()
-                if self.accept_kw("as"):
-                    self.expect_name()
-                if not self.accept_op(","):
-                    break
+        existence matters, but the items are kept so variable references
+        validate (cypher_subquery.out 'could not find rte' errors)."""
+        if not self.accept_kw("return"):
+            return None
+        items = []
+        while True:
+            items.append(self.parse_expr())
+            if self.accept_kw("as"):
+                self.expect_name()
+            if not self.accept_op(","):
+                break
+        return items
 
     def _at_pattern_inside_paren(self) -> bool:
         # after consuming 'exists(' — pattern iff '(' follows
@@ -916,14 +1005,9 @@ class Parser:
         if self.at_op("("):
             return self.parse_func_call("count")
         self.expect_op("{")
-        self.accept_kw("match")
-        pats = [self.parse_path_pattern()]
-        while self.accept_op(","):
-            pats.append(self.parse_path_pattern())
-        where = self.parse_expr() if self.accept_kw("where") else None
-        self._skip_subquery_return()
+        pats, where, rets = self._parse_subquery_branch()
         self.expect_op("}")
-        return A.CountSubquery(pats, where)
+        return A.CountSubquery(pats, where, returns=rets)
 
     def parse_list_or_comprehension(self) -> A.Expr:
         self.expect_op("[")

@@ -254,11 +254,36 @@ def _elem_key(c: Column, dt: T.DataType) -> Column:
     return F.when(c.isNull(), _null_kind_elem_key()).otherwise(key)
 
 
+def _tagged_json_text(c: Column) -> Column:
+    """JSON text of a tagged dynamic value — for embedding in container
+    payloads (never the raw __k/__n struct: a nested dynamic element must
+    serialize as its VALUE, or chained container access reads wrapper
+    structs instead of data)."""
+    k = c.getField("__k")
+    s = c.getField("__s")
+    # JSON-escape the string slot: serialize a 1-element array and strip
+    # the exact bracket chars (position-safe whatever the content)
+    sj = F.to_json(F.array(s))
+    sj = F.substring(sj, 2, F.length(sj) - 2)
+    num = F.coalesce(c.getField("__i").cast("string"), c.getField("__n").cast("string"))
+    return (
+        F.when(c.isNull() | k.isNull() | (k == 8), F.lit("null"))
+        .when(k == 7, num)
+        .when(k == 6, c.getField("__b").cast("string"))
+        .when(k == 5, sj)
+        .otherwise(F.coalesce(c.getField("__j"), F.lit("null")))
+    )
+
+
 def _jsonb_canonical(col: Column, dt: T.DataType) -> Column:
     """Reorder every (nested) struct level into jsonb (length, byte) key
     order. The serialized payload doubles as the container comparison
     tiebreak, so pair ORDER must not affect identity — {a:1, b:2} equals
-    {b:2, a:1} at any depth (jsonb object semantics)."""
+    {b:2, a:1} at any depth (jsonb object semantics).  Nested TAGGED
+    values re-enter as VARIANT so the payload holds their data, not the
+    wrapper struct."""
+    if is_tagged_type(_strip_nullability(dt)):
+        return F.parse_json(_tagged_json_text(col))
     if isinstance(dt, T.StructType):
         ordered = sorted(
             (f for f in dt.fields if f.name != "_none"),
@@ -356,6 +381,9 @@ def tag_column(col: Column, src_dt: T.DataType) -> Column:
     kind meet inside one dynamic column; documented in COVERAGE.md)."""
     if is_tagged_type(src_dt):
         return col
+    if isinstance(_strip_nullability(src_dt), T.NullType):
+        # a typed-NULL column (CREATE {prop: null}) holds no value at all
+        return F.lit(None).cast(TAGGED_TYPE)
     ek = _entity_kind(src_dt)
     if ek is not None:
         # vertex/edge/path payload rides in __j (the agtype JSON body);
@@ -472,6 +500,7 @@ def _widen(a: T.DataType, b: T.DataType) -> T.DataType:
             is_tagged_type(other)
             or _scalar_kind(on) is not None
             or _container_kind(on) is not None
+            or _entity_kind(on) is not None
         ):
             return TAGGED_TYPE
         raise CatalogError(

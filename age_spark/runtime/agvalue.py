@@ -49,7 +49,13 @@ def _fmt_float(v: float) -> str:
     if v == int(v) and abs(v) < 1e16:
         return f"{int(v)}.0"
     try:
-        f32_exact = _struct.unpack("f", _struct.pack("f", v))[0] == v
+        # the float4 shortening only serves pgvector-scale values; big
+        # powers of two (2^64 from an overflowing int literal) are f32-
+        # exact by accident and must keep their %.15g digits
+        f32_exact = (
+            1e-30 < abs(v) < 1e10
+            and _struct.unpack("f", _struct.pack("f", v))[0] == v
+        )
     except OverflowError:  # |v| beyond float4 range
         f32_exact = False
     if f32_exact:
@@ -61,7 +67,15 @@ def _fmt_float(v: float) -> str:
         import numpy as _np
 
         return repr(_np.float32(v))
-    return repr(v)
+    # float8out with extra_float_digits=0 (the regress environment):
+    # %.15g — pi() prints 3.14159265358979, not the 17-digit repr
+    # (expr.out:631); shortest-repr values within 15 digits unaffected
+    s = "%.15g" % v
+    if "e" in s or "E" in s:
+        return s
+    if "." not in s:
+        return s + ".0"
+    return s
 
 
 def _props(d: Optional[dict]) -> dict:

@@ -71,7 +71,10 @@ def _eval_props(ctx: QueryContext, df: DataFrame, env: Env, props) -> list[tuple
         from ..compiler.exprs import literal_to_column
         return [(k, literal_to_column(v)) for k, v in pval.items()]
     if isinstance(props, A.MapLit):
-        return [(k, compile_expr(scope, v)) for k, v in props.items]
+        dedup: dict = {}
+        for k, v in props.items:
+            dedup[k] = v  # duplicate keys: last wins (jsonb semantics)
+        return [(k, compile_expr(scope, v)) for k, v in dedup.items()]
     raise CompileError("unsupported properties expression in pattern")
 
 

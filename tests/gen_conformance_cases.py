@@ -23,6 +23,73 @@ REF = "/root/reference/regress/expected"
 OUT_DIR = os.path.join(os.path.dirname(__file__), "data")
 
 
+def _norm_q(q: str) -> str:
+    """Collapse whitespace OUTSIDE string literals only — a naive
+    split/join would destroy values like split('a,b,cd  e,f', ' ').
+    Comments are stripped FIRST (joining lines would otherwise let a //
+    comment swallow the rest of the query)."""
+    out: list[str] = []
+    i, n = 0, len(q)
+    quote = None
+    while i < n:
+        ch = q[i]
+        if quote is None and ch == "/" and i + 1 < n and q[i + 1] == "/":
+            while i < n and q[i] != "\n":
+                i += 1
+            continue
+        if quote is None and ch == "/" and i + 1 < n and q[i + 1] == "*":
+            j = q.find("*/", i + 2)
+            i = n if j < 0 else j + 2
+            continue
+        if quote:
+            out.append(ch)
+            if ch == "\\" and i + 1 < n:
+                out.append(q[i + 1])
+                i += 1
+            elif ch == quote:
+                quote = None
+        elif ch in "'\"":
+            quote = ch
+            out.append(ch)
+        elif ch.isspace():
+            if out and out[-1] != " ":
+                out.append(" ")
+            while i + 1 < n and q[i + 1].isspace():
+                i += 1
+        else:
+            out.append(ch)
+        i += 1
+    return "".join(out).strip()
+
+
+def _sql_shaped(stmt_text: str) -> bool:
+    """True when the OUTER SQL transforms the cypher() resultset — a
+    column definition list with non-agtype types (PG casts the values:
+    ints, json, float8...) or a SELECT target list that is not `*` /
+    count(*) (the block's output is a SQL expression over the results).
+    Such blocks pin PG-rendered values the engine should not reproduce."""
+    m = re.search(r"\bAS\s+(?:\w+\s*)?\(([^()]*)\)\s*;?\s*$", stmt_text, re.I | re.S)
+    boolcol = False
+    if m:
+        for coldef in m.group(1).split(","):
+            parts = coldef.strip().split()
+            if len(parts) >= 2 and parts[-1].lower() not in ("agtype", "bool", "boolean"):
+                return True
+            if len(parts) >= 2 and parts[-1].lower() in ("bool", "boolean"):
+                boolcol = True
+    if re.match(r"SELECT\s+count\(\*\)", stmt_text, re.I):
+        return False
+    if not re.match(r"SELECT\s+\*\s+FROM", stmt_text, re.I):
+        return True
+    if re.search(r"\)\s*WHERE\s", stmt_text, re.I):
+        return True  # outer-SQL WHERE filters the resultset
+    if stmt_text.count("cypher(") > 1:
+        return True  # outer-SQL join of several cypher() calls
+    # a bool column definition renders t/f and turns agtype cast errors
+    # into PG bool-cast errors — weaker reshaping, flagged separately
+    return "bool" if boolcol else False
+
+
 def extract(path: str) -> list[dict]:
     lines = open(path).read().split("\n")
     i = 0
@@ -43,7 +110,7 @@ def extract(path: str) -> list[dict]:
             i += 1
             mcy = re.search(r"cypher\('([^']+)'\s*,\s*\$\$(.*?)\$\$", "\n".join(body), re.S)
             if mfn and mcy:
-                functions[mfn.group(1)] = (mcy.group(1), " ".join(mcy.group(2).split()))
+                functions[mfn.group(1)] = (mcy.group(1), _norm_q(mcy.group(2)))
             continue
         if not ln.startswith(("SELECT", "PREPARE", "EXECUTE", "SET ")):
             i += 1
@@ -93,7 +160,7 @@ def extract(path: str) -> list[dict]:
         if m and stmt_text.startswith("PREPARE"):
             mp = re.match(r"PREPARE\s+(\w+)", stmt_text)
             if mp:
-                prepared[mp.group(1)] = (m.group(1), " ".join(m.group(2).split()))
+                prepared[mp.group(1)] = (m.group(1), _norm_q(m.group(2)))
             # a PREPARE block has no execution result of its own — the
             # EXECUTE blocks replay it below
             continue
@@ -121,8 +188,13 @@ def extract(path: str) -> list[dict]:
                 _finish_case(c, err, errmsg, stmt_text, values, nrows)
                 cases.append(c)
             continue
-        q = " ".join(m.group(2).split())
+        q = _norm_q(m.group(2))
         c: dict = {"g": m.group(1), "q": q}
+        shape = _sql_shaped(stmt_text)
+        if shape is True:
+            c["sqlshape"] = True
+        elif shape == "bool":
+            c["boolcol"] = True
         _finish_case(c, err, errmsg, stmt_text, values, nrows)
         cases.append(c)
     return cases

@@ -17,7 +17,7 @@ SCALAR_CASES = [
     ('cosine_distance("[1,2,3]", "[1,2,4]")', "0.00853986601633272"),
     ('l1_distance("[1,2,3]", "[1,2,4]")', "1.0"),
     ('vector_dims("[1,2,3]")', "3"),
-    ('vector_norm("[1,2,3]")', "3.7416573867739413"),
+    ('vector_norm("[1,2,3]")', "3.74165738677394"),
     ('l2_normalize("[1,2,3]")::text', "[0.26726124, 0.5345225, 0.80178374]"),
     ('subvector("[1,2,3,4,5,6]", 2, 4)::text', "[2, 3, 4, 5]"),
     ('binary_quantize("[1,2,4]")', '"111"'),
