@@ -2990,3 +2990,15 @@ def _fn_pg_sqrt(scope, args, cols):
         raise CompileError("cannot take square root of a negative number")
     return F.sqrt(cols[0])
 
+@fn("is_valid_label_name")
+def _fn_is_valid_label_name(scope, args, cols):
+    # name_validation.out — the reference's label-name rules as a boolean
+    from ..catalog import _NAME_RE
+
+    a0 = args[0] if args else None
+    if isinstance(a0, A.Lit):
+        if not isinstance(a0.value, str):
+            return F.lit(False)
+        return F.lit(bool(_NAME_RE.match(a0.value)))
+    return F.regexp_like(cols[0].cast("string"), F.lit(r"^[A-Za-z_][A-Za-z0-9_]{0,62}$"))
+

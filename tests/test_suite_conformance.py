@@ -88,6 +88,8 @@ SUITES = [
     "scan",
     "direct_field_access",
     "reserved_keyword_alias",
+    "name_validation",
+    "agtype_jsonb_cast",
 ]
 
 
