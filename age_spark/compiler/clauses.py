@@ -75,7 +75,7 @@ def transform_expr(e, fn):
     elif isinstance(e, A.Prop):
         e = A.Prop(transform_expr(e.expr, fn), e.key)
     elif isinstance(e, A.Index):
-        e = A.Index(transform_expr(e.expr, fn), transform_expr(e.index, fn))
+        e = A.Index(transform_expr(e.expr, fn), transform_expr(e.index, fn), e.arrow)
     elif isinstance(e, A.Slice):
         e = A.Slice(transform_expr(e.expr, fn), transform_expr(e.lo, fn), transform_expr(e.hi, fn))
     elif isinstance(e, A.ListLit):
@@ -394,6 +394,7 @@ def _agg_tagged(ctx: QueryContext, node: A.FuncCall, arg_col: Column) -> Column:
                 F.lit(7).cast("tinyint").alias("__k"),
                 nsum.alias("__n"),
                 F.when(all_int, isum).alias("__i"),
+                F.lit(None).cast("decimal(38,18)").alias("__d"),
                 F.lit(None).cast("string").alias("__s"),
                 F.lit(None).cast("boolean").alias("__b"),
                 F.lit(None).cast(ORDER_KEY_TYPE).alias("__o"),

@@ -393,6 +393,7 @@ def _tagged_container_access(c: Column, path: str) -> Column:
             k.alias("__k"),
             F.when(is_int | is_float, F.try_variant_get(v, "$", "double")).alias("__n"),
             F.when(is_int, F.try_variant_get(v, "$", "long")).alias("__i"),
+            F.lit(None).cast("decimal(38,18)").alias("__d"),
             F.when(is_str, F.try_variant_get(v, "$", "string")).alias("__s"),
             F.when(is_bool, F.try_variant_get(v, "$", "boolean")).alias("__b"),
             F.lit(None).cast(ORDER_KEY_TYPE).alias("__o"),
@@ -474,13 +475,12 @@ def _compile_index(scope: ExprScope, e: A.Index) -> Column:
                 F.get(elems, F.size(elems) + i)
             )
             k = c.getField("__k")
-            return (
-                F.when(k == 4, picked)
-                # scalar kinds index like a one-element list: 0 / -1
+            out = F.when(k == 4, picked)
+            if getattr(e, "arrow", False):
+                # `->` indexes a scalar like a one-element list: 0 / -1
                 # return the value itself (jsonb_operators.out:63)
-                .when((k >= 5) & ((i == 0) | (i == -1)), c)
-                .otherwise(F.lit(None).cast(TAGGED_TYPE))
-            )
+                out = out.when((k >= 5) & ((i == 0) | (i == -1)), c)
+            return out.otherwise(F.lit(None).cast(TAGGED_TYPE))
 
         return let_column(base, _idx)
     if dt is not None and _is_map(dt):
@@ -493,9 +493,13 @@ def _compile_index(scope: ExprScope, e: A.Index) -> Column:
             return F.lit(None)
         raise CompileError("struct subscript requires a constant string key")
     if dt is not None and not isinstance(dt, (T.ArrayType, T.NullType)):
-        # subscript into a scalar: agtype treats the scalar as a
-        # one-element list — index 0 or -1 returns it, others null
-        # (jsonb_operators.out `...->'bool'->-1` = false)
+        # the jsonb `->` spelling treats a scalar as a one-element list
+        # (index 0 / -1 returns it, jsonb_operators.out:63); a bracket
+        # SUBSCRIPT on a scalar is an error (expr.out:996)
+        if not getattr(e, "arrow", False):
+            raise CompileError(
+                "A_indirection could not convert the scalar to a container"
+            )
         i0 = idx.cast("int")
         return F.when((i0 == 0) | (i0 == -1), base)
     if (
@@ -795,6 +799,7 @@ def tagged_json_elements(col: Column) -> Column:
             F.lit("__k"), k,
             F.lit("__n"), F.when(is_num, F.try_variant_get(e, "$", "double")),
             F.lit("__i"), F.when(is_int, F.try_variant_get(e, "$", "bigint")),
+            F.lit("__d"), F.lit(None).cast("decimal(38,18)"),
             F.lit("__s"), F.when(is_str, F.try_variant_get(e, "$", "string")),
             F.lit("__b"), F.when(is_bool, F.try_variant_get(e, "$", "boolean")),
             F.lit("__o"), F.lit(None).cast(
@@ -839,6 +844,7 @@ def _containment_key(c: Column) -> Column:
         c.getField("__k").alias("__k"),
         c.getField("__n").alias("__n"),
         c.getField("__i").alias("__i"),
+        c.getField("__d").alias("__d"),
         c.getField("__s").alias("__s"),
         c.getField("__b").alias("__b"),
         c.getField("__j").alias("__j"),
@@ -1021,6 +1027,7 @@ def _tagged_arith(
             F.when(is_str, 5).otherwise(7).cast("tinyint").alias("__k"),
             F.when(~is_str, final_n.cast("double")).alias("__n"),
             F.when(~is_str, final_i).alias("__i"),
+            F.lit(None).cast("decimal(38,18)").alias("__d"),
             (str_concat if str_concat is not None else F.lit(None).cast("string")).alias("__s"),
             F.lit(None).cast("boolean").alias("__b"),
             F.lit(None).cast(ORDER_KEY_TYPE).alias("__o"),
@@ -1429,7 +1436,7 @@ def _compile_binary(scope: ExprScope, e: A.Binary) -> Column:
     if op == "->>":
         # jsonb `->>`: access, then the value AS TEXT (strings unquoted,
         # containers as their JSON text)
-        inner = compile_expr(scope, A.Index(e.left, e.right))
+        inner = compile_expr(scope, A.Index(e.left, e.right, arrow=True))
         idt = dtype_of(scope, inner)
         if idt is None or isinstance(idt, T.NullType):
             return inner
@@ -1666,6 +1673,7 @@ def _tagged_null() -> Column:
         F.lit("__k"), F.lit(8).cast("tinyint"),
         F.lit("__n"), F.lit(None).cast("double"),
         F.lit("__i"), F.lit(None).cast("long"),
+        F.lit("__d"), F.lit(None).cast("decimal(38,18)"),
         F.lit("__s"), F.lit(None).cast("string"),
         F.lit("__b"), F.lit(None).cast("boolean"),
         F.lit("__o"), F.lit(None).cast(
@@ -2103,12 +2111,21 @@ def _elem_tagged(scope, col: Column) -> bool:
 def _tagged_to_string(c: Column) -> Column:
     k, n, s, b = _tagged_parts(c)
     i = c.getField("__i")
-    # int kind prints bare (exact via the __i payload); float kind keeps
-    # the ".0" (float8out, ag_float8_supp.c) — Spark's double->string does
+    d = c.getField("__d")
+    # int kind prints bare (exact via the __i payload); NUMERIC strips the
+    # fixed-scale zero padding; float kind keeps the ".0" (float8out)
+    dstr = F.regexp_replace(
+        F.regexp_replace(d.cast("string"), r"(\.\d*?)0+$", r"$1"), r"\.$", ""
+    )
     return (
         F.when(k == 5, s)
         .when(k == 6, b.cast("string"))
-        .when(k == 7, F.when(i.isNotNull(), i.cast("string")).otherwise(n.cast("string")))
+        .when(
+            k == 7,
+            F.when(d.isNotNull(), dstr)
+            .when(i.isNotNull(), i.cast("string"))
+            .otherwise(n.cast("string")),
+        )
     )
 
 
@@ -2261,6 +2278,7 @@ def _fn_tonumeric(scope, args, cols):
         k = c.getField("__k")
         return (
             F.when(k == 7, F.coalesce(
+                c.getField("__d"),
                 c.getField("__i").cast("decimal(38,18)"),
                 _f8_to_numeric(c.getField("__n")),
             ))

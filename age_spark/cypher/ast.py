@@ -49,6 +49,10 @@ class Prop(Expr):
 class Index(Expr):
     expr: Expr
     index: Expr
+    # True for the jsonb `->` spelling: scalar bases self-index at 0/-1
+    # there, while a bracket subscript on a non-container errors
+    # (jsonb_operators.out:63 vs expr.out:996)
+    arrow: bool = False
 
 
 @dataclass

@@ -704,7 +704,7 @@ class Parser:
                 op = self.advance().value
                 rhs = self.parse_unary_minus_atom()
                 if op == "->":
-                    e = A.Index(e, rhs)
+                    e = A.Index(e, rhs, arrow=True)
                 else:
                     e = A.Binary("->>", e, rhs)
             elif self.at_op("{") and isinstance(e, A.Var):

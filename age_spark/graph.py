@@ -117,12 +117,13 @@ ORDER_KEY_TYPE = T.StructType(
     [T.StructField(f"e{i}", _PAIR_TYPE, True) for i in range(ORDER_KEY_WIDTH)]
 )
 
-TAGGED_FIELD_NAMES = ("__k", "__n", "__i", "__s", "__b", "__o", "__j")
+TAGGED_FIELD_NAMES = ("__k", "__n", "__i", "__d", "__s", "__b", "__o", "__j")
 TAGGED_TYPE = T.StructType(
     [
         T.StructField("__k", T.ByteType(), True),
         T.StructField("__n", T.DoubleType(), True),  # coalesced numeric sort key
         T.StructField("__i", T.LongType(), True),    # exact int64 payload (int kind)
+        T.StructField("__d", T.DecimalType(38, 18), True),  # NUMERIC payload
         T.StructField("__s", T.StringType(), True),
         T.StructField("__b", T.BooleanType(), True),
         T.StructField("__o", ORDER_KEY_TYPE, True),  # container element-wise order key
@@ -403,6 +404,7 @@ def tag_column(col: Column, src_dt: T.DataType) -> Column:
             k.alias("__k"),
             F.lit(None).cast("double").alias("__n"),
             exact.alias("__i"),
+            F.lit(None).cast("decimal(38,18)").alias("__d"),
             idc.alias("__s"),
             F.lit(None).cast("boolean").alias("__b"),
             F.lit(None).cast(ORDER_KEY_TYPE).alias("__o"),
@@ -414,13 +416,18 @@ def tag_column(col: Column, src_dt: T.DataType) -> Column:
         raise CatalogError(f"cannot represent {src_dt.simpleString()} as a dynamic value")
     k = F.lit(_KIND_RANK[kind]).cast("tinyint")
     n = col.cast("double") if kind == "numeric" else F.lit(None).cast("double")
-    # int-kind payload: exact int64 (decimal sources with scale 0 count as
-    # int kind only if they fit a long — otherwise they stay float-kind,
-    # the pre-existing documented DECIMAL deviation)
+    # numeric kind payloads: exact int64 for int sources, DECIMAL for
+    # NUMERIC sources (agtype.h:307-323 keeps INTEGER / FLOAT / NUMERIC
+    # as distinct kinds; the ::numeric print marker survives mixing)
     i = (
         col.cast("long")
         if kind == "numeric" and isinstance(_strip_nullability(src_dt), _INT_TYPES)
         else F.lit(None).cast("long")
+    )
+    d = (
+        col.cast("decimal(38,18)")
+        if kind == "numeric" and isinstance(_strip_nullability(src_dt), T.DecimalType)
+        else F.lit(None).cast("decimal(38,18)")
     )
     s = col if kind == "string" else F.lit(None).cast("string")
     b = col if kind == "bool" else F.lit(None).cast("boolean")
@@ -435,7 +442,7 @@ def tag_column(col: Column, src_dt: T.DataType) -> Column:
             # not part of jsonb object identity)
             j = F.to_json(_jsonb_canonical(cc, src_dt), {"ignoreNullFields": "false"})
             tagged = F.struct(
-                k.alias("__k"), n.alias("__n"), i.alias("__i"),
+                k.alias("__k"), n.alias("__n"), i.alias("__i"), d.alias("__d"),
                 s.alias("__s"), b.alias("__b"), o.alias("__o"), j.alias("__j"),
             )
             return F.when(cc.isNull(), F.lit(None).cast(TAGGED_TYPE)).otherwise(tagged)
@@ -444,7 +451,7 @@ def tag_column(col: Column, src_dt: T.DataType) -> Column:
     o = F.lit(None).cast(ORDER_KEY_TYPE)
     j = F.lit(None).cast("string")
     tagged = F.struct(
-        k.alias("__k"), n.alias("__n"), i.alias("__i"),
+        k.alias("__k"), n.alias("__n"), i.alias("__i"), d.alias("__d"),
         s.alias("__s"), b.alias("__b"), o.alias("__o"), j.alias("__j"),
     )
     return F.when(col.isNull(), F.lit(None).cast(TAGGED_TYPE)).otherwise(tagged)
@@ -542,7 +549,12 @@ def _widen(a: T.DataType, b: T.DataType) -> T.DataType:
         # instead of silently widening to double
         return TAGGED_TYPE
     if _scalar_kind(an) == "numeric" and _scalar_kind(bn) == "numeric":
-        return T.DoubleType()  # decimal/exotic numeric mix
+        if isinstance(an, T.DecimalType) or isinstance(bn, T.DecimalType):
+            # NUMERIC is its own kind (agtype.h:307): a decimal meeting an
+            # int/float becomes a dynamic value so the ::numeric marker
+            # survives per row
+            return TAGGED_TYPE
+        return T.DoubleType()  # exotic same-class numeric mix
     if (_scalar_kind(an) is not None or _container_kind(an) is not None) and (
         _scalar_kind(bn) is not None or _container_kind(bn) is not None
     ):

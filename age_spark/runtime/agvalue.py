@@ -113,7 +113,7 @@ def _out(v: Any) -> str:
     if isinstance(v, (list, tuple)):
         return "[" + ", ".join(_out(x) for x in v) + "]"
     if isinstance(v, dict):
-        if "__k" in v and set(v.keys()) <= {"__k", "__n", "__i", "__s", "__b", "__o", "__j"}:
+        if "__k" in v and set(v.keys()) <= {"__k", "__n", "__i", "__d", "__s", "__b", "__o", "__j"}:
             # tagged dynamic value (mixed-kind property): print its payload
             k = v["__k"]
             if k in (0, 1, 2, 3, 4):
@@ -126,9 +126,14 @@ def _out(v: Any) -> str:
             if k == 6:
                 return "true" if v["__b"] else "false"
             if k == 7:
-                # int kind carries its exact int64 in __i (prints bare,
-                # >2^53 exact); float kind prints float8out-style with
-                # the ".0" kept for integral values (ag_float8_supp.c:31)
+                # numeric kinds: NUMERIC carries its decimal in __d
+                # (prints with the ::numeric marker), int its exact int64
+                # in __i (prints bare, >2^53 exact); float prints
+                # float8out-style with the ".0" kept for integral values
+                # (ag_float8_supp.c:31; agtype.h:307-323 kind trio)
+                d = v.get("__d")
+                if d is not None:
+                    return f"{format(d.normalize(), 'f')}::numeric"
                 i = v.get("__i")
                 if i is not None:
                     return str(i)

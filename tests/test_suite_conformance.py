@@ -38,8 +38,6 @@ SKIPS = {
         "MATCH (u) RETURN collect(u.name), collect(u.age), collect(u.gpa), collect(u.zip)": _COLLECT_ORDER,
         "MATCH (u) RETURN collect(u.gpa), collect(u.gpa)": _NUMERIC_BOUND,
         "MATCH (u) RETURN collect(u.zip), collect(u.zip)": _COLLECT_ORDER,
-        "MATCH (u) RETURN u.i ORDER BY u.i": _NUMERIC_BOUND,
-        "MATCH (u) RETURN u.i ORDER BY u.i DESC": _NUMERIC_BOUND,
     },
     "agtype": {
         "RETURN 9223372036854775807::numeric * 9223372036854775807::integer": _NUMERIC_BOUND,
