@@ -867,11 +867,12 @@ def _compile_optional_match(ctx: QueryContext, st: State, m: A.Match) -> State:
         c = left.eqNullSafe(F.col(f"_j_{v}"))
         cond = c if cond is None else (cond & c)
     if cond is None:
-        out = st.df.crossJoin(sub_out) if not sub_out.isEmpty() else st.df
-        # no shared vars and empty optional side: keep outer rows with nulls
-        if sub_out.isEmpty():
-            for v in new_vars:
-                out = out.withColumn(v, F.lit(None).cast(sub_df.schema[v].dataType))
+        # No shared vars: a left join on a constant-true condition IS a cross
+        # join when the optional side has rows, and null-fills the new
+        # columns when it is empty — one declarative plan, no driver-side
+        # isEmpty() probes (the old eager probes ran the subquery twice at
+        # compile time and a third time in the crossJoin).
+        out = st.df.join(sub_out, F.lit(True), "left")
     else:
         out = st.df.join(sub_out, cond, "left").drop(*[f"_j_{v}" for v, _ in join_keys])
 
@@ -999,17 +1000,20 @@ def compile_query(ctx: QueryContext, q: A.UnionQuery) -> tuple[DataFrame, QueryC
     # tagged dynamic values, deduplicated by VALUE on the agtype ladder
     # (`1.0::int UNION 1::float` -> one row printing "1") with the earliest
     # branch's representative kept.
-    df = df.withColumn("_ub", F.lit(0))
+    # branch-ordinal column: fresh per query so a user column that happens
+    # to be aliased "_ub" is never silently overwritten
+    ub = ctx.fresh("_ub")
+    df = df.withColumn(ub, F.lit(0))
     for bi, (part, keep_all) in enumerate(zip(q.parts[1:], q.alls), start=1):
         nxt, ctx = compile_single(ctx, part)
         if len(nxt.columns) != len(df.columns) - 1:
             raise CompileError(
                 "UNION branches must return the same number of columns"
             )
-        df = _union_positional(df, nxt.withColumn("_ub", F.lit(bi)))
+        df = _union_positional(df, nxt.withColumn(ub, F.lit(bi)))
         if not keep_all:
-            df = _union_distinct(df)
-    return df.drop("_ub"), ctx
+            df = _union_distinct(df, ub)
+    return df.drop(ub), ctx
 
 
 def _union_positional(df: DataFrame, nxt: DataFrame) -> DataFrame:
@@ -1030,25 +1034,26 @@ def _union_positional(df: DataFrame, nxt: DataFrame) -> DataFrame:
     return df.select(*lcols).unionByName(nxt.select(*rcols))
 
 
-def _union_distinct(df: DataFrame) -> DataFrame:
+def _union_distinct(df: DataFrame, ub: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     from ..graph import is_tagged_type, tagged_cmp_key
 
-    data_cols = [c for c in df.columns if c != "_ub"]
+    data_cols = [c for c in df.columns if c != ub]
     if not any(is_tagged_type(df.schema[c].dataType) for c in data_cols):
         # plain distinct, but keep the smallest branch ordinal so later
         # tagged unions still see earliest-branch representatives
-        return df.groupBy(*data_cols).agg(F.min("_ub").alias("_ub"))
+        return df.groupBy(*data_cols).agg(F.min(ub).alias(ub))
     keys = [
         tagged_cmp_key(F.col(c)) if is_tagged_type(df.schema[c].dataType) else F.col(c)
         for c in data_cols
     ]
-    w = Window.partitionBy(*keys).orderBy(F.col("_ub"), F.monotonically_increasing_id())
+    urn = ub + "_rn"  # derived from the fresh ordinal name, so also fresh
+    w = Window.partitionBy(*keys).orderBy(F.col(ub), F.monotonically_increasing_id())
     return (
-        df.withColumn("_urn", F.row_number().over(w))
-        .where(F.col("_urn") == 1)
-        .drop("_urn")
+        df.withColumn(urn, F.row_number().over(w))
+        .where(F.col(urn) == 1)
+        .drop(urn)
     )
 
 

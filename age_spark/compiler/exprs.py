@@ -851,45 +851,101 @@ def _containment_key(c: Column) -> Column:
     )
 
 
-def _existence_keys(col: Column, dt) -> "Optional[Column]":
-    """The string set a jsonb existence operator tests against: an object's
-    top-level keys, an array's string elements, a string itself.  Entities
-    contribute their property keys (the vertex IS its properties object
-    for `n ? 'k'`).  None = statically not key-bearing."""
-    from ..graph import (
-        _entity_kind,
-        _strip_nullability,
-        is_tagged_type,
-        prop_display_name,
+def _exist_trim_dec(d: Column) -> Column:
+    # numeric_eq is value equality: 5.00 == 5, so strip the fixed-scale
+    # zero padding before encoding
+    return F.regexp_replace(
+        F.regexp_replace(d.cast("string"), r"(\.\d*?)0+$", r"$1"), r"\.$", ""
     )
+
+
+def _exist_enc_tagged(x: Column) -> Column:
+    """Kind-prefixed existence key of one tagged scalar: AGE's existence
+    lookup matches array elements by SAME-TYPE value equality
+    (agtype_util.c equals_agtype_scalar_value via
+    find_agtype_value_from_container — int 1 does not match float 1.0 or
+    string "1"), so the encoding carries the kind.  NULL for the null kind
+    and for container/entity kinds (non-scalars never match)."""
+    k = x.getField("__k")
+    d = x.getField("__d")
+    return (
+        F.when(k == 5, F.concat(F.lit("s:"), x.getField("__s")))
+        .when(k == 6, F.concat(F.lit("b:"), x.getField("__b").cast("string")))
+        .when(
+            k == 7,
+            F.when(d.isNotNull(), F.concat(F.lit("d:"), _exist_trim_dec(d)))
+            .when(
+                x.getField("__i").isNotNull(),
+                F.concat(F.lit("i:"), x.getField("__i").cast("string")),
+            )
+            .otherwise(F.concat(F.lit("f:"), x.getField("__n").cast("string"))),
+        )
+    )
+
+
+def _exist_enc_concrete(x: Column, et) -> "Optional[Column]":
+    """Kind-prefixed existence key for a concretely-typed scalar; None when
+    the type is statically non-scalar (containers never match)."""
+    from ..graph import _strip_nullability, is_tagged_type
+
+    et = _strip_nullability(et)
+    if is_tagged_type(et):
+        return _exist_enc_tagged(x)
+    if isinstance(et, T.StringType):
+        return F.concat(F.lit("s:"), x)
+    if isinstance(et, T.BooleanType):
+        return F.concat(F.lit("b:"), x.cast("string"))
+    if isinstance(et, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        return F.concat(F.lit("i:"), x.cast("string"))
+    if isinstance(et, (T.FloatType, T.DoubleType)):
+        return F.concat(F.lit("f:"), x.cast("double").cast("string"))
+    if isinstance(et, T.DecimalType):
+        return F.concat(F.lit("d:"), _exist_trim_dec(x))
+    return None
+
+
+def _existence_keys(col: Column, dt) -> "Optional[Column]":
+    """The encoded key set a jsonb existence operator tests against
+    (agtype_ops.c agtype_exists_agtype): an object's top-level keys
+    (string-only match), an array's scalar ELEMENTS by same-type value
+    equality, a string itself.  Entities contribute their property keys
+    (the vertex IS its properties object for `n ? 'k'`).  Keys are
+    kind-prefixed via _exist_enc_* so int/float/string/bool/numeric stay
+    distinct.  None = statically not key-bearing."""
+    from ..graph import _entity_kind, _strip_nullability, is_tagged_type
 
     if dt is None:
         return None
     dt = _strip_nullability(dt)
+    s_pfx = lambda arr: F.transform(arr, lambda x: F.concat(F.lit("s:"), x))  # noqa: E731
     if is_tagged_type(dt):
         k = col.getField("__k")
-        obj_keys = F.json_object_keys(col.getField("__j"))
+        obj_keys = s_pfx(F.json_object_keys(col.getField("__j")))
         arr_elems = F.filter(
-            F.transform(tagged_json_elements(col), lambda x: x.getField("__s")),
+            F.transform(tagged_json_elements(col), _exist_enc_tagged),
             lambda x: x.isNotNull(),
         )
         return (
             F.when(k == 3, obj_keys)
             .when(k == 4, arr_elems)
-            .when(k == 5, F.array(col.getField("__s")))
+            .when(k == 5, F.array(F.concat(F.lit("s:"), col.getField("__s"))))
         )
     if _entity_kind(dt) in ("vertex", "edge"):
         pdt = next(f.dataType for f in dt.fields if f.name == "properties")
         props = col.getField("properties")
-        return _struct_key_array(props, pdt)
+        return s_pfx(_struct_key_array(props, pdt))
     if isinstance(dt, T.StructType):
-        return _struct_key_array(col, dt)
+        return s_pfx(_struct_key_array(col, dt))
     if isinstance(dt, T.ArrayType):
+        enc = _exist_enc_concrete(F.lit(None), dt.elementType)
+        if enc is None:  # array of containers: no scalar elements to match
+            return F.array().cast("array<string>")
         return F.filter(
-            F.transform(col, lambda x: x.cast("string")), lambda x: x.isNotNull()
+            F.transform(col, lambda x: _exist_enc_concrete(x, dt.elementType)),
+            lambda x: x.isNotNull(),
         )
     if isinstance(dt, T.StringType):
-        return F.array(col)
+        return F.array(F.concat(F.lit("s:"), col))
     return None
 
 
@@ -1413,26 +1469,91 @@ def _compile_binary(scope: ExprScope, e: A.Binary) -> Column:
             return _contains(big, bdt, qv)
         return compile_containment(big, bdt, small, sdt)
     if op in ("?", "?|", "?&"):
-        # jsonb existence operators (regress/sql/jsonb_operators.sql):
-        # objects check top-level KEYS, arrays their string ELEMENTS,
-        # a scalar string itself — `?` one key, `?|` any, `?&` all
+        # agtype existence operators (agtype_ops.c agtype_exists_agtype
+        # family): objects check top-level KEYS (string keys only), arrays
+        # their scalar ELEMENTS by same-type VALUE equality, a scalar
+        # string itself — `?` one key, `?|` any, `?&` all.  A non-scalar
+        # key element short-circuits the whole operator to false, in
+        # list order; null key elements skip.
+        from ..graph import _strip_nullability as _sn
+        from ..graph import is_tagged_type as _itt
+
         ldt = _operand_dtype(scope, e.left, l)
         keys = _existence_keys(l, ldt)
         if keys is None:
             return F.lit(None).cast("boolean")
-        if op == "?":
-            return F.array_contains(keys, r.cast("string"))
         rdt = _operand_dtype(scope, e.right, r)
+        if op == "?":
+            if rdt is None:
+                renc = F.concat(F.lit("s:"), r.cast("string"))
+            elif isinstance(rdt, T.NullType):
+                renc = F.lit(None).cast("string")
+            elif isinstance(_sn(rdt), (T.ArrayType, T.StructType, T.MapType)) and not _itt(
+                _sn(rdt)
+            ):
+                return F.when(keys.isNotNull(), F.lit(False))  # non-scalar key
+            else:
+                renc = _exist_enc_concrete(r, rdt)
+                if renc is None:
+                    return F.when(keys.isNotNull(), F.lit(False))
+            return (
+                F.when(keys.isNull(), F.lit(None).cast("boolean"))
+                .when(renc.isNull(), F.lit(False))
+                .otherwise(F.coalesce(F.array_contains(keys, renc), F.lit(False)))
+            )
         if rdt is not None and not isinstance(rdt, (T.ArrayType, T.NullType)):
             # ?| / ?& take a key LIST (jsonb_operators.out:33-39 errors)
             raise CompileError(
                 f"{op} requires an agtype list of strings on the right side"
             )
         rarr = r if isinstance(rdt, T.ArrayType) else F.array(r)
-        rarr = F.transform(rarr, lambda x: x.cast("string"))
+        if isinstance(rdt, T.ArrayType):
+            et = _sn(rdt.elementType)
+            if _itt(et):
+                enc_fn = _exist_enc_tagged
+                sc_fn = lambda x: x.getField("__k") >= 5  # noqa: E731
+            else:
+                probe = _exist_enc_concrete(F.lit(None), et)
+                if probe is None:  # statically non-scalar elements
+                    enc_fn = lambda x: F.lit(None).cast("string")  # noqa: E731
+                    sc_fn = lambda x: F.lit(False)  # noqa: E731
+                else:
+                    enc_fn = lambda x: _exist_enc_concrete(x, et)  # noqa: E731
+                    sc_fn = lambda x: F.lit(True)  # noqa: E731
+        else:
+            enc_fn = lambda x: F.concat(F.lit("s:"), x.cast("string"))  # noqa: E731
+            sc_fn = lambda x: F.lit(True)  # noqa: E731
+        pairs = F.transform(
+            rarr, lambda x: F.struct(enc_fn(x).alias("e"), sc_fn(x).alias("sc"))
+        )
+        hit = lambda p: F.coalesce(  # noqa: E731
+            F.array_contains(keys, p.getField("e")), F.lit(False)
+        )
         if op == "?|":
-            return F.exists(rarr, lambda x: F.array_contains(keys, x))
-        return F.forall(rarr, lambda x: F.array_contains(keys, x))
+            # fold state: 0 = no match yet, 1 = matched, 2 = aborted
+            state = F.aggregate(
+                pairs,
+                F.lit(0),
+                lambda acc, p: F.when(acc != 0, acc)
+                .when(~F.coalesce(p.getField("sc"), F.lit(True)), F.lit(2))
+                .when(p.getField("e").isNull(), acc)
+                .when(hit(p), F.lit(1))
+                .otherwise(acc),
+            )
+            return F.when(keys.isNull(), F.lit(None).cast("boolean")).otherwise(
+                state == 1
+            )
+        # ?&: 0 = all satisfied so far, 2 = failed
+        state = F.aggregate(
+            pairs,
+            F.lit(0),
+            lambda acc, p: F.when(acc != 0, acc)
+            .when(~F.coalesce(p.getField("sc"), F.lit(True)), F.lit(2))
+            .when(p.getField("e").isNull(), acc)
+            .when(hit(p), acc)
+            .otherwise(F.lit(2)),
+        )
+        return F.when(keys.isNull(), F.lit(None).cast("boolean")).otherwise(state == 0)
     if op == "->>":
         # jsonb `->>`: access, then the value AS TEXT (strings unquoted,
         # containers as their JSON text)
@@ -2997,6 +3118,12 @@ def _fn_pg_typeof(scope, args, cols):
 
 @fn("pg_sqrt")
 def _fn_pg_sqrt(scope, args, cols):
+    """pg_catalog.sqrt with the reference's negative-argument error
+    (float.c dsqrt). SCOPE BOUND: the error is detected SYNTACTICALLY on
+    literal ASTs only — a computed negative (``sqrt(0-1)`` or a negative
+    column value) returns NULL instead of raising, because a distributed
+    plan cannot raise per-row without a runtime raise_error branch. This
+    is a test-parity shim for the regression suites' literal calls."""
     _require_numeric(scope, "sqrt", args, cols)
     a0 = args[0] if args else None
     neg = isinstance(a0, A.Unary) and a0.op == "-"

@@ -266,7 +266,18 @@ def _tagged_json_text(c: Column) -> Column:
     # the exact bracket chars (position-safe whatever the content)
     sj = F.to_json(F.array(s))
     sj = F.substring(sj, 2, F.length(sj) - 2)
-    num = F.coalesce(c.getField("__i").cast("string"), c.getField("__n").cast("string"))
+    # NUMERIC payload (__d) serializes ahead of __i/__n so a decimal nested
+    # inside a container keeps its exact digits, not the double
+    # approximation.  The ::numeric KIND marker itself does not survive
+    # JSON embedding (documented in COVERAGE.md) — the digits do.
+    dstr = F.regexp_replace(
+        F.regexp_replace(c.getField("__d").cast("string"), r"(\.\d*?)0+$", r"$1"),
+        r"\.$",
+        "",
+    )
+    num = F.coalesce(
+        dstr, c.getField("__i").cast("string"), c.getField("__n").cast("string")
+    )
     return (
         F.when(c.isNull() | k.isNull() | (k == 8), F.lit("null"))
         .when(k == 7, num)

@@ -263,21 +263,35 @@ def _create_edge(ctx, graph, df, env, rel: A.RelPattern, a: str, b: str, n_rows,
     # vertex can be deleted through n).  Only statements that actually
     # deleted something pay the validation action.
     if any(bb.deleted for bb in env.bindings.values()):
-        for ep in (s, d):
-            epb = env.get(ep)
-            if epb is None or epb.deleted:
-                continue  # deleted-by-name errors in _create_node already
+        check_eps = [
+            ep
+            for ep in dict.fromkeys((s, d))
+            if env.get(ep) is not None and not env.get(ep).deleted
+            # deleted-by-name errors in _create_node already
+        ]
+        if check_eps:
             live = [t.select("id") for t in graph.vertex_dfs.values()]
             if not live:
-                raise CompileError(f"vertex assigned to variable {ep} was deleted")
+                raise CompileError(
+                    f"vertex assigned to variable {check_eps[0]} was deleted"
+                )
             alive = live[0]
             for t in live[1:]:
                 alive = alive.unionByName(t)
-            gone = df.select(F.col(ep).getField("id").alias("_eid")).join(
-                alive, F.col("_eid") == alive["id"], "left_anti"
-            )
-            if not gone.isEmpty():
-                raise CompileError(f"vertex assigned to variable {ep} was deleted")
+            # OPTIONAL MATCH rows carry NULL endpoint structs; a NULL id is
+            # an absent binding, not a deleted vertex — drop those rows
+            # before the anti-join.  Both endpoints probe in ONE action.
+            probes = None
+            for ep in check_eps:
+                p = df.select(
+                    F.col(ep).getField("id").alias("_eid"), F.lit(ep).alias("_evar")
+                ).where(F.col("_eid").isNotNull())
+                probes = p if probes is None else probes.unionByName(p)
+            gone = probes.join(alive, probes["_eid"] == alive["id"], "left_anti")
+            bad_vars = {r["_evar"] for r in gone.select("_evar").distinct().collect()}
+            for ep in check_eps:  # deterministic variable in the message
+                if ep in bad_vars:
+                    raise CompileError(f"vertex assigned to variable {ep} was deleted")
     props = _eval_props(ctx, df, env, rel.props)
     struct_fields = [
         idcol.alias("id"),

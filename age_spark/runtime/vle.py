@@ -131,18 +131,16 @@ def vle_pairs(
         joined = joined.filter(
             ~F.exists(F.col("edges"), lambda x: x.getField("id") == F.col("_e").getField("id"))
         )
-        is_last = hop == hard_max
+        # The arrival vertex is appended to the interior-node list only for
+        # paths that continue (below, hop < hard_max); for emission at this
+        # hop the arrival vertex is the endpoint, not interior, so emit
+        # BEFORE appending.
         nxt = joined.select(
             F.col("src"),
             F.col("_d").alias("cur"),
             F.concat(F.col("edges"), F.array(F.col("_e"))).alias("edges"),
             F.col("nodes"),
         )
-        if not is_last:
-            # append the arrival vertex to the interior-node list for paths
-            # that continue; for emission at this hop the arrival vertex is
-            # the endpoint (not interior), so emit BEFORE appending.
-            pass
         if hop >= min_hops:
             results.append(
                 nxt.select(
