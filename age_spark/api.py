@@ -49,10 +49,19 @@ class AgeSession:
         # blocks). Without it, a long write session pins one snapshot per
         # statement — fine for bounded pipelines, unbounded for REPL use.
         self.mutable_graphs = mutable_graphs
+        # name -> latest Graph snapshot, the session's graph catalog; and
+        # the loaded-context name set — the analogue of the reference's
+        # global graph context (GGC, age_global_graph.c): contexts appear
+        # when graph_stats()/vertex_stats() load a graph and disappear via
+        # delete_global_graphs()
+        self.graphs: dict[str, Graph] = {}
+        self.ggc: set[str] = set()
 
     # ---- DDL (graph_commands.c:47-299 parity)
     def create_graph(self, name: str) -> Graph:
-        return create_graph(self.spark, name)
+        g = create_graph(self.spark, name)
+        self.graphs[name] = g
+        return g
 
     def load_graph(self, path: str) -> Graph:
         return Graph.load(self.spark, path)
@@ -155,7 +164,10 @@ class AgeSession:
             df = self.spark.createDataFrame(rows, "`QUERY PLAN` string")
             return CypherResult(df=df, graph=graph)
         ast = parse_cypher(query)
-        ctx = QueryContext(spark=self.spark, graph=graph, params=params or {}, enable_containment=self.enable_containment)
+        ctx = QueryContext(
+            spark=self.spark, graph=graph, params=params or {},
+            enable_containment=self.enable_containment, session=self,
+        )
         df, ctx = compile_query(ctx, ast)
         if self.mutable_graphs and ctx.graph is not graph:
             if len(df.columns) > 0:
@@ -164,6 +176,12 @@ class AgeSession:
                 # cannot invalidate the pending result
                 df = df.localCheckpoint(eager=True)
             _release_superseded(graph, ctx.graph)
+        if ctx.graph is not graph:
+            # keep the session catalog pointing at the latest snapshot
+            # (every alias of the input graph follows the write)
+            for k, v in self.graphs.items():
+                if v is graph:
+                    self.graphs[k] = ctx.graph
         return CypherResult(df=df, graph=ctx.graph)
 
     def register_views(self, graph: Graph, prefix: Optional[str] = None) -> list[str]:

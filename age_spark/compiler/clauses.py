@@ -178,12 +178,36 @@ def lift_subqueries(ctx: QueryContext, st: State, e):
             name = ctx.fresh("_vs")
             pending.append((x, name))
             return A.Var(name)
+        if isinstance(x, A.FuncCall) and x.name == "graph_stats" and len(x.args) == 1:
+            # scalar graph_stats('name') (age_global_graph.c:1659): loads
+            # the NAMED graph's context and reports its loaded sizes
+            name = ctx.fresh("_gs")
+            pending.append((x, name))
+            return A.Var(name)
+        if isinstance(x, A.FuncCall) and x.name == "delete_global_graphs" and len(x.args) == 1:
+            # delete_global_graphs('name'|NULL) (age_global_graph.c:1777):
+            # true iff a loaded context existed (NULL = delete all).  The
+            # GGC set mutates at COMPILE time — the reference's function is
+            # likewise a statement-time catalog action, not a per-row one.
+            sess = ctx.session
+            arg = x.args[0]
+            gname = arg.value if isinstance(arg, A.Lit) else None
+            if sess is None:
+                return A.Lit(False)
+            if gname is None:
+                sess.ggc.clear()
+                return A.Lit(True)
+            existed = gname in sess.ggc
+            sess.ggc.discard(gname)
+            return A.Lit(existed)
         return x
 
     new_e = transform_expr(e, detect)
     for node, name in pending:
         if isinstance(node, A.FuncCall) and node.name == "vertex_stats":
             st = _attach_vertex_stats(ctx, st, node, name)
+        elif isinstance(node, A.FuncCall) and node.name == "graph_stats":
+            st = _attach_graph_stats(ctx, st, node, name)
         elif isinstance(node, A.FuncCall):
             st = _attach_vertex_lookup(ctx, st, node, name)
         else:
@@ -191,9 +215,26 @@ def lift_subqueries(ctx: QueryContext, st: State, e):
     return st, new_e
 
 
+def _mark_context_loaded(ctx: QueryContext, graph=None, name: str | None = None):
+    """Record that a graph's global context is loaded (GGC analogue):
+    graph_stats/vertex_stats build contexts in the reference; here the set
+    only feeds delete_global_graphs()' true/false answer."""
+    sess = ctx.session
+    if sess is None:
+        return
+    if name is not None:
+        sess.ggc.add(name)
+        return
+    g = graph if graph is not None else ctx.graph
+    for k, v in sess.graphs.items():
+        if v is g:
+            sess.ggc.add(k)
+
+
 def _attach_vertex_stats(ctx: QueryContext, st: State, node: A.FuncCall, out_name: str) -> State:
     from ..runtime.procedures import vertex_stats as _vs_proc
 
+    _mark_context_loaded(ctx)
     df = st.df if st.df is not None else _unit_df(ctx)
     scope = ExprScope(ctx, df, st.env)
     vcol = compile_expr(scope, node.args[0])
@@ -203,6 +244,40 @@ def _attach_vertex_stats(ctx: QueryContext, st: State, node: A.FuncCall, out_nam
     out = df.join(
         stats, vcol.getField("id") == F.col(out_name).getField("id"), "left"
     )
+    return State(out, st.env.bind(Binding(out_name, SCALAR, hidden=True)))
+
+
+def _attach_graph_stats(ctx: QueryContext, st: State, node: A.FuncCall, out_name: str) -> State:
+    """Scalar graph_stats('name'): one aggregate row over the NAMED graph's
+    scans, broadcast onto every outer row.  {"graph", "num_loaded_edges",
+    "num_loaded_vertices"} mirrors the reference's context-stats object
+    (age_global_graph.c:1659); the counts are the graph's CURRENT sizes —
+    the engine has no stale cache to report."""
+    arg = node.args[0]
+    gname = arg.value if isinstance(arg, A.Lit) else None
+    if not isinstance(gname, str):
+        raise CompileError("graph_stats() requires a graph name string")
+    sess = ctx.session
+    g = None
+    if sess is not None:
+        g = sess.graphs.get(gname)
+    if g is None:
+        raise CompileError(f'graph "{gname}" does not exist')
+    _mark_context_loaded(ctx, name=gname)
+    df = st.df if st.df is not None else _unit_df(ctx)
+    stats = (
+        g.scan_vertices(None)
+        .agg(F.count(F.lit(1)).alias("_nv"))
+        .crossJoin(g.scan_edges(None).agg(F.count(F.lit(1)).alias("_ne")))
+        .select(
+            F.struct(
+                F.lit(gname).alias("graph"),
+                F.col("_ne").alias("num_loaded_edges"),
+                F.col("_nv").alias("num_loaded_vertices"),
+            ).alias(out_name)
+        )
+    )
+    out = df.crossJoin(F.broadcast(stats))
     return State(out, st.env.bind(Binding(out_name, SCALAR, hidden=True)))
 
 
@@ -939,7 +1014,7 @@ def compile_single(ctx: QueryContext, q: A.SingleQuery) -> tuple[DataFrame, Quer
     effectful = False
     after_optional = False
     for clause in q.clauses:
-        if isinstance(clause, (A.Create, A.SetClause, A.RemoveClause, A.Delete, A.Merge, A.CallProc)):
+        if isinstance(clause, (A.Create, A.SetClause, A.RemoveClause, A.Delete, A.Merge)):
             effectful = True
         if isinstance(clause, A.Match):
             if after_optional and not clause.optional:
@@ -974,7 +1049,12 @@ def compile_single(ctx: QueryContext, q: A.SingleQuery) -> tuple[DataFrame, Quer
         elif isinstance(clause, A.Merge):
             st, ctx = mutate.compile_merge(ctx, st, clause)
         elif isinstance(clause, A.CallProc):
-            st = compile_call(ctx, st, clause)
+            last = clause is q.clauses[-1]
+            st = compile_call(ctx, st, clause, is_last=last)
+            if last:
+                # a query ENDING in CALL [YIELD] returns the procedure
+                # resultset itself (cypher_call.sql `CALL sqrt(64)` -> 8.0)
+                returned = True
         else:
             raise CompileError(f"unsupported clause {type(clause).__name__}")
     if not returned:
@@ -1122,24 +1202,88 @@ def _call_spark_table_function(ctx: QueryContext, c: A.CallProc) -> DataFrame:
     return ctx.spark.sql(f"SELECT * FROM {name}({arg_sql})")  # noqa: S608 — name validated, args rendered as literals
 
 
-def compile_call(ctx: QueryContext, st: State, c: A.CallProc) -> State:
+def _call_scalar_fallthrough(ctx: QueryContext, c: A.CallProc):
+    """CALL of a scalar function (cypher_call.sql): the reference resolves
+    ANY PG function by (optionally schema-qualified) name and runs it as a
+    one-row procedure whose single output column is the function's name as
+    WRITTEN (last path segment — `CALL ag_catalog.age_sqrt(64)` yields
+    `age_sqrt`).  Resolution mirrors the PG lookup against the Cypher
+    registry: drop an ag_catalog qualifier, try the name and its age_
+    SQL-prefix-stripped form.  Returns (None, None) when unresolvable so
+    the table-function fallthrough can try next."""
+    from .exprs import FUNCTIONS
+
+    parts = c.name.split(".")
+    if len(parts) > 2 or (len(parts) == 2 and parts[0] != "ag_catalog"):
+        return None, None
+    last = parts[-1]
+    cand = None
+    for nm in (last.lower(), last.lower().removeprefix("age_")):
+        if nm in FUNCTIONS:
+            cand = nm
+            break
+    if cand is None:
+        return None, None
+    unit = _unit_df(ctx)
+    scope = ExprScope(ctx, unit, Env({}))
+    col = compile_expr(scope, A.FuncCall(cand, list(c.args)))
+    return unit.select(col.alias(last)), last
+
+
+def compile_call(ctx: QueryContext, st: State, c: A.CallProc, is_last: bool = True) -> State:
     from ..runtime import procedures as _procs  # registers built-ins
 
     impl = PROCEDURES.get(c.name.lower())
-    if impl is None:
-        out = _call_spark_table_function(ctx, c)
-    else:
+    if impl is not None:
         scope = ExprScope(ctx, st.df if st.df is not None else _unit_df(ctx), st.env)
         args = [compile_expr(scope, a) for a in c.args]
         out = impl(ctx, c.args, args)
-    if st.df is not None:
-        out = st.df.crossJoin(out)
-    env = st.env
+    else:
+        out, _ = _call_scalar_fallthrough(ctx, c)
+        if out is None:
+            out = _call_spark_table_function(ctx, c)
+    # rule set of transform_cypher_call_stmt (cypher_clause.c; pinned by
+    # cypher_call.sql): inside a larger query outputs must be named with
+    # YIELD, and a YIELD ... WHERE needs a following clause to consume it
+    if not c.yield_items and not is_last:
+        raise CompileError(
+            "Procedure call inside a query does not support naming results implicitly"
+        )
+    if c.where is not None and is_last:
+        raise CompileError("Cannot use standalone CALL with WHERE")
+    # rename procedure outputs to internal names so a second CALL of the
+    # same function (CALL sqrt(64) ... CALL sqrt(81) YIELD sqrt AS sqrt1)
+    # never collides at the join
+    mapping = {}
     for f in out.schema.fields:
-        if env.get(f.name) is None:
-            env = env.bind(Binding(f.name, _infer_kind(f.dataType)))
-    state = State(out, env)
-    if c.yield_items:
-        items = [A.ReturnItem(it.expr, it.alias) for it in c.yield_items]
-        state = compile_projection(ctx, state, items, False, False, [], None, None, c.where, True)
+        fresh = ctx.fresh("_call")
+        mapping[f.name] = fresh
+        out = out.withColumnRenamed(f.name, fresh)
+    joined = st.df.crossJoin(F.broadcast(out)) if st.df is not None else out
+    if not c.yield_items:
+        # standalone CALL: the procedure's resultset IS the query result
+        sel = [F.col(v).alias(k) for k, v in mapping.items()]
+        env = st.env
+        for k in mapping:
+            if env.get(k) is not None:
+                raise CompileError(f'duplicate variable "{k}"')
+            env = env.bind(Binding(k, _infer_kind(out.schema[mapping[k]].dataType)))
+        return State(joined.select(*sel), env)
+    sel = [F.col(k) for k in (st.df.columns if st.df is not None else [])]
+    env = st.env
+    for it in c.yield_items:
+        if not isinstance(it.expr, A.Var) or it.expr.name not in mapping:
+            raise CompileError("Unknown CALL output")
+        nm = it.alias or it.expr.name
+        if env.get(nm) is not None:
+            raise CompileError(f'duplicate variable "{nm}"')
+        sel.append(F.col(mapping[it.expr.name]).alias(nm))
+        env = env.bind(
+            Binding(nm, _infer_kind(out.schema[mapping[it.expr.name]].dataType))
+        )
+    df2 = joined.select(*sel)
+    state = State(df2, env)
+    if c.where is not None:
+        scope = ExprScope(ctx, df2, env)
+        state = State(df2.filter(compile_expr(scope, c.where).cast("boolean")), env)
     return state

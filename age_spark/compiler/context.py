@@ -76,6 +76,10 @@ class QueryContext:
     # age.enable_containment=on) vs per-key equality (off). The `={...}`
     # syntax forces equality per constraint regardless.
     enable_containment: bool = True
+    # owning AgeSession, when compiled through one — gives name-addressed
+    # functions (graph_stats('g'), delete_global_graphs) the session's
+    # graph catalog and loaded-context set (age_global_graph.c GGC analogue)
+    session: object = None
     _counter: int = 0
     # cross-clause scratch (SHARED by reference across with_graph copies):
     # e.g. "pending_order" — the ORDER BY of the previous projection, so a

@@ -2848,6 +2848,16 @@ def _require_numeric(scope, name, args, cols):
             raise CompileError(f"{name}() argument must resolve to a number")
 
 
+@fn("agtype_sum")
+def _fn_agtype_sum(scope, args, cols):
+    """ag_catalog.agtype_sum = agtype + agtype (agtype.c age_agtype_sum);
+    reachable through the CALL scalar fallthrough
+    (cypher_call.sql `CALL agtype_sum(2,2)` -> 4)."""
+    if len(args) != 2:
+        raise CompileError("agtype_sum() requires two arguments")
+    return compile_expr(scope, A.Binary("+", args[0], args[1]))
+
+
 @fn("cot")
 def _fn_cot(scope, args, cols):
     _require_numeric(scope, "cot", args, cols)

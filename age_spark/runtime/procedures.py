@@ -18,6 +18,9 @@ from ..compiler.context import QueryContext
 
 @procedure("graph_stats")
 def graph_stats(ctx: QueryContext, arg_asts, arg_cols) -> DataFrame:
+    from ..compiler.clauses import _mark_context_loaded
+
+    _mark_context_loaded(ctx)
     g = ctx.graph
     v = g.scan_vertices(None)
     e = g.scan_edges(None)
@@ -134,6 +137,9 @@ def vertex_stats(ctx: QueryContext, arg_asts, arg_cols) -> DataFrame:
     """Per-vertex degrees: in/out degree + self loops
     (``age_vertex_stats``, ``age_global_graph.c:1502``). Two shuffles on the
     packed id — map-side combined by Catalyst."""
+    from ..compiler.clauses import _mark_context_loaded
+
+    _mark_context_loaded(ctx)
     g = ctx.graph
     v = g.scan_vertices(None)
     e = g.scan_edges(None)

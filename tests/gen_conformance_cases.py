@@ -81,8 +81,10 @@ def _sql_shaped(stmt_text: str) -> bool:
         return False
     if not re.match(r"SELECT\s+\*\s+FROM", stmt_text, re.I):
         return True
-    if re.search(r"\)\s*WHERE\s", stmt_text, re.I):
-        return True  # outer-SQL WHERE filters the resultset
+    # outer-SQL WHERE filters the resultset — but only OUTSIDE the $$...$$
+    # cypher body (a WHERE inside the query is the engine's own clause)
+    if re.search(r"\bWHERE\b", stmt_text.rsplit("$$", 1)[-1], re.I):
+        return True
     if stmt_text.count("cypher(") > 1:
         return True  # outer-SQL join of several cypher() calls
     # a bool column definition renders t/f and turns agtype cast errors
@@ -100,14 +102,21 @@ def extract(path: str) -> list[dict]:
         ln = lines[i]
         if ln.startswith("CREATE FUNCTION"):
             # single-cypher-query plpgsql wrappers (e.g. delete_test()):
-            # remember the inner query; a later SELECT ... <name>() replays it
-            mfn = re.match(r"CREATE FUNCTION\s+(\w+)\s*\(", ln)
+            # remember the inner query; a later SELECT ... <name>() replays it.
+            # The statement ends at a `;` OUTSIDE $BODY$ quoting — a plain
+            # SQL-language function (cypher_call.sql add_agtype) has no
+            # $BODY$ at all, so scanning for "$BODY$;" alone would swallow
+            # the rest of the file.
+            mfn = re.match(r"CREATE FUNCTION\s+([\w.]+)\s*\(", ln)
             body = []
-            while i < len(lines) and not lines[i].rstrip().endswith("$BODY$;"):
+            nbody = 0
+            while i < len(lines):
+                nbody += lines[i].count("$BODY$")
                 body.append(lines[i])
+                done = lines[i].rstrip().endswith(";") and nbody % 2 == 0
                 i += 1
-            body.append(lines[i] if i < len(lines) else "")
-            i += 1
+                if done:
+                    break
             mcy = re.search(r"cypher\('([^']+)'\s*,\s*\$\$(.*?)\$\$", "\n".join(body), re.S)
             if mfn and mcy:
                 functions[mfn.group(1)] = (mcy.group(1), _norm_q(mcy.group(2)))
