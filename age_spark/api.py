@@ -120,6 +120,45 @@ class AgeSession:
             start_label=start_label, end_label=end_label,
         )
 
+    def load_labels_from_file(
+        self,
+        graph: Graph,
+        label: str,
+        path: Optional[str],
+        id_field_exists: bool = True,
+        load_as_agtype: bool = False,
+        delimiter: str = ",",
+    ) -> Graph:
+        """Full-parity vertex CSV loader (load_labels_from_file,
+        age_load.c:565): every column becomes a property, ``__id__`` = entry
+        id is added, fields optionally re-parse as agtype scalars, and path
+        safety / duplicate-id / row-width violations raise.  ``csv_base_dir``
+        (session attribute) plays the reference's /tmp/age/ jail."""
+        from .runtime.csv_load import load_labels_from_file as _load
+
+        return _load(
+            graph, label, path, id_field_exists, load_as_agtype, delimiter,
+            base_dir=getattr(self, "csv_base_dir", None),
+        )
+
+    def load_edges_from_file(
+        self,
+        graph: Graph,
+        label: str,
+        path: Optional[str],
+        load_as_agtype: bool = False,
+        delimiter: str = ",",
+    ) -> Graph:
+        """Full-parity edge CSV loader (load_edges_from_file,
+        age_load.c:653): endpoints resolve through (vertex_type, entry id)
+        -> graphid packing; extra columns become properties."""
+        from .runtime.csv_load import load_edges_from_file as _load
+
+        return _load(
+            graph, label, path, load_as_agtype, delimiter,
+            base_dir=getattr(self, "csv_base_dir", None),
+        )
+
     # ---- generators & subgraph (graph_generation.c:47/206, age_subgraph.sql:45)
     def create_complete_graph(
         self, graph: Graph, n: int, edge_label: str, vertex_label: Optional[str] = None
@@ -142,6 +181,39 @@ class AgeSession:
         from .generators import create_subgraph
 
         return create_subgraph(from_graph, new_name, **kwargs)
+
+    def create_subgraph_filtered(
+        self,
+        from_graph: Graph,
+        new_name: str,
+        vertex_filter: str = "*",
+        edge_filter: str = "*",
+    ) -> Graph:
+        """create_subgraph('dst', 'src', vertex_filter, edge_filter)
+        (sql/age_subgraph.sql — regress/sql/subgraph.sql): the filters are
+        Cypher predicate STRINGS over `n` (vertices) and `r` (edges), '*'
+        meaning all.  Each filter compiles through the full Cypher
+        expression surface into a kept-id set; edges additionally keep the
+        induced rule (both endpoints must survive)."""
+        from .catalog import CatalogError
+        from .generators import create_subgraph
+
+        if new_name is None:
+            raise CatalogError("new graph name must not be NULL")
+        if new_name in self.graphs:
+            raise CatalogError(f'graph "{new_name}" already exists')
+        vids = eids = None
+        if vertex_filter not in (None, "*"):
+            vids = self.cypher(
+                from_graph, f"MATCH (n) WHERE {vertex_filter} RETURN id(n) AS id"
+            ).df
+        if edge_filter not in (None, "*"):
+            eids = self.cypher(
+                from_graph, f"MATCH ()-[r]->() WHERE {edge_filter} RETURN id(r) AS id"
+            ).df
+        g = create_subgraph(from_graph, new_name, vertex_ids=vids, edge_ids=eids)
+        self.graphs[new_name] = g
+        return g
 
     # ---- query
     def cypher(self, graph: Graph, query: str, params: Optional[dict] = None) -> CypherResult:

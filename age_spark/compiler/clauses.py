@@ -178,6 +178,17 @@ def lift_subqueries(ctx: QueryContext, st: State, e):
             name = ctx.fresh("_vs")
             pending.append((x, name))
             return A.Var(name)
+        if (
+            isinstance(x, A.FuncCall)
+            and x.name in ("shortest_path", "all_shortest_paths")
+            and len(x.args) >= 2
+        ):
+            # scalar shortest_path(a, b [, types [, dir [, min [, max]]]])
+            # inside a RETURN (age_shortest_path.sql:666): a set-returning
+            # call — one output row per path, rows with no path vanish
+            name = ctx.fresh("_spf")
+            pending.append((x, name))
+            return A.Var(name)
         if isinstance(x, A.FuncCall) and x.name == "graph_stats" and len(x.args) == 1:
             # scalar graph_stats('name') (age_global_graph.c:1659): loads
             # the NAMED graph's context and reports its loaded sizes
@@ -206,6 +217,10 @@ def lift_subqueries(ctx: QueryContext, st: State, e):
     for node, name in pending:
         if isinstance(node, A.FuncCall) and node.name == "vertex_stats":
             st = _attach_vertex_stats(ctx, st, node, name)
+        elif isinstance(node, A.FuncCall) and node.name in (
+            "shortest_path", "all_shortest_paths"
+        ):
+            st = _attach_shortest_path(ctx, st, node, name)
         elif isinstance(node, A.FuncCall) and node.name == "graph_stats":
             st = _attach_graph_stats(ctx, st, node, name)
         elif isinstance(node, A.FuncCall):
@@ -245,6 +260,71 @@ def _attach_vertex_stats(ctx: QueryContext, st: State, node: A.FuncCall, out_nam
         stats, vcol.getField("id") == F.col(out_name).getField("id"), "left"
     )
     return State(out, st.env.bind(Binding(out_name, SCALAR, hidden=True)))
+
+
+def _attach_shortest_path(ctx: QueryContext, st: State, node: A.FuncCall, out_name: str) -> State:
+    """Scalar shortest_path/all_shortest_paths(a, b, ...) in an expression
+    (age_shortest_path.sql:666): run the BFS seeded by the DISTINCT endpoint
+    ids present in the current rows, then INNER-join paths back per row —
+    a set-returning call multiplies rows per path and drops rows with no
+    path, the PG SRF-in-targetlist contract."""
+    from ..runtime.procedures import sp_options
+    from ..runtime.vle import shortest_path_pairs
+    from .patterns import normalize_edge, normalize_vertex
+
+    df = st.df if st.df is not None else _unit_df(ctx)
+    scope = ExprScope(ctx, df, st.env)
+    acol = compile_expr(scope, node.args[0])
+    bcol = compile_expr(scope, node.args[1])
+    adt = dtype_of(scope, acol)
+    types, direction, min_hops, max_hops = sp_options(node.args[2:])
+    pairs = shortest_path_pairs(
+        ctx.graph,
+        types=types,
+        direction=direction,
+        min_hops=min_hops,
+        max_hops=max_hops,
+        all_paths=node.name == "all_shortest_paths",
+        slim=False,
+        starts_df=df.select(acol.getField("id").alias("id")).distinct(),
+        targets_df=df.select(bcol.getField("id").alias("id")).distinct(),
+    )
+    s, d, e, n = (ctx.fresh("_sp") for _ in range(4))
+    pairs = pairs.select(
+        F.col("src").alias(s), F.col("dst").alias(d),
+        F.col("edges").alias(e), F.col("nodes").alias(n),
+    )
+    out = df.join(
+        pairs, (acol.getField("id") == F.col(s)) & (bcol.getField("id") == F.col(d)),
+        "inner",
+    )
+    edt = pairs.schema[e].dataType.elementType
+    ndt = pairs.schema[n].dataType.elementType
+    bdt = dtype_of(scope, bcol)
+
+    def _edge_norm(x):
+        return normalize_edge(ctx, x, edt)
+
+    def _vertex_norm(x):
+        return normalize_vertex(ctx, x, ndt)
+
+    # path value = start vertex + interleaved interiors + end vertex; a
+    # zero-hop path (a == b) is the single start vertex
+    nodes_col = F.when(
+        F.size(F.col(e)) == 0, F.array(normalize_vertex(ctx, acol, adt))
+    ).otherwise(
+        F.concat(
+            F.array(normalize_vertex(ctx, acol, adt)),
+            F.transform(F.col(n), _vertex_norm),
+            F.array(normalize_vertex(ctx, bcol, bdt)),
+        )
+    )
+    path_col = F.struct(
+        nodes_col.alias("nodes"),
+        F.transform(F.col(e), _edge_norm).alias("edges"),
+    )
+    out = out.withColumn(out_name, path_col).drop(s, d, e, n)
+    return State(out, st.env.bind(Binding(out_name, PATH, hidden=True)))
 
 
 def _attach_graph_stats(ctx: QueryContext, st: State, node: A.FuncCall, out_name: str) -> State:
@@ -1239,9 +1319,23 @@ def compile_call(ctx: QueryContext, st: State, c: A.CallProc, is_last: bool = Tr
         args = [compile_expr(scope, a) for a in c.args]
         out = impl(ctx, c.args, args)
     else:
-        out, _ = _call_scalar_fallthrough(ctx, c)
+        # scalar registry first, then Spark table functions; a scalar-path
+        # failure (e.g. CALL range(3) — Cypher range() needs 2 args but
+        # SQL's TVF range takes 1) falls through to the TVF, and the
+        # scalar's error is re-raised only when the TVF cannot resolve the
+        # name either
+        scalar_err = None
+        try:
+            out, _ = _call_scalar_fallthrough(ctx, c)
+        except Exception as ex:  # noqa: BLE001 — diagnostic fallback chain
+            out, scalar_err = None, ex
         if out is None:
-            out = _call_spark_table_function(ctx, c)
+            try:
+                out = _call_spark_table_function(ctx, c)
+            except Exception:
+                if scalar_err is not None:
+                    raise scalar_err
+                raise
     # rule set of transform_cypher_call_stmt (cypher_clause.c; pinned by
     # cypher_call.sql): inside a larger query outputs must be named with
     # YIELD, and a YIELD ... WHERE needs a following clause to consume it

@@ -656,17 +656,17 @@ class MatchState:
         self.edge_bindings.append(b)
         return name, dst
 
-    # ----- uniqueness (Cypher: all edges within one MATCH are distinct;
-    # `_ag_enforce_edge_uniqueness`, age_vle.c:2557)
-    def apply_edge_uniqueness(self, prior_edges: list[Binding]):
-        all_edges = prior_edges + self.edge_bindings
-        new = set(b.name for b in self.edge_bindings)
-        for i in range(len(all_edges)):
-            for j in range(i + 1, len(all_edges)):
-                b1, b2 = all_edges[i], all_edges[j]
-                if b1.name not in new and b2.name not in new:
-                    continue  # pair already constrained by a previous MATCH? no — same clause only
-                cond = self._uniq_cond(b1, b2)
+    # ----- uniqueness (all edges within one PATH pattern are distinct;
+    # `_ag_enforce_edge_uniqueness`, age_vle.c:2557, applied per path by
+    # prevent_duplicate_edges in transform_match_path, cypher_clause.c:5670)
+    def apply_edge_uniqueness(self, start: int):
+        """Pairwise-distinct quals over the edges bound since `start` — the
+        current comma-separated path's slice of edge_bindings (a reused
+        variable re-appends its binding, so it participates here too)."""
+        path_edges = self.edge_bindings[start:]
+        for i in range(len(path_edges)):
+            for j in range(i + 1, len(path_edges)):
+                cond = self._uniq_cond(path_edges[i], path_edges[j])
                 if cond is not None:
                     self.df = self.df.filter(cond)
 
@@ -747,8 +747,14 @@ def compile_match_patterns(
     """Compile a list of comma-separated path patterns into joins."""
     st = MatchState(ctx, df, env, lenient_relabel=lenient_relabel)
     for path in patterns:
+        start = len(st.edge_bindings)
         _compile_one_path(st, path)
-    st.apply_edge_uniqueness([])
+        # edge-uniqueness is scoped PER comma-separated path pattern, not
+        # across the whole MATCH: prevent_duplicate_edges runs inside
+        # transform_match_path (cypher_clause.c:5670) with only that
+        # path's entities, so `()-[r1]->(), ()-[r2]->()` CAN bind the same
+        # edge to both variables (expr.out:10143 returns the row)
+        st.apply_edge_uniqueness(start)
     # property constraints that reference VARIABLES apply after the joins,
     # when every binding is in scope (the reference's qual placement)
     for name, props in st.deferred_props:

@@ -32,6 +32,10 @@ def create_complete_graph(
     """Add K_n to `graph`: n fresh vertices under `vertex_label` and one
     directed edge (i -> j, i < j) per pair under `edge_label`
     (graph_generation.c:47 — loop ``for i in 1..n-1: for j in i+1..n``)."""
+    if n is None:
+        raise CatalogError("number of nodes can not be NULL")
+    if edge_label is None:
+        raise CatalogError("edge label can not be NULL")
     if vertex_label is not None and vertex_label == edge_label:
         raise CatalogError("vertex and edge label can not be same")
     vlabel = vertex_label or "_ag_label_vertex"
@@ -56,12 +60,15 @@ def create_barbell_graph(
     vertex_label: Optional[str] = None,
 ) -> Graph:
     """Two K_n blocks joined by a single bridge edge between the first
-    vertex of each block (graph_generation.c:231; bridge_size must be 0 —
-    the reference's variable-length bridge is unimplemented)."""
-    if n < 3:
-        raise CatalogError("graph size cannot be lower than 3")
-    if bridge_size != 0:
-        raise CatalogError("only bridge_size=0 is supported (as in the reference)")
+    vertex of block one and the last of block two (graph_generation.c:231).
+    ``bridge_size`` is validated (NULL / negative rejected) but its VALUE
+    is ignored — exactly the reference's behavior: its own code carries
+    `to do: implement bridge with variable number of nodes`
+    (graph_generation.c:278) and builds the single bridge edge regardless."""
+    if n is None or n < 3:
+        raise CatalogError("Graph size cannot be NULL or lower than 3")
+    if bridge_size is None or bridge_size < 0:
+        raise CatalogError("Bridge size cannot be NULL or lower than 0")
     vlabel = vertex_label or "_ag_label_vertex"
     create_complete_graph(graph, n, edge_label, vertex_label)
     first_of_second = graph.meta.label(vlabel).next_entry_id
@@ -83,12 +90,19 @@ def create_subgraph(
     edge_labels: Optional[list[str]] = None,
     vertex_pred: Optional[Callable[[DataFrame], F.Column]] = None,
     edge_pred: Optional[Callable[[DataFrame], F.Column]] = None,
+    vertex_ids: Optional[DataFrame] = None,
+    edge_ids: Optional[DataFrame] = None,
 ) -> Graph:
     """Filtered copy of a graph (sql/age_subgraph.sql:45): keep vertices
     whose label is in `vertex_labels` (None = all) and that pass
     `vertex_pred`; keep edges whose label passes AND whose endpoints both
     survive. Ids (and therefore the catalog) carry over unchanged, so the
-    copy is a pure metadata + filter operation — no renumbering shuffle."""
+    copy is a pure metadata + filter operation — no renumbering shuffle.
+
+    ``vertex_ids``/``edge_ids``: kept-id DataFrames (column `id`) — the
+    shape produced by compiling an arbitrary Cypher predicate over the
+    whole-graph scan (AgeSession.create_subgraph_filtered), semi-joined per
+    label table."""
     if new_name == from_graph.name:
         raise CatalogError(f"cannot extract a subgraph of {new_name!r} into itself")
     new = Graph(from_graph.spark, from_graph.meta.renamed(new_name), {}, {})
@@ -102,6 +116,8 @@ def create_subgraph(
         df = from_graph.vertex_dfs[m.name]
         if vertex_pred is not None:
             df = df.filter(vertex_pred(df))
+        if vertex_ids is not None:
+            df = df.join(vertex_ids.select("id"), "id", "left_semi")
         new.vertex_dfs[m.name] = df
         ids = df.select("id")
         kept_ids = ids if kept_ids is None else kept_ids.unionByName(ids)
@@ -116,6 +132,8 @@ def create_subgraph(
         df = from_graph.edge_dfs[m.name]
         if edge_pred is not None:
             df = df.filter(edge_pred(df))
+        if edge_ids is not None:
+            df = df.join(edge_ids.select("id"), "id", "left_semi")
         df = df.join(
             kept_ids.withColumnRenamed("id", "start_id"), "start_id", "left_semi"
         ).join(kept_ids.withColumnRenamed("id", "end_id"), "end_id", "left_semi")

@@ -54,6 +54,48 @@ def _endpoint_filter(arg_ast):
     raise ValueError("shortest_path endpoints must be constant labels or graphids")
 
 
+def sp_options(opt_asts):
+    """The optional (edge_types, direction, min_hops, max_hops) tail of the
+    shortest-path callables, with the reference's argument validation
+    (``age_vle.c:2913 sp_agtype_to_direction``; ``get_agtype_value``
+    AGTV_STRING checks on edge_types elements)."""
+    from ..compiler.context import CompileError
+    from ..cypher import ast as A
+
+    types = None
+    direction = "both"
+    min_hops = 0
+    max_hops = None
+    if len(opt_asts) > 0 and isinstance(opt_asts[0], A.Lit) and opt_asts[0].value is not None:
+        if not isinstance(opt_asts[0].value, str):
+            raise CompileError("edge_types argument must be an agtype string or list of strings")
+        types = [opt_asts[0].value]
+    elif len(opt_asts) > 0 and isinstance(opt_asts[0], A.ListLit):
+        # edge_types may be a LIST of labels (age_vle.c:2807 edge_types;
+        # age_shortest_path.sql '["KNOWS", "LIKES"]')
+        vals = [x.value if isinstance(x, A.Lit) else x for x in opt_asts[0].items]
+        if any(not isinstance(v, str) for v in vals):
+            raise CompileError("edge_types argument must be an agtype string or list of strings")
+        types = vals or None
+    if len(opt_asts) > 1 and isinstance(opt_asts[1], A.Lit) and opt_asts[1].value is not None:
+        d = opt_asts[1].value
+        if not isinstance(d, str) or d.lower() not in ("out", "in", "any", "both"):
+            raise CompileError(
+                "direction argument must be one of 'out', 'in', or 'any'"
+            )
+        direction = "both" if d.lower() in ("any", "both") else d.lower()
+    if len(opt_asts) > 2 and isinstance(opt_asts[2], A.Lit) and opt_asts[2].value is not None:
+        # NULL or negative min_hops means none (age_vle.c:3601)
+        min_hops = max(int(opt_asts[2].value), 0)
+    if len(opt_asts) > 3 and isinstance(opt_asts[3], A.Lit) and opt_asts[3].value is not None:
+        # NULL or negative max_hops means unbounded (age_shortest_path.sql
+        # max_hops=-1 block returns the path)
+        max_hops = int(opt_asts[3].value)
+        if max_hops < 0:
+            max_hops = None
+    return types, direction, min_hops, max_hops
+
+
 def _shortest(ctx: QueryContext, arg_asts, all_paths: bool) -> DataFrame:
     """shortest_path/all_shortest_paths (age_vle.c:3877/3892) as a CALL-able:
     CALL shortest_path(<start label|id>, <end label|id>
@@ -66,18 +108,7 @@ def _shortest(ctx: QueryContext, arg_asts, all_paths: bool) -> DataFrame:
 
     if len(arg_asts) < 2:
         raise ValueError("shortest_path requires start and end arguments")
-    types = None
-    direction = "both"
-    min_hops = 0
-    max_hops = None
-    if len(arg_asts) > 2 and isinstance(arg_asts[2], A.Lit) and arg_asts[2].value is not None:
-        types = [arg_asts[2].value]
-    if len(arg_asts) > 3 and isinstance(arg_asts[3], A.Lit) and arg_asts[3].value is not None:
-        direction = arg_asts[3].value
-    if len(arg_asts) > 4 and isinstance(arg_asts[4], A.Lit) and arg_asts[4].value is not None:
-        min_hops = int(arg_asts[4].value)
-    if len(arg_asts) > 5 and isinstance(arg_asts[5], A.Lit) and arg_asts[5].value is not None:
-        max_hops = int(arg_asts[5].value)
+    types, direction, min_hops, max_hops = sp_options(arg_asts[2:])
     out = shortest_path_pairs(
         ctx.graph,
         _endpoint_filter(arg_asts[0]),

@@ -32,6 +32,11 @@ from pyspark.sql.window import Window
 
 DEFAULT_MAX_HOPS = 30
 
+# BFS sides below this row count broadcast into their joins (ids only, so
+# ~4M rows ≈ 32 MB serialized — inside executor memory at any scale); above
+# it the joins fall back to shuffle exchanges
+_SP_BCAST_ROWS = 4_000_000
+
 
 def _oriented_edges(
     graph, types, direction: str, slim: bool = False, edge_filter=None
@@ -190,14 +195,16 @@ def _vertex_ddl(graph) -> str:
 
 def shortest_path_pairs(
     graph,
-    start_filter,
-    end_filter,
+    start_filter=None,
+    end_filter=None,
     types: Optional[list[str]] = None,
     direction: str = "out",
     min_hops: int = 0,
     max_hops: Optional[int] = None,
     all_paths: bool = False,
     slim: bool = False,
+    starts_df: Optional[DataFrame] = None,
+    targets_df: Optional[DataFrame] = None,
 ) -> DataFrame:
     """Unweighted shortest path(s) between vertex sets — BFS with early stop.
 
@@ -211,17 +218,42 @@ def shortest_path_pairs(
     the path(s) and stop. ``all_paths=False`` keeps one path per (src, dst)
     pair; True keeps all minimal-length paths.
 
+    A ``min_hops`` ABOVE the true shortest distance switches regimes: plain
+    BFS cannot enumerate longer paths, so the search falls back to
+    edge-distinct path enumeration (vertices MAY repeat, edges may not —
+    ``age_vle.c:3600-3612``; ``age_shortest_path.sql`` sp_revisit pins the
+    A->B->C->B->D length-4 path at min_hops=4).  Since the first qualifying
+    depth of that regime equals the BFS answer whenever min_hops <= the
+    shortest distance, any positive min_hops runs the exhaustive regime.
+
     start_filter/end_filter: functions DataFrame->Column over the unified
-    vertex scan, selecting endpoints.
+    vertex scan, selecting endpoints; starts_df/targets_df give the
+    endpoint id sets as DataFrames (col `id`) instead — the shape used by
+    the scalar shortest_path(a, b) function, whose endpoints come from the
+    enclosing MATCH rows.
     """
     vscan = graph.scan_vertices(None)
-    starts = vscan.filter(start_filter(vscan)).select(F.col("id").alias("src"))
-    targets = vscan.filter(end_filter(vscan)).select(F.col("id").alias("_tgt")).distinct()
+    if starts_df is not None:
+        starts = starts_df.select(F.col("id").alias("src"))
+    else:
+        starts = vscan.filter(start_filter(vscan)).select(F.col("id").alias("src"))
+    if targets_df is not None:
+        targets = targets_df.select(F.col("id").alias("_tgt")).distinct()
+    else:
+        targets = vscan.filter(end_filter(vscan)).select(F.col("id").alias("_tgt")).distinct()
     edges = _oriented_edges(graph, types, direction, slim=slim)
     edge_dt = edges.schema["_e"].dataType
     vddl = _vertex_ddl(graph)
 
     hard_max = max_hops if max_hops is not None else DEFAULT_MAX_HOPS
+    if min_hops and min_hops > 0:
+        if hard_max < min_hops:
+            # unsatisfiable window (sp_min: min_hops > max_hops -> 0 rows)
+            return _empty_sp_result(starts, edge_dt, vddl)
+        return _sp_exhaustive(
+            graph, starts, targets, edges, edge_dt, vddl, vscan,
+            min_hops, hard_max, all_paths, slim,
+        )
 
     # Target-closure pruning: every vertex on a path that ENDS at a target
     # can itself reach a target, so the forward BFS never needs edges whose
@@ -233,20 +265,82 @@ def shortest_path_pairs(
     # target label); when targets reach most of the graph it degrades to
     # one extra pass over the edges, a constant factor the per-source
     # savings still dominate.
-    reach = targets.select(F.col("_tgt").alias("_rv"))
-    bfront = reach
+    # Driver-sync budget (VERDICT r3 #4): ONE eager checkpoint job per hop,
+    # and the EDGE table is shuffled ONCE — repartitioned by the join key
+    # up front (LogicalRDD keeps the partitioning through localCheckpoint),
+    # so every hop's join exchanges only the tiny frontier side.  This is
+    # the property that matters at 100 TB: the big table never re-shuffles
+    # per iteration.  Each hop's new-vertex set is anti-joined against
+    # everything reached so far, so the per-hop sets are DISJOINT — `reach`
+    # is their plain lazy union of cached pieces (no distinct, no
+    # checkpoint of its own), and the drain probe reads the just-cached
+    # step for free.
+    npart = int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    # The unified edge scan (per-label union + struct build) costs a full
+    # pass each time it is read; the iterative loops read it once per hop,
+    # so for the slim traversal materialize the thin (src, dst) projection
+    # ONCE and let every hop hit the cached rows instead (the path-carrying
+    # mode keeps the lazy scan — its per-hop frontier join needs the edge
+    # payload anyway).
+    edges_thin = edges.select("_s", "_d")
+    if slim:
+        edges_thin = edges_thin.localCheckpoint(eager=True)
+    edges_by_d = None  # pre-partitioned fallback, built only if ever needed
+    reach0 = targets.select(F.col("_tgt").alias("_rv")).localCheckpoint(eager=True)
+    reach_parts = [reach0]
+    bfront = reach0
+    n_bfront = reach0.count()
+    n_reach = n_bfront
     for _ in range(hard_max):
-        if bfront.isEmpty():
-            break
+        reach = reach_parts[0]
+        for p in reach_parts[1:]:
+            reach = reach.unionByName(p)
+        # the frontier/reached sets are usually tiny next to the edge table:
+        # broadcast them into a join against the RAW edge scan (no edge
+        # shuffle at all — the scan streams map-side).  The row-count guard
+        # comes free off the cached checkpoints; past it, fall back to a
+        # once-shuffled edge table keyed by the join side so the big table
+        # still never re-exchanges per hop.
+        if n_bfront < _SP_BCAST_ROWS:
+            joined = F.broadcast(bfront).join(
+                edges_thin, bfront["_rv"] == edges_thin["_d"]
+            )
+        else:
+            if edges_by_d is None:
+                edges_by_d = edges_thin.repartition(npart, "_d").localCheckpoint(eager=True)
+            joined = bfront.join(edges_by_d, bfront["_rv"] == edges_by_d["_d"])
+        rc = F.broadcast(reach) if n_reach < _SP_BCAST_ROWS else reach
         step = (
-            bfront.join(edges, bfront["_rv"] == edges["_d"])
-            .select(F.col("_s").alias("_rv"))
+            joined.select(F.col("_s").alias("_rv"))
             .distinct()
+            .join(rc, "_rv", "left_anti")
+            .localCheckpoint(eager=True)
         )
-        bfront = step.join(reach, "_rv", "left_anti").localCheckpoint(eager=False)
-        reach = reach.unionByName(bfront).distinct().localCheckpoint(eager=False)
-    edges = edges.join(reach, edges["_d"] == reach["_rv"], "left_semi")
-    starts = starts.join(reach, starts["src"] == reach["_rv"], "left_semi")
+        n_bfront = step.count()
+        if n_bfront == 0:
+            break
+        n_reach += n_bfront
+        reach_parts.append(step)
+        bfront = step
+    reach = reach_parts[0]
+    for p in reach_parts[1:]:
+        reach = reach.unionByName(p)
+    rc = F.broadcast(reach) if n_reach < _SP_BCAST_ROWS else reach
+    if slim:
+        # prune the CACHED thin table — the forward hops then never touch
+        # the expensive unified scan again
+        edges = edges_thin.join(rc, edges_thin["_d"] == reach["_rv"], "left_semi")
+    else:
+        edges = edges.join(rc, edges["_d"] == reach["_rv"], "left_semi")
+    starts = starts.join(rc, starts["src"] == reach["_rv"], "left_semi")
+
+    if slim:
+        # the target-id set is already cached as reach0 — reuse it for the
+        # per-hop hit joins rather than re-filtering the vertex scan
+        targets_cached = reach0.select(F.col("_rv").alias("_tgt"))
+        return _sp_slim_bfs(
+            starts, targets_cached, edges, edge_dt, vddl, hard_max, all_paths
+        )
 
     frontier = starts.distinct().select(
         F.col("src"),
@@ -270,11 +364,10 @@ def shortest_path_pairs(
     # aggregate + anti-join shuffles per hop. A (src, dst) pair cannot be
     # re-emitted at a later hop: dst enters the visited set when first hit.
 
-    if min_hops <= 0:
-        hit0 = frontier.join(targets, frontier["cur"] == targets["_tgt"]).select(
-            "src", F.col("cur").alias("dst"), "edges", "nodes", F.lit(0).alias("hops")
-        )
-        found_parts.append(hit0)
+    hit0 = frontier.join(targets, frontier["cur"] == targets["_tgt"]).select(
+        "src", F.col("cur").alias("dst"), "edges", "nodes", F.lit(0).alias("hops")
+    )
+    found_parts.append(hit0)
 
     for hop in range(1, hard_max + 1):
         if frontier.isEmpty():
@@ -292,26 +385,191 @@ def shortest_path_pairs(
         )
         joined = joined.localCheckpoint(eager=False)
         hits = joined.join(targets, joined["cur"] == targets["_tgt"])
-        if hop >= min_hops:
-            emitted = hits.select(
-                "src", F.col("cur").alias("dst"), "edges", "nodes", F.lit(hop).alias("hops")
+        emitted = hits.select(
+            "src", F.col("cur").alias("dst"), "edges", "nodes", F.lit(hop).alias("hops")
+        )
+        if not all_paths:
+            emitted = emitted.withColumn(
+                "_rn",
+                F.row_number().over(
+                    Window.partitionBy("src", "dst")
+                    .orderBy(F.transform(F.col("edges"), lambda x: x.getField("id")))
+                ),
+            ).filter(F.col("_rn") == 1).drop("_rn")
+        found_parts.append(emitted)
+        visited = visited.unionByName(
+            joined.select("src", F.col("cur").alias("vid"))
+        ).distinct().localCheckpoint(eager=False)
+        frontier = joined.join(
+            vscan.select(
+                F.col("id").alias("_vid"),
+                F.struct(F.col("id"), F.col("label"), F.col("properties")).alias("_v"),
+            ),
+            joined["cur"] == F.col("_vid"),
+        ).select(
+            "src", "cur", "edges",
+            F.concat(F.col("nodes"), F.array(F.col("_v"))).alias("nodes"),
+        )
+
+    out = found_parts[0]
+    for p in found_parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _sp_slim_bfs(
+    starts, targets, edges, edge_dt, vddl, hard_max: int, all_paths: bool
+) -> DataFrame:
+    """Slim BFS: the caller reads only (src, dst, hops), so the state is
+    VERTEX-level — (src, cur, path_count) with a sum-aggregated expansion —
+    never per-path.  all_paths=True multiplies the emitted (src, dst, hops)
+    row by the number of minimal paths (path-counting DP over the BFS DAG,
+    the row-multiplicity contract of the reference SRF); single-path mode
+    emits one row per pair.  No edge arrays, no window, one aggregation and
+    one anti-join shuffle per hop — the shape that scales: frontier size is
+    bounded by |V| x |sources|, not by path multiplicity."""
+    edges2 = edges.select("_s", "_d")
+    frontier = starts.distinct().select(
+        F.col("src"), F.col("src").alias("cur"), F.lit(1).cast("long").alias("cnt")
+    ).localCheckpoint(eager=True)
+    # visited = lazy union of the per-hop frontiers: each is per-(src, cur)
+    # distinct by construction (groupBy) and anti-joined against everything
+    # before it, so the pieces are disjoint — no dedup, no extra
+    # materialization job (one eager checkpoint per hop total)
+    visited_parts = [frontier.select("src", F.col("cur").alias("vid"))]
+    parts = [
+        frontier.join(targets, frontier["cur"] == targets["_tgt"]).select(
+            "src", F.col("cur").alias("dst"), "cnt", F.lit(0).alias("hops")
+        )
+    ]
+    n_frontier = frontier.count()
+    n_visited = n_frontier
+    npart = int(edges2.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    edges_by_s = None  # pre-partitioned fallback, built only if ever needed
+    for hop in range(1, hard_max + 1):
+        visited = visited_parts[0]
+        for p in visited_parts[1:]:
+            visited = visited.unionByName(p)
+        # broadcast the small sides (guarded by the free counts off the
+        # cached checkpoints): the per-hop exchanges reduce to the one
+        # aggregation shuffle, and the (pruned, lazy) edge scan streams
+        # map-side — never shuffled.  Past the guard, shuffle against a
+        # once-partitioned edge table instead.
+        vs = F.broadcast(visited) if n_visited < _SP_BCAST_ROWS else visited
+        if n_frontier < _SP_BCAST_ROWS:
+            expanded = F.broadcast(frontier).join(
+                edges2, frontier["cur"] == edges2["_s"]
             )
+        else:
+            if edges_by_s is None:
+                edges_by_s = edges2.repartition(npart, "_s").localCheckpoint(eager=True)
+            expanded = frontier.join(edges_by_s, frontier["cur"] == edges_by_s["_s"])
+        nxt = expanded.groupBy("src", F.col("_d").alias("cur")).agg(
+            F.sum("cnt").alias("cnt")
+        )
+        nxt = nxt.join(
+            vs,
+            (nxt["src"] == visited["src"]) & (nxt["cur"] == visited["vid"]),
+            "left_anti",
+        ).localCheckpoint(eager=True)
+        n_frontier = nxt.count()
+        if n_frontier == 0:
+            break
+        n_visited += n_frontier
+        parts.append(
+            nxt.join(targets, nxt["cur"] == targets["_tgt"]).select(
+                "src", F.col("cur").alias("dst"), "cnt", F.lit(hop).alias("hops")
+            )
+        )
+        visited_parts.append(nxt.select("src", F.col("cur").alias("vid")))
+        frontier = nxt
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    if all_paths:
+        # one output row per minimal path
+        out = out.select(
+            "src", "dst", "hops", F.explode(F.sequence(F.lit(1), F.col("cnt"))).alias("_i")
+        ).drop("_i")
+    else:
+        out = out.select("src", "dst", "hops")
+    # schema-compat empty path payload (the slim caller never reads these)
+    return out.select(
+        "src", "dst",
+        F.expr("array()").cast(f"array<{edge_dt.simpleString()}>").alias("edges"),
+        F.expr("array()").cast(f"array<{vddl}>").alias("nodes"),
+        "hops",
+    )
+
+
+def _empty_sp_result(starts, edge_dt, vddl) -> DataFrame:
+    return starts.select(
+        F.col("src"),
+        F.col("src").alias("dst"),
+        F.expr("array()").cast(f"array<{edge_dt.simpleString()}>").alias("edges"),
+        F.expr("array()").cast(f"array<{vddl}>").alias("nodes"),
+        F.lit(0).alias("hops"),
+    ).limit(0)
+
+
+def _sp_exhaustive(
+    graph, starts, targets, edges, edge_dt, vddl, vscan,
+    min_hops: int, hard_max: int, all_paths: bool, slim: bool,
+) -> DataFrame:
+    """min_hops regime (``age_vle.c:3600``): enumerate EDGE-distinct paths
+    (vertices may repeat) level by level; for each (src, dst) pair the first
+    depth >= min_hops with a hit is its answer — later depths for that pair
+    are suppressed.  Terminates by frontier drain (edge-distinctness bounds
+    path length by the edge count) or hard_max."""
+    frontier = starts.distinct().select(
+        F.col("src"),
+        F.col("src").alias("cur"),
+        F.expr("array()").cast(f"array<{edge_dt.simpleString()}>").alias("edges"),
+        F.expr("array()").cast(f"array<{vddl}>").alias("nodes"),
+    )
+    n_expected = frontier.count() * targets.count()
+    found_pairs: Optional[DataFrame] = None
+    n_found = 0
+    parts: list[DataFrame] = []
+    for hop in range(1, hard_max + 1):
+        joined = frontier.join(edges, frontier["cur"] == edges["_s"])
+        joined = joined.filter(
+            ~F.exists(F.col("edges"), lambda x: x.getField("id") == F.col("_e").getField("id"))
+        ).select(
+            F.col("src"),
+            F.col("_d").alias("cur"),
+            F.concat(F.col("edges"), F.array(F.col("_e"))).alias("edges"),
+            F.col("nodes"),
+        ).localCheckpoint(eager=False)
+        if hop >= min_hops:
+            hits = joined.join(targets, joined["cur"] == targets["_tgt"]).select(
+                "src", F.col("cur").alias("dst"), "edges", "nodes",
+                F.lit(hop).alias("hops"),
+            )
+            if found_pairs is not None:
+                hits = hits.join(found_pairs, ["src", "dst"], "left_anti")
             if not all_paths:
-                emitted = emitted.withColumn(
+                hits = hits.withColumn(
                     "_rn",
                     F.row_number().over(
                         Window.partitionBy("src", "dst")
                         .orderBy(F.transform(F.col("edges"), lambda x: x.getField("id")))
                     ),
                 ).filter(F.col("_rn") == 1).drop("_rn")
-            found_parts.append(emitted)
-        visited = visited.unionByName(
-            joined.select("src", F.col("cur").alias("vid"))
-        ).distinct().localCheckpoint(eager=False)
-        if slim:
-            frontier = joined
-        else:
-            frontier = joined.join(
+            hits = hits.localCheckpoint(eager=False)
+            pairs = hits.select("src", "dst").distinct().localCheckpoint(eager=False)
+            c = pairs.count()
+            if c:
+                parts.append(hits)
+                found_pairs = (
+                    pairs if found_pairs is None
+                    else found_pairs.unionByName(pairs).localCheckpoint(eager=False)
+                )
+                n_found += c
+                if n_found >= n_expected:
+                    break
+        if not slim:
+            joined = joined.join(
                 vscan.select(
                     F.col("id").alias("_vid"),
                     F.struct(F.col("id"), F.col("label"), F.col("properties")).alias("_v"),
@@ -321,12 +579,12 @@ def shortest_path_pairs(
                 "src", "cur", "edges",
                 F.concat(F.col("nodes"), F.array(F.col("_v"))).alias("nodes"),
             )
-
-    if not found_parts:
-        return frontier.select(
-            "src", F.col("cur").alias("dst"), "edges", "nodes", F.lit(0).alias("hops")
-        ).limit(0)
-    out = found_parts[0]
-    for p in found_parts[1:]:
+        frontier = joined
+        if frontier.isEmpty():
+            break
+    if not parts:
+        return _empty_sp_result(starts, edge_dt, vddl)
+    out = parts[0]
+    for p in parts[1:]:
         out = out.unionByName(p)
     return out

@@ -121,6 +121,17 @@ def extract(path: str) -> list[dict]:
             if mfn and mcy:
                 functions[mfn.group(1)] = (mcy.group(1), _norm_q(mcy.group(2)))
             continue
+        if ln.startswith("EXPLAIN"):
+            # EXPLAIN blocks: skip the statement AND its QUERY PLAN output —
+            # otherwise the scanner picks up the wrapped SELECT on the next
+            # line and pairs it with the plan's row count (expr.out:10128)
+            while i < len(lines) and not lines[i].rstrip().endswith(";"):
+                i += 1
+            i += 1
+            while i < len(lines) and not re.match(r"\(\d+ rows?\)", lines[i]):
+                i += 1
+            i += 1
+            continue
         if not ln.startswith(("SELECT", "PREPARE", "EXECUTE", "SET ")):
             i += 1
             continue
@@ -163,6 +174,46 @@ def extract(path: str) -> list[dict]:
         mset = re.match(r"SET\s+age\.enable_containment\s*=\s*(on|off)", stmt_text)
         if mset:
             cases.append({"kind": "containment", "on": mset.group(1) == "on"})
+            continue
+        mddl = re.search(
+            r"\b(?:ag_catalog\.)?(" + "|".join(_DDL_FNS) + r")\s*\(", stmt_text
+        )
+        if mddl and stmt_text.startswith("SELECT") and "cypher(" not in stmt_text:
+            start = stmt_text.index("(", mddl.end() - 1)
+            depth, k = 0, start
+            while k < len(stmt_text):
+                if stmt_text[k] == "(":
+                    depth += 1
+                elif stmt_text[k] == ")":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                k += 1
+            c = {
+                "kind": "ddl",
+                "fn": mddl.group(1),
+                "args": [
+                    _parse_ddl_arg(a)
+                    for a in _split_top_commas(stmt_text[start + 1 : k])
+                ],
+            }
+            if err:
+                c["expect"] = "error"
+                c["errmsg"] = errmsg
+            elif values and mddl.group(1) == "create_subgraph":
+                # `SELECT node_count, relationship_count FROM
+                # create_subgraph(...)` pins the new graph's sizes
+                c["vals"] = values
+            cases.append(c)
+            continue
+        msp = re.search(
+            r"FROM\s+(?:ag_catalog\.)?age_(all_)?shortest_paths?\s*\(", stmt_text, re.I
+        )
+        if msp:
+            c = _parse_sp_case(stmt_text, msp)
+            if c is not None:
+                _finish_case(c, err, errmsg, stmt_text, values, nrows)
+                cases.append(c)
             continue
         m = re.search(r"cypher\('([^']+)'\s*,\s*\$\$(.*?)\$\$", stmt_text, re.S)
         params = None
@@ -209,11 +260,133 @@ def extract(path: str) -> list[dict]:
     return cases
 
 
+# SQL-level DDL/loader functions replayed as directives (the generic path
+# only extracts cypher() blocks; these create the graphs those blocks read)
+_DDL_FNS = (
+    "create_graph",
+    "drop_graph",
+    "create_vlabel",
+    "create_elabel",
+    "create_complete_graph",
+    "age_create_barbell_graph",
+    "load_labels_from_file",
+    "load_edges_from_file",
+    "create_subgraph",
+)
+
+
+def _parse_ddl_arg(a: str):
+    """One SQL literal argument: 'str' (with '' escapes), $tag$str$tag$,
+    int, bool, NULL; anything else kept raw-marked."""
+    a = a.strip().rstrip(";").strip()
+    if re.match(r"NULL$", a, re.I):
+        return None
+    if re.match(r"true$", a, re.I):
+        return True
+    if re.match(r"false$", a, re.I):
+        return False
+    m = re.match(r"'(.*)'$", a, re.S)
+    if m:
+        return m.group(1).replace("''", "'")
+    m = re.match(r"(\$\w*\$)(.*)\1$", a, re.S)
+    if m:
+        return m.group(2)
+    m = re.match(r"-?\d+$", a)
+    if m:
+        return int(a)
+    return {"raw": a}
+
+
+def _split_top_commas(s: str) -> list[str]:
+    """Split on commas at paren/bracket depth 0, respecting single quotes."""
+    out, depth, quote, cur = [], 0, False, []
+    for ch in s:
+        if quote:
+            cur.append(ch)
+            if ch == "'":
+                quote = False
+            continue
+        if ch == "'":
+            quote = True
+            cur.append(ch)
+        elif ch in "([":
+            depth += 1
+            cur.append(ch)
+        elif ch in ")]":
+            depth -= 1
+            cur.append(ch)
+        elif ch == "," and depth == 0:
+            out.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        out.append("".join(cur).strip())
+    return out
+
+
+def _parse_sp_arg(a: str):
+    """One age_shortest_path argument: an agtype literal or an inner cypher
+    id-subquery.  Returns a JSON-able value; {'q': ...} marks a subquery."""
+    a = a.strip().rstrip(";").strip()
+    if re.match(r"NULL(\s*::\s*agtype)?$", a, re.I):
+        return None
+    mq = re.search(r"cypher\('([^']+)'\s*,\s*\$\$(.*?)\$\$", a, re.S)
+    if mq:
+        return {"q": _norm_q(mq.group(2))}
+    mlit = re.match(r"'(.*)'\s*::\s*agtype$", a, re.S)
+    if mlit:
+        body = mlit.group(1).strip()
+        try:
+            return json.loads(body)
+        except ValueError:
+            return {"raw": body}
+    mint = re.match(r"(-?\d+)\s*::\s*agtype$", a)
+    if mint:
+        return int(mint.group(1))
+    return {"raw": a}
+
+
+def _parse_sp_case(stmt_text: str, msp) -> "dict | None":
+    """age_shortest_path / age_all_shortest_paths SRF block
+    (age_vle.c:2807: graph, start, end [, edge_types [, direction
+    [, min_hops [, max_hops]]]]).  Endpoints are usually inner cypher
+    id-subqueries; the replay resolves them through the engine and drives
+    CALL shortest_path/all_shortest_paths."""
+    start = stmt_text.index("(", msp.end() - 1)
+    depth, i = 0, start
+    while i < len(stmt_text):
+        if stmt_text[i] == "(":
+            depth += 1
+        elif stmt_text[i] == ")":
+            depth -= 1
+            if depth == 0:
+                break
+        i += 1
+    args = _split_top_commas(stmt_text[start + 1 : i])
+    if len(args) < 3:
+        return None
+    parsed = [_parse_sp_arg(a) for a in args]
+    g = parsed[0] if isinstance(parsed[0], str) else None
+    c: dict = {
+        "kind": "sp",
+        "all": bool(msp.group(1)),
+        "g": g,
+        "src": parsed[1],
+        "dst": parsed[2],
+        "extra": parsed[3:7],
+        "q": stmt_text.split("\n", 1)[0][:120],  # display text for messages
+    }
+    if g is None:
+        c["graph_arg"] = parsed[0]
+    return c
+
+
 def _finish_case(c: dict, err, errmsg, stmt_text, values, nrows) -> None:
     if err:
         c["expect"] = "error"
         c["errmsg"] = errmsg
-    elif re.match(r"SELECT\s+count\(\*\)", stmt_text):
+    elif re.match(r"SELECT\s+count\(\*\)", stmt_text, re.I):
         c["n"] = int(values[0]) if values else None
     else:
         c["n"] = nrows

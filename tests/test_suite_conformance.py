@@ -70,6 +70,22 @@ SKIPS = {
         "CALL myfunc(25) YIELD myfunc RETURN myfunc": "suite-defined plpgsql function",
         "CALL ag_catalog.myfunc(25) YIELD myfunc RETURN myfunc": "suite-defined plpgsql function",
     },
+    "age_shortest_path": {
+        # the reference REFUSES min_hops > shortest-distance combined with
+        # multiple relationship types ("not supported with multiple
+        # relationship types", age_vle.c); the engine's edge-distinct
+        # fallback handles that case and returns the correct paths instead
+        # of erroring — a deliberate capability deviation
+        "SELECT count(*) FROM age_all_shortest_paths(#106":
+            "reference limitation: engine supports multi-type min_hops fallback",
+    },
+    "age_load": {
+        # the suite's security section DELETEs the loaded rows through raw
+        # SQL (`DELETE FROM agload_security."Person1"`) before re-loading;
+        # without that PG-level cleanup the re-load correctly trips the
+        # engine's duplicate-id check
+        "load_labels_from_file#76": "raw SQL DELETE between statements",
+    },
     "age_global_graph": {
         # these read after raw `UPDATE/DELETE FROM ag_graph_1._ag_label_*`
         # heap statements (testing the reference's GGC invalidation against
@@ -110,6 +126,10 @@ SUITES = [
     "age_global_graph",
     "analyze",
     "catalog",
+    "age_shortest_path",
+    "age_load",
+    "graph_generation",
+    "subgraph",
 ]
 
 
