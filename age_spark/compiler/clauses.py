@@ -542,14 +542,26 @@ def _agg_tagged(ctx: QueryContext, node: A.FuncCall, arg_col: Column) -> Column:
         nsum = F.sum_distinct(n) if node.distinct else F.sum(n)
         isum = F.sum_distinct(i) if node.distinct else F.sum(i)
         all_int = F.count(n) == F.count(i)
-        from ..graph import ORDER_KEY_TYPE
+        from ..graph import ORDER_KEY_TYPE, dec_trim_text
 
+        # kind-preserving sum with the NUMERIC lane (age_agtype_sum,
+        # agtype.c:11344): ANY numeric-kind row promotes the whole group's
+        # sum to numeric, computed exactly in DECIMAL(38,18) from each
+        # row's exact slot (__d digits / __i int / __n float)
+        d = arg_col.getField("__d")
+        dval = F.coalesce(
+            d.try_cast("decimal(38,18)"),
+            i.cast("decimal(38,18)"),
+            n.cast("decimal(38,18)"),
+        )
+        dsum = F.sum_distinct(dval) if node.distinct else F.sum(dval)
+        any_num = F.max(F.when((arg_col.getField("__k") == 7) & d.isNotNull(), 1).otherwise(0)) == 1
         return F.when(nsum.isNull(), F.lit(None).cast(TAGGED_TYPE)).otherwise(
             F.struct(
                 F.lit(7).cast("tinyint").alias("__k"),
                 nsum.alias("__n"),
-                F.when(all_int, isum).alias("__i"),
-                F.lit(None).cast("decimal(38,18)").alias("__d"),
+                F.when(all_int & ~any_num, isum).alias("__i"),
+                F.when(any_num, dec_trim_text(dsum.cast("string"))).alias("__d"),
                 F.lit(None).cast("string").alias("__s"),
                 F.lit(None).cast("boolean").alias("__b"),
                 F.lit(None).cast(ORDER_KEY_TYPE).alias("__o"),

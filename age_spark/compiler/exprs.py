@@ -341,6 +341,34 @@ def compile_expr(scope: ExprScope, e: A.Expr) -> Column:
                     )
             return ~c.cast("boolean")
         if e.op == "-":
+            sdt = _operand_dtype(scope, e.expr, c)
+            from ..graph import is_tagged_type as _itt2
+
+            if sdt is not None and _itt2(sdt):
+                # negate a dynamic numeric by slots: exact int, exact
+                # decimal text (sign toggle; -NaN stays NaN), float via __n
+                from ..graph import ORDER_KEY_TYPE as _OKT
+                from ..graph import TAGGED_TYPE as _TT
+
+                d = c.getField("__d")
+                negd = (
+                    F.when(d == "NaN", d)
+                    .when(d.startswith("-"), F.substring(d, 2, 2147483647))
+                    .otherwise(F.concat(F.lit("-"), d))
+                )
+                neg = F.struct(
+                    c.getField("__k").alias("__k"),
+                    (-c.getField("__n")).alias("__n"),
+                    (-c.getField("__i")).alias("__i"),
+                    negd.alias("__d"),
+                    F.lit(None).cast("string").alias("__s"),
+                    F.lit(None).cast("boolean").alias("__b"),
+                    F.lit(None).cast(_OKT).alias("__o"),
+                    F.lit(None).cast("string").alias("__j"),
+                )
+                return F.when(
+                    c.isNull() | (c.getField("__k") != 7), F.lit(None).cast(_TT)
+                ).otherwise(neg)
             return -c
         return c
     if isinstance(e, A.Binary):
@@ -378,6 +406,8 @@ def _tagged_container_access(c: Column, path: str) -> Column:
     from ..graph import ORDER_KEY_TYPE, TAGGED_TYPE, let_column
 
     def _from_variant(v: Column) -> Column:
+        from ..graph import FLOAT_SENTINEL, NUM_SENTINEL
+
         sch = F.schema_of_variant(v)
         is_int = sch.isin("TINYINT", "SMALLINT", "INT", "BIGINT")
         is_float = sch.startswith("DECIMAL") | sch.isin("DOUBLE", "FLOAT")
@@ -385,16 +415,25 @@ def _tagged_container_access(c: Column, path: str) -> Column:
         is_bool = sch == F.lit("BOOLEAN")
         is_arr = sch.startswith("ARRAY")
         is_obj = sch.startswith("OBJECT") | sch.startswith("STRUCT") | sch.startswith("MAP")
+        # NUMERIC / FLOAT values ride container payloads as sentinel
+        # strings (graph.py NUM_SENTINEL/FLOAT_SENTINEL): decode back to
+        # their kinds — exact digits for numeric, float8 for float
+        sval = F.try_variant_get(v, "$", "string")
+        is_sent = is_str & sval.startswith(NUM_SENTINEL)
+        is_fsent = is_str & sval.startswith(FLOAT_SENTINEL)
+        dtext = sval.substr(F.lit(len(NUM_SENTINEL) + 1), F.length(sval))
         k = (
-            F.when(is_obj, 3).when(is_arr, 4).when(is_str, 5).when(is_bool, 6)
-            .when(is_int | is_float, 7)
+            F.when(is_obj, 3).when(is_arr, 4).when(is_sent | is_fsent, 7)
+            .when(is_str, 5).when(is_bool, 6).when(is_int | is_float, 7)
         ).cast("tinyint")
         tagged = F.struct(
             k.alias("__k"),
-            F.when(is_int | is_float, F.try_variant_get(v, "$", "double")).alias("__n"),
+            F.when(is_sent | is_fsent, dtext.cast("double"))
+            .when(is_int | is_float, F.try_variant_get(v, "$", "double"))
+            .alias("__n"),
             F.when(is_int, F.try_variant_get(v, "$", "long")).alias("__i"),
-            F.lit(None).cast("decimal(38,18)").alias("__d"),
-            F.when(is_str, F.try_variant_get(v, "$", "string")).alias("__s"),
+            F.when(is_sent, dtext).alias("__d"),
+            F.when(is_str & ~is_sent & ~is_fsent, sval).alias("__s"),
             F.when(is_bool, F.try_variant_get(v, "$", "boolean")).alias("__b"),
             F.lit(None).cast(ORDER_KEY_TYPE).alias("__o"),
             F.when(is_obj | is_arr, F.to_json(v)).alias("__j"),
@@ -781,14 +820,20 @@ def tagged_json_elements(col: Column) -> Column:
     from ..graph import TAGGED_TYPE
 
     def _elem_to_tagged(e: Column) -> Column:
+        from ..graph import FLOAT_SENTINEL, NUM_SENTINEL
+
         sch = F.schema_of_variant(e)
         is_int = sch.isin("BIGINT", "INT", "SMALLINT", "TINYINT")
         is_num = is_int | sch.isin("DOUBLE", "FLOAT") | sch.startswith("DECIMAL")
         is_str = sch == "STRING"
         is_bool = sch == "BOOLEAN"
         is_arr = sch.startswith("ARRAY")
+        sval = F.try_variant_get(e, "$", "string")
+        is_sent = is_str & sval.startswith(NUM_SENTINEL)
+        is_fsent = is_str & sval.startswith(FLOAT_SENTINEL)
+        dtext = sval.substr(F.lit(len(NUM_SENTINEL) + 1), F.length(sval))
         k = (
-            F.when(is_num, F.lit(7))
+            F.when(is_num | is_sent | is_fsent, F.lit(7))
             .when(is_bool, F.lit(6))
             .when(is_str, F.lit(5))
             .when(is_arr, F.lit(4))
@@ -797,10 +842,11 @@ def tagged_json_elements(col: Column) -> Column:
         )
         return F.named_struct(
             F.lit("__k"), k,
-            F.lit("__n"), F.when(is_num, F.try_variant_get(e, "$", "double")),
+            F.lit("__n"), F.when(is_sent | is_fsent, dtext.cast("double"))
+            .when(is_num, F.try_variant_get(e, "$", "double")),
             F.lit("__i"), F.when(is_int, F.try_variant_get(e, "$", "bigint")),
-            F.lit("__d"), F.lit(None).cast("decimal(38,18)"),
-            F.lit("__s"), F.when(is_str, F.try_variant_get(e, "$", "string")),
+            F.lit("__d"), F.when(is_sent, dtext),
+            F.lit("__s"), F.when(is_str & ~is_sent & ~is_fsent, sval),
             F.lit("__b"), F.when(is_bool, F.try_variant_get(e, "$", "boolean")),
             F.lit("__o"), F.lit(None).cast(
                 next(f.dataType for f in TAGGED_TYPE.fields if f.name == "__o")
@@ -1069,21 +1115,73 @@ def _tagged_arith(
     else:  # %
         nv = F.when(rn == 0.0, F.lit(float("nan"))).otherwise(ln % rn)
         iv = F.when(ri != 0, li % ri)  # int%0 -> null (not NaN)
-    final_i = F.when(both_int, iv)
+
+    # NUMERIC lane (age_agtype ops: the NUMERIC kind dominates a mixed
+    # pair): if either operand is numeric-kind, the result is numeric with
+    # exact-as-possible DECIMAL(38,18) math and the text payload in __d.
+    # NaN/Infinity operands (no finite decimal) route through the double
+    # result's spelling.  Division by an integral operand computes at
+    # scale 16 — Spark's decimal typing then reproduces PG's
+    # select_div_scale shape (24.45/7 = 3.4928571428571429).
+    from ..graph import _strip_nullability, dec_trim_text
+
+    def num_flag_and_dec(c, dt, tagged, other_i):
+        if tagged:
+            flag = (c.getField("__k") == 7) & c.getField("__d").isNotNull()
+            dec = c.getField("__d").try_cast("decimal(38,18)")
+            return F.coalesce(flag, F.lit(False)), dec
+        if dt is not None and isinstance(_strip_nullability(dt), T.DecimalType):
+            return F.lit(True), c.cast("decimal(38,18)")
+        return F.lit(False), F.lit(None).cast("decimal(38,18)")
+
+    l_isnum, ldec0 = num_flag_and_dec(l, ldt, lt_tag, ri)
+    r_isnum, rdec0 = num_flag_and_dec(r, rdt, rt_tag, li)
+    is_num = l_isnum | r_isnum
+    # non-numeric side converts through its numeric slots (int exact,
+    # float via %.15g text like the PG cast)
+    ldec = F.coalesce(ldec0, li.cast("decimal(38,18)"), ln.cast("decimal(38,18)"))
+    rdec = F.coalesce(rdec0, ri.cast("decimal(38,18)"), rn.cast("decimal(38,18)"))
+    # try_* variants: a >38-digit overflow NULLs (falling back to the
+    # double spelling below) instead of raising under ANSI mode
+    if op == "/":
+        dres = F.when(
+            ri.isNotNull(),
+            F.try_divide(ldec.cast("decimal(38,16)"), ri.cast("decimal(20,0)")).cast("string"),
+        ).otherwise(F.try_divide(ldec, rdec).cast("string"))
+    elif op == "%":
+        dres = F.try_mod(ldec, rdec).cast("string")
+    elif op == "+":
+        dres = F.try_add(ldec, rdec).cast("string")
+    elif op == "-":
+        dres = F.try_subtract(ldec, rdec).cast("string")
+    else:
+        dres = F.try_multiply(ldec, rdec).cast("string")
+    # specials: a NaN/Infinity operand or an overflowed decimal falls back
+    # to the double result's spelling
+    dv = F.when(
+        F.isnan(nv), F.lit("NaN")
+    ).when(nv == float("inf"), F.lit("Infinity")).when(
+        nv == float("-inf"), F.lit("-Infinity")
+    ).otherwise(F.coalesce(dec_trim_text(dres), F.format_string("%.15g", nv)))
+    final_d = F.when(is_num & nv.isNotNull(), dv).otherwise(
+        F.when(is_num & F.isnull(nv) & (l_isnum & F.isnan(F.coalesce(ln, F.lit(0.0)))), F.lit("NaN"))
+    )
+
+    final_i = F.when(both_int & ~is_num, iv)
     # the sort key mirrors the row's actual kind: exact-int rows key on the
     # int result (7/2 keys 3, not 3.5), float rows on the float8 result
     final_n = F.when(final_i.isNotNull(), final_i.cast("double")).otherwise(
-        F.when(~both_int, nv)
+        F.when(~both_int | is_num, nv)
     )
     is_str = str_concat.isNotNull() if str_concat is not None else F.lit(False)
     return F.when(
-        ~is_str & final_n.isNull(), F.lit(None).cast(TAGGED_TYPE)
+        ~is_str & final_n.isNull() & final_d.isNull(), F.lit(None).cast(TAGGED_TYPE)
     ).otherwise(
         F.struct(
             F.when(is_str, 5).otherwise(7).cast("tinyint").alias("__k"),
             F.when(~is_str, final_n.cast("double")).alias("__n"),
             F.when(~is_str, final_i).alias("__i"),
-            F.lit(None).cast("decimal(38,18)").alias("__d"),
+            F.when(~is_str, final_d).alias("__d"),
             (str_concat if str_concat is not None else F.lit(None).cast("string")).alias("__s"),
             F.lit(None).cast("boolean").alias("__b"),
             F.lit(None).cast(ORDER_KEY_TYPE).alias("__o"),
@@ -1276,6 +1374,9 @@ def _compile_binary(scope: ExprScope, e: A.Binary) -> Column:
 
         for side, sdt in ((e.left, _operand_dtype(scope, e.left, l)),
                           (e.right, _operand_dtype(scope, e.right, r))):
+            if isinstance(side, A.FuncCall) and side.name == "tonumeric":
+                # ::numeric yields a dynamic value but its kind is STATIC
+                raise CompileError("cannot cast agtype numeric to type boolean")
             if sdt is None or isinstance(sdt, (T.NullType, T.BooleanType)):
                 continue
             if is_tagged_type(sdt):
@@ -1794,7 +1895,7 @@ def _tagged_null() -> Column:
         F.lit("__k"), F.lit(8).cast("tinyint"),
         F.lit("__n"), F.lit(None).cast("double"),
         F.lit("__i"), F.lit(None).cast("long"),
-        F.lit("__d"), F.lit(None).cast("decimal(38,18)"),
+        F.lit("__d"), F.lit(None).cast("string"),
         F.lit("__s"), F.lit(None).cast("string"),
         F.lit("__b"), F.lit(None).cast("boolean"),
         F.lit("__o"), F.lit(None).cast(
@@ -2233,17 +2334,14 @@ def _tagged_to_string(c: Column) -> Column:
     k, n, s, b = _tagged_parts(c)
     i = c.getField("__i")
     d = c.getField("__d")
-    # int kind prints bare (exact via the __i payload); NUMERIC strips the
-    # fixed-scale zero padding; float kind keeps the ".0" (float8out)
-    dstr = F.regexp_replace(
-        F.regexp_replace(d.cast("string"), r"(\.\d*?)0+$", r"$1"), r"\.$", ""
-    )
+    # int kind prints bare (exact via the __i payload); NUMERIC carries its
+    # exact canonical text in __d; float kind keeps the ".0" (float8out)
     return (
         F.when(k == 5, s)
         .when(k == 6, b.cast("string"))
         .when(
             k == 7,
-            F.when(d.isNotNull(), dstr)
+            F.when(d.isNotNull(), d)
             .when(i.isNotNull(), i.cast("string"))
             .otherwise(n.cast("string")),
         )
@@ -2377,47 +2475,122 @@ def _fn_tostring(scope, args, cols):
     return cols[0].cast("string")
 
 
+_NUMERIC_SPECIALS = {
+    "nan": "NaN",
+    "inf": "Infinity", "+inf": "Infinity",
+    "infinity": "Infinity", "+infinity": "Infinity",
+    "-inf": "-Infinity", "-infinity": "-Infinity",
+}
+
+
 @fn("tonumeric")
 def _fn_tonumeric(scope, args, cols):
-    # agtype NUMERIC = arbitrary-precision decimal; DECIMAL(38,18) is the
-    # closest Spark type (documented precision bound). A numeric LITERAL
-    # parses its exact source digits — the float lexeme has already lost
-    # them ('100000000000.0000000000001'::numeric, agtype.out:86)
+    """agtype NUMERIC = PG's arbitrary-precision numeric (agtype.h:307-323,
+    numeric casts agtype.c:5385-5943): the value is a TAGGED numeric-kind
+    dynamic with the EXACT decimal text in __d — NaN/Infinity spellings,
+    >38-digit literals, and input scale all survive storage and printing.
+    Arithmetic over numerics computes through DECIMAL(38,18) (documented
+    precision bound).  A numeric LITERAL parses its exact source digits —
+    the float lexeme has already lost them
+    ('100000000000.0000000000001'::numeric, agtype.out:86)."""
+    from ..graph import numeric_tagged
+
     a0 = args[0] if args else None
-    if isinstance(a0, A.Lit) and getattr(a0, "raw", None) is not None:
+    if isinstance(a0, A.Lit) and (
+        getattr(a0, "raw", None) is not None or isinstance(a0.value, str)
+    ):
         import decimal as _dec
 
+        raw = getattr(a0, "raw", None)
+        if isinstance(a0.value, str):
+            sp = _NUMERIC_SPECIALS.get(a0.value.strip().lower())
+            if sp is not None:
+                return numeric_tagged(F.lit(sp))
+            raw = a0.value.strip()
         try:
-            return F.lit(_dec.Decimal(a0.raw)).cast("decimal(38,18)")
+            return numeric_tagged(F.lit(format(_dec.Decimal(raw), "f")))
         except _dec.InvalidOperation:
-            pass
+            if isinstance(a0.value, str):
+                # numeric_in rejects malformed text ('2:71'::numeric errors,
+                # expr.out:1810)
+                raise CompileError(
+                    f'invalid input syntax for type numeric: "{a0.value}"'
+                )
     dt = dtype_of(scope, cols[0])
     if _is_tagged(dt):
         # dynamic input (e.g. a heterogeneous-list element): numeric kinds
         # convert, strings parse, other kinds null (expr.out:236-239)
         c = cols[0]
         k = c.getField("__k")
-        return (
+        return numeric_tagged(
             F.when(k == 7, F.coalesce(
                 c.getField("__d"),
-                c.getField("__i").cast("decimal(38,18)"),
-                _f8_to_numeric(c.getField("__n")),
+                c.getField("__i").cast("string"),
+                _f8_numeric_text(c.getField("__n")),
             ))
-            .when(k == 5, c.getField("__s").try_cast("decimal(38,18)"))
+            .when(k == 5, _parse_numeric_text(c.getField("__s")))
         )
     if dt is not None and isinstance(dt, (T.FloatType, T.DoubleType)):
-        return _f8_to_numeric(cols[0])
-    return cols[0].cast("decimal(38,18)")
+        return numeric_tagged(_f8_numeric_text(cols[0]))
+    if dt is not None and isinstance(dt, T.StringType):
+        return numeric_tagged(_parse_numeric_text(cols[0]))
+    if dt is not None and isinstance(dt, T.DecimalType):
+        from ..graph import dec_trim_text
+
+        return numeric_tagged(dec_trim_text(cols[0].cast("string")))
+    if dt is not None and isinstance(dt, T.BooleanType):
+        # bool::numeric is not a cast — null out, type-stable
+        return numeric_tagged(F.lit(None).cast("string"))
+    return numeric_tagged(cols[0].cast("long").cast("string"))
 
 
-def _f8_to_numeric(col: Column) -> Column:
+def _parse_numeric_text(s: Column) -> Column:
+    """Runtime string -> canonical numeric text: NaN/Infinity spellings
+    normalized, plain decimal digits kept verbatim (scale preserved, the PG
+    numeric_in contract), exponent forms evaluated through DECIMAL(38,18)
+    (bounded), anything else NULL."""
+    from ..graph import dec_trim_text
+
+    t = F.trim(s)
+    lower = F.lower(t)
+    return (
+        F.when(lower == "nan", F.lit("NaN"))
+        .when(lower.isin("inf", "+inf", "infinity", "+infinity"), F.lit("Infinity"))
+        .when(lower.isin("-inf", "-infinity"), F.lit("-Infinity"))
+        .when(
+            t.rlike(r"^[+-]?([0-9]+(\.[0-9]*)?|\.[0-9]+)$"),
+            F.regexp_replace(t, r"^\+", ""),
+        )
+        .otherwise(dec_trim_text(t.try_cast("decimal(38,18)").cast("string")))
+    )
+
+
+def _f8_numeric_text(col: Column) -> Column:
     # PG casts float8 -> numeric through float8out's %.15g text:
     # ((1 + 2.71) * 3)::numeric = 11.13, not 11.129999999999999
-    # (expr.out:235) — 15 significant digits, zeros trimmed
+    # (expr.out:235) — 15 significant digits, zeros trimmed.  NaN/Infinity
+    # keep their spellings.
     s = F.format_string("%.15g", col)
     s = F.regexp_replace(s, r"(\.\d*?)0+(e[+-]?\d+)?$", r"$1$2")
     s = F.regexp_replace(s, r"\.(e|$)", r"$1")
-    return s.cast("decimal(38,18)")
+    return (
+        F.when(F.isnan(col), F.lit("NaN"))
+        .when(col == float("inf"), F.lit("Infinity"))
+        .when(col == float("-inf"), F.lit("-Infinity"))
+        .otherwise(
+            # exponent forms normalize through decimal (bounded)
+            F.when(
+                s.contains("e"),
+                F.regexp_replace(
+                    F.regexp_replace(
+                        s.try_cast("decimal(38,18)").cast("string"),
+                        r"(\.\d*?)0+$", r"$1",
+                    ),
+                    r"\.$", "",
+                ),
+            ).otherwise(s)
+        )
+    )
 
 
 @fn("castint")

@@ -211,13 +211,13 @@ def vector_to_agtype(a: Column) -> Column:
         d = x.cast("double")
         is_int = (d == F.floor(d)) & (F.abs(d) < F.lit(9.007199254740992e15))
         return F.when(
-            x.isNull(), F.lit(None).cast("struct<__k:byte,__n:double,__i:long,__d:decimal(38,18),__s:string,__b:boolean,__o:" + ORDER_KEY_TYPE.simpleString() + ",__j:string>")
+            x.isNull(), F.lit(None).cast("struct<__k:byte,__n:double,__i:long,__d:string,__s:string,__b:boolean,__o:" + ORDER_KEY_TYPE.simpleString() + ",__j:string>")
         ).otherwise(
             F.struct(
                 F.lit(7).cast("byte").alias("__k"),
                 d.alias("__n"),
                 F.when(is_int, d.cast("long")).alias("__i"),
-                F.lit(None).cast("decimal(38,18)").alias("__d"),
+                F.lit(None).cast("string").alias("__d"),
                 F.lit(None).cast("string").alias("__s"),
                 F.lit(None).cast("boolean").alias("__b"),
                 F.lit(None).cast(ORDER_KEY_TYPE).alias("__o"),

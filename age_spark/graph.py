@@ -123,7 +123,12 @@ TAGGED_TYPE = T.StructType(
         T.StructField("__k", T.ByteType(), True),
         T.StructField("__n", T.DoubleType(), True),  # coalesced numeric sort key
         T.StructField("__i", T.LongType(), True),    # exact int64 payload (int kind)
-        T.StructField("__d", T.DecimalType(38, 18), True),  # NUMERIC payload
+        # NUMERIC payload: the EXACT decimal text (PG numeric is arbitrary
+        # precision with NaN/Infinity spellings, agtype.h:307-323 — a fixed
+        # DECIMAL cannot hold those); arithmetic computes through
+        # DECIMAL(38,18) (a documented precision bound), storage/printing
+        # stay exact
+        T.StructField("__d", T.StringType(), True),
         T.StructField("__s", T.StringType(), True),
         T.StructField("__b", T.BooleanType(), True),
         T.StructField("__o", ORDER_KEY_TYPE, True),  # container element-wise order key
@@ -255,6 +260,42 @@ def _elem_key(c: Column, dt: T.DataType) -> Column:
     return F.when(c.isNull(), _null_kind_elem_key()).otherwise(key)
 
 
+# marker prefix for NUMERIC values embedded in JSON container payloads:
+# JSON has no ::numeric kind, so numerics serialize as sentinel STRINGS and
+# the printer / element access decode them back (the agtype printer shows
+# `2.718281::numeric` inside containers, expr.out:1826)
+NUM_SENTINEL = "\x01N:"
+# FLOAT twin: float8 values inside JSON container payloads (NaN/Infinity
+# have no JSON number form; finite floats keep the kind distinction from
+# JSON ints on re-parse)
+FLOAT_SENTINEL = "\x01F:"
+
+
+def dec_trim_text(s: Column) -> Column:
+    """Strip fixed-scale zero padding from a decimal's string form
+    (DECIMAL(38,18) pads; PG numeric_out prints minimal digits)."""
+    return F.regexp_replace(
+        F.regexp_replace(s, r"(\.\d*?)0+$", r"$1"), r"\.$", ""
+    )
+
+
+def numeric_tagged(text: Column) -> Column:
+    """Tagged NUMERIC-kind value from its exact decimal text ('NaN',
+    'Infinity', '-Infinity' included — Spark casts those spellings to the
+    matching doubles for the __n sort/compute slot)."""
+    out = F.struct(
+        F.lit(7).cast("tinyint").alias("__k"),
+        text.cast("double").alias("__n"),
+        F.lit(None).cast("long").alias("__i"),
+        text.alias("__d"),
+        F.lit(None).cast("string").alias("__s"),
+        F.lit(None).cast("boolean").alias("__b"),
+        F.lit(None).cast(ORDER_KEY_TYPE).alias("__o"),
+        F.lit(None).cast("string").alias("__j"),
+    )
+    return F.when(text.isNull(), F.lit(None).cast(TAGGED_TYPE)).otherwise(out)
+
+
 def _tagged_json_text(c: Column) -> Column:
     """JSON text of a tagged dynamic value — for embedding in container
     payloads (never the raw __k/__n struct: a nested dynamic element must
@@ -266,17 +307,23 @@ def _tagged_json_text(c: Column) -> Column:
     # the exact bracket chars (position-safe whatever the content)
     sj = F.to_json(F.array(s))
     sj = F.substring(sj, 2, F.length(sj) - 2)
-    # NUMERIC payload (__d) serializes ahead of __i/__n so a decimal nested
-    # inside a container keeps its exact digits, not the double
-    # approximation.  The ::numeric KIND marker itself does not survive
-    # JSON embedding (documented in COVERAGE.md) — the digits do.
-    dstr = F.regexp_replace(
-        F.regexp_replace(c.getField("__d").cast("string"), r"(\.\d*?)0+$", r"$1"),
-        r"\.$",
-        "",
-    )
+    # NUMERIC payload (__d): serialize as a sentinel JSON STRING so both
+    # the exact digits AND the ::numeric kind marker survive container
+    # embedding — the printer and element access decode it back
+    # (expr.out:1920 prints {"nan": NaN::numeric, ...} inside an array)
+    dd = c.getField("__d")
+    dj = F.to_json(F.array(F.concat(F.lit(NUM_SENTINEL), dd)))
+    dj = F.substring(dj, 2, F.length(dj) - 2)
+    # float kind (no __i/__d): sentinel too — NaN/Infinity have no JSON
+    # number form and finite floats must stay distinct from ints on
+    # re-parse
+    nn = c.getField("__n")
+    fj = F.to_json(F.array(F.concat(F.lit(FLOAT_SENTINEL), nn.cast("string"))))
+    fj = F.substring(fj, 2, F.length(fj) - 2)
     num = F.coalesce(
-        dstr, c.getField("__i").cast("string"), c.getField("__n").cast("string")
+        F.when(dd.isNotNull(), dj),
+        c.getField("__i").cast("string"),
+        F.when(nn.isNotNull(), fj),
     )
     return (
         F.when(c.isNull() | k.isNull() | (k == 8), F.lit("null"))
@@ -309,8 +356,16 @@ def _jsonb_canonical(col: Column, dt: T.DataType) -> Column:
                 for f in ordered
             ]
         )
+    if isinstance(_strip_nullability(dt), (T.FloatType, T.DoubleType)):
+        # FLOAT leaves serialize as sentinel strings: JSON numbers cannot
+        # hold NaN/Infinity (to_json would quote them, indistinguishable
+        # from user strings), and the printer re-applies float8out
+        # formatting on decode (expr.out:1924 prints `"one": Infinity`
+        # bare inside an object)
+        return F.concat(F.lit(FLOAT_SENTINEL), col.cast("double").cast("string"))
     if isinstance(dt, T.ArrayType) and isinstance(
-        _strip_nullability(dt.elementType), (T.StructType, T.ArrayType)
+        _strip_nullability(dt.elementType),
+        (T.StructType, T.ArrayType, T.FloatType, T.DoubleType),
     ):
         et = dt.elementType
         return F.transform(col, lambda x: _jsonb_canonical(x, et))
@@ -415,7 +470,7 @@ def tag_column(col: Column, src_dt: T.DataType) -> Column:
             k.alias("__k"),
             F.lit(None).cast("double").alias("__n"),
             exact.alias("__i"),
-            F.lit(None).cast("decimal(38,18)").alias("__d"),
+            F.lit(None).cast("string").alias("__d"),
             idc.alias("__s"),
             F.lit(None).cast("boolean").alias("__b"),
             F.lit(None).cast(ORDER_KEY_TYPE).alias("__o"),
@@ -436,9 +491,9 @@ def tag_column(col: Column, src_dt: T.DataType) -> Column:
         else F.lit(None).cast("long")
     )
     d = (
-        col.cast("decimal(38,18)")
+        dec_trim_text(col.cast("string"))
         if kind == "numeric" and isinstance(_strip_nullability(src_dt), T.DecimalType)
-        else F.lit(None).cast("decimal(38,18)")
+        else F.lit(None).cast("string")
     )
     s = col if kind == "string" else F.lit(None).cast("string")
     b = col if kind == "bool" else F.lit(None).cast("boolean")

@@ -22,6 +22,8 @@ import math
 import struct as _struct
 from typing import Any, Optional
 
+from ..graph import FLOAT_SENTINEL, NUM_SENTINEL
+
 try:  # Row is only needed for isinstance checks
     from pyspark.sql import Row
 except Exception:  # pragma: no cover
@@ -109,6 +111,15 @@ def _out(v: Any) -> str:
         # input-scale preservation is not recoverable from a fixed type).
         return f"{format(v.normalize(), 'f')}::numeric"
     if isinstance(v, str):
+        if v.startswith(NUM_SENTINEL):
+            # NUMERIC embedded in a container payload: sentinel string
+            # carries exact digits + the ::numeric marker (graph.py
+            # _tagged_json_text)
+            return v[len(NUM_SENTINEL):] + "::numeric"
+        if v.startswith(FLOAT_SENTINEL):
+            # FLOAT embedded in a container payload — float8out format,
+            # NaN/Infinity bare (expr.out:1924)
+            return _fmt_float(float(v[len(FLOAT_SENTINEL):]))
         return json.dumps(v, ensure_ascii=False)
     if isinstance(v, (list, tuple)):
         return "[" + ", ".join(_out(x) for x in v) + "]"
@@ -133,7 +144,8 @@ def _out(v: Any) -> str:
                 # (ag_float8_supp.c:31; agtype.h:307-323 kind trio)
                 d = v.get("__d")
                 if d is not None:
-                    return f"{format(d.normalize(), 'f')}::numeric"
+                    # exact text payload — NaN/Infinity spellings included
+                    return f"{d}::numeric"
                 i = v.get("__i")
                 if i is not None:
                     return str(i)

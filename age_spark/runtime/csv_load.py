@@ -138,7 +138,7 @@ def _tagged(k, n=None, i=None, s=None, b=None):
         F.lit(k).cast("tinyint").alias("__k"),
         (n if n is not None else F.lit(None).cast("double")).alias("__n"),
         (i if i is not None else F.lit(None).cast("long")).alias("__i"),
-        F.lit(None).cast("decimal(38,18)").alias("__d"),
+        F.lit(None).cast("string").alias("__d"),
         (s if s is not None else F.lit(None).cast("string")).alias("__s"),
         (b if b is not None else F.lit(None).cast("boolean")).alias("__b"),
         F.lit(None).cast(ORDER_KEY_TYPE).alias("__o"),
