@@ -92,22 +92,93 @@ def main() -> int:
         total += best
         print(f"# {name}: min {best}s over {REPS} reps", file=sys.stderr)
 
+    scale = None
+    if os.environ.get("SPARK_GRAFT_SCALE_PROOF", "1") == "1":
+        scale = _scale_proof(spark, entry_mod, timings)
+
     sf = SF_DIR.rstrip("/").split("sf")[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline-suite wall time (graph + pipeline ops)",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": timings,
-                "reps": REPS,
-                "build_sec": build_sec,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline-suite wall time (graph + pipeline ops)",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "reps": REPS,
+        "build_sec": build_sec,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if scale is not None:
+        out["sf1"] = scale
+    print(json.dumps(out))
     spark.stop()
     return 0
+
+
+def _scale_proof(spark, entry_mod, base_timings):
+    """10x scale proof-point: replicate the demo graph's tables ten times
+    (entry ids shifted per copy, topology preserved per replica) and run
+    the three most join/iteration-heavy graph queries.  The point is the
+    SCALING, not the absolute number: with partitioned joins and a
+    frontier BFS whose driver overhead is per-hop rather than per-row,
+    wall time should grow well under 10x on 10x the edges."""
+    from pyspark.sql import functions as F
+
+    from age_spark import AgeSession
+    from age_spark.graph import Graph
+
+    base = entry_mod._graph(spark, SF_DIR)
+    SHIFT = 1 << 28  # entry-id stride per replica (sf0.1 entries << 2^28)
+    vdfs, edfs = {}, {}
+    for name, df in base.vertex_dfs.items():
+        vdfs[name] = df.crossJoin(
+            spark.range(10).select(F.col("id").alias("_rep"))
+        ).select(
+            (F.col("id") + F.col("_rep") * SHIFT).alias("id"),
+            *[c for c in df.columns if c != "id"],
+        )
+    for name, df in base.edge_dfs.items():
+        edfs[name] = df.crossJoin(
+            spark.range(10).select(F.col("id").alias("_rep2"))
+        ).select(
+            (F.col("id") + F.col("_rep2") * SHIFT).alias("id"),
+            (F.col("start_id") + F.col("_rep2") * SHIFT).alias("start_id"),
+            (F.col("end_id") + F.col("_rep2") * SHIFT).alias("end_id"),
+            *[c for c in df.columns if c not in ("id", "start_id", "end_id")],
+        )
+    g10 = Graph(spark, base.meta.renamed("tpch_x10"), vdfs, edfs)
+    age = AgeSession(spark)
+
+    qs = {
+        "g_join3_edgeprops": (
+            'MATCH (c:Customer)-[:PLACED]->(o:Order)-[l:LINE]->(p:Part) '
+            'WHERE l.quantity > 45 '
+            'RETURN p.brand AS brand, count(*) AS n_lines, '
+            'round(sum(l.quantity), 2) AS sum_qty'
+        ),
+        "g_vle_2hop": (
+            'MATCH (c:Customer)-[*2..2]->(r:Region) '
+            'RETURN r.name AS region, count(*) AS n_paths'
+        ),
+        "g_shortest_path": (
+            'CALL shortest_path("Customer", "Region", null, "out") '
+            'YIELD src, dst, hops RETURN hops, count(*) AS n'
+        ),
+    }
+    out = {"edges_x": 10}
+    for name, q in qs.items():
+        t0 = time.time()
+        n = age.cypher(g10, q).df.count()
+        dt = round(time.time() - t0, 3)
+        out[name] = dt
+        ratio = round(dt / base_timings[name], 2) if base_timings.get(name) else None
+        out[f"{name}_vs_sf0.1"] = ratio
+        print(f"# sf1-proof {name}: {dt}s on 10x edges ({n} rows, "
+              f"{ratio}x the sf0.1 time)", file=sys.stderr)
+    out["note"] = (
+        "10x-edge replica of the sf0.1 graph: per-query growth factors "
+        "above; sub-10x growth = per-hop driver overhead and plan time "
+        "amortize, joins scale with data"
+    )
+    return out
 
 
 if __name__ == "__main__":
