@@ -107,7 +107,7 @@ _ELEM_KEY_TYPE = T.StructType(
 _PAIR_TYPE = T.StructType(
     [T.StructField("k", T.StringType(), True), T.StructField("v", _ELEM_KEY_TYPE, True)]
 )
-ORDER_KEY_WIDTH = 8
+ORDER_KEY_WIDTH = 16
 # both arrays AND objects compare element-/pair-wise with the
 # prefix-shorter-first rule — the reference's comparator hits
 # `case AGTV_OBJECT: break` at the BEGIN token (agtype_util.c:447) and
@@ -222,10 +222,116 @@ def _null_kind_elem_key() -> Column:
     )
 
 
+def _sortable_num_text(x: Column) -> Column:
+    """Fixed-width text whose LEXICAL order equals the numeric order of the
+    double `x` — sign bucket + biased exponent + mantissa digits (nine's
+    complement for negatives).  Lets nested-container comparison keys stay
+    plain strings while ordering numbers by VALUE ([1,[3]] sorts before
+    [1,[20]]; [2] ties [2.0])."""
+    t = F.format_string("%.16e", F.abs(x))
+    mant = F.concat(F.substring(t, 1, 1), F.substring(t, 3, 16))
+    exp = F.regexp_extract(t, r"e([+-]\d+)$", 1).cast("int")
+    pos = F.concat(F.lit("7"), F.format_string("%03d", exp + F.lit(400)), mant)
+    neg = F.concat(
+        F.lit("3"),
+        F.format_string("%03d", F.lit(400) - exp),
+        F.translate(mant, "0123456789", "9876543210"),
+    )
+    return (
+        F.when(F.isnan(x), F.lit("9"))  # NaN sorts largest among numerics
+        .when(x == float("inf"), F.lit("8"))
+        .when(x == float("-inf"), F.lit("1"))
+        .when(x == 0.0, F.lit("5"))
+        .when(x > 0, pos)
+        .otherwise(neg)
+    )
+
+
+# separators for the recursive order text: END < SEP < any payload byte, so
+# a container that ends while the other continues sorts FIRST (the
+# reference's premature-END rule, agtype_util.c:447)
+_OT_END = "\x02"
+_OT_SEP = "\x03"
+_ORDER_TEXT_DEPTH = 3
+
+
+def _order_text(c: Column, dt: T.DataType, depth: int = _ORDER_TEXT_DEPTH) -> Column:
+    """Normalized ORDER-ONLY text of a value: kind-rank byte + payload,
+    numbers in sortable fixed-width form, containers as recursively encoded
+    element sequences (depth-bounded; beyond the bound, canonical JSON —
+    the documented lexical fallback).  Purely a comparison key — the data
+    payload stays in __j untouched."""
+    dt = _strip_nullability(dt)
+    kind = _scalar_kind(dt) or _container_kind(dt)
+    ek = _entity_kind(dt)
+    if ek in ("vertex", "edge"):
+        rank = _KIND_RANK[ek]
+        return F.concat(
+            F.lit(chr(ord("A") + rank)),
+            F.format_string("%020d", c.getField("id")),
+        )
+    if kind == "numeric":
+        return F.concat(F.lit(chr(ord("A") + 7)), _sortable_num_text(c.cast("double")))
+    if kind == "string":
+        return F.concat(F.lit(chr(ord("A") + 5)), c)
+    if kind == "bool":
+        return F.concat(
+            F.lit(chr(ord("A") + 6)), F.when(c, F.lit("1")).otherwise(F.lit("0"))
+        )
+    if kind == "array" and depth > 0:
+        et = dt.elementType
+        parts = F.array_join(
+            F.transform(c, lambda x: F.coalesce(_order_text(x, et, depth - 1), F.lit("J"))),
+            _OT_SEP,
+        )
+        return F.concat(F.lit(chr(ord("A") + 4)), parts, F.lit(_OT_END))
+    if isinstance(dt, T.StructType) and not is_tagged_type(dt) and depth > 0:
+        names = sorted(
+            (f.name for f in dt.fields if f.name != "_none"),
+            key=lambda n: (len(n), n),
+        )
+        segs = []
+        for n in names:
+            fv = _order_text(c.getField(n), dt[n].dataType, depth - 1)
+            segs.append(
+                F.when(
+                    c.getField(n).isNotNull(),
+                    F.concat(F.lit(prop_display_name(n) + _OT_SEP), fv, F.lit(_OT_SEP)),
+                ).otherwise(F.lit(""))
+            )
+        body = F.concat(*segs) if segs else F.lit("")
+        return F.concat(F.lit(chr(ord("A") + 3)), body, F.lit(_OT_END))
+    if kind in ("array", "object"):
+        # depth exhausted: canonical-JSON lexical fallback (documented)
+        return F.concat(
+            F.lit(chr(ord("A") + _KIND_RANK[kind])),
+            F.to_json(_jsonb_canonical(c, dt), {"ignoreNullFields": "false"}),
+        )
+    if is_tagged_type(dt):
+        # dynamic element: rank from __k; scalar slots by value, container
+        # payloads by their (sentinel-bearing) JSON text — bounded
+        k = c.getField("__k")
+        return F.concat(
+            F.char(k + F.lit(ord("A"))),
+            F.coalesce(
+                F.when(k == 7, _sortable_num_text(c.getField("__n"))),
+                c.getField("__s"),
+                F.when(
+                    c.getField("__b").isNotNull(),
+                    F.when(c.getField("__b"), F.lit("1")).otherwise(F.lit("0")),
+                ),
+                c.getField("__j"),
+                F.lit(""),
+            ),
+        )
+    return F.lit("J")  # null/unknown: sorts after every ranked kind
+
+
 def _elem_key(c: Column, dt: T.DataType) -> Column:
     """Depth-1 comparison key of one container element: (kind rank, value
     slots) through the cross-kind ladder; nested containers compare by
-    their JSON text (the documented depth bound). Entities rank 1/2."""
+    their normalized ORDER TEXT (_order_text — element-wise, numbers by
+    VALUE, depth-bounded at 3 further levels). Entities rank 1/2."""
     if is_tagged_type(dt):
         key = F.struct(
             c.getField("__k").alias("__k"),
@@ -249,12 +355,17 @@ def _elem_key(c: Column, dt: T.DataType) -> Column:
         (c if kind == "string" else F.lit(None).cast("string")).alias("__s"),
         (c if kind == "bool" else F.lit(None).cast("boolean")).alias("__b"),
         (
-            # canonical key order at every depth: the JSON doubles as the
-            # nested-container comparison key, so pair ORDER must not
-            # affect identity
-            F.to_json(_jsonb_canonical(c, dt), {"ignoreNullFields": "false"})
-            if kind in ("array", "object") or rank in (1, 2)
-            else F.lit(None).cast("string")
+            # nested containers: recursive normalized order text — numbers
+            # compare by value, pair order never affects identity (the
+            # canonical-JSON fallback applies past the depth bound);
+            # entities keep their canonical JSON (id-leading)
+            _order_text(c, dt)
+            if kind in ("array", "object")
+            else (
+                F.to_json(_jsonb_canonical(c, dt), {"ignoreNullFields": "false"})
+                if rank in (1, 2)
+                else F.lit(None).cast("string")
+            )
         ).alias("__j"),
     )
     return F.when(c.isNull(), _null_kind_elem_key()).otherwise(key)

@@ -294,3 +294,58 @@ def test_object_elementwise_ordering(spark):
         for r in age.cypher(g, "MATCH (n:M) RETURN n.v AS v ORDER BY n.v").df.collect()
     ]
     assert got == ['{"a": 1}', '{"a": 1, "b": 9}', '{"a": 2}', "7"]
+
+
+def test_deep_container_ordering(spark):
+    """Past-the-old-bounds ordering (VERDICT r3 #5): 10+-element arrays
+    compare element-wise, depth-2 containers compare by VALUE (not lexical
+    JSON — [1,[3]] < [1,[20]]), and the prefix-shorter-first rule holds at
+    every width (compare_agtype_containers_orderability,
+    agtype_util.c:333)."""
+    from age_spark.runtime.agvalue import agtype_out
+
+    age = AgeSession(spark)
+    g = age.create_graph("deepord")
+
+    def ordered(lst_expr):
+        return [
+            agtype_out(r[0])
+            for r in age.cypher(
+                g, f"UNWIND {lst_expr} AS x RETURN x ORDER BY x"
+            ).df.collect()
+        ]
+
+    # depth-2 arrays by numeric VALUE
+    assert ordered("[[1,[20]], [1,[3]]]") == ["[1, [3]]", "[1, [20]]"]
+    # 10- and 12-element arrays element-wise (old bound was 8)
+    assert ordered("[[1,1,1,1,1,1,1,1,1,30], [1,1,1,1,1,1,1,1,1,4]]") == [
+        "[1, 1, 1, 1, 1, 1, 1, 1, 1, 4]",
+        "[1, 1, 1, 1, 1, 1, 1, 1, 1, 30]",
+    ]
+    assert ordered(
+        "[[1,1,1,1,1,1,1,1,1,1,1,20], [1,1,1,1,1,1,1,1,1,1,1,3]]"
+    ) == [
+        "[1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 3]",
+        "[1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 20]",
+    ]
+    # premature END sorts first beyond the old width
+    assert ordered("[[1,1,1,1,1,1,1,1,2], [1,1,1,1,1,1,1,1]]") == [
+        "[1, 1, 1, 1, 1, 1, 1, 1]",
+        "[1, 1, 1, 1, 1, 1, 1, 1, 2]",
+    ]
+    # depth-2 objects by value
+    assert ordered("[{a: {b: 20}}, {a: {b: 3}}]") == [
+        '{"a": {"b": 3}}',
+        '{"a": {"b": 20}}',
+    ]
+    # nested negatives order numerically
+    assert ordered("[[0, [-3]], [0, [-20]], [0, [5]]]") == [
+        "[0, [-20]]",
+        "[0, [-3]]",
+        "[0, [5]]",
+    ]
+    # int-vs-float inside containers tie by VALUE: both orders are valid
+    # outputs for equal values — assert the pair is ADJACENT under a
+    # third, strictly larger container
+    got = ordered("[[3], [2.0], [2]]")
+    assert got[2] == "[3]" and set(got[:2]) == {"[2]", "[2.0]"}
