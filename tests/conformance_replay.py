@@ -324,8 +324,9 @@ def replay(spark, cases_path: str, graph_prefix: str, skip: dict[str, str] | Non
                         f"[{idx}] values differ ({got[:2]}... vs {want[:2]}...): {q[:80]}"
                     )
         except Exception as ex:
-            if "not supplied" in str(ex) and "$" in q:
-                continue  # $param case; the replay has no parameter channel
+            # ($param cases carry their EXECUTE-time parameter maps from the
+            # extractor — a missing-parameter error is only ever correct
+            # when the case EXPECTS the error, so no special skip here)
             if not expect_err:
                 failures.append(
                     f"[{idx}] raised {type(ex).__name__}: {str(ex)[:100]} | {q[:80]}"
