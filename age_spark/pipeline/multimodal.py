@@ -127,12 +127,94 @@ def _decode_bmp(data: bytes) -> Tuple[int, int, bytes]:
     return w, h, bytes(out)
 
 
+def _decode_png(data: bytes) -> Tuple[int, int, bytes]:
+    """Pure-Python PNG decoder: zlib (stdlib) inflate + scanline
+    unfiltering (None/Sub/Up/Average/Paeth, RFC 2083 §6).  Supports
+    8-bit-depth greyscale (0), truecolor (2), and truecolor+alpha (6)
+    without interlacing — the common baseline; palette/16-bit/interlaced
+    variants raise."""
+    import struct as _s
+    import zlib
+
+    if data[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("bad PNG signature")
+    pos = 8
+    w = h = None
+    color_type = bit_depth = interlace = None
+    idat = bytearray()
+    while pos + 8 <= len(data):
+        ln, typ = _s.unpack_from(">I4s", data, pos)
+        chunk = data[pos + 8 : pos + 8 + ln]
+        pos += 12 + ln
+        if typ == b"IHDR":
+            w, h, bit_depth, color_type, _, _, interlace = _s.unpack(
+                ">IIBBBBB", chunk
+            )
+        elif typ == b"IDAT":
+            idat += chunk
+        elif typ == b"IEND":
+            break
+    if w is None:
+        raise ValueError("PNG missing IHDR")
+    if bit_depth != 8 or color_type not in (0, 2, 6) or interlace != 0:
+        raise ValueError(
+            f"PNG variant not supported (depth={bit_depth}, color={color_type}, "
+            f"interlace={interlace}) — 8-bit grey/truecolor/RGBA only"
+        )
+    nch = {0: 1, 2: 3, 6: 4}[color_type]
+    raw = zlib.decompress(bytes(idat))
+    stride = w * nch
+    if len(raw) < h * (stride + 1):
+        raise ValueError("truncated PNG raster")
+    out = bytearray(h * stride)
+    prev = bytearray(stride)
+    for row in range(h):
+        base = row * (stride + 1)
+        ftype = raw[base]
+        line = bytearray(raw[base + 1 : base + 1 + stride])
+        if ftype == 1:  # Sub
+            for i in range(nch, stride):
+                line[i] = (line[i] + line[i - nch]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                left = line[i - nch] if i >= nch else 0
+                line[i] = (line[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - nch] if i >= nch else 0
+                b = prev[i]
+                c = prev[i - nch] if i >= nch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[i] = (line[i] + pr) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"unknown PNG filter type {ftype}")
+        out[row * stride : (row + 1) * stride] = line
+        prev = line
+    # normalize to RGB
+    if nch == 3:
+        return w, h, bytes(out)
+    rgb = bytearray(w * h * 3)
+    if nch == 1:
+        for i in range(w * h):
+            rgb[i * 3] = rgb[i * 3 + 1] = rgb[i * 3 + 2] = out[i]
+    else:  # RGBA: drop alpha
+        for i in range(w * h):
+            rgb[i * 3 : i * 3 + 3] = out[i * 4 : i * 4 + 3]
+    return w, h, bytes(rgb)
+
+
 def decode_image(content: bytes) -> Tuple[int, int, bytes]:
     """Decode an image to (width, height, top-down RGB bytes).
 
-    Pure-Python support for PPM P6/P3 and uncompressed 24/32-bit BMP —
-    the decode slot the r2 verdict asked to make real. Anything else
-    raises (a real JPEG/PNG decoder is a library swap in this one spot)."""
+    Pure-Python support for PPM P6/P3, uncompressed 24/32-bit BMP, and
+    8-bit PNG (grey/truecolor/RGBA; zlib from the stdlib) — the decode
+    slot the r2 verdict asked to make real. JPEG still raises (a DCT
+    decoder is a library swap in this one spot)."""
     if content is None or len(content) < 2:
         raise ValueError("empty image content")
     magic = bytes(content[:2])
@@ -140,8 +222,10 @@ def decode_image(content: bytes) -> Tuple[int, int, bytes]:
         return _decode_ppm(bytes(content))
     if magic == b"BM":
         return _decode_bmp(bytes(content))
+    if bytes(content[:4]) == b"\x89PNG":
+        return _decode_png(bytes(content))
     raise NotImplementedError(
-        "only PPM/BMP decode in-tree; other formats need an image library (e.g. PIL)"
+        "PPM/BMP/PNG decode in-tree; JPEG needs an image library (e.g. PIL)"
     )
 
 

@@ -144,3 +144,67 @@ def test_frame_sample_plan_fanout(spark, docs):
     out = frame_sample_plan(m, every_n=10)
     per_doc = out.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n")).collect()
     assert all(r.n == 3 for r in per_doc)  # frames 0, 10, 20
+
+
+def test_png_decode_roundtrip():
+    """Pure-Python PNG decode: craft PNGs with each filter type (the raw
+    stream carries the FILTERED bytes; the decoder must reconstruct the
+    original RGB), plus grey and RGBA channel normalization."""
+    import struct
+    import zlib
+
+    from age_spark.pipeline.multimodal import decode_image
+
+    def chunk(typ, payload):
+        return (
+            struct.pack(">I", len(payload)) + typ + payload
+            + struct.pack(">I", zlib.crc32(typ + payload) & 0xFFFFFFFF)
+        )
+
+    def make_png(w, h, color_type, raw_rows):
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+        body = zlib.compress(b"".join(raw_rows))
+        return (
+            b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", body) + chunk(b"IEND", b"")
+        )
+
+    # 2x2 RGB, all four filters against a known original
+    orig = [bytes([10, 20, 30, 40, 50, 60]), bytes([70, 80, 90, 15, 25, 35])]
+
+    def filt(ft, line, prev, nch=3):
+        out = bytearray([ft])
+        for i, v in enumerate(line):
+            a = line[i - nch] if i >= nch else 0
+            b = prev[i]
+            c = prev[i - nch] if i >= nch else 0
+            if ft == 0:
+                pred = 0
+            elif ft == 1:
+                pred = a
+            elif ft == 2:
+                pred = b
+            elif ft == 3:
+                pred = (a + b) >> 1
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            out.append((v - pred) & 0xFF)
+        return bytes(out)
+
+    for ft in (0, 1, 2, 3, 4):
+        rows = [filt(ft, orig[0], bytes(6)), filt(ft, orig[1], orig[0])]
+        w, h, rgb = decode_image(make_png(2, 2, 2, rows))
+        assert (w, h) == (2, 2)
+        assert rgb == orig[0] + orig[1], f"filter {ft} mismatch"
+
+    # greyscale -> RGB triplication
+    grows = [bytes([0, 7, 200]), bytes([0, 31, 255])]
+    w, h, rgb = decode_image(make_png(2, 2, 0, grows))
+    assert rgb == bytes([7, 7, 7, 200, 200, 200, 31, 31, 31, 255, 255, 255])
+
+    # RGBA -> alpha dropped
+    arows = [bytes([0, 1, 2, 3, 9, 4, 5, 6, 9])]
+    w, h, rgb = decode_image(make_png(2, 1, 6, arows))
+    assert rgb == bytes([1, 2, 3, 4, 5, 6])
