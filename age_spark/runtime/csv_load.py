@@ -33,11 +33,10 @@ from typing import Optional
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
 from ..catalog import ENTRY_ID_BITS, CatalogError
-from ..graph import ORDER_KEY_TYPE, TAGGED_TYPE, Graph
+from ..graph import ORDER_KEY_TYPE, Graph
 
 _EDGE_HEAD = ("start_id", "start_vertex_type", "end_id", "end_vertex_type")
 
