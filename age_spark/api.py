@@ -237,7 +237,7 @@ class AgeSession:
             return CypherResult(df=df, graph=graph)
         ast = parse_cypher(query)
         ctx = QueryContext(
-            spark=self.spark, graph=graph, params=params or {},
+            spark=self.spark, graph=graph, params=params,
             enable_containment=self.enable_containment, session=self,
         )
         df, ctx = compile_query(ctx, ast)
@@ -272,7 +272,7 @@ class AgeSession:
         ast = parse_cypher(stmt)
 
         def run(params: Optional[dict] = None) -> CypherResult:
-            ctx = QueryContext(spark=self.spark, graph=graph, params=params or {}, enable_containment=self.enable_containment)
+            ctx = QueryContext(spark=self.spark, graph=graph, params=params, enable_containment=self.enable_containment)
             df, out_ctx = compile_query(ctx, ast)
             return CypherResult(df=df, graph=out_ctx.graph)
 

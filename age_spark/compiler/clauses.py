@@ -586,7 +586,7 @@ def _const_float(ctx: QueryContext, e) -> float:
     if isinstance(e, A.Lit) and isinstance(e.value, (int, float)):
         return float(e.value)
     if isinstance(e, A.Param):
-        return float(ctx.params[e.name])
+        return float((ctx.params or {})[e.name])
     raise CompileError("percentile requires a constant fraction")
 
 
@@ -638,7 +638,7 @@ def _const_int(ctx: QueryContext, e) -> int:
     if isinstance(e, A.Lit) and isinstance(e.value, int):
         return e.value
     if isinstance(e, A.Param):
-        return int(ctx.params[e.name])
+        return int((ctx.params or {})[e.name])
     raise CompileError("SKIP/LIMIT must be a constant integer")
 
 
@@ -1246,7 +1246,7 @@ def _sql_literal_arg(ctx: QueryContext, e) -> str:
     invocation (only constants/params are CALL-able table-function args —
     the reference's SRF calls are likewise per-statement, not lateral)."""
     if isinstance(e, A.Param):
-        v = ctx.params[e.name]
+        v = (ctx.params or {})[e.name]
     elif isinstance(e, A.Lit):
         v = e.value
     elif isinstance(e, A.Unary) and e.op == "-" and isinstance(e.expr, A.Lit):

@@ -179,8 +179,20 @@ def compile_expr(scope: ExprScope, e: A.Expr) -> Column:
             return F.lit(None)
         return literal_to_column(e.value)
     if isinstance(e, A.Param):
+        # the reference distinguishes NO parameter argument (error at any
+        # $ref, expr.out:73) from a SUPPLIED map missing the key (NULL —
+        # `RETURN $var, $missingvar` with '{"var": 1}' prints `1 |`)
+        if scope.ctx.params is None:
+            raise CompileError(
+                "parameters argument is missing from cypher() function call"
+            )
+        if not isinstance(scope.ctx.params, dict):
+            # a non-map parameters value: $name keys into it like a
+            # container access — an ARRAY rejects the string key
+            # (expr.out EXECUTE ... ('[1]') block)
+            raise CompileError("array index must resolve to an integer value")
         if e.name not in scope.ctx.params:
-            raise CompileError(f"parameter ${e.name} not supplied")
+            return F.lit(None)
         return literal_to_column(scope.ctx.params[e.name])
     if isinstance(e, A.Var):
         if e.name in scope.lambda_vars:

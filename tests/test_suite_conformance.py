@@ -67,7 +67,7 @@ SKIPS = {
         # relationship types", age_vle.c); the engine's edge-distinct
         # fallback handles that case and returns the correct paths instead
         # of erroring — a deliberate capability deviation
-        "SELECT count(*) FROM age_all_shortest_paths(#106":
+        "SELECT count(*) FROM age_all_shortest_paths(#119":
             "reference limitation: engine supports multi-type min_hops fallback",
     },
     "age_load": {
