@@ -556,12 +556,34 @@ def _agg_tagged(ctx: QueryContext, node: A.FuncCall, arg_col: Column) -> Column:
         )
         dsum = F.sum_distinct(dval) if node.distinct else F.sum(dval)
         any_num = F.max(F.when((arg_col.getField("__k") == 7) & d.isNotNull(), 1).otherwise(0)) == 1
+        # NaN/Infinity rows cast to NULL decimal and would silently drop out
+        # of dsum — PG's numeric sum propagates them (numeric addition:
+        # NaN dominates; +inf + -inf = NaN).  Detect specials via the exact
+        # __d spelling or the __n double and route __d to the spelling.
+        nn = F.coalesce(n, F.lit(0.0))
+        has_nan = F.max(
+            F.when((d == "NaN") | F.isnan(nn), 1).otherwise(0)
+        ) == 1
+        has_pinf = F.max(
+            F.when((d == "Infinity") | (nn == float("inf")), 1).otherwise(0)
+        ) == 1
+        has_ninf = F.max(
+            F.when((d == "-Infinity") | (nn == float("-inf")), 1).otherwise(0)
+        ) == 1
+        dspecial = (
+            F.when(has_nan | (has_pinf & has_ninf), F.lit("NaN"))
+            .when(has_pinf, F.lit("Infinity"))
+            .when(has_ninf, F.lit("-Infinity"))
+        )
         return F.when(nsum.isNull(), F.lit(None).cast(TAGGED_TYPE)).otherwise(
             F.struct(
                 F.lit(7).cast("tinyint").alias("__k"),
-                nsum.alias("__n"),
+                F.coalesce(dspecial.cast("double"), nsum).alias("__n"),
                 F.when(all_int & ~any_num, isum).alias("__i"),
-                F.when(any_num, dec_trim_text(dsum.cast("string"))).alias("__d"),
+                F.when(
+                    any_num,
+                    F.coalesce(dspecial, dec_trim_text(dsum.cast("string"))),
+                ).alias("__d"),
                 F.lit(None).cast("string").alias("__s"),
                 F.lit(None).cast("boolean").alias("__b"),
                 F.lit(None).cast(ORDER_KEY_TYPE).alias("__o"),
@@ -1142,10 +1164,12 @@ def compile_single(ctx: QueryContext, q: A.SingleQuery) -> tuple[DataFrame, Quer
             st, ctx = mutate.compile_merge(ctx, st, clause)
         elif isinstance(clause, A.CallProc):
             last = clause is q.clauses[-1]
-            st = compile_call(ctx, st, clause, is_last=last)
+            first = clause is q.clauses[0]
+            st = compile_call(ctx, st, clause, is_last=last, is_first=first)
             if last:
-                # a query ENDING in CALL [YIELD] returns the procedure
-                # resultset itself (cypher_call.sql `CALL sqrt(64)` -> 8.0)
+                # a standalone CALL [YIELD] returns the procedure resultset
+                # itself (cypher_call.sql `CALL sqrt(64)` -> 8.0); a trailing
+                # CALL with a preceding clause already errored above
                 returned = True
         else:
             raise CompileError(f"unsupported clause {type(clause).__name__}")
@@ -1322,8 +1346,27 @@ def _call_scalar_fallthrough(ctx: QueryContext, c: A.CallProc):
     return unit.select(col.alias(last)), last
 
 
-def compile_call(ctx: QueryContext, st: State, c: A.CallProc, is_last: bool = True) -> State:
+def compile_call(
+    ctx: QueryContext, st: State, c: A.CallProc,
+    is_last: bool = True, is_first: bool = True,
+) -> State:
     from ..runtime import procedures as _procs  # registers built-ins
+
+    # rule set of transform_cypher_call_stmt (cypher_clause.c:1268-1318),
+    # checked BEFORE procedure resolution exactly as the reference does:
+    # standalone (!prev && !next) CALL rejects only WHERE; a CALL inside a
+    # larger query must name outputs with YIELD and cannot be the final
+    # clause (regardless of WHERE)
+    if is_first and is_last:
+        if c.where is not None:
+            raise CompileError("Cannot use standalone CALL with WHERE")
+    else:
+        if not c.yield_items:
+            raise CompileError(
+                "Procedure call inside a query does not support naming results implicitly"
+            )
+        if is_last:
+            raise CompileError("Query cannot conclude with CALL")
 
     impl = PROCEDURES.get(c.name.lower())
     if impl is not None:
@@ -1348,15 +1391,6 @@ def compile_call(ctx: QueryContext, st: State, c: A.CallProc, is_last: bool = Tr
                 if scalar_err is not None:
                     raise scalar_err
                 raise
-    # rule set of transform_cypher_call_stmt (cypher_clause.c; pinned by
-    # cypher_call.sql): inside a larger query outputs must be named with
-    # YIELD, and a YIELD ... WHERE needs a following clause to consume it
-    if not c.yield_items and not is_last:
-        raise CompileError(
-            "Procedure call inside a query does not support naming results implicitly"
-        )
-    if c.where is not None and is_last:
-        raise CompileError("Cannot use standalone CALL with WHERE")
     # rename procedure outputs to internal names so a second CALL of the
     # same function (CALL sqrt(64) ... CALL sqrt(81) YIELD sqrt AS sqrt1)
     # never collides at the join

@@ -1365,8 +1365,172 @@ def _infer_ast_dtype(scope: ExprScope, node) -> Optional[T.DataType]:
     return None
 
 
+def _pg_weight_firstdigit(v):
+    """Base-10000 weight and first NumericDigit of a PG numeric (numeric.c
+    set_var_from_str digit packing) — inputs to select_div_scale."""
+    if v == 0:
+        return 0, 0
+    av = abs(v)
+    dweight = av.adjusted()  # power of 10 of the first decimal digit
+    if dweight >= 0:
+        weight = (dweight + 4) // 4 - 1
+    else:
+        weight = -((-dweight - 1) // 4 + 1)
+    first = int(av.scaleb(-4 * weight))  # floor(av / 10000^weight)
+    return weight, first
+
+
+def _select_div_scale(v1, v2, d1: int, d2: int) -> int:
+    """PG's numeric division display scale (select_div_scale, numeric.c):
+    NUMERIC_MIN_SIG_DIGITS(16) - qweight*DEC_DIGITS(4), floored by both
+    input dscales — int64max/int64max prints 1.00000000000000000000."""
+    w1, f1 = _pg_weight_firstdigit(v1)
+    w2, f2 = _pg_weight_firstdigit(v2)
+    qweight = w1 - w2
+    if f1 <= f2:
+        qweight -= 1
+    rscale = 16 - qweight * 4
+    rscale = max(rscale, d1, d2, 0)
+    return min(rscale, 1000)
+
+
+def _const_num_operand(e):
+    """(kind, value, dscale) of a CONSTANT numeric operand — kind in
+    ('int', 'float', 'numeric'), value int/float/Decimal.  None when not
+    statically foldable (variables, specials, non-numeric literals)."""
+    import decimal as _dec
+
+    if isinstance(e, A.Unary) and e.op in ("-", "+"):
+        inner = _const_num_operand(e.expr)
+        if inner is None:
+            return None
+        k, v, ds = inner
+        return (k, -v if e.op == "-" else v, ds)
+    if isinstance(e, A.Lit) and not isinstance(e.value, bool):
+        if isinstance(e.value, int):
+            return ("int", e.value, 0)
+        if isinstance(e.value, float):
+            return ("float", e.value, None)
+        return None
+    if isinstance(e, A.FuncCall) and e.name == "tonumeric" and len(e.args) == 1:
+        a0 = e.args[0]
+        raw = None
+        if isinstance(a0, A.Lit):
+            if isinstance(a0.value, str):
+                if a0.value.strip().lower() in _NUMERIC_SPECIALS:
+                    return None  # NaN/Infinity: the runtime lane handles them
+                raw = a0.value.strip()
+            else:
+                raw = getattr(a0, "raw", None)
+                if raw is None and isinstance(a0.value, (int, float)) and not isinstance(a0.value, bool):
+                    raw = repr(a0.value)
+        elif isinstance(a0, A.Unary):
+            inner = _const_num_operand(a0)
+            if inner is None:
+                return None
+            k, v, ds = inner
+            if k == "float":
+                v = _dec.Decimal(format(v, ".15g"))
+            elif k == "int":
+                v = _dec.Decimal(v)
+            return ("numeric", v, max(0, -v.as_tuple()[2]))
+        if raw is None:
+            return None
+        try:
+            d = _dec.Decimal(str(raw))
+        except _dec.InvalidOperation:
+            return None
+        if not d.is_finite():
+            return None
+        return ("numeric", d, max(0, -d.as_tuple()[2]))
+    if isinstance(e, A.FuncCall) and e.name == "castint" and len(e.args) == 1:
+        inner = _const_num_operand(e.args[0])
+        if inner is None:
+            return None
+        k, v, ds = inner
+        if k == "int":
+            return inner
+        # ::int ROUNDS (2.71::int = 3, expr.out) — half away from zero
+        q = _dec.Decimal(v if k == "numeric" else format(v, ".17g"))
+        iv = int(q.quantize(_dec.Decimal(1), rounding=_dec.ROUND_HALF_UP))
+        if not (-(1 << 63) <= iv < (1 << 63)):
+            return None  # int64 overflow: the runtime error surface handles it
+        return ("int", iv, 0)
+    if isinstance(e, A.FuncCall) and e.name == "castfloat" and len(e.args) == 1:
+        inner = _const_num_operand(e.args[0])
+        if inner is None:
+            return None
+        k, v, ds = inner
+        return ("float", float(v), None)
+    if isinstance(e, A.Binary):
+        folded = _fold_const_numeric(e)
+        return folded
+    return None
+
+
+def _fold_const_numeric(e):
+    """Fold a constant arithmetic expression with at least one NUMERIC-kind
+    operand to its EXACT PG value: arbitrary precision (beyond the runtime
+    lane's DECIMAL(38,18) bound) with PG display scales — add/sub keep
+    max(d1,d2), mul keeps d1+d2, division uses select_div_scale.  Returns
+    ('numeric', Decimal, dscale) or None when not foldable."""
+    import decimal as _dec
+
+    if not isinstance(e, A.Binary) or e.op not in ("+", "-", "*", "/", "%"):
+        return None
+    lt = _const_num_operand(e.left)
+    rt = _const_num_operand(e.right)
+    if lt is None or rt is None:
+        return None
+    if lt[0] != "numeric" and rt[0] != "numeric":
+        return None  # pure int/float arithmetic stays on the runtime lane
+
+    def as_dec(t):
+        k, v, ds = t
+        if k == "numeric":
+            return v, ds
+        if k == "int":
+            return _dec.Decimal(v), 0
+        # PG casts float8 -> numeric through the %.15g text
+        d = _dec.Decimal(format(v, ".15g"))
+        return d, max(0, -d.as_tuple()[2])
+
+    lv, ld = as_dec(lt)
+    rv, rd = as_dec(rt)
+    with _dec.localcontext() as cx:
+        cx.prec = 1200
+        if e.op == "+":
+            res, ds = lv + rv, max(ld, rd)
+        elif e.op == "-":
+            res, ds = lv - rv, max(ld, rd)
+        elif e.op == "*":
+            res, ds = lv * rv, ld + rd
+        elif e.op == "/":
+            if rv == 0:
+                return None  # division by zero: runtime error surface
+            ds = _select_div_scale(lv, rv, ld, rd)
+            res = (lv / rv).quantize(
+                _dec.Decimal(1).scaleb(-ds), rounding=_dec.ROUND_HALF_UP
+            )
+        else:  # %
+            if rv == 0:
+                return None
+            res = lv - (lv / rv).to_integral_value(rounding=_dec.ROUND_DOWN) * rv
+            ds = max(ld, rd)
+        res = res.quantize(
+            _dec.Decimal(1).scaleb(-ds), rounding=_dec.ROUND_HALF_UP
+        )
+    return ("numeric", res, ds)
+
+
 def _compile_binary(scope: ExprScope, e: A.Binary) -> Column:
     op = e.op
+    if op in ("+", "-", "*", "/", "%"):
+        folded = _fold_const_numeric(e)
+        if folded is not None:
+            from ..graph import numeric_tagged
+
+            return numeric_tagged(F.lit(format(folded[1], "f")))
     l = compile_expr(scope, e.left)
     r = compile_expr(scope, e.right)
     if op in ("<->", "<#>", "<=>", "<+>"):
@@ -2251,6 +2415,15 @@ def _fn_size(scope, args, cols):
     dt = _operand_dtype(scope, args[0], c) if args else dtype_of(scope, c)
     if dt is not None and _is_string(dt):
         return F.length(c)
+    if dt is not None and _is_tagged(dt):
+        # dynamic input resolves the kind per row: string -> char count,
+        # array -> element count, other kinds NULL (age_size errors on
+        # them; a mixed column can't raise per-row)
+        k = c.getField("__k")
+        return (
+            F.when(k == 5, F.length(c.getField("__s")).cast("long"))
+            .when(k == 4, F.json_array_length(c.getField("__j")).cast("long"))
+        )
     if dt is not None and _is_struct(dt):
         # expr.out:3025 — size() unsupported argument (objects/entities)
         raise CompileError("size() unsupported argument: object")

@@ -132,7 +132,7 @@ def _check_row_widths(spark, full: str, delimiter: str, kind: str) -> None:
         )
 
 
-def _tagged(k, n=None, i=None, s=None, b=None):
+def _tagged(k, n=None, i=None, s=None, b=None, j=None):
     return F.struct(
         F.lit(k).cast("tinyint").alias("__k"),
         (n if n is not None else F.lit(None).cast("double")).alias("__n"),
@@ -141,26 +141,35 @@ def _tagged(k, n=None, i=None, s=None, b=None):
         (s if s is not None else F.lit(None).cast("string")).alias("__s"),
         (b if b is not None else F.lit(None).cast("boolean")).alias("__b"),
         F.lit(None).cast(ORDER_KEY_TYPE).alias("__o"),
-        F.lit(None).cast("string").alias("__j"),
+        (j if j is not None else F.lit(None).cast("string")).alias("__j"),
     )
 
 
 def csv_value_to_agtype(t):
-    """One trimmed CSV field re-parsed as a JSON scalar when it validates
-    (csv_value_to_agtype_value, age_load.c:218): NULL/empty and the literal
-    ``null`` are the agtype null KIND (a present key with null value, not
-    an absent key); numbers keep the int/float distinction; anything not
-    valid JSON is a plain string."""
+    """One trimmed CSV field re-parsed as agtype when it validates
+    (csv_value_to_agtype_value, age_load.c:218 — ANY valid JSON, containers
+    included, the reference gates on json_validate): NULL/empty and the
+    literal ``null`` are the agtype null KIND (a present key with null
+    value, not an absent key); numbers keep the int/float distinction;
+    ``[...]``/``{...}`` that parse as JSON load as container kinds (the
+    __j payload); anything not valid JSON is a plain string."""
     is_int = t.rlike(r"^-?[0-9]+$")
     is_flt = t.rlike(r"^-?([0-9]+(\.[0-9]*)?|\.[0-9]+)([eE][-+]?[0-9]+)?$")
     is_qstr = t.rlike(r'^".*"$')
     unq = F.get(F.from_json(F.concat(F.lit("["), t, F.lit("]")), "array<string>"), 0)
+    # container branch: fields shaped like JSON containers re-parse through
+    # the variant reader; invalid ones (try_parse_json null) stay strings
+    cj = F.to_json(F.try_parse_json(t))
+    is_arr = t.startswith("[") & cj.isNotNull()
+    is_obj = t.startswith("{") & cj.isNotNull()
     return (
         F.when(t.isNull() | (t == "") | (t == "null"), _tagged(8))
         .when(t == "true", _tagged(6, b=F.lit(True)))
         .when(t == "false", _tagged(6, b=F.lit(False)))
         .when(is_int, _tagged(7, n=t.cast("double"), i=t.cast("long")))
         .when(is_flt, _tagged(7, n=t.cast("double")))
+        .when(is_obj, _tagged(3, j=cj))
+        .when(is_arr, _tagged(4, j=cj))
         .when(is_qstr & unq.isNotNull(), _tagged(5, s=unq))
         .otherwise(_tagged(5, s=t))
     )
@@ -221,18 +230,31 @@ def load_labels_from_file(
         df = df.withColumn("__entry", F.row_number().over(w) + F.lit(first - 1))
     shift = meta.label_id << ENTRY_ID_BITS
     existing = graph.vertex_dfs.get(label)
-    if existing is not None and id_field_exists:
+    if id_field_exists:
+        # the reference's PK index rejects BOTH re-loads of existing ids and
+        # duplicate ids within one file — probe the incoming batch against
+        # itself (one aggregate) and against the current label table
+        dup_ids = df.groupBy("__entry").agg(F.count(F.lit(1)).alias("_n"))
+        if existing is not None:
+            dup_ids = dup_ids.unionByName(
+                df.select(F.col("__entry"))
+                .join(
+                    existing.select((F.col("id") - F.lit(shift)).alias("__entry")),
+                    "__entry",
+                    "left_semi",
+                )
+                .groupBy("__entry")
+                .agg(F.lit(2).alias("_n"))
+            )
         dup = (
-            df.select((F.lit(shift) + F.col("__entry")).alias("_gid"))
-            .join(existing.select(F.col("id").alias("_gid")), "_gid", "left_semi")
-            .agg(F.min("_gid").alias("g"))
+            dup_ids.filter(F.col("_n") > 1)
+            .agg(F.min("__entry").alias("e"))
             .first()
         )
-        if dup is not None and dup["g"] is not None:
-            entry = dup["g"] - shift
+        if dup is not None and dup["e"] is not None:
             raise CatalogError(
-                f"Cannot insert duplicate vertex id: {dup['g']}"
-                f" (entry id {entry} is already used)"
+                f"Cannot insert duplicate vertex id: {shift + dup['e']}"
+                f" (entry id {dup['e']} is already used)"
             )
     props = _prop_cols(df, ("__entry",), load_as_agtype)
     loaded = df.select(
@@ -278,11 +300,44 @@ def load_edges_from_file(
     )
     df = df.withColumn(
         "_start", mapping[F.col("start_vertex_type")].cast("long")
-        * F.lit(1 << ENTRY_ID_BITS) + F.col("start_id").cast("long")
+        * F.lit(1 << ENTRY_ID_BITS) + F.col("start_id").try_cast("long")
     ).withColumn(
         "_end", mapping[F.col("end_vertex_type")].cast("long")
-        * F.lit(1 << ENTRY_ID_BITS) + F.col("end_id").cast("long")
+        * F.lit(1 << ENTRY_ID_BITS) + F.col("end_id").try_cast("long")
     )
+    # an unresolvable endpoint must ERROR, never load a NULL graphid — the
+    # reference's get_label_id returns INVALID_LABEL_ID and make_graphid
+    # rejects it ('label_id must be 1 ..', graphid.c:204); a non-numeric
+    # entry id fails the int cast the same way.  One load-time aggregate.
+    bad = (
+        df.filter(F.col("_start").isNull() | F.col("_end").isNull())
+        .select(
+            F.coalesce(
+                F.when(
+                    mapping[F.col("start_vertex_type")].isNull(),
+                    F.col("start_vertex_type"),
+                ),
+                F.when(
+                    mapping[F.col("end_vertex_type")].isNull(),
+                    F.col("end_vertex_type"),
+                ),
+            ).alias("_badlabel"),
+            F.coalesce(
+                F.when(F.col("start_id").try_cast("long").isNull(), F.col("start_id")),
+                F.when(F.col("end_id").try_cast("long").isNull(), F.col("end_id")),
+            ).alias("_badid"),
+        )
+        .first()
+    )
+    if bad is not None:
+        if bad["_badlabel"] is not None:
+            raise CatalogError(
+                f'vertex type "{bad["_badlabel"]}" does not exist '
+                f"(label_id must be 1 .. 65535)"
+            )
+        raise CatalogError(
+            f"invalid vertex entry id in edge file: {bad['_badid']!r}"
+        )
     props = _prop_cols(
         df, _EDGE_HEAD + ("_start", "_end"), load_as_agtype
     )

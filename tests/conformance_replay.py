@@ -143,6 +143,8 @@ def _replay_ddl(age, graphs, graph_prefix, c, idx):
             g_of(a[0]).create_vlabel(a[1])
         elif fn == "create_elabel":
             g_of(a[0]).create_elabel(a[1])
+        elif fn == "drop_label":
+            g_of(a[0], create=False).drop_label(a[1])
         elif fn == "create_complete_graph":
             age.create_complete_graph(
                 g_of(a[0]), a[1], a[2], a[3] if len(a) > 3 else None

@@ -267,6 +267,7 @@ _DDL_FNS = (
     "drop_graph",
     "create_vlabel",
     "create_elabel",
+    "drop_label",
     "create_complete_graph",
     "age_create_barbell_graph",
     "load_labels_from_file",

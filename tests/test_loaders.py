@@ -98,3 +98,80 @@ def test_graph_save_load(spark, csv_dir, tmp_path):
     g2 = age.load_graph(path)
     got = sorted(r.name for r in age.cypher(g2, "MATCH (c:Country) RETURN c.name AS name").df.collect())
     assert got == ["Austria", "Belgium", "Chile"]
+
+
+def test_intra_file_duplicate_vertex_id_raises(spark, tmp_path):
+    """Duplicate ids WITHIN one CSV file must raise — the reference's PK
+    index rejects them just like re-loads of existing ids."""
+    from age_spark.catalog import CatalogError
+
+    p = tmp_path / "dup.csv"
+    p.write_text("id,name\n1,a\n2,b\n1,c\n")
+    age = AgeSession(spark)
+    g = age.create_graph("dupv")
+    with pytest.raises(CatalogError, match="duplicate vertex id"):
+        age.load_labels_from_file(g, "T", str(p))
+
+
+def test_edge_unknown_vertex_type_raises(spark, tmp_path):
+    """An unknown start/end_vertex_type must ERROR (get_label_id ->
+    INVALID_LABEL_ID -> make_graphid 'label_id must be 1 ..',
+    graphid.c:204), never load NULL endpoints."""
+    from age_spark.catalog import CatalogError
+
+    v = tmp_path / "v.csv"
+    v.write_text("id,name\n1,a\n")
+    e = tmp_path / "e.csv"
+    e.write_text(
+        "start_id,start_vertex_type,end_id,end_vertex_type\n1,T,1,Nope\n"
+    )
+    age = AgeSession(spark)
+    g = age.create_graph("badet")
+    g = age.load_labels_from_file(g, "T", str(v))
+    with pytest.raises(CatalogError, match='"Nope" does not exist'):
+        age.load_edges_from_file(g, "E", str(e))
+
+
+def test_edge_non_numeric_entry_id_raises(spark, tmp_path):
+    from age_spark.catalog import CatalogError
+
+    v = tmp_path / "v.csv"
+    v.write_text("id,name\n1,a\n")
+    e = tmp_path / "e.csv"
+    e.write_text(
+        "start_id,start_vertex_type,end_id,end_vertex_type\nxyz,T,1,T\n"
+    )
+    age = AgeSession(spark)
+    g = age.create_graph("badid")
+    g = age.load_labels_from_file(g, "T", str(v))
+    with pytest.raises(CatalogError, match="invalid vertex entry id"):
+        age.load_edges_from_file(g, "E", str(e))
+
+
+def test_load_as_agtype_containers(spark, tmp_path):
+    """load_as_agtype=True accepts ANY valid JSON (json_validate,
+    age_load.c:218): '[1,2]' / '{"a":1}' fields load as agtype containers,
+    not plain strings; malformed near-JSON stays a string."""
+    p = tmp_path / "cont.csv"
+    p.write_text(
+        'id,val\n'
+        '1,"[1, 2, 3]"\n'
+        '2,"{""a"": 1}"\n'
+        '3,"[1, 2"\n'
+    )
+    age = AgeSession(spark)
+    g = age.create_graph("contv")
+    g = age.load_labels_from_file(g, "T", str(p), load_as_agtype=True)
+    got = {
+        r.id: (r.sz, r.a)
+        for r in age.cypher(
+            g,
+            "MATCH (n:T) RETURN toInteger(n.id) AS id, size(n.val) AS sz, "
+            "toInteger(n.val['a']) AS a",
+        ).df.collect()
+    }
+    # [1,2,3] is a real array (size 3); {"a":1} derefs a; the malformed
+    # field stays a 5-char string
+    assert got[1][0] == 3
+    assert got[2][1] == 1
+    assert got[3][0] == 5

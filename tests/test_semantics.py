@@ -702,3 +702,84 @@ def test_call_spark_table_function_fallthrough(spark):
         age.cypher(g, "MATCH (x:Nope) CALL call_squares(x.v) YIELD n RETURN n")
     with pytest.raises(CompileError, match="unknown procedure"):
         age.cypher(g, "CALL definitely_not_registered()")
+
+
+# ------------------------------------------------- CALL prev/next rule set
+
+
+def test_call_no_yield_with_prev_errors(social):
+    """transform_cypher_call_stmt (cypher_clause.c:1268): a CALL inside a
+    larger query must name outputs with YIELD — even as the FINAL clause."""
+    from age_spark.compiler.context import CompileError
+
+    age, g = social
+    with pytest.raises(CompileError, match="naming results implicitly"):
+        age.cypher(g, "MATCH (a) CALL sqrt(64)")
+
+
+def test_call_yield_cannot_conclude_query(social):
+    """CALL YIELD with a preceding clause and no following clause errors
+    'Query cannot conclude with CALL' (not the standalone-WHERE error)."""
+    from age_spark.compiler.context import CompileError
+
+    age, g = social
+    with pytest.raises(CompileError, match="Query cannot conclude with CALL"):
+        age.cypher(g, "MATCH (a) CALL sqrt(64) YIELD sqrt")
+    with pytest.raises(CompileError, match="Query cannot conclude with CALL"):
+        age.cypher(g, "MATCH (a) CALL sqrt(64) YIELD sqrt WHERE sqrt > 1")
+
+
+def test_call_standalone_yield_ok(social):
+    age, g = social
+    got = [tuple(r) for r in age.cypher(g, "CALL sqrt(64) YIELD sqrt").df.collect()]
+    assert got == [(8.0,)]
+
+
+# ------------------------------------------- numeric sum NaN/Inf propagation
+
+
+def test_sum_numeric_nan_propagates(social):
+    """PG's numeric sum propagates NaN/Infinity; the DECIMAL lane must not
+    silently drop special rows (they cast to NULL decimal)."""
+    age, g = social
+    q = "UNWIND [1::numeric, 'NaN'::numeric, 2::numeric] AS x RETURN sum(x) AS s"
+    out = age.cypher(g, q).df.collect()[0][0]
+    # tagged numeric result: __d carries the spelling
+    assert out["__d"] == "NaN"
+
+    q2 = "UNWIND [1::numeric, 'inf'::numeric] AS x RETURN sum(x) AS s"
+    out2 = age.cypher(g, q2).df.collect()[0][0]
+    assert out2["__d"] == "Infinity"
+
+    q3 = "UNWIND ['inf'::numeric, '-inf'::numeric] AS x RETURN sum(x) AS s"
+    out3 = age.cypher(g, q3).df.collect()[0][0]
+    assert out3["__d"] == "NaN"
+
+    # a float NaN in a group WITH a numeric row promotes to numeric NaN
+    q4 = "UNWIND [1::numeric, toFloat('NaN')] AS x RETURN sum(x) AS s"
+    out4 = age.cypher(g, q4).df.collect()[0][0]
+    assert out4["__d"] == "NaN"
+
+    # finite lane unchanged
+    q5 = "UNWIND [1.5::numeric, 2::numeric] AS x RETURN sum(x) AS s"
+    out5 = age.cypher(g, q5).df.collect()[0][0]
+    assert out5["__d"] == "3.5"
+
+
+def test_numeric_constant_fold_exact(social):
+    """Constant numeric arithmetic folds to EXACT arbitrary precision with
+    PG display scales (select_div_scale, numeric.c) — beyond the runtime
+    DECIMAL(38,18) lane (agtype.out >int64 blocks)."""
+    age, g = social
+
+    def d(q):
+        return age.cypher(g, q).df.collect()[0][0]["__d"]
+
+    assert d("RETURN 9223372036854775807::numeric * 9223372036854775807::integer AS r") == \
+        "85070591730234615847396907784232501249"
+    assert d("RETURN 9223372036854775807::numeric / 9223372036854775807::integer AS r") == \
+        "1.00000000000000000000"
+    assert d("RETURN 1.10::numeric + 2 AS r") == "3.10"      # add keeps max scale
+    assert d("RETURN 1.10::numeric * 2 AS r") == "2.20"      # mul scale d1+d2
+    assert d("RETURN 24.45::numeric / 7 AS r") == "3.4928571428571429"
+    assert d("RETURN -2::numeric + 3 AS r") == "1"

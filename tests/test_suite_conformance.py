@@ -19,24 +19,16 @@ DATA = os.path.join(os.path.dirname(__file__), "data")
 # query-text -> reason, consulted per case.
 # NUMERIC storage/printing is EXACT (text-backed __d slot: NaN/Infinity
 # spellings, >38-digit literals, the in-container ::numeric marker all
-# survive); ARITHMETIC computes through DECIMAL(38,18) — the remaining
-# bound covers only >38-digit arithmetic RESULTS and PG's
-# select_div_scale display-scale rule (numeric.c), both documented in
-# COVERAGE.md
-_NUMERIC_ARITH_BOUND = (
-    "numeric arithmetic bound: DECIMAL(38,18) compute + select_div_scale"
-)
+# survive).  CONSTANT numeric arithmetic folds to exact arbitrary
+# precision with PG's display scales (select_div_scale port,
+# exprs.py:_fold_const_numeric); non-constant arithmetic computes through
+# DECIMAL(38,18) (documented bound, COVERAGE.md).
 _COLLECT_ORDER = "collect() scan order: multi-pattern CREATE partition order"
 SKIPS = {
     "expr": {
         "MATCH (u) RETURN collect(u.name), collect(u.age), collect(u.gpa), collect(u.zip)": _COLLECT_ORDER,
         "MATCH (u) RETURN collect(u.gpa), collect(u.gpa)": _COLLECT_ORDER,
         "MATCH (u) RETURN collect(u.zip), collect(u.zip)": _COLLECT_ORDER,
-    },
-    "agtype": {
-        "RETURN 9223372036854775807::numeric * 9223372036854775807::integer": _NUMERIC_ARITH_BOUND,
-        "RETURN 9223372036854775807::numeric / 9223372036854775807::integer": _NUMERIC_ARITH_BOUND,
-        "RETURN 9223372036854775807::integer / 9223372036854775807::numeric": _NUMERIC_ARITH_BOUND,
     },
     "cypher_with": {
         # the outer SQL resultset casts the value to a PG type before psql
@@ -121,6 +113,8 @@ SUITES = [
     "age_load",
     "graph_generation",
     "subgraph",
+    "drop",
+    "cypher_vle",
 ]
 
 
