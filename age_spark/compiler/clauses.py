@@ -881,12 +881,22 @@ def _project_aggregate(ctx, df, env, items, aliases, order_by, distinct):
         except Exception:
             ord_specs_pre = []
     if not ord_specs_pre:
-        # no explicit ordering: collect in INPUT ROW order (partition-major
-        # position) — the deterministic analogue of the reference's heap
-        # scan order (expr.out collect blocks pin insertion order), instead
-        # of Spark's merge-order lottery
-        pre = pre.withColumn("_ob0", F.monotonically_increasing_id())
-        ord_specs_pre = [True]
+        # no explicit ordering: the reference's sequential executor emits
+        # heap order = insertion order = graphid order per label (expr.out
+        # collect blocks pin it).  Order by the BOUND ENTITIES' ids in
+        # match order — reproducible at any partition count — with the
+        # input row position as the final tiebreak (and the sole key when
+        # no entity is in scope)
+        from .context import EDGE, VERTEX
+
+        i = 0
+        for name, b in env.bindings.items():
+            if b.kind in (VERTEX, EDGE) and name in pre.columns:
+                pre = pre.withColumn(f"_ob{i}", F.col(name).getField("id"))
+                ord_specs_pre.append(True)
+                i += 1
+        pre = pre.withColumn(f"_ob{i}", F.monotonically_increasing_id())
+        ord_specs_pre.append(True)
     arg_names: list[Optional[str]] = []
     for j, node in enumerate(uniq):
         if node.args and not isinstance(node.args[0], A.Star):

@@ -2313,9 +2313,14 @@ def _fn_properties(scope, args, cols):
     p = cols[0].getField("properties")
     dt = dtype_of(scope, p)
     if isinstance(dt, T.StructType):
-        return F.struct(
-            F.lit(None).cast("string").alias("_pstruct"),
-            *[p.getField(f.name).alias(f.name) for f in dt.fields],
+        # strict: properties(NULL) is NULL, not {} (an out-of-range VLE
+        # subscript e[i] yields a NULL edge — cypher_vle.out prints empty)
+        return F.when(
+            cols[0].isNotNull(),
+            F.struct(
+                F.lit(None).cast("string").alias("_pstruct"),
+                *[p.getField(f.name).alias(f.name) for f in dt.fields],
+            ),
         )
     return p
 
@@ -3436,6 +3441,105 @@ def _fn_dmetaphone_alt(scope, args, cols):
         return s.map(_dma)
 
     return _dma_udf(cols[0].cast("string"))
+
+
+# ---- pg_trgm parity (regress/sql/pg_trgm.sql). The reference exposes
+# PostgreSQL's published contrib/pg_trgm inside Cypher: show_trgm /
+# similarity / word_similarity.  Pure Column HOFs — trigram counts are
+# bounded by string length, so the O(n^2) extent scan in word_similarity
+# stays tiny per row and fully JVM-side.
+
+
+def _trgm_array(c: Column) -> Column:
+    """Sorted, deduped trigram array (pg_trgm generate_trgm): lowercase,
+    split into alnum words, pad each '  w ' (two leading blanks, one
+    trailing), take every 3-char window."""
+    words = F.filter(
+        F.split(F.lower(c.cast("string")), r"[^a-z0-9]+"),
+        lambda w: F.length(w) > 0,
+    )
+
+    def grams(w):
+        padded = F.concat(F.lit("  "), w, F.lit(" "))
+        return F.transform(
+            F.sequence(F.lit(1), F.length(padded) - 2),
+            lambda i: padded.substr(i, F.lit(3)),
+        )
+
+    return F.array_sort(F.array_distinct(F.flatten(F.transform(words, grams))))
+
+
+@fn("show_trgm")
+def _fn_show_trgm(scope, args, cols):
+    """pg_trgm show_trgm(): the sorted trigram array (pg_trgm.out
+    show_trgm block pins '  j',' ja','ane','jan','ne ' for 'Jane')."""
+    return _trgm_array(cols[0])
+
+
+@fn("similarity")
+def _fn_similarity(scope, args, cols):
+    """pg_trgm similarity(): |T1 ∩ T2| / |T1 ∪ T2| computed in float4
+    like the extension (cnt_sml_similarity)."""
+    from ..graph import let_column
+
+    def body(t1):
+        def body2(t2):
+            inter = F.size(F.array_intersect(t1, t2))
+            union = F.size(t1) + F.size(t2) - inter
+            return F.when(union > 0, inter.cast("float") / union.cast("float")) \
+                .otherwise(F.lit(0.0)).cast("float").cast("double")
+
+        return let_column(_trgm_array(cols[1]), body2)
+
+    return let_column(_trgm_array(cols[0]), body)
+
+
+@fn("word_similarity")
+def _fn_word_similarity(scope, args, cols):
+    """pg_trgm word_similarity(s1, s2): greatest similarity between s1's
+    trigram set and any CONTIGUOUS extent of s2's ordered trigram set
+    (trgm_op.c word_similarity) — max over extents [i..j] of
+    |T1∩E| / (|T1| + |E| - |T1∩E|), via prefix sums over membership
+    flags."""
+    from ..graph import let_column
+
+    def body(t1):
+        def body2(t2):
+            n1 = F.size(t1)
+            n2 = F.size(t2)
+            flags = F.transform(
+                t2, lambda x: F.array_contains(t1, x).cast("int")
+            )
+            pref = F.aggregate(
+                flags,
+                F.array(F.lit(0)),
+                lambda acc, x: F.concat(acc, F.array(F.element_at(acc, -1) + x)),
+            )
+
+            def body3(p):
+                ratios = F.flatten(
+                    F.transform(
+                        F.sequence(F.lit(1), n2),
+                        lambda i: F.transform(
+                            F.sequence(i, n2),
+                            lambda j: let_column(
+                                (F.element_at(p, (j + 1).cast("int"))
+                                 - F.element_at(p, i.cast("int"))).cast("float"),
+                                lambda inter: inter
+                                / (n1 + (j - i + 1) - inter).cast("float"),
+                            ),
+                        ),
+                    )
+                )
+                return F.array_max(ratios).cast("float").cast("double")
+
+            return F.when(
+                (n1 > 0) & (n2 > 0), let_column(pref, body3)
+            ).otherwise(F.lit(0.0))
+
+        return let_column(_trgm_array(cols[1]), body2)
+
+    return let_column(_trgm_array(cols[0]), body)
 
 
 def _TAGGED_TYPE_CACHE():

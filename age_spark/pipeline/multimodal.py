@@ -211,10 +211,11 @@ def _decode_png(data: bytes) -> Tuple[int, int, bytes]:
 def decode_image(content: bytes) -> Tuple[int, int, bytes]:
     """Decode an image to (width, height, top-down RGB bytes).
 
-    Pure-Python support for PPM P6/P3, uncompressed 24/32-bit BMP, and
-    8-bit PNG (grey/truecolor/RGBA; zlib from the stdlib) — the decode
-    slot the r2 verdict asked to make real. JPEG still raises (a DCT
-    decoder is a library swap in this one spot)."""
+    Pure-Python support for PPM P6/P3, uncompressed 24/32-bit BMP, 8-bit
+    PNG (grey/truecolor/RGBA; zlib from the stdlib), and baseline
+    sequential JPEG (pipeline/jpeg.py — huffman + numpy IDCT, 4:4:4 /
+    4:2:2 / 4:2:0).  Progressive JPEG / palette PNG / exotic BMPs raise
+    (disclosed bounds)."""
     if content is None or len(content) < 2:
         raise ValueError("empty image content")
     magic = bytes(content[:2])
@@ -224,8 +225,12 @@ def decode_image(content: bytes) -> Tuple[int, int, bytes]:
         return _decode_bmp(bytes(content))
     if bytes(content[:4]) == b"\x89PNG":
         return _decode_png(bytes(content))
+    if magic == b"\xff\xd8":
+        from .jpeg import decode_baseline_jpeg
+
+        return decode_baseline_jpeg(bytes(content))
     raise NotImplementedError(
-        "PPM/BMP/PNG decode in-tree; JPEG needs an image library (e.g. PIL)"
+        "unrecognized image format (PPM/BMP/PNG/baseline-JPEG supported)"
     )
 
 

@@ -91,6 +91,8 @@ def compile_create(ctx: QueryContext, st, clause: A.Create):
 
     new_vertex_rows: dict[str, list[DataFrame]] = {}
     new_edge_rows: dict[str, list[DataFrame]] = {}
+    created_here: set[str] = set()  # vars CREATEd by this statement — they
+    # cannot have been deleted, so the deleted-endpoint probe skips them
 
     named_paths: list[tuple[str, list[str], list[str]]] = []
     for path in clause.patterns:
@@ -98,7 +100,7 @@ def compile_create(ctx: QueryContext, st, clause: A.Create):
         # bind/create first node
         prev_var, df, env = _create_node(
             ctx, graph, df, env, elems[0], n_rows, new_vertex_rows,
-            standalone=len(elems) == 1,
+            standalone=len(elems) == 1, created=created_here,
         )
         nvars, evars = [prev_var], []
         i = 1
@@ -110,10 +112,12 @@ def compile_create(ctx: QueryContext, st, clause: A.Create):
             if rel.types:
                 graph.create_elabel(rel.types[0])
             nxt_var, df, env = _create_node(
-                ctx, graph, df, env, node, n_rows, new_vertex_rows
+                ctx, graph, df, env, node, n_rows, new_vertex_rows,
+                created=created_here,
             )
             ename, df, env = _create_edge(
-                ctx, graph, df, env, rel, prev_var, nxt_var, n_rows, new_edge_rows
+                ctx, graph, df, env, rel, prev_var, nxt_var, n_rows,
+                new_edge_rows, created=created_here,
             )
             nvars.append(nxt_var)
             evars.append(ename)
@@ -188,7 +192,8 @@ def _bounded_snapshot(df: DataFrame) -> DataFrame:
     return df.coalesce(bound).localCheckpoint(eager=False)
 
 
-def _create_node(ctx, graph, df, env, node: A.NodePattern, n_rows, sink, standalone=False):
+def _create_node(ctx, graph, df, env, node: A.NodePattern, n_rows, sink,
+                 standalone=False, created=None):
     name = node.var or ctx.fresh()
     b = env.get(name)
     if b is not None:
@@ -221,6 +226,8 @@ def _create_node(ctx, graph, df, env, node: A.NodePattern, n_rows, sink, standal
             F.struct(F.lit(None).cast("string").alias("_none")).alias("properties")
         )
     df = df.withColumn(name, F.struct(*struct_fields))
+    if created is not None:
+        created.add(name)
     # rows to append to the label table (flat columns; reserved-named
     # properties store escaped — graph.prop_store_name)
     from ..graph import VERTEX_RESERVED, prop_store_name
@@ -234,7 +241,8 @@ def _create_node(ctx, graph, df, env, node: A.NodePattern, n_rows, sink, standal
     return name, df, env
 
 
-def _create_edge(ctx, graph, df, env, rel: A.RelPattern, a: str, b: str, n_rows, sink):
+def _create_edge(ctx, graph, df, env, rel: A.RelPattern, a: str, b: str,
+                 n_rows, sink, created=None):
     # returns (edge_var, df, env)
     if rel.direction == "both":
         raise CompileError("CREATE requires a directed relationship")
@@ -267,7 +275,9 @@ def _create_edge(ctx, graph, df, env, rel: A.RelPattern, a: str, b: str, n_rows,
             ep
             for ep in dict.fromkeys((s, d))
             if env.get(ep) is not None and not env.get(ep).deleted
-            # deleted-by-name errors in _create_node already
+            # deleted-by-name errors in _create_node already; vertices
+            # created by THIS statement cannot have been deleted
+            and ep not in (created or ())
         ]
         if check_eps:
             live = [t.select("id") for t in graph.vertex_dfs.values()]

@@ -23,13 +23,7 @@ DATA = os.path.join(os.path.dirname(__file__), "data")
 # precision with PG's display scales (select_div_scale port,
 # exprs.py:_fold_const_numeric); non-constant arithmetic computes through
 # DECIMAL(38,18) (documented bound, COVERAGE.md).
-_COLLECT_ORDER = "collect() scan order: multi-pattern CREATE partition order"
 SKIPS = {
-    "expr": {
-        "MATCH (u) RETURN collect(u.name), collect(u.age), collect(u.gpa), collect(u.zip)": _COLLECT_ORDER,
-        "MATCH (u) RETURN collect(u.gpa), collect(u.gpa)": _COLLECT_ORDER,
-        "MATCH (u) RETURN collect(u.zip), collect(u.zip)": _COLLECT_ORDER,
-    },
     "cypher_with": {
         # the outer SQL resultset casts the value to a PG type before psql
         # prints it — boolean renders 't', a composite row decomposes the
@@ -38,12 +32,11 @@ SKIPS = {
         "MATCH (n:Person) WITH n as m RETURN m ORDER BY id(m) ASC":
             "outer-SQL composite decomposition of the vertex",
     },
-    "map_projection": {
-        # collect() order inside a value: the reference's single-node heap
-        # scan yields insertion order; a distributed engine cannot pin the
-        # intra-array order without an explicit sort key
-        "MATCH (a:Actor)-[:ACTED_IN]->(m:Movie) WITH a, collect(m { .title }) AS movies RETURN collect(a { .name, movies })":
-            "collect() intra-array order is scan-order in the reference",
+    "pg_trgm": {
+        # before CREATE EXTENSION pg_trgm the reference has no trigram
+        # functions; the engine's registry always carries them (like the
+        # pgvector kernels) so the not-installed errors don't reproduce
+        "RETURN show_trgm(\"hello\")": "extension-not-installed state is PG-level",
     },
     "cypher_call": {
         # the suite defines its own PG functions (CREATE SCHEMA + SQL /
@@ -115,6 +108,7 @@ SUITES = [
     "subgraph",
     "drop",
     "cypher_vle",
+    "pg_trgm",
 ]
 
 
