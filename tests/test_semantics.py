@@ -394,8 +394,12 @@ def test_error_paths(social):
         age.cypher(g, "RETURN frobnicate(1)")
     with pytest.raises(CompileError, match="unknown procedure"):
         age.cypher(g, "CALL no_such_proc()")
-    with pytest.raises(Exception, match="parameter \\$who"):
+    # no parameters argument at all -> the reference's exact error
+    # (expr.out:73); a SUPPLIED map missing the key yields NULL instead
+    with pytest.raises(Exception, match="parameters argument is missing"):
         age.cypher(g, "MATCH (p:Person) WHERE p.name = $who RETURN p")
+    assert rows(age, g, "MATCH (p:Person) WHERE p.name = $who RETURN p.name AS n",
+                params={"other": 1}) == []
 
 
 def test_all_shortest_paths_vs_single(spark):
