@@ -173,10 +173,41 @@ def _scale_proof(spark, entry_mod, base_timings):
         out[f"{name}_vs_sf0.1"] = ratio
         print(f"# sf1-proof {name}: {dt}s on 10x edges ({n} rows, "
               f"{ratio}x the sf0.1 time)", file=sys.stderr)
+    # pipeline scale proof: 10x documents with every word prefixed by the
+    # replica id — cross-replica texts share no shingles, so the TRUE
+    # near-dup pair set grows exactly 10x (each replica reproduces the
+    # base pairs) and the banded-LSH join must not blow up quadratically
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    docs10 = docs.crossJoin(
+        spark.range(10).select(F.col("id").alias("_rep"))
+    ).select(
+        (F.col("doc_id") + F.col("_rep") * SHIFT).alias("doc_id"),
+        F.array_join(
+            F.transform(
+                F.split(F.col("text"), " "),
+                lambda w: F.concat(F.col("_rep").cast("string"), w),
+            ),
+            " ",
+        ).alias("text"),
+    ).localCheckpoint(eager=True)  # exclude the replication from the timing
+    from age_spark.pipeline.dedup import minhash_dedup_pairs, simhash_near_pairs
+
+    for name, fn in (
+        ("p_minhash_pairs", lambda: minhash_dedup_pairs(docs10, threshold=0.5)),
+        ("p_simhash_pairs", lambda: simhash_near_pairs(docs10, max_hamming=8)),
+    ):
+        t0 = time.time()
+        n = fn().count()
+        dt = round(time.time() - t0, 3)
+        out[name] = dt
+        ratio = round(dt / base_timings[name], 2) if base_timings.get(name) else None
+        out[f"{name}_vs_sf0.1"] = ratio
+        print(f"# sf1-proof {name}: {dt}s on 10x docs ({n} pairs, "
+              f"{ratio}x the sf0.1 time)", file=sys.stderr)
     out["note"] = (
-        "10x-edge replica of the sf0.1 graph: per-query growth factors "
-        "above; sub-10x growth = per-hop driver overhead and plan time "
-        "amortize, joins scale with data"
+        "10x replicas of the sf0.1 graph and documents tables: per-query "
+        "growth factors above; sub-10x growth = per-hop driver overhead "
+        "and plan time amortize, joins and banded-LSH scale with data"
     )
     return out
 
