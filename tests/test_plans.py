@@ -123,3 +123,20 @@ def test_dynamic_value_ops_stay_jvm_side(spark):
         plan = age.explain(g, q)
         for marker in ("BatchEvalPython", "ArrowEvalPython", "PythonUDF", "MapInPandas"):
             assert marker not in plan, f"{marker} in plan for {q}"
+
+
+def test_trgm_kernels_stay_jvm_side(spark):
+    """show_trgm / similarity / word_similarity compile to Column HOFs —
+    no Python evaluation node (unlike metaphone, which is a disclosed
+    Arrow-batched kernel)."""
+    age = AgeSession(spark)
+    g = age.create_graph("plans_trgm")
+    g = age.cypher(g, "CREATE (:D {t: 'hello world'}), (:D {t: 'jello'})").graph
+    for q in [
+        "MATCH (n:D) RETURN show_trgm(n.t) AS g",
+        "MATCH (n:D) RETURN similarity(n.t, 'hector') AS s",
+        "MATCH (n:D) RETURN word_similarity(n.t, 'hector') AS s",
+    ]:
+        plan = age.explain(g, q)
+        for marker in ("BatchEvalPython", "ArrowEvalPython", "PythonUDF", "MapInPandas"):
+            assert marker not in plan, f"{marker} in plan for {q}"
