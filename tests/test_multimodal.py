@@ -208,3 +208,37 @@ def test_png_decode_roundtrip():
     arows = [bytes([0, 1, 2, 3, 9, 4, 5, 6, 9])]
     w, h, rgb = decode_image(make_png(2, 1, 6, arows))
     assert rgb == bytes([1, 2, 3, 4, 5, 6])
+
+
+def test_jpeg_decodes_through_spark_kernel(spark):
+    """Real baseline-JPEG bytes through the Arrow-batched decode kernel:
+    extract_features(fake=False) must decode pipeline/jpeg.py formats
+    inside mapInPandas, not just in driver-side unit tests."""
+    import numpy as np
+
+    from test_jpeg import encode_baseline
+
+    img = np.zeros((8, 16, 3), dtype=np.uint8)
+    img[:, :8, 0] = 180
+    img[:, 8:, 2] = 180
+    blob = encode_baseline(img, subsample=False, q=4)
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "doc_id long, text string"
+    ).withColumn(
+        "media",
+        F.struct(
+            F.lit(bytearray(blob)).alias("content"),
+            F.struct(
+                F.lit("image/jpeg").alias("mime"),
+                F.lit(16).alias("width"),
+                F.lit(8).alias("height"),
+                F.lit(1).alias("n_frames"),
+                F.lit(None).cast("int").alias("sample_rate"),
+            ).alias("meta"),
+        ),
+    )
+    out = extract_features(df, fake=False).select("doc_id", "features").collect()
+    assert len(out) == 2
+    assert all(len(r.features) == FEATURE_DIM for r in out)
+    # both rows share the same image -> identical features
+    assert tuple(out[0].features) == tuple(out[1].features)
