@@ -291,31 +291,52 @@ def shortest_path_pairs(
     bfront = reach0
     n_bfront = reach0.count()
     n_reach = n_bfront
-    for _ in range(hard_max):
-        reach = reach_parts[0]
-        for p in reach_parts[1:]:
-            reach = reach.unionByName(p)
-        # the frontier/reached sets are usually tiny next to the edge table:
-        # broadcast them into a join against the RAW edge scan (no edge
-        # shuffle at all — the scan streams map-side).  The row-count guard
-        # comes free off the cached checkpoints; past it, fall back to a
-        # once-shuffled edge table keyed by the join side so the big table
-        # still never re-exchanges per hop.
-        if n_bfront < _SP_BCAST_ROWS:
-            joined = F.broadcast(bfront).join(
-                edges_thin, bfront["_rv"] == edges_thin["_d"]
+    def _expand_back(front, n_front, reach, n_reach):
+        """One backward hop: predecessors of `front` not yet in `reach`.
+        The frontier/reached sets are usually tiny next to the edge table:
+        broadcast them into a join against the RAW edge scan (no edge
+        shuffle at all — the scan streams map-side).  The row-count guard
+        comes free off the cached checkpoints; past it, fall back to a
+        once-shuffled edge table keyed by the join side so the big table
+        still never re-exchanges per hop."""
+        nonlocal edges_by_d
+        if n_front < _SP_BCAST_ROWS:
+            joined = F.broadcast(front).join(
+                edges_thin, front["_rv"] == edges_thin["_d"]
             )
         else:
             if edges_by_d is None:
                 edges_by_d = edges_thin.repartition(npart, "_d").localCheckpoint(eager=True)
-            joined = bfront.join(edges_by_d, bfront["_rv"] == edges_by_d["_d"])
+            joined = front.join(edges_by_d, front["_rv"] == edges_by_d["_d"])
         rc = F.broadcast(reach) if n_reach < _SP_BCAST_ROWS else reach
-        step = (
+        return (
             joined.select(F.col("_s").alias("_rv"))
             .distinct()
             .join(rc, "_rv", "left_anti")
-            .localCheckpoint(eager=True)
         )
+
+    # TWO hops per driver round: the closure only needs the SET, so hop
+    # 2k+1 rides as a LAZY checkpoint (its stage runs once inside hop
+    # 2k+2's job — still exactly one pass over the edges per hop) and only
+    # the round's union materializes eagerly.  Halves the scheduling
+    # rounds — the dominant cost of the loop at local scale — without
+    # changing the per-hop data movement that matters at 100 TB.
+    for _ in range((hard_max + 1) // 2):
+        reach = reach_parts[0]
+        for p in reach_parts[1:]:
+            reach = reach.unionByName(p)
+        s1 = _expand_back(bfront, n_bfront, reach, n_reach).localCheckpoint(
+            eager=False
+        )
+        # hop 2: s1's size is unknown pre-action; size the guards with the
+        # current frontier as the proxy (a wrong guess costs one hop's
+        # plan shape, never correctness)
+        s2 = _expand_back(
+            s1, n_bfront, reach.unionByName(s1), n_reach + n_bfront
+        )
+        # s1 and s2 are each distinct and mutually disjoint (s2 anti-joins
+        # reach ∪ s1), so the union needs no extra dedup shuffle
+        step = s1.unionByName(s2).localCheckpoint(eager=True)
         n_bfront = step.count()
         if n_bfront == 0:
             break
