@@ -546,6 +546,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         .ngram_jaccard_pairs(_docs(s, d), threshold=0.4)
     )
 
+    def _trgm_sim(s, d):
+        # pg_trgm similarity kernel over the documents table (the same
+        # Column HOFs behind Cypher's similarity(); pg_trgm.out parity).
+        # round(6) makes the float4 ratio agree digit-for-digit with the
+        # oracle's float8 math (|err| <= 6e-8 << 5e-7 for values in [0,1])
+        from age_spark.compiler.exprs import trigram_similarity
+
+        return _docs(s, d).select(
+            "doc_id",
+            F.round(
+                trigram_similarity(F.col("text"), F.lit("data model training")), 6
+            ).alias("sim"),
+        )
+
+    q["p_trgm_similarity"] = _trgm_sim
+
     def _ann_lsh(s, d):  # LSH bucket internals
         from age_spark.pipeline.similarity import lsh_bucketed_topk
 
@@ -654,6 +670,22 @@ def oracle_sql() -> dict[str, str]:
         "CAST(len(a.embedding) AS BIGINT) AS dims "
         "FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1 "
         "WHERE a.vec_id < 200"
+    )
+    O["p_trgm_similarity"] = (
+        # pg_trgm trigram sets in pure SQL: per word, pad '  w ' and take
+        # every 3-char window; similarity = |∩| / |∪| (float8 here agrees
+        # with the engine's float4 ratio at 6 rounded decimals)
+        "WITH q AS (SELECT list_distinct(flatten(list_transform("
+        "  list_filter(regexp_split_to_array(lower('data model training'), '[^a-z0-9]+'), w -> len(w) > 0),"
+        "  w -> list_transform(range(1, len(w) + 2), i -> ('  ' || w || ' ')[i:i+2])))) AS tg), "
+        "d AS (SELECT doc_id, list_distinct(flatten(list_transform("
+        "  list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), w -> len(w) > 0),"
+        "  w -> list_transform(range(1, len(w) + 2), i -> ('  ' || w || ' ')[i:i+2])))) AS tg FROM documents) "
+        "SELECT d.doc_id AS doc_id, "
+        "round(CASE WHEN len(d.tg) + len(q.tg) - len(list_intersect(d.tg, q.tg)) = 0 THEN 0 "
+        "ELSE CAST(len(list_intersect(d.tg, q.tg)) AS DOUBLE) "
+        "/ (len(d.tg) + len(q.tg) - len(list_intersect(d.tg, q.tg))) END, 6) AS sim "
+        "FROM d, q"
     )
     O["e_type_agg"] = (
         "SELECT event_type, CAST(count(*) AS BIGINT) AS n, round(sum(value), 2) AS sum_value, "

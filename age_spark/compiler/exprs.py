@@ -3476,10 +3476,10 @@ def _fn_show_trgm(scope, args, cols):
     return _trgm_array(cols[0])
 
 
-@fn("similarity")
-def _fn_similarity(scope, args, cols):
+def trigram_similarity(a: Column, b: Column) -> Column:
     """pg_trgm similarity(): |T1 ∩ T2| / |T1 ∪ T2| computed in float4
-    like the extension (cnt_sml_similarity)."""
+    like the extension (cnt_sml_similarity).  Public so DataFrame-level
+    pipelines can reuse the kernel outside Cypher."""
     from ..graph import let_column
 
     def body(t1):
@@ -3489,9 +3489,14 @@ def _fn_similarity(scope, args, cols):
             return F.when(union > 0, inter.cast("float") / union.cast("float")) \
                 .otherwise(F.lit(0.0)).cast("float").cast("double")
 
-        return let_column(_trgm_array(cols[1]), body2)
+        return let_column(_trgm_array(b), body2)
 
-    return let_column(_trgm_array(cols[0]), body)
+    return let_column(_trgm_array(a), body)
+
+
+@fn("similarity")
+def _fn_similarity(scope, args, cols):
+    return trigram_similarity(cols[0], cols[1])
 
 
 @fn("word_similarity")
