@@ -148,8 +148,10 @@ def hashchar_extended(val: int, seed: int) -> int:
 def hash_numeric_extended(value: Decimal, seed: int) -> int:
     """PG hash_numeric_extended (numeric.c): hash the base-10000 digit
     array with leading/trailing zero digits stripped, xor the adjusted
-    weight.  NaN hashes to the seed; zero to seed ^ (2^64-1)-ish per the
-    reference's early returns."""
+    weight.  NaN hashes to the seed and zero to seed-1 (the early
+    returns).  NOTE: the conformance suite feeds no NUMERIC values, so
+    this path is a faithful-but-unpinned port — exercised only by
+    user-level agtype_hash_cmp calls on ::numeric values."""
     if value.is_nan():
         return seed & M64
     if value == 0:
