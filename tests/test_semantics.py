@@ -787,3 +787,14 @@ def test_numeric_constant_fold_exact(social):
     assert d("RETURN 1.10::numeric * 2 AS r") == "2.20"      # mul scale d1+d2
     assert d("RETURN 24.45::numeric / 7 AS r") == "3.4928571428571429"
     assert d("RETURN -2::numeric + 3 AS r") == "1"
+
+
+def test_call_rule_errors_precede_resolution(social):
+    """transform_cypher_call_stmt checks the prev/next rules BEFORE the
+    procedure lookup — an unknown procedure inside a query still reports
+    the implicit-naming error, not function-does-not-exist."""
+    from age_spark.compiler.context import CompileError
+
+    age, g = social
+    with pytest.raises(CompileError, match="naming results implicitly"):
+        age.cypher(g, "MATCH (a) CALL totally_unknown_proc(1)")
