@@ -506,10 +506,24 @@ def _agg_column(
         if node.distinct:
             return F.sum_distinct(arg_col) / F.count_distinct(arg_col)
         return F.avg(arg_col)
-    if name == "min":
-        return F.min(arg_col)  # DISTINCT is a no-op for min/max
-    if name == "max":
-        return F.max(arg_col)
+    if name in ("min", "max"):  # DISTINCT is a no-op for min/max
+        if arg_dt is not None and is_tagged_type(arg_dt):
+            # dynamic values pick the winner by the reference's FULL
+            # comparator (exact order text — any container depth/width,
+            # arbitrary-precision numerics); reference-EQUAL candidates
+            # (1 vs 1.0) tie-break on the native struct so the result
+            # stays deterministic at any partition count
+            from ..graph import tagged_cmp_key_exact
+
+            key = F.when(
+                arg_col.isNotNull(),
+                F.struct(
+                    tagged_cmp_key_exact(arg_col).alias("e"),
+                    arg_col.alias("v"),
+                ),
+            )
+            return F.min_by(arg_col, key) if name == "min" else F.max_by(arg_col, key)
+        return F.min(arg_col) if name == "min" else F.max(arg_col)
     if name == "collect":
         # never NULL: empty list for no input (agtype.c:12108)
         return F.collect_set(arg_col) if node.distinct else F.collect_list(arg_col)
@@ -747,6 +761,29 @@ def _sort_cols(order_specs: list[tuple[Column, bool]]) -> list[Column]:
     return out
 
 
+def _dtype_on(df: DataFrame, c: Column):
+    try:
+        return df.select(c.alias("_t")).schema[0].dataType
+    except Exception:
+        return None
+
+
+def _expand_order_specs(df: DataFrame, specs):
+    """Prepend the EXACT order text (pandas-UDF key, any depth/width —
+    runtime/ordertext.py) before each tagged sort column; the native
+    struct stays as the final tiebreak so reference-EQUAL values keep
+    today's deterministic order."""
+    from ..graph import is_tagged_type, tagged_cmp_key_exact
+
+    out = []
+    for c, asc in specs:
+        dt = _dtype_on(df, c)
+        if dt is not None and is_tagged_type(dt):
+            out.append((tagged_cmp_key_exact(c), asc))
+        out.append((c, asc))
+    return out
+
+
 def _project_plain(ctx, df, env, items, aliases, order_by, distinct):
     # remember (or clear) the clause's ordering for a following collect()
     if order_by:
@@ -780,7 +817,7 @@ def _project_plain(ctx, df, env, items, aliases, order_by, distinct):
             for ob in order_by:
                 c = _order_col_on_projected(scope2, ob.expr, aliases, items)
                 specs.append((c, ob.asc))
-            sel = sel.orderBy(*_sort_cols(specs))
+            sel = sel.orderBy(*_sort_cols(_expand_order_specs(sel, specs)))
         return sel, new_env
 
     if order_by:
@@ -798,7 +835,7 @@ def _project_plain(ctx, df, env, items, aliases, order_by, distinct):
             if c is None:
                 c = compile_expr(scope_ord, ob.expr)
             specs.append((c, ob.asc))
-        work = work.orderBy(*_sort_cols(specs))
+        work = work.orderBy(*_sort_cols(_expand_order_specs(work, specs)))
     out = work.select(*[F.col(f"_p{i}").alias(a) for i, a in enumerate(aliases)])
     return out, new_env
 
@@ -876,6 +913,14 @@ def _project_aggregate(ctx, df, env, items, aliases, order_by, distinct):
             sc_ord = ExprScope(ctx, pre, env)
             cols_pre = [(compile_expr(sc_ord, ob.expr), ob.asc) for ob in pending]
             for i, (c, asc) in enumerate(cols_pre):
+                # a tagged sort key materializes as its EXACT order key so
+                # the collect() array_sort comparator (a lambda — no UDFs
+                # allowed inside) still orders containers by value
+                from ..graph import is_tagged_type, tagged_cmp_key_exact
+
+                dt = _dtype_on(pre, c)
+                if dt is not None and is_tagged_type(dt):
+                    c = tagged_cmp_key_exact(c)
                 pre = pre.withColumn(f"_ob{i}", c)
                 ord_specs_pre.append(asc)
         except Exception:
@@ -986,7 +1031,9 @@ def _project_aggregate(ctx, df, env, items, aliases, order_by, distinct):
 
     work = grouped.select(*final_cols, *[c.alias(f"_o{j}") for j, (c, _) in enumerate(ord_specs)])
     if ord_specs:
-        work = work.orderBy(*_sort_cols([(F.col(f"_o{j}"), asc) for j, (_, asc) in enumerate(ord_specs)]))
+        work = work.orderBy(*_sort_cols(_expand_order_specs(
+            work, [(F.col(f"_o{j}"), asc) for j, (_, asc) in enumerate(ord_specs)]
+        )))
     out = work.select(*aliases)
     if distinct:
         out = out.distinct()

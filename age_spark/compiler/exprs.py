@@ -1273,28 +1273,57 @@ def _cross_kind_compare(op: str, l: Column, r: Column, lk: int, rk: int) -> Colu
 
 
 def _tag_align(
-    scope: ExprScope, l: Column, r: Column, ldt=None, rdt=None
+    scope: ExprScope, l: Column, r: Column, ldt=None, rdt=None, exact: bool = False
 ) -> tuple[Column, Column]:
     """If either comparison side is a tagged dynamic value, wrap the other
     and reduce both to comparison KEYS (the struct minus the exact-int
     payload slot) so struct ordering applies the reference's cross-type
     ladder and `2 = 2.0` stays true (expr.out:680-685).  Callers that
     already resolved operand types (lambda-aware) pass them in — a lambda
-    variable's Column is not schema-resolvable here."""
-    from ..graph import is_tagged_type, tag_column, tagged_cmp_key
+    variable's Column is not schema-resolvable here.
+
+    ``exact=True`` keys both sides on the EXACT normalized order text (a
+    pandas UDF — any container depth/width, arbitrary-precision numerics)
+    — but only when NEITHER side is a statically-known plain scalar.  A
+    known int/float/string/bool side makes the JVM key already exact: a
+    different dynamic kind is decided by the __k rank alone, the same
+    kind by the native slot (and the reference itself collapses int-vs-
+    float to float8, agtype_util.c int/float branch — exactly __n).  This
+    keeps WHERE-clause comparisons against literals pure codegen on the
+    scan hot path; the UDF engages only for container-vs-dynamic and
+    dynamic-vs-dynamic comparisons."""
+    from ..graph import (
+        _scalar_kind,
+        _strip_nullability,
+        is_tagged_type,
+        tag_column,
+        tagged_cmp_key,
+        tagged_cmp_key_exact,
+    )
 
     if ldt is None:
         ldt = dtype_of(scope, l)
     if rdt is None:
         rdt = dtype_of(scope, r)
+
+    def _plain_scalar(dt) -> bool:
+        return (
+            dt is not None
+            and not is_tagged_type(dt)
+            and _scalar_kind(_strip_nullability(dt)) is not None
+        )
+
+    if _plain_scalar(ldt) or _plain_scalar(rdt):
+        exact = False
+    key = tagged_cmp_key_exact if exact else tagged_cmp_key
     lt = ldt is not None and is_tagged_type(ldt)
     rt = rdt is not None and is_tagged_type(rdt)
     if lt and not rt and rdt is not None:
-        return tagged_cmp_key(l), tagged_cmp_key(tag_column(r, rdt))
+        return key(l), key(tag_column(r, rdt))
     if rt and not lt and ldt is not None:
-        return tagged_cmp_key(tag_column(l, ldt)), tagged_cmp_key(r)
+        return key(tag_column(l, ldt)), key(r)
     if lt and rt:
-        return tagged_cmp_key(l), tagged_cmp_key(r)
+        return key(l), key(r)
     return l, r
 
 
@@ -1603,9 +1632,14 @@ def _compile_binary(scope: ExprScope, e: A.Binary) -> Column:
             # struct comparison either fails analysis or ignores the jsonb
             # rules — go through the container order keys (pair-count
             # first, then pairs in jsonb key order)
-            from ..graph import tag_column, tagged_cmp_key
+            from ..graph import tag_column, tagged_cmp_key, tagged_cmp_key_exact
 
-            l, r = tagged_cmp_key(tag_column(l, ldt)), tagged_cmp_key(tag_column(r, rdt))
+            _key = (
+                tagged_cmp_key_exact
+                if not (scope.lambda_vars or scope.lambda_types)
+                else tagged_cmp_key
+            )
+            l, r = _key(tag_column(l, ldt)), _key(tag_column(r, rdt))
             return {
                 "=": l == r, "<>": l != r,
                 "<": l < r, "<=": l <= r, ">": l > r, ">=": l >= r,
@@ -1642,7 +1676,12 @@ def _compile_binary(scope: ExprScope, e: A.Binary) -> Column:
                 l = F.transform(l, tagged_cmp_key)
                 r = F.transform(r, tagged_cmp_key)
         else:
-            l, r = _tag_align(scope, l, r, ldt, rdt)
+            # exact (UDF-backed) container keys only outside lambda bodies
+            # — a pandas UDF cannot run inside a higher-order function
+            l, r = _tag_align(
+                scope, l, r, ldt, rdt,
+                exact=not (scope.lambda_vars or scope.lambda_types),
+            )
     if op == "=":
         return l == r
     if op == "<>":
@@ -3499,50 +3538,118 @@ def _fn_similarity(scope, args, cols):
     return trigram_similarity(cols[0], cols[1])
 
 
+def strict_word_similarity(a: Column, b: Column) -> Column:
+    """pg_trgm strict_word_similarity(s1, s2): greatest similarity between
+    s1's trigram set and any continuous extent of WORDS of s2 (extent
+    boundaries forced to word boundaries — trgm_op.c
+    calc_word_similarity(WORD_SIMILARITY_STRICT); there are no cross-word
+    trigrams, so an extent's set is the union of its words' trigrams).
+    Doc-pinned: strict_word_similarity('word', 'two words') = 0.571429.
+    Pure Column HOFs (JVM-side), public for DataFrame pipelines."""
+    from ..graph import let_column
+
+    words = F.filter(
+        F.split(F.lower(b.cast("string")), r"[^a-z0-9]+"),
+        lambda w: F.length(w) > 0,
+    )
+
+    def grams(w):
+        padded = F.concat(F.lit("  "), w, F.lit(" "))
+        return F.transform(
+            F.sequence(F.lit(1), F.length(padded) - 2),
+            lambda i: padded.substr(i, F.lit(3)),
+        )
+
+    def body(t1):
+        def body2(wg):
+            n1 = F.size(t1)
+            nw = F.size(wg)
+            ratios = F.flatten(
+                F.transform(
+                    F.sequence(F.lit(1), nw),
+                    lambda i: F.transform(
+                        F.sequence(i, nw),
+                        lambda j: let_column(
+                            F.array_distinct(
+                                F.flatten(F.slice(wg, i, (j - i + 1).cast("int")))
+                            ),
+                            lambda e: let_column(
+                                F.size(F.array_intersect(t1, e)).cast("float"),
+                                lambda inter: inter
+                                / (n1 + F.size(e) - inter).cast("float"),
+                            ),
+                        ),
+                    ),
+                )
+            )
+            return F.when(
+                (n1 > 0) & (nw > 0),
+                F.array_max(ratios).cast("float").cast("double"),
+            ).otherwise(F.lit(0.0))
+
+        return let_column(F.transform(words, grams), body2)
+
+    return let_column(_trgm_array(a), body)
+
+
+@fn("strict_word_similarity")
+def _fn_strict_word_similarity(scope, args, cols):
+    return strict_word_similarity(cols[0], cols[1])
+
+
 @fn("word_similarity")
 def _fn_word_similarity(scope, args, cols):
     """pg_trgm word_similarity(s1, s2): greatest similarity between s1's
-    trigram set and any CONTIGUOUS extent of s2's ordered trigram set
-    (trgm_op.c word_similarity) — max over extents [i..j] of
-    |T1∩E| / (|T1| + |E| - |T1∩E|), via prefix sums over membership
-    flags."""
+    trigram set and any continuous extent of s2's trigram SEQUENCE in
+    string order (trgm_op.c calc_word_similarity walks the word-trigram
+    array positionally; extents may start/end mid-word) — max over
+    extents [i..j] of |T1∩E| / (|T1| + |E| - |T1∩E|) with E the extent's
+    DISTINCT trigrams.  Doc-pinned: word_similarity('word', 'two words')
+    = 0.8 (extent '  w',' wo','wor','ord' inside 'words').  The former
+    sorted-order prefix-sum formulation scanned extents of the sorted
+    trigram set — right answers on single-word strings only."""
     from ..graph import let_column
 
-    def body(t1):
-        def body2(t2):
-            n1 = F.size(t1)
-            n2 = F.size(t2)
-            flags = F.transform(
-                t2, lambda x: F.array_contains(t1, x).cast("int")
-            )
-            pref = F.aggregate(
-                flags,
-                F.array(F.lit(0)),
-                lambda acc, x: F.concat(acc, F.array(F.element_at(acc, -1) + x)),
-            )
+    words = F.filter(
+        F.split(F.lower(cols[1].cast("string")), r"[^a-z0-9]+"),
+        lambda w: F.length(w) > 0,
+    )
 
-            def body3(p):
-                ratios = F.flatten(
-                    F.transform(
-                        F.sequence(F.lit(1), n2),
-                        lambda i: F.transform(
-                            F.sequence(i, n2),
-                            lambda j: let_column(
-                                (F.element_at(p, (j + 1).cast("int"))
-                                 - F.element_at(p, i.cast("int"))).cast("float"),
+    def grams(w):
+        padded = F.concat(F.lit("  "), w, F.lit(" "))
+        return F.transform(
+            F.sequence(F.lit(1), F.length(padded) - 2),
+            lambda i: padded.substr(i, F.lit(3)),
+        )
+
+    def body(t1):
+        def body2(pos):
+            n1 = F.size(t1)
+            np = F.size(pos)
+            ratios = F.flatten(
+                F.transform(
+                    F.sequence(F.lit(1), np),
+                    lambda i: F.transform(
+                        F.sequence(i, np),
+                        lambda j: let_column(
+                            F.array_distinct(
+                                F.slice(pos, i, (j - i + 1).cast("int"))
+                            ),
+                            lambda e: let_column(
+                                F.size(F.array_intersect(t1, e)).cast("float"),
                                 lambda inter: inter
-                                / (n1 + (j - i + 1) - inter).cast("float"),
+                                / (n1 + F.size(e) - inter).cast("float"),
                             ),
                         ),
-                    )
+                    ),
                 )
-                return F.array_max(ratios).cast("float").cast("double")
-
+            )
             return F.when(
-                (n1 > 0) & (n2 > 0), let_column(pref, body3)
+                (n1 > 0) & (np > 0),
+                F.array_max(ratios).cast("float").cast("double"),
             ).otherwise(F.lit(0.0))
 
-        return let_column(_trgm_array(cols[1]), body2)
+        return let_column(F.flatten(F.transform(words, grams)), body2)
 
     return let_column(_trgm_array(cols[0]), body)
 

@@ -87,14 +87,20 @@ def prop_display_name(nm: str) -> str:
 # Container ordering: the reference compares containers element-wise,
 # depth-first, shorter-is-a-prefix sorts first, each element through the
 # full cross-kind ladder (compare_agtype_containers_orderability,
-# agtype_util.c:333-520). __o reproduces that with a BOUNDED normalized
-# key: a struct of the first ORDER_KEY_WIDTH element comparison keys
-# (object pairs carry their jsonb-ordered key string too). Spark's native
-# struct comparison then walks elements left-to-right; a missing slot is
-# NULL and nulls-first makes the shorter (prefix) container sort lower,
-# exactly the premature-END rule. Beyond the width bound — and inside
-# nested containers (depth 1) — ordering falls back to lexical __j JSON;
-# both bounds are documented deviations.
+# agtype_util.c:333-520). Two keys implement it:
+#   - EXACT (tagged_cmp_key_exact + runtime/ordertext.py): the full
+#     comparator as one normalized order-text string — any depth/width,
+#     arbitrary-precision numerics. Used by ORDER BY, the = <> < <= > >=
+#     operators, and min()/max() — every top-level Column context.
+#   - BOUNDED (__o below): a JVM-side struct of the first ORDER_KEY_WIDTH
+#     element comparison keys (object pairs carry their jsonb-ordered key
+#     string too). Native struct comparison walks elements left-to-right;
+#     a missing slot is NULL and nulls-first makes the shorter (prefix)
+#     container sort lower, exactly the premature-END rule. Beyond the
+#     width bound — and inside depth-3 nesting — it falls back to lexical
+#     __j JSON. It remains ONLY where a pandas UDF cannot run: inside
+#     higher-order-function lambdas (IN / element containment / list
+#     uniqueness), a documented residual bound.
 _ELEM_KEY_TYPE = T.StructType(
     [
         T.StructField("__k", T.ByteType(), True),
@@ -646,13 +652,31 @@ CMP_KEY_TYPE = T.StructType(
 )
 
 
+_EXACT_ORDER_UDF = None
+
+
+def _exact_order_udf():
+    global _EXACT_ORDER_UDF
+    if _EXACT_ORDER_UDF is None:
+        from .runtime.ordertext import make_order_text_udf
+
+        _EXACT_ORDER_UDF = make_order_text_udf()
+    return _EXACT_ORDER_UDF
+
+
 def tagged_cmp_key(col: Column) -> Column:
     """Comparison key of a tagged value for the = <> < <= > >= operators:
     the struct minus the __i payload slot, so int 2 and float 2.0 compare
     EQUAL (the reference compares all numeric kinds by value,
     compare_agtype_scalar_values; expr.out `RETURN 1 = 1.0` -> true).
     Containers order element-wise via __o before the lexical __j tiebreak.
-    NULL-safe: a NULL tagged value yields a NULL key (strict operators)."""
+    NULL-safe: a NULL tagged value yields a NULL key (strict operators).
+
+    This function stays UNARY on purpose — it doubles as a
+    higher-order-function lambda (F.transform(arr, tagged_cmp_key)); a
+    second parameter would receive the element index.  The exact variant
+    (any-depth/width containers, arbitrary-precision numerics) is the
+    separate tagged_cmp_key_exact below."""
     return F.when(col.isNull(), F.lit(None).cast(CMP_KEY_TYPE)).otherwise(
         F.struct(
             col.getField("__k").alias("__k"),
@@ -663,6 +687,23 @@ def tagged_cmp_key(col: Column) -> Column:
             col.getField("__j").alias("__j"),
         )
     )
+
+
+def tagged_cmp_key_exact(col: Column) -> Column:
+    """EXACT comparison key (see tagged_cmp_key docstring): ONE string —
+    the full ranked order text — whose lexical order/equality IS the
+    reference comparator for every kind.  Embeds the order-text pandas
+    UDF, so top-level Column contexts only.  The source tree is referenced
+    just 3x (null guard, struct arg, __i arg): passing payload slots as
+    separate UDF arguments duplicated large tag_column trees ~12x and made
+    optimizer time superlinear on multi-comparison projections."""
+    t = _exact_order_udf()(
+        col,
+        # __i crosses to pandas as a STRING: int64-with-nulls becomes
+        # float64 in pandas and would round >2^53 payloads
+        col.getField("__i").cast("string"),
+    )
+    return F.when(col.isNull(), F.lit(None).cast("string")).otherwise(t)
 
 
 def _widen(a: T.DataType, b: T.DataType) -> T.DataType:

@@ -54,3 +54,36 @@ def test_word_similarity_values(trgm_graph):
     ).df.collect()
     for r in rows:
         assert r[1] == pytest.approx(WSIM[r[0]], abs=1e-6), r[0]
+
+
+def test_word_similarity_multiword_doc_values(trgm_graph):
+    """PostgreSQL pg_trgm documentation's canonical triple for
+    ('word', 'two words'): extents walk the second string's trigram
+    sequence in STRING order (calc_word_similarity), so the best
+    non-strict extent is '  w',' wo','wor','ord' inside 'words'."""
+    age, g = trgm_graph
+    row = age.cypher(
+        g,
+        "RETURN similarity('word', 'two words') AS s, "
+        "word_similarity('word', 'two words') AS w, "
+        "strict_word_similarity('word', 'two words') AS t",
+    ).df.collect()[0]
+    assert row[0] == pytest.approx(0.36363637, abs=1e-6)
+    assert row[1] == pytest.approx(0.8, abs=1e-6)
+    assert row[2] == pytest.approx(0.571429, abs=1e-5)
+
+
+def test_strict_word_similarity_word_bounds(trgm_graph):
+    age, g = trgm_graph
+    # single-word second argument: the strict extent is the WHOLE word
+    # ('Jon' -> 4 trigrams, 3 shared with 'Jone''s 5: 3/(5+4-3) = 0.5),
+    # while non-strict may stop mid-word ('  j',' jo','jon': 3/(5+3-3))
+    row = age.cypher(
+        g,
+        "RETURN strict_word_similarity('Jone', 'Jon') AS a, "
+        "word_similarity('Jone', 'Jon') AS b, "
+        "strict_word_similarity('', 'x') AS empty",
+    ).df.collect()[0]
+    assert row[0] == pytest.approx(0.5, abs=1e-6)
+    assert row[1] == pytest.approx(0.6, abs=1e-6)
+    assert row[2] == 0.0

