@@ -1734,6 +1734,21 @@ def _compile_binary(scope: ExprScope, e: A.Binary) -> Column:
             # kinds compare by value) and 1 IN [[1]] is simply false
             # rather than an analysis error
             needle = l if needle_tagged else tag_column(l, ldt)
+            if not (scope.lambda_vars or scope.lambda_types):
+                # top-level: EXACT keys — the whole haystack through one
+                # array-level UDF call (per-element exact keys can't run
+                # inside the array_contains lambda), so container elements
+                # match by value ([2] IN [[2.0]] true) at any depth
+                from ..graph import tagged_cmp_key_exact, tagged_cmp_keys_exact_array
+
+                if hay_tagged:
+                    hay_t = r
+                else:
+                    et = rdt.elementType
+                    hay_t = F.transform(r, lambda x: tag_column(x, et))
+                return F.array_contains(
+                    tagged_cmp_keys_exact_array(hay_t), tagged_cmp_key_exact(needle)
+                )
             if hay_tagged:
                 hay = F.transform(r, tagged_cmp_key)
             else:

@@ -653,6 +653,7 @@ CMP_KEY_TYPE = T.StructType(
 
 
 _EXACT_ORDER_UDF = None
+_EXACT_ARR_ORDER_UDF = None
 
 
 def _exact_order_udf():
@@ -662,6 +663,18 @@ def _exact_order_udf():
 
         _EXACT_ORDER_UDF = make_order_text_udf()
     return _EXACT_ORDER_UDF
+
+
+def tagged_cmp_keys_exact_array(col: Column) -> Column:
+    """EXACT comparison keys of an array<tagged> column, one UDF call for
+    the whole array (per-element exact keys are impossible inside the
+    array_contains lambda).  Top-level Column contexts only."""
+    global _EXACT_ARR_ORDER_UDF
+    if _EXACT_ARR_ORDER_UDF is None:
+        from .runtime.ordertext import make_array_order_text_udf
+
+        _EXACT_ARR_ORDER_UDF = make_array_order_text_udf()
+    return _EXACT_ARR_ORDER_UDF(col)
 
 
 def tagged_cmp_key(col: Column) -> Column:

@@ -255,6 +255,37 @@ def full_tag_text(k, n, d, s, b, j, i_str) -> Optional[str]:
 import pandas as pd  # noqa: E402  (module-level: pandas_udf type-hint resolution)
 
 
+def make_array_order_text_udf():
+    """Vectorized full-order-text UDF over an ARRAY of tagged values:
+    array<tagged> -> array<string> of ranked keys (None per null element,
+    preserving 3-valued IN).  Lets top-level IN membership use the exact
+    comparator even though its per-element compare runs inside an
+    array_contains (no per-element UDF possible there).  Arrow delivers
+    nested struct fields as Python objects, so >2^53 __i stays exact."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<string>")
+    def _exact_order_texts(v: pd.Series) -> pd.Series:
+        out = []
+        for arr in v:
+            if arr is None:
+                out.append(None)
+                continue
+            out.append(
+                [
+                    None
+                    if el is None
+                    else _tagged_dict_key(
+                        el if isinstance(el, dict) else el.asDict()
+                    )
+                    for el in arr
+                ]
+            )
+        return pd.Series(out, dtype="object")
+
+    return _exact_order_texts
+
+
 def make_order_text_udf():
     """Vectorized (Arrow) full-order-text UDF: (tagged struct, __i-as-
     string) -> ranked key string.  ONE struct argument keeps the source

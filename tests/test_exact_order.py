@@ -158,3 +158,20 @@ def test_order_by_desc_containers(xo):
     age, g = xo
     res = rows1(age, g, "UNWIND [[1],[2],[1,5]] AS x RETURN x ORDER BY x DESC")
     assert res == ["[2]", "[1, 5]", "[1]"]
+
+
+def test_in_membership_exact(xo):
+    age, g = xo
+    # container elements match by VALUE at any depth (reference IN uses
+    # the full comparator per element)
+    assert rows1(age, g, "RETURN [2] IN [[2.0], 'x']") == ["true"]
+    assert rows1(
+        age, g, "RETURN {a:[1,{b:2}]} IN [[1], {a:[1.0,{b:2.0}]}]"
+    ) == ["true"]
+    # 3-valued semantics preserved (expr.out IN blocks)
+    assert rows1(age, g, "RETURN 2 IN [1, null]") == [None]
+    assert rows1(age, g, "RETURN 2 IN [2, null]") == ["true"]
+    assert rows1(age, g, "RETURN 1 IN [[1]]") == ["false"]
+    # inside a lambda body the bounded key applies: scalar membership by
+    # numeric value still holds there
+    assert rows1(age, g, "RETURN [x IN [1,2,3] WHERE x IN [2.0]]") == ["[2]"]
