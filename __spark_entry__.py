@@ -573,6 +573,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["p_ann_lsh"] = _ann_lsh
 
+    def _redact(s, d):
+        from age_spark.pipeline.text import redact_pii
+
+        return redact_pii(_docs(s, d))
+
+    q["p_redact_pii"] = _redact
+
     def _ann_ivf(s, d):  # k-means cell assignment internals
         from age_spark.pipeline.similarity import ivf_topk
 
@@ -686,6 +693,22 @@ def oracle_sql() -> dict[str, str]:
         "ELSE CAST(len(list_intersect(d.tg, q.tg)) AS DOUBLE) "
         "/ (len(d.tg) + len(q.tg) - len(list_intersect(d.tg, q.tg))) END, 6) AS sim "
         "FROM d, q"
+    )
+    O["p_redact_pii"] = (
+        # same RE2/Java-common patterns, same replacement order as
+        # pipeline/text.py redact_pii; counts from the ORIGINAL text
+        "SELECT doc_id, "
+        "regexp_replace(regexp_replace(regexp_replace(text, "
+        "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), "
+        "'\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'), "
+        "'\\+\\d[\\d -]{6,14}\\d', '<PHONE>', 'g') AS redacted, "
+        "CAST(len(regexp_extract_all(text, "
+        "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS INT) AS n_email, "
+        "CAST(len(regexp_extract_all(text, "
+        "'\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS INT) AS n_ip, "
+        "CAST(len(regexp_extract_all(text, "
+        "'\\+\\d[\\d -]{6,14}\\d')) AS INT) AS n_phone "
+        "FROM documents"
     )
     O["e_type_agg"] = (
         "SELECT event_type, CAST(count(*) AS BIGINT) AS n, round(sum(value), 2) AS sum_value, "

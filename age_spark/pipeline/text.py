@@ -96,3 +96,30 @@ def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         predict_lang(t).alias("pred_lang"),
         fingerprint(t).alias("fingerprint"),
     )
+
+
+# PII redaction: the standard pre-training scrub pass (emails, IPv4,
+# international phone numbers) as sequential regexp_replace — patterns are
+# deliberately RE2/Java-common (no lookaround, no backrefs) so the DuckDB
+# oracle twin agrees byte-for-byte. Counts come from the ORIGINAL text so
+# they are independent of replacement order.
+PII_PATTERNS = [
+    ("EMAIL", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("IP", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"),
+    ("PHONE", r"\+\d[\d -]{6,14}\d"),
+]
+
+
+def redact_pii(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Scrub emails / IPv4 addresses / +international phone numbers from a
+    text column, replacing each match with an angle-bracket token, and
+    report per-kind match counts. One projection, whole-stage codegen —
+    at 100 TB this is a map-only pass with no shuffle."""
+    out = F.col(text_col)
+    counts = []
+    for token, pat in PII_PATTERNS:
+        counts.append(
+            F.regexp_count(F.col(text_col), F.lit(pat)).alias(f"n_{token.lower()}")
+        )
+        out = F.regexp_replace(out, pat, f"<{token}>")
+    return df.select(F.col(id_col), out.alias("redacted"), *counts)

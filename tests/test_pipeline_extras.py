@@ -216,3 +216,26 @@ def test_range_join_bucketed_matches_theta(spark):
         ).collect()
     }
     assert got == want
+
+
+def test_redact_pii(spark):
+    """PII scrub (emails / IPv4 / intl phone): tokens replace matches,
+    counts come from the original text; patterns are RE2/Java-common so
+    the DuckDB oracle twin (p_redact_pii) agrees byte-for-byte."""
+    from age_spark.pipeline.text import redact_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail a.b+x@test.co.uk from 10.0.0.1 call +44 20 7946 0958 done"),
+            (2, "no pii here, just 1.5 numbers and an @ sign"),
+            (3, "two mails x@y.io y@z.dev and ip 192.168.0.255"),
+        ],
+        "doc_id int, text string",
+    )
+    rows = {r.doc_id: r for r in redact_pii(df).collect()}
+    assert rows[1].redacted == "mail <EMAIL> from <IP> call <PHONE> done"
+    assert (rows[1].n_email, rows[1].n_ip, rows[1].n_phone) == (1, 1, 1)
+    assert rows[2].redacted == df.collect()[1].text  # untouched
+    assert (rows[2].n_email, rows[2].n_ip, rows[2].n_phone) == (0, 0, 0)
+    assert rows[3].redacted == "two mails <EMAIL> <EMAIL> and ip <IP>"
+    assert rows[3].n_email == 2 and rows[3].n_ip == 1
