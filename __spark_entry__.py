@@ -580,6 +580,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["p_redact_pii"] = _redact
 
+    def _repetition(s, d):
+        from age_spark.pipeline.text import repetition_signals
+
+        return repetition_signals(_docs(s, d))
+
+    q["p_repetition_signals"] = _repetition
+
     def _ann_ivf(s, d):  # k-means cell assignment internals
         from age_spark.pipeline.similarity import ivf_topk
 
@@ -709,6 +716,33 @@ def oracle_sql() -> dict[str, str]:
         "CAST(len(regexp_extract_all(text, "
         "'\\+\\d[\\d -]{6,14}\\d')) AS INT) AS n_phone "
         "FROM documents"
+    )
+    O["p_repetition_signals"] = (
+        # duplicate-line ratio + top-bigram fraction (Gopher-style
+        # repetition filters); the engine computes the top-bigram count
+        # with a sorted-array run-length walk, the oracle via unnest +
+        # group-by — same numbers
+        "WITH base AS (SELECT doc_id, "
+        "list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)), "
+        "l -> len(l) > 0) AS lines, "
+        "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), "
+        "w -> len(w) > 0) AS w FROM documents), "
+        "b AS (SELECT doc_id, lines, CASE WHEN len(w) >= 2 THEN "
+        "list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1]) "
+        "ELSE CAST([] AS VARCHAR[]) END AS bigrams FROM base), "
+        "tc AS (SELECT doc_id, max(cnt) AS top_cnt FROM ("
+        "SELECT doc_id, bg, count(*) AS cnt FROM ("
+        "SELECT doc_id, unnest(bigrams) AS bg FROM b) GROUP BY doc_id, bg) "
+        "GROUP BY doc_id) "
+        "SELECT b.doc_id AS doc_id, CAST(len(b.lines) AS INT) AS n_lines, "
+        "round(CASE WHEN len(b.lines) > 0 THEN 1.0 - "
+        "CAST(len(list_distinct(b.lines)) AS DOUBLE) / len(b.lines) "
+        "ELSE 0.0 END, 6) AS dup_line_ratio, "
+        "CAST(len(b.bigrams) AS INT) AS n_bigrams, "
+        "round(CASE WHEN len(b.bigrams) > 0 THEN "
+        "CAST(coalesce(tc.top_cnt, 0) AS DOUBLE) / len(b.bigrams) "
+        "ELSE 0.0 END, 6) AS top_bigram_ratio "
+        "FROM b LEFT JOIN tc USING (doc_id)"
     )
     O["e_type_agg"] = (
         "SELECT event_type, CAST(count(*) AS BIGINT) AS n, round(sum(value), 2) AS sum_value, "

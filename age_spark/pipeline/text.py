@@ -123,3 +123,63 @@ def redact_pii(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") ->
         )
         out = F.regexp_replace(out, pat, f"<{token}>")
     return df.select(F.col(id_col), out.alias("redacted"), *counts)
+
+
+def repetition_signals(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Repetition-based quality signals (the Gopher/MassiveText-style
+    filters, public): duplicate-line ratio and the fraction of word
+    bigrams taken by the single most frequent bigram.  Pure Column HOFs —
+    per-document arrays, no explode, no shuffle: at 100 TB this stays a
+    map-only scan.  The top-bigram count walks the SORTED bigram array
+    once with an (prev, run, best) aggregate state."""
+    t = F.col(text_col)
+    lines = F.filter(
+        F.transform(F.split(t, r"\n"), lambda x: F.trim(x)),
+        lambda x: F.length(x) > 0,
+    )
+    n_lines = F.size(lines)
+    dup_line_ratio = F.when(
+        n_lines > 0,
+        F.round(1.0 - F.size(F.array_distinct(lines)).cast("double") / n_lines, 6),
+    ).otherwise(F.lit(0.0))
+
+    words = F.filter(
+        F.split(F.lower(t), r"[^a-z0-9]+"), lambda w: F.length(w) > 0
+    )
+    nw = F.size(words)
+    bigrams = F.zip_with(
+        F.slice(words, 1, F.greatest(nw - 1, F.lit(0))),
+        F.when(nw >= 2, F.slice(words, 2, nw - 1)).otherwise(F.array().cast("array<string>")),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    sorted_b = F.array_sort(bigrams)
+    best = F.aggregate(
+        sorted_b,
+        F.struct(
+            F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc.getField("prev"), acc.getField("run") + 1)
+            .otherwise(F.lit(1))
+            .alias("run"),
+            F.greatest(
+                acc.getField("best"),
+                F.when(x == acc.getField("prev"), acc.getField("run") + 1).otherwise(
+                    F.lit(1)
+                ),
+            ).alias("best"),
+        ),
+        lambda acc: acc.getField("best"),
+    )
+    top_bigram_ratio = F.when(
+        F.size(bigrams) > 0,
+        F.round(best.cast("double") / F.size(bigrams), 6),
+    ).otherwise(F.lit(0.0))
+    return df.select(
+        F.col(id_col),
+        F.coalesce(n_lines, F.lit(0)).alias("n_lines"),
+        dup_line_ratio.alias("dup_line_ratio"),
+        F.coalesce(F.size(bigrams), F.lit(0)).alias("n_bigrams"),
+        top_bigram_ratio.alias("top_bigram_ratio"),
+    )

@@ -3,6 +3,8 @@ corpus decontamination (beyond-reference operators)."""
 
 import os
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from age_spark.pipeline.dedup import exact_decontaminate, minhash_decontaminate
@@ -239,3 +241,26 @@ def test_redact_pii(spark):
     assert (rows[2].n_email, rows[2].n_ip, rows[2].n_phone) == (0, 0, 0)
     assert rows[3].redacted == "two mails <EMAIL> <EMAIL> and ip <IP>"
     assert rows[3].n_email == 2 and rows[3].n_ip == 1
+
+
+def test_repetition_signals(spark):
+    """Gopher-style repetition filters: duplicate-line ratio and top-
+    bigram fraction, computed map-only (sorted-array run-length walk —
+    no explode/shuffle); p_repetition_signals is the DuckDB twin."""
+    from age_spark.pipeline.text import repetition_signals
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b\na b\nc d"),            # one duplicated line of three
+            (2, "the cat the cat the cat"),  # 'the cat' takes 3 of 5 bigrams
+            (3, ""),
+            (4, "one"),
+        ],
+        "doc_id int, text string",
+    )
+    rows = {r.doc_id: r for r in repetition_signals(df).collect()}
+    assert rows[1].n_lines == 3 and rows[1].dup_line_ratio == pytest.approx(1 - 2 / 3, abs=1e-6)
+    assert rows[1].top_bigram_ratio == pytest.approx(0.4)
+    assert rows[2].top_bigram_ratio == pytest.approx(0.6)
+    assert rows[3].n_lines == 0 and rows[3].top_bigram_ratio == 0.0
+    assert rows[4].n_bigrams == 0 and rows[4].dup_line_ratio == 0.0
