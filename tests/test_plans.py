@@ -151,3 +151,17 @@ def test_trgm_kernels_stay_jvm_side(spark):
         plan = age.explain(g, q)
         for marker in ("BatchEvalPython", "ArrowEvalPython", "PythonUDF", "MapInPandas"):
             assert marker not in plan, f"{marker} in plan for {q}"
+
+
+def test_text_pipeline_ops_map_only(spark):
+    """redact_pii / repetition_signals claim map-only scaling: their plans
+    must contain no Exchange (shuffle) and no Python evaluation node —
+    one codegen projection over the scan."""
+    from age_spark.pipeline.text import redact_pii, repetition_signals
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    for fn in (redact_pii, repetition_signals):
+        plan = fn(docs)._jdf.queryExecution().toString()
+        assert "Exchange" not in plan, fn.__name__
+        for marker in ("BatchEvalPython", "ArrowEvalPython", "PythonUDF", "MapInPandas"):
+            assert marker not in plan, f"{marker} in {fn.__name__}"
