@@ -212,10 +212,11 @@ def decode_image(content: bytes) -> Tuple[int, int, bytes]:
     """Decode an image to (width, height, top-down RGB bytes).
 
     Pure-Python support for PPM P6/P3, uncompressed 24/32-bit BMP, 8-bit
-    PNG (grey/truecolor/RGBA; zlib from the stdlib), and baseline
-    sequential JPEG (pipeline/jpeg.py — huffman + numpy IDCT, 4:4:4 /
-    4:2:2 / 4:2:0).  Progressive JPEG / palette PNG / exotic BMPs raise
-    (disclosed bounds)."""
+    PNG (grey/truecolor/RGBA; zlib from the stdlib), and JPEG — baseline
+    sequential AND progressive (pipeline/jpeg.py — huffman + numpy IDCT,
+    4:4:4 / 4:2:2 / 4:2:0, spectral selection + successive
+    approximation).  Palette PNG / exotic BMPs / arithmetic-coded JPEG
+    raise (disclosed bounds)."""
     if content is None or len(content) < 2:
         raise ValueError("empty image content")
     magic = bytes(content[:2])
