@@ -32,6 +32,8 @@ HEADLINE = [
     # pipeline: dedup / similarity / text / events
     "p_exact_dedup",
     "p_text_features",
+    "p_redact_pii",
+    "p_repetition_signals",
     "p_minhash_pairs",
     "p_simhash_pairs",
     "p_ann_topk",
