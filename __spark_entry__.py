@@ -587,6 +587,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["p_repetition_signals"] = _repetition
 
+    def _fuzzy_join(s, d):
+        # exact prefix-filtered similarity join (PPJoin scheme): recall
+        # 1.0 vs the oracle's brute-force all-pairs trigram Jaccard
+        from age_spark.pipeline.fuzzyjoin import trigram_similarity_join
+
+        docs = _docs(s, d)
+        left = docs.filter(F.col("doc_id") < 40)
+        right = docs.filter((F.col("doc_id") >= 40) & (F.col("doc_id") < 80))
+        return trigram_similarity_join(left, right, threshold=0.6)
+
+    q["p_fuzzy_join"] = _fuzzy_join
+
     def _ann_ivf(s, d):  # k-means cell assignment internals
         from age_spark.pipeline.similarity import ivf_topk
 
@@ -716,6 +728,20 @@ def oracle_sql() -> dict[str, str]:
         "CAST(len(regexp_extract_all(text, "
         "'\\+\\d[\\d -]{6,14}\\d')) AS INT) AS n_phone "
         "FROM documents"
+    )
+    O["p_fuzzy_join"] = (
+        # brute-force all-pairs twin of the prefix-filtered join: trigram
+        # sets in pure list-SQL (same padding as pg_trgm), Jaccard >= 0.6
+        "WITH g AS (SELECT doc_id, list_distinct(flatten(list_transform("
+        "  list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), w -> len(w) > 0),"
+        "  w -> list_transform(range(1, len(w) + 2), i -> ('  ' || w || ' ')[i:i+2])))) AS tg "
+        "FROM documents), "
+        "l AS (SELECT doc_id AS id_l, tg FROM g WHERE doc_id < 40), "
+        "r AS (SELECT doc_id AS id_r, tg FROM g WHERE doc_id >= 40 AND doc_id < 80), "
+        "p AS (SELECT id_l, id_r, round(CAST(CAST(len(list_intersect(l.tg, r.tg)) AS FLOAT) / "
+        "CAST(len(l.tg) + len(r.tg) - len(list_intersect(l.tg, r.tg)) AS FLOAT) AS DOUBLE), 6) "
+        "AS sim FROM l, r) "
+        "SELECT id_l, id_r, sim FROM p WHERE sim >= 0.6"
     )
     O["p_repetition_signals"] = (
         # duplicate-line ratio + top-bigram fraction (Gopher-style

@@ -264,3 +264,37 @@ def test_repetition_signals(spark):
     assert rows[2].top_bigram_ratio == pytest.approx(0.6)
     assert rows[3].n_lines == 0 and rows[3].top_bigram_ratio == 0.0
     assert rows[4].n_bigrams == 0 and rows[4].dup_line_ratio == 0.0
+
+
+def test_trigram_similarity_join_exact(spark):
+    """Prefix-filtered similarity join (PPJoin scheme) must equal the
+    brute-force cross join EXACTLY — recall 1.0 is the prefix theorem's
+    guarantee, precision 1.0 comes from the trigram_similarity verify."""
+    from age_spark.compiler.exprs import trigram_similarity
+    from age_spark.pipeline.fuzzyjoin import trigram_similarity_join
+
+    L = spark.createDataFrame(
+        [(1, "John Smith"), (2, "Jane Doe"), (3, "Robert Brown"),
+         (4, "Alice Walker"), (5, "unique zzz")],
+        "doc_id int, text string",
+    )
+    R = spark.createDataFrame(
+        [(11, "Jon Smith"), (12, "Jane Doe"), (13, "Roberta Browne"),
+         (14, "Bob Marley"), (15, "Alyce Walker")],
+        "doc_id int, text string",
+    )
+    for t in (0.4, 0.6, 0.8):
+        got = sorted(tuple(r) for r in trigram_similarity_join(L, R, threshold=t).collect())
+        brute = (
+            L.alias("a").crossJoin(R.alias("b"))
+            .select(
+                F.col("a.doc_id").alias("id_l"),
+                F.col("b.doc_id").alias("id_r"),
+                F.round(trigram_similarity(F.col("a.text"), F.col("b.text")), 6).alias("sim"),
+            )
+            .filter(F.col("sim") >= t)
+        )
+        want = sorted(tuple(r) for r in brute.collect())
+        assert got == want, t
+    # identical strings always survive any threshold
+    assert any(a == 2 and b == 12 for a, b, _ in got)
