@@ -10,7 +10,10 @@ from age_spark.graph import Graph
 def _clean(spark, prefix):
     import shutil
 
-    for t in [r.name for r in spark.sql("SHOW TABLES").collect()]:
+    # SHOW TABLES columns are (namespace, tableName, isTemporary) — any
+    # temp view left by an earlier test made the old `r.name` access blow
+    # up, so this cleanup only worked when the catalog happened to be empty
+    for t in [r.tableName for r in spark.sql("SHOW TABLES").collect()]:
         if t.startswith(prefix):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
     wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
