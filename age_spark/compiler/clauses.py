@@ -768,18 +768,48 @@ def _dtype_on(df: DataFrame, c: Column):
         return None
 
 
+def _exact_order_key(df: DataFrame, c: Column):
+    """EXACT order key (runtime/ordertext.py) for a sort column whose
+    native ordering can diverge from the reference comparator: tagged
+    dynamic values, paths (AGTV_PATH counts elements FIRST,
+    agtype_util.c:1025 — native struct compare walks nodes element-wise),
+    and static containers (native arrays put NULL elements first where
+    the reference's null kind sorts last; native structs compare fields
+    in declaration order, not jsonb key order).  None = native ordering
+    already exact (scalars, vertices/edges by leading id field)."""
+    from ..graph import (
+        _container_kind,
+        _entity_kind,
+        _strip_nullability,
+        is_tagged_type,
+        tag_column,
+        tagged_cmp_key_exact,
+    )
+
+    dt = _dtype_on(df, c)
+    if dt is None:
+        return None
+    sdt = _strip_nullability(dt)
+    if is_tagged_type(sdt):
+        return tagged_cmp_key_exact(c)
+    ek = _entity_kind(sdt)
+    if ek == "path":
+        return tagged_cmp_key_exact(tag_column(c, sdt))
+    if ek is None and _container_kind(sdt) is not None:
+        return tagged_cmp_key_exact(tag_column(c, sdt))
+    return None
+
+
 def _expand_order_specs(df: DataFrame, specs):
     """Prepend the EXACT order text (pandas-UDF key, any depth/width —
-    runtime/ordertext.py) before each tagged sort column; the native
-    struct stays as the final tiebreak so reference-EQUAL values keep
-    today's deterministic order."""
-    from ..graph import is_tagged_type, tagged_cmp_key_exact
-
+    runtime/ordertext.py) before each sort column that needs it; the
+    native column stays as the final tiebreak so reference-EQUAL values
+    keep today's deterministic order."""
     out = []
     for c, asc in specs:
-        dt = _dtype_on(df, c)
-        if dt is not None and is_tagged_type(dt):
-            out.append((tagged_cmp_key_exact(c), asc))
+        k = _exact_order_key(df, c)
+        if k is not None:
+            out.append((k, asc))
         out.append((c, asc))
     return out
 
@@ -916,11 +946,9 @@ def _project_aggregate(ctx, df, env, items, aliases, order_by, distinct):
                 # a tagged sort key materializes as its EXACT order key so
                 # the collect() array_sort comparator (a lambda — no UDFs
                 # allowed inside) still orders containers by value
-                from ..graph import is_tagged_type, tagged_cmp_key_exact
-
-                dt = _dtype_on(pre, c)
-                if dt is not None and is_tagged_type(dt):
-                    c = tagged_cmp_key_exact(c)
+                k = _exact_order_key(pre, c)
+                if k is not None:
+                    c = k
                 pre = pre.withColumn(f"_ob{i}", c)
                 ord_specs_pre.append(asc)
         except Exception:

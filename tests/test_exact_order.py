@@ -175,3 +175,30 @@ def test_in_membership_exact(xo):
     # inside a lambda body the bounded key applies: scalar membership by
     # numeric value still holds there
     assert rows1(age, g, "RETURN [x IN [1,2,3] WHERE x IN [2.0]]") == ["[2]"]
+
+
+def test_static_path_and_container_order(xo):
+    """Static (non-tagged) sort columns with divergent native orderings
+    route through the exact key too: paths count elements FIRST
+    (AGTV_PATH, agtype_util.c:1025), array NULL elements sort last
+    (null kind rank 8), objects compare in jsonb key order."""
+    age, g0 = xo
+    g = age.create_graph("exact_order_static")
+    g = age.cypher(g, "CREATE (a:N {k:1})-[:E]->(b:N {k:2})-[:E]->(c:N {k:3})").graph
+    got = [
+        tuple(r)
+        for r in format_result(
+            age.cypher(
+                g,
+                "MATCH p = (x:N)-[:E*1..2]->(y) WITH p ORDER BY p "
+                "RETURN length(p) AS l, nodes(p)[0].k AS k",
+            ).df.collect()
+        )
+    ]
+    assert got == [("1", "1"), ("1", "2"), ("2", "1")]
+    assert rows1(age, g, "UNWIND [[1, null], [1, 2]] AS x RETURN x ORDER BY x") == [
+        "[1, 2]", "[1, null]",
+    ]
+    assert rows1(
+        age, g, "UNWIND [{b: 0, a: 2}, {b: 9, a: 1}] AS x RETURN x ORDER BY x"
+    ) == ['{"a": 1, "b": 9}', '{"a": 2, "b": 0}']
