@@ -738,10 +738,12 @@ def oracle_sql() -> dict[str, str]:
         "FROM documents), "
         "l AS (SELECT doc_id AS id_l, tg FROM g WHERE doc_id < 40), "
         "r AS (SELECT doc_id AS id_r, tg FROM g WHERE doc_id >= 40 AND doc_id < 80), "
-        "p AS (SELECT id_l, id_r, round(CAST(CAST(len(list_intersect(l.tg, r.tg)) AS FLOAT) / "
-        "CAST(len(l.tg) + len(r.tg) - len(list_intersect(l.tg, r.tg)) AS FLOAT) AS DOUBLE), 6) "
-        "AS sim FROM l, r) "
-        "SELECT id_l, id_r, sim FROM p WHERE sim >= 0.6"
+        "p AS (SELECT id_l, id_r, CAST(CAST(len(list_intersect(l.tg, r.tg)) AS FLOAT) / "
+        "CAST(len(l.tg) + len(r.tg) - len(list_intersect(l.tg, r.tg)) AS FLOAT) AS DOUBLE) "
+        "AS sim_raw FROM l, r) "
+        # filter UNROUNDED (the engine does too — a pair 5e-7 below the
+        # threshold must not round its way in); report rounded
+        "SELECT id_l, id_r, round(sim_raw, 6) AS sim FROM p WHERE sim_raw >= 0.6"
     )
     O["p_repetition_signals"] = (
         # duplicate-line ratio + top-bigram fraction (Gopher-style

@@ -1283,15 +1283,17 @@ def _tag_align(
     variable's Column is not schema-resolvable here.
 
     ``exact=True`` keys both sides on the EXACT normalized order text (a
-    pandas UDF — any container depth/width, arbitrary-precision numerics)
-    — but only when NEITHER side is a statically-known plain scalar.  A
-    known int/float/string/bool side makes the JVM key already exact: a
-    different dynamic kind is decided by the __k rank alone, the same
-    kind by the native slot (and the reference itself collapses int-vs-
-    float to float8, agtype_util.c int/float branch — exactly __n).  This
-    keeps WHERE-clause comparisons against literals pure codegen on the
-    scan hot path; the UDF engages only for container-vs-dynamic and
-    dynamic-vs-dynamic comparisons."""
+    pandas UDF — any container depth/width, arbitrary-precision numerics).
+    A statically-known plain STRING/BOOL side downgrades to the JVM key
+    (a different dynamic kind is decided by the __k rank alone, the same
+    kind by the native slot), keeping WHERE-clause comparisons against
+    such literals pure codegen on the scan hot path.  A plain NUMERIC
+    side vs a tagged side KEEPS the exact key: the reference compares
+    int/float against NUMERIC through numeric_cmp (agtype_util.c
+    is_numeric_result branch), so a dynamic NUMERIC with >float8
+    precision must not collapse through __n.  Only int-vs-float (no
+    NUMERIC operand anywhere) is a float8 collapse in the reference —
+    and plain-vs-plain numerics stay JVM for exactly that reason."""
     from ..graph import (
         _scalar_kind,
         _strip_nullability,
@@ -1306,15 +1308,28 @@ def _tag_align(
     if rdt is None:
         rdt = dtype_of(scope, r)
 
-    def _plain_scalar(dt) -> bool:
-        return (
-            dt is not None
-            and not is_tagged_type(dt)
-            and _scalar_kind(_strip_nullability(dt)) is not None
-        )
+    def _plain_scalar_kind(dt):
+        if dt is None or is_tagged_type(dt):
+            return None
+        return _scalar_kind(_strip_nullability(dt))
 
-    if _plain_scalar(ldt) or _plain_scalar(rdt):
-        exact = False
+    lk, rk = _plain_scalar_kind(ldt), _plain_scalar_kind(rdt)
+    if lk is not None or rk is not None:
+        # A statically-known string/bool side compares exactly through its
+        # native slot (different dynamic kinds are decided by __k rank).
+        # A plain NUMERIC side vs a TAGGED other side must KEEP the exact
+        # key: the dynamic side may hold a NUMERIC whose precision exceeds
+        # float8, and the reference compares int/float-vs-numeric through
+        # numeric_cmp (agtype_util.c is_numeric_result branch), not a __n
+        # float8 collapse.  Plain-vs-plain numerics stay JVM (both sides'
+        # exact values are native).
+        other_tagged = (
+            (rdt is not None and is_tagged_type(rdt))
+            if lk is not None
+            else (ldt is not None and is_tagged_type(ldt))
+        )
+        if not (("numeric" in (lk, rk)) and other_tagged):
+            exact = False
     key = tagged_cmp_key_exact if exact else tagged_cmp_key
     lt = ldt is not None and is_tagged_type(ldt)
     rt = rdt is not None and is_tagged_type(rdt)
@@ -1479,9 +1494,15 @@ def _const_num_operand(e):
         k, v, ds = inner
         if k == "int":
             return inner
-        # ::int ROUNDS (2.71::int = 3, expr.out) — half away from zero
-        q = _dec.Decimal(v if k == "numeric" else format(v, ".17g"))
-        iv = int(q.quantize(_dec.Decimal(1), rounding=_dec.ROUND_HALF_UP))
+        # ::int ROUNDS (2.71::int = 3, expr.out) — but the half-way rule
+        # differs by kind: AGTV_FLOAT routes through dtoi8/rint
+        # (half-to-EVEN: (2.5)::int = 2), AGTV_NUMERIC through
+        # numeric_int8 (half away from zero) — agtype.c:5518-5525
+        if k == "numeric":
+            q, mode = v, _dec.ROUND_HALF_UP
+        else:
+            q, mode = _dec.Decimal(repr(v)), _dec.ROUND_HALF_EVEN
+        iv = int(q.quantize(_dec.Decimal(1), rounding=mode))
         if not (-(1 << 63) <= iv < (1 << 63)):
             return None  # int64 overflow: the runtime error surface handles it
         return ("int", iv, 0)
@@ -2476,16 +2497,25 @@ def _fn_size(scope, args, cols):
         return F.length(c)
     if dt is not None and _is_tagged(dt):
         # dynamic input resolves the kind per row: string -> char count,
-        # array -> element count, other kinds NULL (age_size errors on
-        # them; a mixed column can't raise per-row)
+        # array -> element count; any other kind raises AT RUNTIME like
+        # age_size (agtype.c:7627 "size() unsupported argument").  A NULL
+        # tagged value stays NULL (SQL-null passthrough, agtype.c:7588).
         k = c.getField("__k")
         return (
-            F.when(k == 5, F.length(c.getField("__s")).cast("long"))
+            F.when(c.isNull() | k.isNull(), F.lit(None).cast("long"))
+            .when(k == 5, F.length(c.getField("__s")).cast("long"))
             .when(k == 4, F.json_array_length(c.getField("__j")).cast("long"))
+            .otherwise(
+                F.raise_error(F.lit("size() unsupported argument")).cast("long")
+            )
         )
     if dt is not None and _is_struct(dt):
         # expr.out:3025 — size() unsupported argument (objects/entities)
         raise CompileError("size() unsupported argument: object")
+    if dt is not None and not isinstance(dt, (T.ArrayType, T.NullType)) and not _is_string(dt):
+        # statically-known scalar non-string kind: raise at compile time
+        # (agtype.c:7643)
+        raise CompileError("size() unsupported argument")
     return F.size(c)
 
 
@@ -2854,8 +2884,18 @@ def _fn_castint(scope, args, cols):
     if _is_tagged(dt):
         k, n, s, b = _tagged_parts(c)
         i = c.getField("__i")
+        d = c.getField("__d")
+        # float kind rounds half-to-EVEN (dtoi8/rint); NUMERIC kind (__d
+        # payload) half away from zero (numeric_int8) — agtype.c:5518-5525
         return (
-            F.when(k == 7, F.coalesce(i, F.round(n, 0).cast("long")))
+            F.when(
+                k == 7,
+                F.coalesce(
+                    i,
+                    F.round(d.try_cast("decimal(38,18)"), 0).cast("long"),
+                    F.bround(n, 0).cast("long"),
+                ),
+            )
             .when(k == 6, b.cast("long"))
             .when(k == 5, F.coalesce(s.try_cast("long"), F.round(s.try_cast("double"), 0).cast("long")))
         )
@@ -2863,8 +2903,12 @@ def _fn_castint(scope, args, cols):
         return c.cast("long")
     if dt is not None and _is_integral(dt):
         return c
-    if dt is not None and isinstance(dt, (T.FloatType, T.DoubleType, T.DecimalType)):
-        return F.round(c.cast("double"), 0).cast("long")
+    if dt is not None and isinstance(dt, T.DecimalType):
+        # NUMERIC lane: numeric_int8 rounds half away from zero
+        return F.round(c, 0).cast("long")
+    if dt is not None and isinstance(dt, (T.FloatType, T.DoubleType)):
+        # float lane: dtoi8/rint rounds half to even
+        return F.bround(c.cast("double"), 0).cast("long")
     return F.coalesce(c.try_cast("long"), F.round(c.try_cast("double"), 0).cast("long"))
 
 

@@ -255,10 +255,18 @@ def _sortable_num_text(x: Column) -> Column:
 
 # separators for the recursive order text: END < SEP < any payload byte, so
 # a container that ends while the other continues sorts FIRST (the
-# reference's premature-END rule, agtype_util.c:447)
+# reference's premature-END rule, agtype_util.c:447).  String payloads are
+# escaped (any byte <= \x04 gets a \x04 prefix — order-preserving, see
+# runtime/ordertext.py esc_payload) so user control bytes never collide
+# with the framing.
 _OT_END = "\x02"
 _OT_SEP = "\x03"
 _ORDER_TEXT_DEPTH = 3
+
+
+def _ot_escape(c: Column) -> Column:
+    """JVM twin of runtime/ordertext.esc_payload for string payloads."""
+    return F.regexp_replace(c, "([\x00-\x04])", "\x04$1")
 
 
 def _order_text(c: Column, dt: T.DataType, depth: int = _ORDER_TEXT_DEPTH) -> Column:
@@ -279,7 +287,7 @@ def _order_text(c: Column, dt: T.DataType, depth: int = _ORDER_TEXT_DEPTH) -> Co
     if kind == "numeric":
         return F.concat(F.lit(chr(ord("A") + 7)), _sortable_num_text(c.cast("double")))
     if kind == "string":
-        return F.concat(F.lit(chr(ord("A") + 5)), c)
+        return F.concat(F.lit(chr(ord("A") + 5)), _ot_escape(c))
     if kind == "bool":
         return F.concat(
             F.lit(chr(ord("A") + 6)), F.when(c, F.lit("1")).otherwise(F.lit("0"))
@@ -299,10 +307,16 @@ def _order_text(c: Column, dt: T.DataType, depth: int = _ORDER_TEXT_DEPTH) -> Co
         segs = []
         for n in names:
             fv = _order_text(c.getField(n), dt[n].dataType, depth - 1)
+            from .runtime.ordertext import esc_payload as _esc_py
+
             segs.append(
                 F.when(
                     c.getField(n).isNotNull(),
-                    F.concat(F.lit(prop_display_name(n) + _OT_SEP), fv, F.lit(_OT_SEP)),
+                    F.concat(
+                        F.lit(_esc_py(prop_display_name(n)) + _OT_SEP),
+                        fv,
+                        F.lit(_OT_SEP),
+                    ),
                 ).otherwise(F.lit(""))
             )
         body = F.concat(*segs) if segs else F.lit("")
@@ -321,7 +335,11 @@ def _order_text(c: Column, dt: T.DataType, depth: int = _ORDER_TEXT_DEPTH) -> Co
             F.char(k + F.lit(ord("A"))),
             F.coalesce(
                 F.when(k == 7, _sortable_num_text(c.getField("__n"))),
-                c.getField("__s"),
+                # __s is a string payload only for kind 5; vertex/edge ids
+                # are digit-only so the escape is a no-op there
+                F.when(k == 5, _ot_escape(c.getField("__s"))).otherwise(
+                    c.getField("__s")
+                ),
                 F.when(
                     c.getField("__b").isNotNull(),
                     F.when(c.getField("__b"), F.lit("1")).otherwise(F.lit("0")),

@@ -86,7 +86,11 @@ def trigram_similarity_join(
     return (
         cand.join(lt, "id_l")
         .join(rt, "id_r")
-        .withColumn("sim", F.round(trigram_similarity(F.col("_lt"), F.col("_rt")), 6))
-        .filter(F.col("sim") >= threshold)
+        # filter on the UNROUNDED similarity (a pair 5e-7 below the
+        # threshold must not round its way in); round only the REPORTED
+        # sim column
+        .withColumn("_sim_raw", trigram_similarity(F.col("_lt"), F.col("_rt")))
+        .filter(F.col("_sim_raw") >= threshold)
+        .withColumn("sim", F.round(F.col("_sim_raw"), 6))
         .select("id_l", "id_r", "sim")
     )

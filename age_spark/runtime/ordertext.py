@@ -35,21 +35,37 @@ Encoding, mirroring the token-stream walk of the reference comparator:
     float8 (agtype_util.c int/float branch) — a non-transitive collapse a
     single total-order key cannot express; this encoding compares exactly.
 
-Strings embed raw (reference strings are PG text: no NUL; the engine's
-\\x01-prefixed payload sentinels are decoded, never compared raw); a user
-string containing raw \\x02/\\x03 control bytes would disturb framing —
-a documented non-occurring corner.
+String payloads (and object keys) are embedded through an
+order-preserving escape so the key stays INJECTIVE even when user data
+contains the framing control bytes: each byte in \\x00-\\x04 is prefixed
+with \\x04 (``\\x04`` itself included, so the escape is unambiguous).
+Escaped pairs start at \\x04 > SEP(\\x03) > END(\\x02), preserving both
+the premature-END rule and raw byte order — ``["a\\x03Fb"]`` and
+``["a","b"]`` now key differently.  The engine's \\x01-prefixed payload
+sentinels are decoded before embedding, never compared raw.
 """
 
 from __future__ import annotations
 
 import json
 import math
+import re
 from decimal import Decimal
 from typing import Any, Optional
 
 _END = "\x02"
 _SEP = "\x03"
+# order-preserving escape for string payloads: any byte <= \x04 gets a
+# \x04 prefix, keeping every payload byte sequence > SEP and injective
+_CTRL_RE = re.compile("[\x00-\x04]")
+
+
+def esc_payload(s: str) -> str:
+    """Escape framing control bytes in a string payload (order-preserving:
+    escaped pairs keep the raw byte as the second char, and \\x04 > SEP)."""
+    if _CTRL_RE.search(s) is None:
+        return s
+    return _CTRL_RE.sub(lambda m: "\x04" + m.group(0), s)
 # terminators ordering a mantissa prefix correctly: positives end low
 # (12 < 12.05 -> '12\x05' < '1205\x05'), negatives end high
 # (-12 > -12.05 -> '87~' > '8794~' under nines-complement digits)
@@ -130,7 +146,7 @@ def order_text_value(v: Any) -> str:
         if v.startswith(FLOAT_SENTINEL):
             # JVM Double.toString text: shortest round-trip, Decimal-exact
             return _rank_char(7) + numeric_key(Decimal(v[len(FLOAT_SENTINEL):]))
-        return _rank_char(5) + v
+        return _rank_char(5) + esc_payload(v)
     if isinstance(v, (list, tuple)):
         return (
             _rank_char(4)
@@ -167,7 +183,7 @@ def order_text_value(v: Any) -> str:
                 continue
             if props_conv and v[k] is None:
                 continue
-            items.append(k + _SEP + order_text_value(v[k]) + _SEP)
+            items.append(esc_payload(k) + _SEP + order_text_value(v[k]) + _SEP)
         return _rank_char(3) + "".join(items) + _END
     raise TypeError(f"cannot order {type(v).__name__} as agtype")
 
@@ -181,7 +197,7 @@ def _tagged_dict_key(v: dict) -> str:
         j = v.get("__j")
         return order_text_value(json.loads(j)) if j is not None else _rank_char(8)
     if k == 5:
-        return _rank_char(5) + (v.get("__s") or "")
+        return _rank_char(5) + esc_payload(v.get("__s") or "")
     if k == 6:
         return _rank_char(6) + ("1" if v.get("__b") else "0")
     if k == 7:
@@ -239,7 +255,7 @@ def full_tag_text(k, n, d, s, b, j, i_str) -> Optional[str]:
             return order_text_value(json.loads(j))
         return _rank_char(8)
     if k == 5:
-        return _rank_char(5) + (s if isinstance(s, str) else "")
+        return _rank_char(5) + esc_payload(s if isinstance(s, str) else "")
     if k == 6:
         return _rank_char(6) + ("1" if b else "0")
     if k == 7:
