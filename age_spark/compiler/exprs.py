@@ -897,12 +897,20 @@ def _containment_key(c: Column) -> Column:
     """Containment equality is KIND-STRICT, unlike the ordering ladder:
     `[5] @> [5.0]` is FALSE (list_comprehension.out:46 — the int and float
     kinds do not cross-match in agtype_deep_contains). Keep the exact-int
-    slot so 5 != 5.0; drop the shape-dependent order key."""
+    slot so 5 != 5.0; drop the shape-dependent order key.  The __d slot
+    normalizes through the exact numeric key so value-equal NUMERICs
+    ('5.0' vs '5.00', numeric_eq) match while the kind split from
+    int/float survives (their __d is NULL)."""
+    from ..graph import jvm_numeric_sort_text
+
     return F.struct(
         c.getField("__k").alias("__k"),
         c.getField("__n").alias("__n"),
         c.getField("__i").alias("__i"),
-        c.getField("__d").alias("__d"),
+        F.when(
+            c.getField("__d").isNotNull(),
+            jvm_numeric_sort_text(c.getField("__d")),
+        ).alias("__d"),
         c.getField("__s").alias("__s"),
         c.getField("__b").alias("__b"),
         c.getField("__j").alias("__j"),
@@ -1061,15 +1069,40 @@ def _strip(dt):
     return None if dt is None else _strip_nullability(dt)
 
 
+_NUM_ARITH_UDFS: dict = {}
+
+
+def _numeric_arith_udf(op: str):
+    if op not in _NUM_ARITH_UDFS:
+        from ..runtime.pgnumeric import make_numeric_arith_udf
+
+        _NUM_ARITH_UDFS[op] = make_numeric_arith_udf(op)
+    return _NUM_ARITH_UDFS[op]
+
+
 def _tagged_arith(
-    op: str, l: Column, ldt, lt_tag: bool, r: Column, rdt, rt_tag: bool
+    op: str,
+    l: Column,
+    ldt,
+    lt_tag: bool,
+    r: Column,
+    rdt,
+    rt_tag: bool,
+    exact_num: bool = False,
 ) -> Column:
     """Kind-preserving + - * / % over dynamic numeric values
     (age_agtype add/sub/mul/div/mod): all-int rows compute exactly in
     int64 (truncating division, C-style modulo) and stay int kind; any
     float operand promotes that row to float8. Non-numeric rows (string/
     bool/container kinds in the dynamic column) yield NULL. The result is
-    itself a tagged value so kinds can differ per row."""
+    itself a tagged value so kinds can differ per row.
+
+    ``exact_num=True`` computes the NUMERIC-kind __d payload through the
+    EXACT Arrow kernel (runtime/pgnumeric.py — arbitrary precision with
+    PG display scales, matching numeric_out at any width); the bounded
+    DECIMAL(38,18) lane survives ONLY inside higher-order-function
+    lambdas, where a pandas UDF cannot run.  The int/float lanes
+    (__i/__n) stay pure JVM codegen either way."""
     from ..graph import ORDER_KEY_TYPE, TAGGED_TYPE
 
     def parts(c, dt, tagged):
@@ -1149,35 +1182,75 @@ def _tagged_arith(
     l_isnum, ldec0 = num_flag_and_dec(l, ldt, lt_tag, ri)
     r_isnum, rdec0 = num_flag_and_dec(r, rdt, rt_tag, li)
     is_num = l_isnum | r_isnum
-    # non-numeric side converts through its numeric slots (int exact,
-    # float via %.15g text like the PG cast)
-    ldec = F.coalesce(ldec0, li.cast("decimal(38,18)"), ln.cast("decimal(38,18)"))
-    rdec = F.coalesce(rdec0, ri.cast("decimal(38,18)"), rn.cast("decimal(38,18)"))
-    # try_* variants: a >38-digit overflow NULLs (falling back to the
-    # double spelling below) instead of raising under ANSI mode
-    if op == "/":
-        dres = F.when(
-            ri.isNotNull(),
-            F.try_divide(ldec.cast("decimal(38,16)"), ri.cast("decimal(20,0)")).cast("string"),
-        ).otherwise(F.try_divide(ldec, rdec).cast("string"))
-    elif op == "%":
-        dres = F.try_mod(ldec, rdec).cast("string")
-    elif op == "+":
-        dres = F.try_add(ldec, rdec).cast("string")
-    elif op == "-":
-        dres = F.try_subtract(ldec, rdec).cast("string")
+    if exact_num:
+        # EXACT lane: one Arrow kernel call computes the NUMERIC __d text
+        # at arbitrary precision with PG display scales; it returns NULL
+        # for non-numeric rows, so no JVM is_num gate is needed
+        def num_slots(c, dt, tagged, iv_, nv_, pre):
+            if tagged:
+                return [
+                    c.getField("__d").alias(pre + "d"),
+                    c.getField("__i").cast("string").alias(pre + "i"),
+                    c.getField("__n").cast("string").alias(pre + "n"),
+                ]
+            return [
+                (
+                    dec_trim_text(c.cast("string"))
+                    if dt is not None
+                    and isinstance(_strip_nullability(dt), T.DecimalType)
+                    else F.lit(None).cast("string")
+                ).alias(pre + "d"),
+                iv_.cast("string").alias(pre + "i"),
+                (
+                    nv_.cast("string")
+                    if not (
+                        dt is not None
+                        and (
+                            _is_integral(dt)
+                            or isinstance(_strip_nullability(dt), T.DecimalType)
+                        )
+                    )
+                    else F.lit(None).cast("string")
+                ).alias(pre + "n"),
+            ]
+
+        final_d = _numeric_arith_udf(op)(
+            F.struct(
+                *num_slots(l, ldt, lt_tag, li, ln, "l"),
+                *num_slots(r, rdt, rt_tag, ri, rn, "r"),
+            ),
+            F.lit(None).cast("string"),
+        )
     else:
-        dres = F.try_multiply(ldec, rdec).cast("string")
-    # specials: a NaN/Infinity operand or an overflowed decimal falls back
-    # to the double result's spelling
-    dv = F.when(
-        F.isnan(nv), F.lit("NaN")
-    ).when(nv == float("inf"), F.lit("Infinity")).when(
-        nv == float("-inf"), F.lit("-Infinity")
-    ).otherwise(F.coalesce(dec_trim_text(dres), F.format_string("%.15g", nv)))
-    final_d = F.when(is_num & nv.isNotNull(), dv).otherwise(
-        F.when(is_num & F.isnull(nv) & (l_isnum & F.isnan(F.coalesce(ln, F.lit(0.0)))), F.lit("NaN"))
-    )
+        # bounded in-lambda fallback: non-numeric side converts through
+        # its numeric slots (int exact, float via %.15g text like the PG
+        # cast); try_* variants NULL on >38-digit overflow (falling back
+        # to the double spelling below) instead of raising under ANSI
+        ldec = F.coalesce(ldec0, li.cast("decimal(38,18)"), ln.cast("decimal(38,18)"))
+        rdec = F.coalesce(rdec0, ri.cast("decimal(38,18)"), rn.cast("decimal(38,18)"))
+        if op == "/":
+            dres = F.when(
+                ri.isNotNull(),
+                F.try_divide(ldec.cast("decimal(38,16)"), ri.cast("decimal(20,0)")).cast("string"),
+            ).otherwise(F.try_divide(ldec, rdec).cast("string"))
+        elif op == "%":
+            dres = F.try_mod(ldec, rdec).cast("string")
+        elif op == "+":
+            dres = F.try_add(ldec, rdec).cast("string")
+        elif op == "-":
+            dres = F.try_subtract(ldec, rdec).cast("string")
+        else:
+            dres = F.try_multiply(ldec, rdec).cast("string")
+        # specials: a NaN/Infinity operand or an overflowed decimal falls
+        # back to the double result's spelling
+        dv = F.when(
+            F.isnan(nv), F.lit("NaN")
+        ).when(nv == float("inf"), F.lit("Infinity")).when(
+            nv == float("-inf"), F.lit("-Infinity")
+        ).otherwise(F.coalesce(dec_trim_text(dres), F.format_string("%.15g", nv)))
+        final_d = F.when(is_num & nv.isNotNull(), dv).otherwise(
+            F.when(is_num & F.isnull(nv) & (l_isnum & F.isnan(F.coalesce(ln, F.lit(0.0)))), F.lit("NaN"))
+        )
 
     final_i = F.when(both_int & ~is_num, iv)
     # the sort key mirrors the row's actual kind: exact-int rows key on the
@@ -1317,26 +1390,44 @@ def _tag_align(
     if lk is not None or rk is not None:
         # A statically-known string/bool side compares exactly through its
         # native slot (different dynamic kinds are decided by __k rank).
-        # A plain NUMERIC side vs a TAGGED other side must KEEP the exact
-        # key: the dynamic side may hold a NUMERIC whose precision exceeds
-        # float8, and the reference compares int/float-vs-numeric through
+        # A plain NUMERIC side vs a TAGGED other side compares through the
+        # JVM numeric-ladder key (graph.py jvm_numeric_sort_text): the
+        # dynamic side may hold a NUMERIC whose precision exceeds float8,
+        # and the reference compares int/float-vs-numeric through
         # numeric_cmp (agtype_util.c is_numeric_result branch), not a __n
-        # float8 collapse.  Plain-vs-plain numerics stay JVM (both sides'
-        # exact values are native).
-        other_tagged = (
-            (rdt is not None and is_tagged_type(rdt))
-            if lk is not None
-            else (ldt is not None and is_tagged_type(ldt))
-        )
-        if not (("numeric" in (lk, rk)) and other_tagged):
-            exact = False
+        # float8 collapse.  The key is exact at any precision AND pure
+        # codegen, so WHERE tagged-vs-literal scans stay UDF-free.
+        # Plain-vs-plain numerics stay native (both sides' exact values
+        # are typed columns).
+        from ..graph import plain_numeric_ladder_key, tagged_numeric_ladder_key
+
+        if lk == "numeric" and rdt is not None and is_tagged_type(rdt):
+            return plain_numeric_ladder_key(l, ldt), tagged_numeric_ladder_key(r)
+        if rk == "numeric" and ldt is not None and is_tagged_type(ldt):
+            return tagged_numeric_ladder_key(l), plain_numeric_ladder_key(r, rdt)
+        exact = False
+    from ..graph import _container_kind, let_column
+
     key = tagged_cmp_key_exact if exact else tagged_cmp_key
+
+    def tagged_side(c, dt):
+        # freshly tagging a CONTAINER builds a big __o tree; the JVM key
+        # references its input ~10 times, and duplicating that tree per
+        # reference makes Catalyst superlinear (measured: a lambda
+        # container equality went 9 s -> 60 s unbound) — let-bind it.
+        # Scalar tags are small, and the exact key (3 refs, and a pandas
+        # UDF may not sit inside the HOF wrapper) stays direct.
+        t = tag_column(c, dt)
+        if not exact and _container_kind(_strip_nullability(dt)) is not None:
+            return let_column(t, key)
+        return key(t)
+
     lt = ldt is not None and is_tagged_type(ldt)
     rt = rdt is not None and is_tagged_type(rdt)
     if lt and not rt and rdt is not None:
-        return key(l), key(tag_column(r, rdt))
+        return key(l), tagged_side(r, rdt)
     if rt and not lt and ldt is not None:
-        return key(tag_column(l, ldt)), key(r)
+        return tagged_side(l, ldt), key(r)
     if lt and rt:
         return key(l), key(r)
     return l, r
@@ -1409,33 +1500,9 @@ def _infer_ast_dtype(scope: ExprScope, node) -> Optional[T.DataType]:
     return None
 
 
-def _pg_weight_firstdigit(v):
-    """Base-10000 weight and first NumericDigit of a PG numeric (numeric.c
-    set_var_from_str digit packing) — inputs to select_div_scale."""
-    if v == 0:
-        return 0, 0
-    av = abs(v)
-    dweight = av.adjusted()  # power of 10 of the first decimal digit
-    if dweight >= 0:
-        weight = (dweight + 4) // 4 - 1
-    else:
-        weight = -((-dweight - 1) // 4 + 1)
-    first = int(av.scaleb(-4 * weight))  # floor(av / 10000^weight)
-    return weight, first
-
-
-def _select_div_scale(v1, v2, d1: int, d2: int) -> int:
-    """PG's numeric division display scale (select_div_scale, numeric.c):
-    NUMERIC_MIN_SIG_DIGITS(16) - qweight*DEC_DIGITS(4), floored by both
-    input dscales — int64max/int64max prints 1.00000000000000000000."""
-    w1, f1 = _pg_weight_firstdigit(v1)
-    w2, f2 = _pg_weight_firstdigit(v2)
-    qweight = w1 - w2
-    if f1 <= f2:
-        qweight -= 1
-    rscale = 16 - qweight * 4
-    rscale = max(rscale, d1, d2, 0)
-    return min(rscale, 1000)
+# the exact PG-numeric kernel (weight/select_div_scale/exact ops) lives in
+# runtime/pgnumeric.py, shared between this compile-time fold and the
+# runtime Arrow kernel for NUMERIC-kind column arithmetic
 
 
 def _const_num_operand(e):
@@ -1547,30 +1614,12 @@ def _fold_const_numeric(e):
 
     lv, ld = as_dec(lt)
     rv, rd = as_dec(rt)
-    with _dec.localcontext() as cx:
-        cx.prec = 1200
-        if e.op == "+":
-            res, ds = lv + rv, max(ld, rd)
-        elif e.op == "-":
-            res, ds = lv - rv, max(ld, rd)
-        elif e.op == "*":
-            res, ds = lv * rv, ld + rd
-        elif e.op == "/":
-            if rv == 0:
-                return None  # division by zero: runtime error surface
-            ds = _select_div_scale(lv, rv, ld, rd)
-            res = (lv / rv).quantize(
-                _dec.Decimal(1).scaleb(-ds), rounding=_dec.ROUND_HALF_UP
-            )
-        else:  # %
-            if rv == 0:
-                return None
-            res = lv - (lv / rv).to_integral_value(rounding=_dec.ROUND_DOWN) * rv
-            ds = max(ld, rd)
-        res = res.quantize(
-            _dec.Decimal(1).scaleb(-ds), rounding=_dec.ROUND_HALF_UP
-        )
-    return ("numeric", res, ds)
+    from ..runtime.pgnumeric import exact_numeric_op
+
+    out = exact_numeric_op(e.op, lv, ld, rv, rd)
+    if out is None:
+        return None  # division by zero: runtime error surface
+    return ("numeric", out[0], out[1])
 
 
 def _compile_binary(scope: ExprScope, e: A.Binary) -> Column:
@@ -1653,13 +1702,15 @@ def _compile_binary(scope: ExprScope, e: A.Binary) -> Column:
             # struct comparison either fails analysis or ignores the jsonb
             # rules — go through the container order keys (pair-count
             # first, then pairs in jsonb key order)
-            from ..graph import tag_column, tagged_cmp_key, tagged_cmp_key_exact
+            from ..graph import let_column, tag_column, tagged_cmp_key, tagged_cmp_key_exact
 
-            _key = (
-                tagged_cmp_key_exact
-                if not (scope.lambda_vars or scope.lambda_types)
-                else tagged_cmp_key
-            )
+            if not (scope.lambda_vars or scope.lambda_types):
+                _key = tagged_cmp_key_exact  # UDF: may not sit inside a HOF
+            else:
+                # big object trees: bind once (see _tag_align note)
+                def _key(c):
+                    return let_column(c, tagged_cmp_key)
+
             l, r = _key(tag_column(l, ldt)), _key(tag_column(r, rdt))
             return {
                 "=": l == r, "<>": l != r,
@@ -1683,15 +1734,15 @@ def _compile_binary(scope: ExprScope, e: A.Binary) -> Column:
             # at least one list is dynamic-kind: lift the concrete one and
             # compare element cmp-keys so the ladder applies and int/float
             # elements compare by value
-            from ..graph import tag_column, tagged_cmp_key
+            from ..graph import tagged_cmp_key, tagged_cmp_key_of
 
             if l_arr_t and not r_arr_t:
                 et = rdt.elementType
-                r = F.transform(r, lambda x: tagged_cmp_key(tag_column(x, et)))
+                r = F.transform(r, lambda x: tagged_cmp_key_of(x, et))
                 l = F.transform(l, tagged_cmp_key)
             elif r_arr_t and not l_arr_t:
                 et = ldt.elementType
-                l = F.transform(l, lambda x: tagged_cmp_key(tag_column(x, et)))
+                l = F.transform(l, lambda x: tagged_cmp_key_of(x, et))
                 r = F.transform(r, tagged_cmp_key)
             else:
                 l = F.transform(l, tagged_cmp_key)
@@ -1770,12 +1821,19 @@ def _compile_binary(scope: ExprScope, e: A.Binary) -> Column:
                 return F.array_contains(
                     tagged_cmp_keys_exact_array(hay_t), tagged_cmp_key_exact(needle)
                 )
+            from ..graph import tagged_cmp_key_of
+
             if hay_tagged:
                 hay = F.transform(r, tagged_cmp_key)
             else:
                 et = rdt.elementType
-                hay = F.transform(r, lambda x: tagged_cmp_key(tag_column(x, et)))
-            return F.array_contains(hay, tagged_cmp_key(needle))
+                hay = F.transform(r, lambda x: tagged_cmp_key_of(x, et))
+            needle_key = (
+                tagged_cmp_key(needle)
+                if needle_tagged
+                else tagged_cmp_key_of(l, ldt)
+            )
+            return F.array_contains(hay, needle_key)
         return F.array_contains(r, l)
     if op in ("starts with", "ends with", "contains", "=~"):
         from ..graph import is_tagged_type
@@ -1950,7 +2008,12 @@ def _compile_binary(scope: ExprScope, e: A.Binary) -> Column:
                 ln = l.getField("__n") if lt_tag else l.cast("double")
                 rn = r.getField("__n") if rt_tag else r.cast("double")
                 return F.pow(ln, rn)
-            return _tagged_arith(op, l, ldt, lt_tag, r, rdt, rt_tag)
+            return _tagged_arith(
+                op, l, ldt, lt_tag, r, rdt, rt_tag,
+                # the exact Arrow kernel cannot run inside HOF lambdas —
+                # there the bounded DECIMAL(38,18) lane survives
+                exact_num=not (scope.lambda_vars or scope.lambda_types),
+            )
         if op == "-":
             # jsonb removal operators (expr.out:165-167): map - 'key'
             # drops the key, list - i drops the element at index i

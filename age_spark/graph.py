@@ -96,14 +96,23 @@ def prop_display_name(nm: str) -> str:
 #     element comparison keys (object pairs carry their jsonb-ordered key
 #     string too). Native struct comparison walks elements left-to-right;
 #     a missing slot is NULL and nulls-first makes the shorter (prefix)
-#     container sort lower, exactly the premature-END rule. Beyond the
-#     width bound — and inside depth-3 nesting — it falls back to lexical
-#     __j JSON. It remains ONLY where a pandas UDF cannot run: inside
+#     container sort lower, exactly the premature-END rule. NUMERIC
+#     payloads key on the exact JVM numeric text (jvm_numeric_sort_text —
+#     arbitrary precision, no float8 collapse). Beyond the width bound —
+#     and past _ORDER_TEXT_DEPTH nesting — it falls back to lexical __j
+#     JSON. It remains ONLY where a pandas UDF cannot run: inside
 #     higher-order-function lambdas (IN / element containment / list
 #     uniqueness), a documented residual bound.
 _ELEM_KEY_TYPE = T.StructType(
     [
         T.StructField("__k", T.ByteType(), True),
+        # numeric elements keep the float8 sort slot here: this struct is
+        # instantiated once per STATIC __o slot (x ORDER_KEY_WIDTH), so the
+        # ~100-node exact numeric-text tree would multiply the container
+        # key past Catalyst's optimizer cliff (measured: a container
+        # equality inside a lambda went 9 s -> non-terminating).  The
+        # WHOLE-VALUE bounded key (tagged_cmp_key) and the containment key
+        # DO carry the exact text — they cost one tree per use.
         T.StructField("__n", T.DoubleType(), True),
         T.StructField("__s", T.StringType(), True),
         T.StructField("__b", T.BooleanType(), True),
@@ -131,9 +140,10 @@ TAGGED_TYPE = T.StructType(
         T.StructField("__i", T.LongType(), True),    # exact int64 payload (int kind)
         # NUMERIC payload: the EXACT decimal text (PG numeric is arbitrary
         # precision with NaN/Infinity spellings, agtype.h:307-323 — a fixed
-        # DECIMAL cannot hold those); arithmetic computes through
-        # DECIMAL(38,18) (a documented precision bound), storage/printing
-        # stay exact
+        # DECIMAL cannot hold those); arithmetic computes EXACTLY through
+        # the Arrow kernel (runtime/pgnumeric.py) outside HOF lambdas,
+        # through DECIMAL(38,18) inside them (a documented bound);
+        # storage/printing stay exact
         T.StructField("__d", T.StringType(), True),
         T.StructField("__s", T.StringType(), True),
         T.StructField("__b", T.BooleanType(), True),
@@ -228,31 +238,6 @@ def _null_kind_elem_key() -> Column:
     )
 
 
-def _sortable_num_text(x: Column) -> Column:
-    """Fixed-width text whose LEXICAL order equals the numeric order of the
-    double `x` — sign bucket + biased exponent + mantissa digits (nine's
-    complement for negatives).  Lets nested-container comparison keys stay
-    plain strings while ordering numbers by VALUE ([1,[3]] sorts before
-    [1,[20]]; [2] ties [2.0])."""
-    t = F.format_string("%.16e", F.abs(x))
-    mant = F.concat(F.substring(t, 1, 1), F.substring(t, 3, 16))
-    exp = F.regexp_extract(t, r"e([+-]\d+)$", 1).cast("int")
-    pos = F.concat(F.lit("7"), F.format_string("%03d", exp + F.lit(400)), mant)
-    neg = F.concat(
-        F.lit("3"),
-        F.format_string("%03d", F.lit(400) - exp),
-        F.translate(mant, "0123456789", "9876543210"),
-    )
-    return (
-        F.when(F.isnan(x), F.lit("9"))  # NaN sorts largest among numerics
-        .when(x == float("inf"), F.lit("8"))
-        .when(x == float("-inf"), F.lit("1"))
-        .when(x == 0.0, F.lit("5"))
-        .when(x > 0, pos)
-        .otherwise(neg)
-    )
-
-
 # separators for the recursive order text: END < SEP < any payload byte, so
 # a container that ends while the other continues sorts FIRST (the
 # reference's premature-END rule, agtype_util.c:447).  String payloads are
@@ -267,6 +252,82 @@ _ORDER_TEXT_DEPTH = 3
 def _ot_escape(c: Column) -> Column:
     """JVM twin of runtime/ordertext.esc_payload for string payloads."""
     return F.regexp_replace(c, "([\x00-\x04])", "\x04$1")
+
+
+def jvm_numeric_sort_text(txt: Column) -> Column:
+    """EXACT sortable numeric key from a decimal text — byte-identical to
+    runtime/ordertext.numeric_key at ARBITRARY precision, but pure JVM
+    codegen (string ops only).  Accepts plain and E-notation spellings
+    (Java Double.toString, PG numeric_out, int64 text) plus the
+    NaN/Infinity specials.  Lexical order of the output == numeric order
+    of the input; equal VALUES ("2.50", "2.5", "2.5E0") key identically."""
+    up = F.upper(txt)
+    neg = F.startswith(txt, F.lit("-"))
+    body = F.regexp_replace(txt, r"^[+-]", "")
+    mant = F.regexp_extract(body, r"^([^eE]+)", 1)
+    exps = F.regexp_extract(body, r"[eE]([+-]?\d+)$", 1)
+    e10 = F.coalesce(F.nullif(exps, F.lit("")).cast("int"), F.lit(0))
+    digits = F.replace(mant, F.lit("."), F.lit(""))
+    intlen = F.when(
+        mant.contains("."), F.instr(mant, ".") - 1
+    ).otherwise(F.length(mant))
+    sig0 = F.regexp_replace(digits, r"^0+", "")
+    lz = F.length(digits) - F.length(sig0)
+    sig = F.regexp_replace(sig0, r"0+$", "")
+    adj = F.greatest(
+        F.least(intlen - 1 - lz + e10, F.lit(499999)), F.lit(-499999)
+    )
+    pos = F.concat(
+        F.lit("6"), F.format_string("%07d", adj + F.lit(500000)), sig, F.lit("\x05")
+    )
+    negk = F.concat(
+        F.lit("4"),
+        F.format_string("%07d", F.lit(500000) - adj),
+        F.translate(sig, "0123456789", "9876543210"),
+        F.lit("~"),
+    )
+    return (
+        F.when(up == "NAN", F.lit("9"))
+        .when(up.isin("INFINITY", "INF", "+INFINITY", "+INF"), F.lit("8"))
+        .when(up.isin("-INFINITY", "-INF"), F.lit("1"))
+        .when(sig == "", F.lit("5"))  # zero in any spelling, incl. -0.0
+        .when(neg, negk)
+        .otherwise(pos)
+    )
+
+
+def tagged_numeric_ladder_key(c: Column) -> Column:
+    """Full ranked key of a tagged value FOR COMPARISON AGAINST A PLAIN
+    NUMERIC side: rank char + (kind-7 rows only) the exact numeric key.
+    Non-numeric kinds never tie with rank 7, so their payload is empty —
+    the rank byte alone decides, matching get_type_sort_priority.  Pure
+    codegen: this keeps WHERE tagged-vs-literal scans UDF-free while the
+    numeric compare is exact at any precision (the reference compares
+    int/float vs NUMERIC through numeric_cmp, agtype_util.c)."""
+    k = c.getField("__k")
+    payload = F.when(
+        k == 7,
+        jvm_numeric_sort_text(
+            F.coalesce(
+                c.getField("__d"),
+                c.getField("__i").cast("string"),
+                c.getField("__n").cast("string"),
+            )
+        ),
+    ).otherwise(F.lit(""))
+    return F.concat(F.char(k + F.lit(ord("A"))), payload)
+
+
+def plain_numeric_ladder_key(c: Column, dt: T.DataType) -> Column:
+    """The plain-side twin of tagged_numeric_ladder_key: rank 7 + the
+    exact numeric key of a statically-typed int/float/decimal column."""
+    sdt = _strip_nullability(dt)
+    txt = (
+        dec_trim_text(c.cast("string"))
+        if isinstance(sdt, T.DecimalType)
+        else c.cast("string")
+    )
+    return F.concat(F.lit(chr(ord("A") + 7)), jvm_numeric_sort_text(txt))
 
 
 def _order_text(c: Column, dt: T.DataType, depth: int = _ORDER_TEXT_DEPTH) -> Column:
@@ -285,7 +346,14 @@ def _order_text(c: Column, dt: T.DataType, depth: int = _ORDER_TEXT_DEPTH) -> Co
             F.format_string("%020d", c.getField("id")),
         )
     if kind == "numeric":
-        return F.concat(F.lit(chr(ord("A") + 7)), _sortable_num_text(c.cast("double")))
+        return F.concat(
+            F.lit(chr(ord("A") + 7)),
+            jvm_numeric_sort_text(
+                dec_trim_text(c.cast("string"))
+                if isinstance(dt, T.DecimalType)
+                else c.cast("string")
+            ),
+        )
     if kind == "string":
         return F.concat(F.lit(chr(ord("A") + 5)), _ot_escape(c))
     if kind == "bool":
@@ -334,7 +402,16 @@ def _order_text(c: Column, dt: T.DataType, depth: int = _ORDER_TEXT_DEPTH) -> Co
         return F.concat(
             F.char(k + F.lit(ord("A"))),
             F.coalesce(
-                F.when(k == 7, _sortable_num_text(c.getField("__n"))),
+                F.when(
+                    k == 7,
+                    jvm_numeric_sort_text(
+                        F.coalesce(
+                            c.getField("__d"),
+                            c.getField("__i").cast("string"),
+                            c.getField("__n").cast("string"),
+                        )
+                    ),
+                ),
                 # __s is a string payload only for kind 5; vertex/edge ids
                 # are digit-only so the escape is a no-op there
                 F.when(k == 5, _ot_escape(c.getField("__s"))).otherwise(
@@ -355,7 +432,9 @@ def _elem_key(c: Column, dt: T.DataType) -> Column:
     """Depth-1 comparison key of one container element: (kind rank, value
     slots) through the cross-kind ladder; nested containers compare by
     their normalized ORDER TEXT (_order_text — element-wise, numbers by
-    VALUE, depth-bounded at 3 further levels). Entities rank 1/2."""
+    VALUE, depth-bounded). Entities rank 1/2.  Numeric elements keep the
+    float8 slot here — see the _ELEM_KEY_TYPE note on the per-slot tree
+    budget."""
     if is_tagged_type(dt):
         key = F.struct(
             c.getField("__k").alias("__k"),
@@ -661,7 +740,9 @@ def tag_column(col: Column, src_dt: T.DataType) -> Column:
 CMP_KEY_TYPE = T.StructType(
     [
         T.StructField("__k", T.ByteType(), True),
-        T.StructField("__n", T.DoubleType(), True),
+        # exact numeric order-key TEXT (jvm_numeric_sort_text): numeric
+        # kinds compare by exact value at any precision, pure codegen
+        T.StructField("__n", T.StringType(), True),
         T.StructField("__s", T.StringType(), True),
         T.StructField("__b", T.BooleanType(), True),
         T.StructField("__o", ORDER_KEY_TYPE, True),
@@ -711,13 +792,37 @@ def tagged_cmp_key(col: Column) -> Column:
     return F.when(col.isNull(), F.lit(None).cast(CMP_KEY_TYPE)).otherwise(
         F.struct(
             col.getField("__k").alias("__k"),
-            col.getField("__n").alias("__n"),
+            F.when(
+                col.getField("__k") == 7,
+                jvm_numeric_sort_text(
+                    F.coalesce(
+                        col.getField("__d"),
+                        col.getField("__i").cast("string"),
+                        col.getField("__n").cast("string"),
+                    )
+                ),
+            ).alias("__n"),
             col.getField("__s").alias("__s"),
             col.getField("__b").alias("__b"),
             col.getField("__o").alias("__o"),
             col.getField("__j").alias("__j"),
         )
     )
+
+
+def tagged_cmp_key_of(col: Column, dt: T.DataType) -> Column:
+    """tagged_cmp_key over a FRESHLY TAGGED value: container tags build a
+    big __o tree and the key references its input ~10 times, so bind the
+    tag once (unbound, Catalyst trees duplicate per reference and task
+    serialization OOMs on nested container comparisons).  Scalar tags are
+    small and stay direct (codegen)."""
+    t = tag_column(col, dt)
+    sdt = _strip_nullability(dt)
+    if _container_kind(sdt) is not None or (
+        isinstance(sdt, T.StructType) and not is_tagged_type(sdt)
+    ):
+        return let_column(t, tagged_cmp_key)
+    return tagged_cmp_key(t)
 
 
 def tagged_cmp_key_exact(col: Column) -> Column:

@@ -202,3 +202,58 @@ def test_static_path_and_container_order(xo):
     assert rows1(
         age, g, "UNWIND [{b: 0, a: 2}, {b: 9, a: 1}] AS x RETURN x ORDER BY x"
     ) == ['{"a": 1, "b": 9}', '{"a": 2, "b": 0}']
+
+
+def test_lambda_comparisons_numeric_exact(xo):
+    """Inside HOF lambdas the bounded JVM key now carries the EXACT
+    numeric text (graph.py jvm_numeric_sort_text): high-precision
+    NUMERICs compare by numeric_cmp value even where the Arrow
+    comparator cannot run."""
+    age, g = xo
+    # >float8 precision must NOT collapse inside the lambda
+    assert rows1(
+        age, g,
+        "RETURN [x IN ['2.0000000000000000001'::numeric, 2.0] "
+        "WHERE x = 2] = [2.0]",
+    ) == ["true"]
+    assert rows1(
+        age, g,
+        "RETURN any(x IN [1, '2.0000000000000000001'::numeric] "
+        "WHERE x > 2)",
+    ) == ["true"]
+    # value-equal spellings key identically in lambda membership
+    assert rows1(
+        age, g, "RETURN [x IN [1, 2, 3] WHERE x IN ['2.00'::numeric]]"
+    ) == ["[2]"]
+
+
+def test_lambda_deep_container_membership(xo):
+    """Containers inside lambda predicates order and match by value
+    element-wise (agtype_util.c:333) through the bounded key up to its
+    documented depth/width (the exact Arrow comparator cannot run inside
+    a HOF lambda)."""
+    age, g = xo
+    # ORDERING of a dynamic container inside a lambda is value-exact
+    # element-wise at depth (the __o key: int/float compare by VALUE via
+    # the exact numeric text); cross-kind container EQUALITY keeps the
+    # __j tiebreak bound (documented — the Arrow comparator cannot run
+    # inside a HOF lambda)
+    deep = "[[1, 2], [3, 4]]"
+    assert rows1(
+        age, g, f"RETURN [x IN [{deep}, 'z'] WHERE x < [[1.0, 2.6]]] = [{deep}]"
+    ) == ["true"]
+    assert rows1(
+        age, g, f"RETURN [x IN [{deep}, 'z'] WHERE x < [[1.0, 1.9]]] = []"
+    ) == ["true"]
+    # same-kind lists with different element types compare by value
+    wide = "[" + ", ".join(str(i) for i in range(16)) + "]"
+    wide_f = "[" + ", ".join(f"{i}.0" for i in range(16)) + "]"
+    assert rows1(
+        age, g, f"RETURN any(x IN [{wide}] WHERE x = {wide_f})"
+    ) == ["true"]
+    # strings containing framing control bytes stay distinct in lambdas
+    sep = chr(3)
+    assert rows1(
+        age, g,
+        'RETURN any(x IN [["a' + sep + 'Fb"]] WHERE x = ["a", "b"])',
+    ) == ["false"]

@@ -1,0 +1,186 @@
+"""Exact NUMERIC arithmetic — the runtime Arrow kernel (runtime/pgnumeric.py)
+must match PG numeric.c display-scale semantics at ANY precision, beyond
+the former DECIMAL(38,18) lane.  Value pins follow numeric.c rules
+(add/sub keep max dscale, mul d1+d2, division select_div_scale) verified
+against the reference's expected outputs for the foldable shapes
+(regress/expected/expr.out numeric blocks) — the runtime kernel must agree
+with the fold on every shape the fold covers."""
+
+from decimal import Decimal
+
+import pytest
+
+from age_spark.runtime.pgnumeric import (
+    arith_result_text,
+    exact_numeric_op,
+    select_div_scale,
+)
+
+
+def t(op, ld=None, li=None, ln=None, rd=None, ri=None, rn=None):
+    return arith_result_text(op, ld, li, ln, rd, ri, rn)
+
+
+class TestKernel:
+    def test_add_keeps_max_dscale(self):
+        assert t("+", ld="1.10", rd="2.20") == "3.30"
+        assert t("+", ld="1.1", rd="2") == "3.1"
+
+    def test_mul_adds_dscales(self):
+        assert t("*", ld="1.10", rd="2.5") == "2.750"
+        assert t("*", ld="2", rd="3") == "6"
+
+    def test_div_select_div_scale(self):
+        # 24.45 / 7 — the reference's canonical division shape
+        assert t("/", ld="24.45", ri="7") == "3.4928571428571429"
+        # int64max/int64max prints 20 zeros after the point
+        m = str(2**63 - 1)
+        assert t("/", ld=m, rd=m) == "1.00000000000000000000"
+
+    def test_beyond_38_digits_exact(self):
+        big = "9" * 40
+        want = str(int(big) * int(big))
+        assert t("*", ld=big, rd=big) == want
+        assert len(want) == 80
+        assert t("+", ld=big, rd="1") == "1" + "0" * 40
+        assert t("%", ld=big, ri="7") == "3"
+
+    def test_div_by_zero_is_null(self):
+        assert t("/", ld="1", rd="0") is None
+        assert t("/", ld="1", ri="0") is None
+
+    def test_mod_by_zero_nan_spelling(self):
+        assert t("%", ld="5.5", rd="0") == "NaN"
+
+    def test_specials_ride_float8(self):
+        assert t("*", ld="NaN", rd="2") == "NaN"
+        assert t("+", ld="Infinity", rd="1") == "Infinity"
+        assert t("-", ld="Infinity", rd="Infinity") == "NaN"
+        assert t("/", ld="1", rd="Infinity") == "0"
+        assert t("*", ld="-Infinity", rd="2") == "-Infinity"
+
+    def test_non_numeric_rows_null(self):
+        # neither side numeric-kind: the JVM int/float lanes own the row
+        assert t("+", li="1", ri="2") is None
+        assert t("+") is None
+        # one side numeric, other missing (non-numeric kind): NULL row
+        assert t("+", ld="1.5") is None
+
+    def test_float_side_converts_via_15g(self):
+        # PG float8 -> numeric goes through %.15g (float8_numeric):
+        # 0.30000000000000004 collapses to 0.3 before the exact op
+        assert t("+", ld="1.0", rn="0.30000000000000004") == "1.3"
+
+    def test_int_side_exact_above_2_53(self):
+        big_i = str(2**62 + 1)
+        assert t("+", ld="0.5", ri=big_i) == str(Decimal(big_i) + Decimal("0.5"))
+
+    def test_select_div_scale_matches_fold(self):
+        # the kernel IS the fold's engine now — spot-pin the rscale rule
+        assert select_div_scale(Decimal("24.45"), Decimal("7"), 2, 0) == 16
+        assert exact_numeric_op("/", Decimal("24.45"), 2, Decimal("7"), 0)[0] == Decimal(
+            "3.4928571428571429"
+        )
+
+
+@pytest.fixture(scope="module")
+def numgraph(spark):
+    from age_spark import AgeSession
+
+    age = AgeSession(spark)
+    g = age.create_graph("pgnum")
+    big = "9" * 40
+    g = age.cypher(
+        g,
+        f"CREATE (:N {{v: '{big}'::numeric, w: 1.10::numeric, f: 2.5, i: 7, s: 'x'}})",
+    ).graph
+    return age, g
+
+
+def _out(age, g, q):
+    from age_spark.runtime.agvalue import agtype_out
+
+    return [tuple(agtype_out(v) for v in row) for row in age.cypher(g, q).df.collect()]
+
+
+class TestRuntimeColumns:
+    """Column (non-foldable) NUMERIC arithmetic through the full engine."""
+
+    def test_big_product_and_scales(self, numgraph):
+        age, g = numgraph
+        big = int("9" * 40)
+        rows = _out(
+            age, g,
+            "MATCH (n:N) RETURN n.v * n.v AS sq, n.w + 2.20::numeric AS a, "
+            "n.w / n.i AS d, n.w * n.f AS m, n.v % n.i AS md",
+        )
+        assert rows == [
+            (
+                f"{big * big}::numeric",
+                "3.30::numeric",
+                "0.15714285714285714286::numeric",
+                "2.750::numeric",
+                "3::numeric",
+            )
+        ]
+
+    def test_non_numeric_rows_null_and_int_rows_stay_int(self, numgraph):
+        age, g = numgraph
+        rows = _out(age, g, "MATCH (n:N) RETURN n.s + 1 AS sc, n.i * 2 AS ii")
+        assert rows == [('"x1"', "14")]
+
+    def test_div_by_zero_raises(self, numgraph):
+        # the reference errors too ("division by zero", PG numeric_div)
+        age, g = numgraph
+        with pytest.raises(Exception, match="(?i)divi"):
+            age.cypher(g, "MATCH (n:N) RETURN n.v / 0 AS dz").df.collect()
+
+    def test_plain_vs_tagged_numeric_compare_exact(self, numgraph):
+        # a plain int/float literal vs a dynamic NUMERIC with >float8
+        # precision must compare through numeric_cmp, not a __n float8
+        # collapse — and stay pure JVM codegen (no Arrow stage on the
+        # WHERE hot path)
+        age, g = numgraph
+        g2 = age.cypher(
+            g, "CREATE (:C {v: '2.0000000000000000001'::numeric}), (:C {v: 2})"
+        ).graph
+        rows = _out(age, g2, "MATCH (c:C) WHERE c.v = 2 RETURN count(*) AS n")
+        assert rows == [("1",)]
+        rows = _out(age, g2, "MATCH (c:C) WHERE c.v > 2 RETURN count(*) AS n")
+        assert rows == [("1",)]
+        plan = age.explain(g2, "MATCH (c:C) WHERE c.v = 2 RETURN count(*) AS n")
+        assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+    def test_jvm_key_matches_python_key(self, spark):
+        # the JVM numeric-ladder key must be byte-identical to the Python
+        # exact key at every precision/spelling
+        from decimal import Decimal
+
+        from pyspark.sql import functions as F
+
+        from age_spark.graph import jvm_numeric_sort_text
+        from age_spark.runtime.ordertext import numeric_key
+
+        texts = [
+            "123", "-123", "0", "-0.0", "0.5", "-0.5", "0.00120", "2.50",
+            "2.5", "2.5E0", "1.0E10", "1.0E-5", "-1.0E-5", "9" * 40,
+            "-" + "9" * 40, "NaN", "Infinity", "-Infinity", str(2**63 - 1),
+            str(-(2**63)), "3.4928571428571429", "1e100", "-1e-100",
+            "0.000000000000000001", "123456789.987654321",
+        ]
+        df = spark.createDataFrame([(t,) for t in texts], ["t"])
+        got = {
+            r["t"]: r["k"]
+            for r in df.select(
+                "t", jvm_numeric_sort_text(F.col("t")).alias("k")
+            ).collect()
+        }
+        for t in texts:
+            assert got[t] == numeric_key(Decimal(t)), t
+
+    def test_lambda_lane_still_computes(self, numgraph):
+        # inside a HOF lambda the bounded DECIMAL(38,18) lane survives
+        # (documented: trailing display zeros trim there)
+        age, g = numgraph
+        rows = _out(age, g, "RETURN [x IN [1, 2.5] | x * 2.00::numeric] AS l")
+        assert rows == [("[2::numeric, 5::numeric]",)]

@@ -107,10 +107,13 @@ def test_dynamic_value_ops_stay_jvm_side(spark):
     WHERE, kind-preserving arithmetic, variant container access, || and
     #> — must compile to JVM expressions: no Python evaluation node may
     appear in the plan (UDFs are the slow path; SURVEY §4 codegen notes).
-    The ONE disclosed exception is the exact container/numeric comparator
-    (runtime/ordertext.py): ORDER BY, min()/max(), and container-vs-
-    dynamic comparisons key on an Arrow-batched order text — asserted
-    separately below."""
+    The TWO disclosed exceptions are the exact container/numeric
+    comparator (runtime/ordertext.py) — ORDER BY, min()/max(), and
+    container-vs-dynamic comparisons key on an Arrow-batched order text —
+    and the exact NUMERIC arithmetic kernel (runtime/pgnumeric.py), which
+    computes the arbitrary-precision __d payload of tagged arithmetic;
+    both asserted separately below.  Statically-typed columns (the actual
+    100 TB hot path) never touch either."""
     age = AgeSession(spark)
     g = age.create_graph("plans_dyn")
     g = age.cypher(
@@ -121,7 +124,6 @@ def test_dynamic_value_ops_stay_jvm_side(spark):
         # (rank + native slot IS the reference comparator there)
         "MATCH (n:P) WHERE n.v = 2.5 RETURN count(*) AS c",
         "MATCH (n:P) WHERE n.v > 'a' RETURN count(*) AS c",
-        "MATCH (n:P) RETURN n.v + 1 AS v",
         "MATCH (n:P) RETURN n.v[0] AS first",
         "RETURN [1, 'a'] || {a: 1} AS v, {a: {b: 1}} #> ['a', 'b'] AS w",
         "MATCH (n:P) RETURN sum(n.v) AS s",
@@ -133,6 +135,11 @@ def test_dynamic_value_ops_stay_jvm_side(spark):
     # projection stage feeding the sort — and the underlying scan/filter
     # stays codegen (the UDF keys the Sort, it never gates the scan)
     plan = age.explain(g, "MATCH (n:P) RETURN n.v AS v ORDER BY n.v")
+    assert "ArrowEvalPython" in plan or "BatchEvalPython" in plan
+    # tagged arithmetic carries the exact-NUMERIC Arrow kernel for its
+    # __d payload (arbitrary precision, PG display scales); the int/float
+    # lanes of the same expression stay JVM codegen
+    plan = age.explain(g, "MATCH (n:P) RETURN n.v + 1 AS v")
     assert "ArrowEvalPython" in plan or "BatchEvalPython" in plan
 
 
