@@ -521,7 +521,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["g_pagerank"] = lambda s, d: _cypher(
         s, d,
-        "CALL pagerank(0.85, 10) YIELD id, rank RETURN round(sum(rank), 4) AS total",
+        # per-vertex VALUE pin (3 power iterations over the whole demo
+        # graph; the oracle unrolls the same iteration in plain SQL with
+        # the same dangling-mass redistribution and packed graphids).
+        # Pin log10(rank) to 4 decimals: ~5 significant digits of rank,
+        # with a rounding grid ~1e4x wider than cross-engine float-sum
+        # noise so a boundary flip is vanishingly unlikely
+        "CALL pagerank(0.85, 3) YIELD id, rank "
+        "RETURN id, round(log10(rank), 4) AS lr",
     )
 
     # ============ rows-only tail (non-SQL-expressible internals) ============
@@ -959,7 +966,48 @@ def oracle_sql() -> dict[str, str]:
         # C(12,3) triangles in K12; two disjoint K5s -> 2 components
         "SELECT CAST(220 AS BIGINT) AS n_triangles, CAST(2 AS BIGINT) AS n_components"
     )
-    O["g_pagerank"] = "SELECT CAST(1.0 AS DOUBLE) AS total"
+    # Per-vertex pagerank, 3 power iterations UNROLLED in plain SQL —
+    # identical update rule to age_spark.algorithms.pagerank:
+    #   r' = (1-d)/n + d * (sum_in(r/outdeg) + dangling_mass/n)
+    # over the demo graph's packed graphids (label ids: Region=3 Nation=4
+    # Customer=5 Supplier=6 Part=7 Order=8, demo.py registration order).
+    _PR_STEP = (
+        "SELECT v.id, (1-0.85)/n.n + 0.85*(COALESCE(c.c, 0) + dm.m/n.n) AS rank "
+        "FROM v CROSS JOIN n CROSS JOIN "
+        "(SELECT COALESCE(SUM(r.rank), 0) AS m FROM {prev} r "
+        " LEFT JOIN od ON r.id = od.id WHERE od.id IS NULL) dm "
+        "LEFT JOIN "
+        "(SELECT e.t AS id, SUM(r.rank/od.deg) AS c FROM {prev} r "
+        " JOIN od ON r.id = od.id JOIN e ON e.s = r.id GROUP BY e.t) c "
+        "ON v.id = c.id"
+    )
+    O["g_pagerank"] = (
+        "WITH v AS ("
+        " SELECT (3::BIGINT << 48) + r_regionkey AS id FROM region"
+        " UNION ALL SELECT (4::BIGINT << 48) + n_nationkey FROM nation"
+        " UNION ALL SELECT (5::BIGINT << 48) + c_custkey FROM customer"
+        " UNION ALL SELECT (6::BIGINT << 48) + s_suppkey FROM supplier"
+        " UNION ALL SELECT (7::BIGINT << 48) + p_partkey FROM part"
+        " UNION ALL SELECT (8::BIGINT << 48) + o_orderkey FROM orders), "
+        "e AS ("
+        " SELECT (4::BIGINT << 48) + n_nationkey AS s,"
+        "        (3::BIGINT << 48) + n_regionkey AS t FROM nation"
+        " UNION ALL SELECT (5::BIGINT << 48) + c_custkey,"
+        "        (4::BIGINT << 48) + c_nationkey FROM customer"
+        " UNION ALL SELECT (6::BIGINT << 48) + s_suppkey,"
+        "        (4::BIGINT << 48) + s_nationkey FROM supplier"
+        " UNION ALL SELECT (5::BIGINT << 48) + o_custkey,"
+        "        (8::BIGINT << 48) + o_orderkey FROM orders"
+        " UNION ALL SELECT (8::BIGINT << 48) + l_orderkey,"
+        "        (7::BIGINT << 48) + l_partkey FROM lineitem), "
+        "n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM v), "
+        "od AS (SELECT s AS id, CAST(COUNT(*) AS DOUBLE) AS deg FROM e GROUP BY s), "
+        "r0 AS (SELECT v.id, 1.0/n.n AS rank FROM v CROSS JOIN n), "
+        "r1 AS (" + _PR_STEP.format(prev="r0") + "), "
+        "r2 AS (" + _PR_STEP.format(prev="r1") + "), "
+        "r3 AS (" + _PR_STEP.format(prev="r2") + ") "
+        "SELECT id, round(log10(rank), 4) AS lr FROM r3"
+    )
     O["g_write_roundtrip"] = "SELECT CAST(5 AS BIGINT) AS n_even"
 
     O["p_stratified_cap"] = (

@@ -215,6 +215,78 @@ class AgeSession:
         self.graphs[new_name] = g
         return g
 
+    def drop_graph(self, name: Optional[str], cascade: bool = False) -> None:
+        """drop_graph(name, cascade) — graph_commands.c:192-221.  A graph's
+        namespace always holds its label tables (the default
+        _ag_label_vertex/_ag_label_edge parents at minimum,
+        label_commands.c:205-209), so ``cascade=False`` REFUSES like PG's
+        DROP_RESTRICT on the schema (catalog.out:68-74 'cannot drop schema
+        ... because other objects depend on it'); ``cascade=True`` drops the
+        graph with its labels and evicts the session caches."""
+        from .catalog import CatalogError
+
+        if name is None:
+            raise CatalogError("graph name can not be NULL")
+        g = self.graphs.get(name)
+        if g is None:
+            raise CatalogError(f'graph "{name}" does not exist')
+        if not cascade:
+            deps = ["_ag_label_vertex", "_ag_label_edge"] + sorted(
+                set(g.vertex_dfs) | set(g.edge_dfs)
+            )
+            detail = "\n".join(
+                f"table {name}.{t} depends on schema {name}" for t in deps
+            )
+            raise CatalogError(
+                f"cannot drop schema {name} because other objects depend on "
+                f"it\n{detail}\nHINT: Use DROP ... CASCADE to drop the "
+                "dependent objects too."
+            )
+        del self.graphs[name]
+        self.ggc.discard(name)
+
+    def alter_graph(
+        self,
+        graph_name: Optional[str],
+        operation: Optional[str],
+        new_value: Optional[str],
+    ) -> Graph:
+        """alter_graph(name, operation, new_value) — graph_commands.c:299.
+        Only RENAME is supported (case-insensitive operation; names case
+        sensitive).  Mirrors the reference's errors: NULL arguments, unknown
+        operation, missing graph (catalog.out:174 'graph "graphx" does not
+        exist'), name collision (catalog.out:176 'schema "GraphB" already
+        exists'), invalid new name.  Returns the renamed Graph (same data,
+        same label-id space)."""
+        from .catalog import CatalogError
+
+        if graph_name is None:
+            raise CatalogError("graph_name must not be NULL")
+        if operation is None:
+            raise CatalogError("operation must not be NULL")
+        if new_value is None:
+            raise CatalogError("new_value must not be NULL")
+        if operation.casefold() != "rename":
+            raise CatalogError(
+                f'invalid operation "{operation}"\nHINT: valid operations: RENAME'
+            )
+        g = self.graphs.get(graph_name)
+        if g is None:
+            raise CatalogError(f'graph "{graph_name}" does not exist')
+        if new_value in self.graphs:
+            raise CatalogError(f'schema "{new_value}" already exists')
+        try:
+            meta = g.meta.renamed(new_value)
+        except CatalogError:
+            raise CatalogError("new graph name is invalid")
+        ng = Graph(self.spark, meta, g.vertex_dfs, g.edge_dfs)
+        del self.graphs[graph_name]
+        self.graphs[new_value] = ng
+        if graph_name in self.ggc:
+            self.ggc.discard(graph_name)
+            self.ggc.add(new_value)
+        return ng
+
     # ---- query
     def cypher(self, graph: Graph, query: str, params: Optional[dict] = None) -> CypherResult:
         # EXPLAIN prefix (cypher_gram.y:376-423): return the Catalyst plan

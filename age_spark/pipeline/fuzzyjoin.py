@@ -68,8 +68,6 @@ def trigram_similarity_join(
 ) -> DataFrame:
     """All (id_l, id_r, sim) pairs with trigram Jaccard >= threshold —
     EXACT (recall and precision 1.0 vs the brute-force cross join)."""
-    from ..compiler.exprs import trigram_similarity
-
     l_tg = left.select(F.explode(_trigrams(F.col(left_col))).alias("t"))
     r_tg = right.select(F.explode(_trigrams(F.col(right_col))).alias("t"))
     freq = (
@@ -81,15 +79,34 @@ def trigram_similarity_join(
     pl = _prefix_table(left, left_col, left_id, freq, threshold, "id_l")
     pr = _prefix_table(right, right_col, right_id, freq, threshold, "id_r")
     cand = pl.join(pr, "t").select("id_l", "id_r").distinct()
-    lt = left.select(F.col(left_id).alias("id_l"), F.col(left_col).alias("_lt"))
-    rt = right.select(F.col(right_id).alias("id_r"), F.col(right_col).alias("_rt"))
+    # verify on PRE-SORTED trigram arrays (one per doc), not raw texts — a
+    # doc appears in many candidate pairs and re-deriving its trigram set
+    # per pair dominated the verify stage (measured ~0.5 ms/pair)
+    lt = left.select(
+        F.col(left_id).alias("id_l"),
+        _trigrams(F.col(left_col)).alias("_ltg"),
+    )
+    rt = right.select(
+        F.col(right_id).alias("id_r"),
+        _trigrams(F.col(right_col)).alias("_rtg"),
+    )
+    inter = F.size(F.array_intersect(F.col("_ltg"), F.col("_rtg")))
+    union = F.size("_ltg") + F.size("_rtg") - inter
+    # float4 ratio like pg_trgm cnt_sml_similarity (the trigram_similarity
+    # kernel's exact arithmetic, inlined over the cached arrays)
+    sim_raw = (
+        F.when(union > 0, inter.cast("float") / union.cast("float"))
+        .otherwise(F.lit(0.0))
+        .cast("float")
+        .cast("double")
+    )
     return (
         cand.join(lt, "id_l")
         .join(rt, "id_r")
         # filter on the UNROUNDED similarity (a pair 5e-7 below the
         # threshold must not round its way in); round only the REPORTED
         # sim column
-        .withColumn("_sim_raw", trigram_similarity(F.col("_lt"), F.col("_rt")))
+        .withColumn("_sim_raw", sim_raw)
         .filter(F.col("_sim_raw") >= threshold)
         .withColumn("sim", F.round(F.col("_sim_raw"), 6))
         .select("id_l", "id_r", "sim")

@@ -161,10 +161,22 @@ def _fit_centroids(corpus: DataFrame, vec_col: str, id_col: str, n_centroids: in
     full corpus never leaves the cluster."""
     import numpy as np
 
-    rows = (
+    # deterministic hash-threshold sample: a seeded filter at the SCAN (no
+    # per-partition top-K heap over the full corpus that orderBy().limit()
+    # would cost), then a bounded driver-side cap.  The xxhash threshold
+    # targets ~2x sample_size rows so the cap rarely truncates a biased
+    # prefix; falls back to the whole (small) corpus when the estimate
+    # undershoots.
+    n_total = corpus.count()
+    frac = min(1.0, (2.0 * sample_size) / max(n_total, 1))
+    bound = int(frac * (1 << 62))
+    picked = (
         corpus.select(F.col(id_col).alias("i"), F.col(vec_col).cast("array<double>").alias("v"))
-        .orderBy("i").limit(sample_size).collect()
+        .where((F.abs(F.xxhash64(F.col("i"), F.lit(seed))) % F.lit(1 << 62)) < bound)
+        .limit(sample_size)
+        .collect()
     )
+    rows = picked
     X = np.stack([r.v for r in rows])
     X = X / np.linalg.norm(X, axis=1, keepdims=True)
     rng = np.random.RandomState(seed)

@@ -143,7 +143,11 @@ def pagerank_proc(ctx: QueryContext, arg_asts, arg_cols) -> DataFrame:
     iters = arg_asts[1].value if len(arg_asts) > 1 and isinstance(arg_asts[1], A.Lit) else 10
     g = ctx.graph
     out = pagerank(g.scan_vertices(None), g.scan_edges(None), float(damping), int(iters))
-    return out.select("id", F.round("rank", 8).alias("rank"))
+    # full float8 precision: ranks scale like 1/n, so a fixed decimal
+    # rounding here would erase significance on large graphs (at 18k
+    # vertices, round(rank, 8) left ~3 significant digits and a 1.8e-4
+    # relative error); callers round for display
+    return out.select("id", "rank")
 
 
 @procedure("connected_components")

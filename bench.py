@@ -36,6 +36,7 @@ HEADLINE = [
     "p_repetition_signals",
     "p_minhash_pairs",
     "p_simhash_pairs",
+    "p_fuzzy_join",
     "p_ann_topk",
     "p_ann_ivf",
     "e_type_agg",
@@ -164,6 +165,15 @@ def _scale_proof(spark, entry_mod, base_timings):
             'CALL shortest_path("Customer", "Region", null, "out") '
             'YIELD src, dst, hops RETURN hops, count(*) AS n'
         ),
+        "g_optional_match": (
+            'MATCH (c:Customer) OPTIONAL MATCH (c)-[:PLACED]->(o:Order) '
+            'RETURN c.name AS name, count(o) AS n_orders'
+        ),
+        "g_not_exists": (
+            'MATCH (c:Customer) WHERE NOT EXISTS '
+            '{ MATCH (c)-[:PLACED]->(o:Order) } '
+            'RETURN count(*) AS n_no_orders'
+        ),
     }
     out = {"edges_x": 10}
     for name, q in qs.items():
@@ -194,9 +204,38 @@ def _scale_proof(spark, entry_mod, base_timings):
     ).localCheckpoint(eager=True)  # exclude the replication from the timing
     from age_spark.pipeline.dedup import minhash_dedup_pairs, simhash_near_pairs
 
+    def _fuzzy10():
+        # per-replica 40/40 split (the p_fuzzy_join shape).  The replica
+        # transform must be TRIGRAM-disjoint (word-prefixing keeps interior
+        # trigrams shared, which genuinely multiplies the true pair set
+        # ~15x): each replica applies its own alphabet-rotation cipher, so
+        # cross-replica similarity collapses below the threshold and the
+        # exact pair set grows ~10x
+        from age_spark.pipeline.fuzzyjoin import trigram_similarity_join
+
+        alpha = "abcdefghijklmnopqrstuvwxyz"
+        ciphered = F.col("text")
+        for rep in range(10):
+            rot = alpha[rep * 3 :] + alpha[: rep * 3]
+            ciphered = F.when(
+                F.col("_rep") == rep,
+                F.translate(F.lower(F.col("text")), alpha, rot),
+            ).otherwise(ciphered)
+        docs10f = docs.crossJoin(
+            spark.range(10).select(F.col("id").alias("_rep"))
+        ).select(
+            (F.col("doc_id") + F.col("_rep") * SHIFT).alias("doc_id"),
+            ciphered.alias("text"),
+        ).localCheckpoint(eager=True)
+        base_id = F.pmod(F.col("doc_id"), F.lit(SHIFT))
+        left = docs10f.filter(base_id < 40)
+        right = docs10f.filter((base_id >= 40) & (base_id < 80))
+        return trigram_similarity_join(left, right, threshold=0.6)
+
     for name, fn in (
         ("p_minhash_pairs", lambda: minhash_dedup_pairs(docs10, threshold=0.5)),
         ("p_simhash_pairs", lambda: simhash_near_pairs(docs10, max_hamming=8)),
+        ("p_fuzzy_join", _fuzzy10),
     ):
         t0 = time.time()
         n = fn().count()

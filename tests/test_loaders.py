@@ -166,7 +166,11 @@ def test_load_as_agtype_containers(spark, tmp_path):
         r.id: (r.sz, r.a)
         for r in age.cypher(
             g,
-            "MATCH (n:T) RETURN toInteger(n.id) AS id, size(n.val) AS sz, "
+            # size() RAISES on the object row like age_size
+            # (agtype.c:7627) — guard it behind CASE so the other rows'
+            # container semantics stay observable
+            "MATCH (n:T) RETURN toInteger(n.id) AS id, "
+            "CASE WHEN toInteger(n.id) <> 2 THEN size(n.val) END AS sz, "
             "toInteger(n.val['a']) AS a",
         ).df.collect()
     }
