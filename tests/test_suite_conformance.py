@@ -112,12 +112,44 @@ SUITES = [
 ]
 
 
-@pytest.mark.parametrize("suite", SUITES)
-def test_suite_replay(spark, suite):
-    fails = replay(
+def _run_suite(spark, suite):
+    return replay(
         spark,
         os.path.join(DATA, f"{suite}_cases.json"),
         f"sc_{suite[:10]}",
         SKIPS.get(suite),
     )
-    assert not fails, f"{len(fails)} failures:\n" + "\n".join(fails[:25])
+
+
+# Serial per-suite tests for debugging one suite:
+#   SPARK_GRAFT_SERIAL_SUITES=1 pytest -k 'suite_replay[expr]'
+if os.environ.get("SPARK_GRAFT_SERIAL_SUITES") == "1":
+
+    @pytest.mark.parametrize("suite", SUITES)
+    def test_suite_replay(spark, suite):
+        fails = _run_suite(spark, suite)
+        assert not fails, f"{len(fails)} failures:\n" + "\n".join(fails[:25])
+
+else:
+
+    def test_suite_replays_parallel(spark):
+        """All reference-suite replays, fanned out over a thread pool.
+
+        Each statement costs ~1-2 s of py4j/compile round-trip LATENCY
+        (measured ~2,500 gateway round-trips per statement), not CPU, so
+        overlapping suites cuts the ~3,700-statement wall time ~5x.  Each
+        suite gets its own AgeSession and graph-name prefix; the engine
+        holds no session-global mutable state (the lazy UDF caches are
+        idempotent)."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=8) as ex:
+            results = dict(
+                zip(SUITES, ex.map(lambda s: _run_suite(spark, s), SUITES))
+            )
+        report = []
+        for suite, fails in results.items():
+            if fails:
+                report.append(f"--- {suite}: {len(fails)} failures")
+                report.extend(fails[:10])
+        assert not report, "\n".join(report)
