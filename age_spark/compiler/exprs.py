@@ -1033,7 +1033,7 @@ def compile_containment(big: Column, bdt, small: Column, sdt) -> Column:
     array via element cmp-keys; a dynamic (tagged) big side contains when
     its array-kind payload does; non-container shapes fall to kind-aligned
     equality (scalar @> scalar is equality in jsonb)."""
-    from ..graph import is_tagged_type, tag_column, tagged_cmp_key
+    from ..graph import is_tagged_type, tagged_cmp_key, tagged_cmp_key_of
 
     if isinstance(bdt, T.ArrayType) and isinstance(sdt, T.ArrayType):
         return dyn_array_contains(big, bdt, small, sdt)
@@ -1045,13 +1045,15 @@ def compile_containment(big: Column, bdt, small: Column, sdt) -> Column:
                 big.getField("__k") == 4,
                 F.forall(sk, lambda x: F.array_contains(elems, x)),
             ).otherwise(F.lit(False))
-        return tagged_cmp_key(big) == tagged_cmp_key(
-            small if (sdt is not None and is_tagged_type(sdt)) else tag_column(small, sdt)
+        # tagged_cmp_key_of let-binds container tags (the key references
+        # its input ~10x; unbound literal trees OOMed the driver)
+        return tagged_cmp_key(big) == (
+            tagged_cmp_key(small)
+            if (sdt is not None and is_tagged_type(sdt))
+            else tagged_cmp_key_of(small, sdt)
         )
     if bdt is not None and sdt is not None:
-        return tagged_cmp_key(tag_column(big, bdt)) == tagged_cmp_key(
-            tag_column(small, sdt)
-        )
+        return tagged_cmp_key_of(big, bdt) == tagged_cmp_key_of(small, sdt)
     return big == small
 
 

@@ -255,11 +255,14 @@ def _props_filter(scope: ExprScope, struct_col: Column, props: A.Expr, struct_dt
             # Spark analysis error
             rcol = compile_expr(scope, vexpr)
             rdt = _operand_dtype(scope, vexpr, rcol)
-            from ..graph import tagged_cmp_key
+            from ..graph import tagged_cmp_key_of
 
+            # tagged_cmp_key_of let-binds container tags: the key's ~10
+            # input references would otherwise duplicate the literal's
+            # tagged tree past Catalyst's budget (measured: nested-map
+            # property constraints OOMed the driver)
             cond = cond & (
-                tagged_cmp_key(tag_column(lcol, fdt))
-                == tagged_cmp_key(tag_column(rcol, rdt))
+                tagged_cmp_key_of(lcol, fdt) == tagged_cmp_key_of(rcol, rdt)
             )
             continue
         rcol = compile_expr(scope, vexpr)
@@ -318,9 +321,10 @@ def _props_filter(scope: ExprScope, struct_col: Column, props: A.Expr, struct_dt
                 cond = cond & F.lit(False)
                 continue
             if _itt(tgt):
+                from ..graph import tagged_cmp_key_of
+
                 cond = cond & (
-                    tagged_cmp_key(tag_column(lcol, fdt))
-                    == tagged_cmp_key(tag_column(rcol, rdt))
+                    tagged_cmp_key_of(lcol, fdt) == tagged_cmp_key_of(rcol, rdt)
                 )
                 continue
         cond = cond & (lcol == rcol)
@@ -533,7 +537,8 @@ class MatchState:
         return name
 
     # ----- edges
-    def bind_edge(self, rel: A.RelPattern, from_var: str, in_named_path: bool = False) -> tuple[str, str]:
+    def bind_edge(self, rel: A.RelPattern, from_var: str, in_named_path: bool = False,
+                  to_pattern: Optional[A.NodePattern] = None) -> tuple[str, str]:
         """Join one edge hop; returns (edge_var, dst_helper_col)."""
         self._check_varname(rel.var)
         name = rel.var or self.ctx.fresh()
@@ -593,7 +598,8 @@ class MatchState:
             self.edge_bindings.append(existing)
             return name, dst
         if rel.varlen is not None:
-            return self._bind_vle(rel, name, from_var, hidden, in_named_path)
+            return self._bind_vle(rel, name, from_var, hidden, in_named_path,
+                                  to_pattern=to_pattern)
         scan = self._edge_scan(name, rel.types, rel.direction, rel.props)
         src, dst = f"_src_{name}", f"_dst_{name}"
         self.df = self.df.join(scan, F.col(src) == F.col(from_var).getField("id"))
@@ -604,7 +610,8 @@ class MatchState:
         return name, dst
 
     def _bind_vle(self, rel: A.RelPattern, name: str, from_var: str, hidden: bool,
-                  in_named_path: bool = False) -> tuple[str, str]:
+                  in_named_path: bool = False,
+                  to_pattern: Optional[A.NodePattern] = None) -> tuple[str, str]:
         from ..runtime.vle import vle_pairs
 
         lo, hi = rel.varlen
@@ -630,6 +637,29 @@ class MatchState:
                 scope = ExprScope(_ctx, scan, Env({}))
                 return _props_filter(scope, est, _props, dt)
 
+        # target-closure pruning hint (bounded traversals): the vertices
+        # the NEXT node pattern can match — the traversal drops frontier
+        # rows that cannot reach one within the remaining hops (the
+        # forward twin of shortest_path's backward pruning).  A bound
+        # destination variable gives the tightest set; otherwise its
+        # label scan.  Purely an optimization: the post-traversal join
+        # on the destination stays the semantic gate.
+        targets = None
+        if hi is not None and 1 <= hi <= 4 and to_pattern is not None:
+            tvar = to_pattern.var
+            tb = self.env.get(tvar) if tvar else None
+            if (
+                tb is not None
+                and tb.kind == "vertex"  # a non-vertex reuse errors later
+                and self.df is not None
+            ):
+                targets = self.df.select(
+                    F.col(tvar).getField("id").alias("_tv")
+                ).distinct()
+            elif to_pattern.labels:
+                targets = self.ctx.graph.scan_vertices(
+                    list(to_pattern.labels)
+                ).select(F.col("id").alias("_tv"))
         pairs = vle_pairs(
             self.ctx.graph,
             types=rel.types or None,
@@ -639,6 +669,7 @@ class MatchState:
             seeds=seeds,
             slim=slim,
             edge_filter=edge_filter,
+            targets=targets,
         )
         dst = f"_dst_{name}"
         pairs = pairs.select(
@@ -778,7 +809,8 @@ def _compile_one_path(st: MatchState, path: A.PathPattern):
     while i < len(elems):
         rel: A.RelPattern = elems[i]
         nxt: A.NodePattern = elems[i + 1]
-        ename, dst_col = st.bind_edge(rel, cur, in_named_path=path.var is not None)
+        ename, dst_col = st.bind_edge(rel, cur, in_named_path=path.var is not None,
+                                      to_pattern=nxt)
         ekind = EDGE_LIST if rel.varlen is not None else EDGE
         edge_vars.append((ename, ekind))
         cur = st.bind_node_at(nxt, dst_col)

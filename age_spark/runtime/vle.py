@@ -80,6 +80,7 @@ def vle_pairs(
     seeds: Optional[DataFrame] = None,
     slim: bool = False,
     edge_filter=None,
+    targets: Optional[DataFrame] = None,
 ) -> DataFrame:
     """All (src, dst, edges, nodes, hops) paths with hop count in
     [min_hops, max_hops]. ``nodes`` holds the interior vertices (between the
@@ -96,10 +97,37 @@ def vle_pairs(
     ``slim``: the caller never reads the edge structs or interior nodes
     (anonymous `[*..]` with no path variable — the common aggregate case):
     carry only edge ids in flight and skip the per-hop interior-vertex join.
+
+    ``targets``: single-column (``_tv``) DataFrame of destination vertex
+    ids the pattern's next node can match (its label scan) — a PRUNING
+    hint, not a semantic filter: for BOUNDED traversals the expansion
+    drops frontier rows whose arrival vertex cannot reach any target
+    within the remaining hops (a lazy backward distance closure, the
+    forward twin of shortest_path's target pruning).  The destination
+    join after the traversal remains the semantic gate.
     """
     spark = graph.spark
     edges = _oriented_edges(graph, types, direction, slim=slim, edge_filter=edge_filter)
     edge_dt = edges.schema["_e"].dataType
+
+    # backward distance-to-target levels, built lazily INSIDE the one-job
+    # plan (bounded case only): dist_leq[r] = ids within <= r reverse hops
+    # of a target.  hard_max is small (<= 4 here), so the unrolled levels
+    # stay a modest plan; each level is distinct()-deduped.
+    dist_leq: Optional[list[DataFrame]] = None
+    if targets is not None and max_hops is not None and 1 <= max_hops <= 4:
+        rev = edges.select(F.col("_d").alias("_rs"), F.col("_s").alias("_rd"))
+        level = targets.select(F.col("_tv").alias("_pv")).distinct()
+        dist_leq = [level]
+        for _ in range(max_hops - 1):
+            nxt_level = (
+                level.join(rev, level["_pv"] == rev["_rs"])
+                .select(F.col("_rd").alias("_pv"))
+                .distinct()
+            )
+            cum = dist_leq[-1].unionByName(nxt_level).distinct()
+            dist_leq.append(cum)
+            level = nxt_level
 
     if seeds is None:
         seeds = graph.scan_vertices(None).select(F.col("id").alias("src"))
@@ -147,12 +175,32 @@ def vle_pairs(
             F.col("nodes"),
         )
         if hop >= min_hops:
+            emitted = nxt
+            if dist_leq is not None:
+                # emitted paths must END at a target — semi-join against
+                # the (small, broadcast) target set inside the same job
+                emitted = emitted.join(
+                    F.broadcast(dist_leq[0]),
+                    emitted["cur"] == dist_leq[0]["_pv"],
+                    "left_semi",
+                )
             results.append(
-                nxt.select(
+                emitted.select(
                     "src", F.col("cur").alias("dst"), "edges", "nodes", F.lit(hop).alias("hops")
                 )
             )
         if hop < hard_max:
+            if dist_leq is not None:
+                # continuing rows must still be able to REACH a target in
+                # the remaining hops: prune against the backward closure
+                # remaining = hard_max - hop edges left to travel: the
+                # arrival must be within that distance of some target
+                allowed = dist_leq[min(hard_max - hop, len(dist_leq) - 1)]
+                nxt = nxt.join(
+                    F.broadcast(allowed),
+                    nxt["cur"] == allowed["_pv"],
+                    "left_semi",
+                )
             if not slim:
                 nxt = nxt.join(vtable, nxt["cur"] == vtable["_vid"]).select(
                     F.col("src"),
