@@ -113,9 +113,24 @@ def vle_pairs(
     # backward distance-to-target levels, built lazily INSIDE the one-job
     # plan (bounded case only): dist_leq[r] = ids within <= r reverse hops
     # of a target.  hard_max is small (<= 4 here), so the unrolled levels
-    # stay a modest plan; each level is distinct()-deduped.
+    # stay a modest plan; each level is distinct()-deduped.  Size gate
+    # (same constant shortest_path uses): the un-deduped target count is a
+    # shuffle-free upper bound — past _SP_BCAST_ROWS the pruning hint would
+    # force a broadcast of a potentially label-sized id set (driver OOM at
+    # 100x), so pruning is skipped entirely and the post-traversal
+    # destination join stays the (only) semantic gate.  Below it, only
+    # dist_leq[0] (bounded by the counted target set) carries a broadcast
+    # hint; the grown closure levels r >= 1 are UNBOUNDED (<=3 reverse hops
+    # can approach the vertex set), so their semi-joins carry no hint and
+    # AQE picks broadcast-vs-shuffle from runtime sizes — a too-big closure
+    # degrades to a shuffle instead of killing the query.
     dist_leq: Optional[list[DataFrame]] = None
-    if targets is not None and max_hops is not None and 1 <= max_hops <= 4:
+    if (
+        targets is not None
+        and max_hops is not None
+        and 1 <= max_hops <= 4
+        and targets.count() < _SP_BCAST_ROWS
+    ):
         rev = edges.select(F.col("_d").alias("_rs"), F.col("_s").alias("_rd"))
         level = targets.select(F.col("_tv").alias("_pv")).distinct()
         dist_leq = [level]
@@ -178,7 +193,8 @@ def vle_pairs(
             emitted = nxt
             if dist_leq is not None:
                 # emitted paths must END at a target — semi-join against
-                # the (small, broadcast) target set inside the same job
+                # the target set inside the same job (broadcast is safe:
+                # dist_leq[0] is bounded by the counted, gated target set)
                 emitted = emitted.join(
                     F.broadcast(dist_leq[0]),
                     emitted["cur"] == dist_leq[0]["_pv"],
@@ -194,10 +210,12 @@ def vle_pairs(
                 # continuing rows must still be able to REACH a target in
                 # the remaining hops: prune against the backward closure
                 # remaining = hard_max - hop edges left to travel: the
-                # arrival must be within that distance of some target
+                # arrival must be within that distance of some target.
+                # Closure levels are size-unbounded -> no broadcast hint;
+                # AQE decides (see the dist_leq comment above).
                 allowed = dist_leq[min(hard_max - hop, len(dist_leq) - 1)]
                 nxt = nxt.join(
-                    F.broadcast(allowed),
+                    allowed,
                     nxt["cur"] == allowed["_pv"],
                     "left_semi",
                 )

@@ -172,3 +172,29 @@ def test_text_pipeline_ops_map_only(spark):
         assert "Exchange" not in plan, fn.__name__
         for marker in ("BatchEvalPython", "ArrowEvalPython", "PythonUDF", "MapInPandas"):
             assert marker not in plan, f"{marker} in {fn.__name__}"
+
+
+def test_vle_pruning_broadcast_is_size_gated(tpch, monkeypatch):
+    """The VLE target-closure pruning is a broadcast hint, so it must be
+    size-gated: past _SP_BCAST_ROWS (counted off the raw target scan) the
+    pruning is skipped entirely — no forced broadcast of a label-sized id
+    set — and the post-traversal destination join stays the semantic gate."""
+    from age_spark.runtime import vle as vle_mod
+
+    age, g = tpch
+    q = (
+        "MATCH (c:Customer)-[*2..2]->(r:Region) "
+        "RETURN r.name AS region, count(*) AS n_paths"
+    )
+    pruned_plan = age.explain(g, q)
+    pruned_rows = sorted(map(tuple, age.cypher(g, q).df.collect()))
+
+    monkeypatch.setattr(vle_mod, "_SP_BCAST_ROWS", 0)
+    gated_plan = age.explain(g, q)
+    gated_rows = sorted(map(tuple, age.cypher(g, q).df.collect()))
+
+    # same answer either way — pruning is a hint, not a semantic filter
+    assert gated_rows == pruned_rows
+    # past the gate the plan carries no pruning semi-joins at all
+    assert gated_plan.count("LeftSemi") < pruned_plan.count("LeftSemi")
+    assert "LeftSemi" not in gated_plan
