@@ -1155,6 +1155,12 @@ def _tagged_arith(
         nv, iv = ln - rn, li - ri
     elif op == "*":
         nv, iv = ln * rn, li * ri
+    elif op == "^":
+        # int/float kinds ride float8 pow (agtype_pow, agtype_ops.c:984);
+        # ONLY a NUMERIC-kind operand routes through numeric_power below —
+        # there is no int lane (int ^ int is FLOAT kind in the reference)
+        nv, iv = F.pow(ln, rn), F.lit(None).cast("long")
+        both_int = F.lit(False)
     elif op == "/":
         nv = ln / rn
         # SQL div: exact int64 division truncating toward zero
@@ -1241,6 +1247,11 @@ def _tagged_arith(
             dres = F.try_add(ldec, rdec).cast("string")
         elif op == "-":
             dres = F.try_subtract(ldec, rdec).cast("string")
+        elif op == "^":
+            # no decimal power primitive: the in-lambda bounded lane keeps
+            # the float8 spelling (documented; the exact lane above carries
+            # PG numeric_power display scales)
+            dres = F.lit(None).cast("string")
         else:
             dres = F.try_multiply(ldec, rdec).cast("string")
         # specials: a NaN/Infinity operand or an overflowed decimal falls
@@ -1256,9 +1267,19 @@ def _tagged_arith(
 
     final_i = F.when(both_int & ~is_num, iv)
     # the sort key mirrors the row's actual kind: exact-int rows key on the
-    # int result (7/2 keys 3, not 3.5), float rows on the float8 result
+    # int result (7/2 keys 3, not 3.5), float rows on the float8 result.
+    # `^` NUMERIC rows key on the __d text instead (NaN/Infinity spellings
+    # cast fine), so a kernel NULL (numeric_power's SQL error cases:
+    # zero^negative, negative^non-integer) nulls the whole row rather than
+    # leaking the float8 pow lane's value; the other ops keep the float
+    # lane, whose ANSI division-by-zero raise IS the reference's error
+    # surface for `/ 0`
+    if op == "^":
+        num_n = final_d.cast("double")
+    else:
+        num_n = nv
     final_n = F.when(final_i.isNotNull(), final_i.cast("double")).otherwise(
-        F.when(~both_int | is_num, nv)
+        F.when(is_num, num_n).otherwise(F.when(~both_int, nv))
     )
     is_str = str_concat.isNotNull() if str_concat is not None else F.lit(False)
     return F.when(
@@ -1595,7 +1616,7 @@ def _fold_const_numeric(e):
     ('numeric', Decimal, dscale) or None when not foldable."""
     import decimal as _dec
 
-    if not isinstance(e, A.Binary) or e.op not in ("+", "-", "*", "/", "%"):
+    if not isinstance(e, A.Binary) or e.op not in ("+", "-", "*", "/", "%", "^"):
         return None
     lt = _const_num_operand(e.left)
     rt = _const_num_operand(e.right)
@@ -1626,7 +1647,7 @@ def _fold_const_numeric(e):
 
 def _compile_binary(scope: ExprScope, e: A.Binary) -> Column:
     op = e.op
-    if op in ("+", "-", "*", "/", "%"):
+    if op in ("+", "-", "*", "/", "%", "^"):
         folded = _fold_const_numeric(e)
         if folded is not None:
             from ..graph import numeric_tagged
@@ -2006,10 +2027,9 @@ def _compile_binary(scope: ExprScope, e: A.Binary) -> Column:
         lt_tag = ldt is not None and is_tagged_type(ldt)
         rt_tag = rdt is not None and is_tagged_type(rdt)
         if lt_tag or rt_tag:
-            if op == "^":  # always float8 (agtype_ops.c power)
-                ln = l.getField("__n") if lt_tag else l.cast("double")
-                rn = r.getField("__n") if rt_tag else r.cast("double")
-                return F.pow(ln, rn)
+            # `^` included: int/float rows ride float8 pow, NUMERIC rows
+            # route through numeric_power display scales (agtype_pow,
+            # agtype_ops.c:984,1040) via the exact Arrow kernel
             return _tagged_arith(
                 op, l, ldt, lt_tag, r, rdt, rt_tag,
                 # the exact Arrow kernel cannot run inside HOF lambdas —

@@ -170,12 +170,15 @@ def _fit_centroids(corpus: DataFrame, vec_col: str, id_col: str, n_centroids: in
     n_total = corpus.count()
     frac = min(1.0, (2.0 * sample_size) / max(n_total, 1))
     bound = int(frac * (1 << 62))
-    picked = (
+    hashed = (
         corpus.select(F.col(id_col).alias("i"), F.col(vec_col).cast("array<double>").alias("v"))
-        .where((F.abs(F.xxhash64(F.col("i"), F.lit(seed))) % F.lit(1 << 62)) < bound)
-        .limit(sample_size)
-        .collect()
+        .withColumn("_h", F.abs(F.xxhash64(F.col("i"), F.lit(seed))) % F.lit(1 << 62))
+        .where(F.col("_h") < bound)
     )
+    # the filtered set is ~2x sample_size rows, so ordering it by the hash
+    # before the cap is cheap and makes the sample layout-independent (a
+    # bare limit() over the unordered scan would vary with partitioning)
+    picked = hashed.orderBy("_h", "i").limit(sample_size).drop("_h").collect()
     rows = picked
     X = np.stack([r.v for r in rows])
     X = X / np.linalg.norm(X, axis=1, keepdims=True)

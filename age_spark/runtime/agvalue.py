@@ -107,8 +107,9 @@ def _out(v: Any) -> str:
         return _fmt_float(v)
     if isinstance(v, _decimal.Decimal):
         # agtype NUMERIC prints with a ::numeric suffix (expr.out:1758-1771).
-        # Our decimal(38,18) pads scale, so strip trailing zeros (exact
-        # input-scale preservation is not recoverable from a fixed type).
+        # A Decimal value only reaches here from the bounded in-lambda
+        # DECIMAL(38,18) lane (everything else carries exact __d TEXT);
+        # that fixed type pads scale, so strip trailing zeros.
         return f"{format(v.normalize(), 'f')}::numeric"
     if isinstance(v, str):
         if v.startswith(NUM_SENTINEL):

@@ -82,6 +82,8 @@ def exact_numeric_op(
                 return None
             res = lv - (lv / rv).to_integral_value(rounding=_dec.ROUND_DOWN) * rv
             ds = max(ld, rd)
+        elif op == "^":
+            return numeric_power_exact(lv, ld, rv, rd)
         else:
             raise ValueError(f"unknown numeric op {op}")
         res = res.quantize(
@@ -92,6 +94,91 @@ def exact_numeric_op(
 
 def _dscale_of(d: _dec.Decimal) -> int:
     return max(0, -d.as_tuple()[2])
+
+
+# PG numeric.c display-scale constants (power path)
+_MIN_SIG_DIGITS = 16      # NUMERIC_MIN_SIG_DIGITS
+_MAX_DISPLAY_SCALE = 1000  # NUMERIC_MAX_DISPLAY_SCALE
+_POWER_OVERFLOW_DIGITS = 131072  # ~ (SHRT_MAX+1) * DEC_DIGITS weight cap
+
+
+def _log10_estimate(v: _dec.Decimal) -> float:
+    """Double-precision log10(|v|) the way power_var/power_var_int estimate
+    the result's decimal weight (first ~16 digits as a double + exponent)."""
+    av = abs(v)
+    if av == 0:
+        return float("-inf")
+    adj = av.adjusted()
+    m = float(av.scaleb(-adj, context=_CTX))
+    return math.log10(m) + adj
+
+
+def numeric_power_exact(lv: _dec.Decimal, ld: int, rv: _dec.Decimal, rd: int):
+    """PG ``numeric_power`` over FINITE operands (numeric.c power_var /
+    power_var_int): returns (Decimal result, result dscale) or None for the
+    SQL-mandated error cases (zero to a negative power; a negative base
+    with a non-integer exponent; result-weight overflow), which the engine
+    surfaces as a NULL row.  Display scale: exp==0 -> dscale 16 flat;
+    otherwise NUMERIC_MIN_SIG_DIGITS - (int)approx_log10(result), floored
+    by both input dscales, clamped to [0, 1000]."""
+    if lv == 0 and rv < 0:
+        return None  # zero raised to a negative power is undefined
+    exp_integral = rv == rv.to_integral_value()
+    if lv < 0 and not exp_integral:
+        return None  # negative ^ non-integer yields a complex result
+    with _dec.localcontext(_CTX):
+        if exp_integral and -2147483648 <= rv <= 2147483647:
+            # power_var_int
+            expval = int(rv)
+            if expval == 0:
+                return _dec.Decimal(1).scaleb(0).quantize(
+                    _dec.Decimal(1).scaleb(-_MIN_SIG_DIGITS)
+                ), _MIN_SIG_DIGITS
+            if lv == 0:
+                # exp > 0 here (negative errored above)
+                return _dec.Decimal(0).quantize(
+                    _dec.Decimal(1).scaleb(-_MIN_SIG_DIGITS)
+                ), _MIN_SIG_DIGITS
+            f = expval * _log10_estimate(lv)
+            if f > _POWER_OVERFLOW_DIGITS:
+                return None  # value overflows numeric format
+            rscale = _MIN_SIG_DIGITS - int(f)
+            rscale = max(rscale, ld, rd, 0)
+            rscale = min(rscale, _MAX_DISPLAY_SCALE)
+            if f < -(_MAX_DISPLAY_SCALE + 32):
+                res = _dec.Decimal(0)  # underflow: rounds to zero anyway
+            elif expval >= 0:
+                res = lv ** expval
+            else:
+                res = _dec.Decimal(1) / (lv ** (-expval))
+            res = res.quantize(
+                _dec.Decimal(1).scaleb(-rscale), rounding=_dec.ROUND_HALF_UP
+            )
+            return res, rscale
+        # non-integer (or non-int32) exponent: exp(rv * ln(|lv|)), sign from
+        # the (odd/even) integral exponent when the base is negative
+        if lv == 0:
+            # 0 ^ positive non-integer
+            return _dec.Decimal(0).quantize(
+                _dec.Decimal(1).scaleb(-_MIN_SIG_DIGITS)
+            ), _MIN_SIG_DIGITS
+        sign = -1 if (lv < 0 and int(rv) % 2 != 0) else 1
+        f = float(rv) * _log10_estimate(lv)
+        if f > _POWER_OVERFLOW_DIGITS:
+            return None
+        rscale = _MIN_SIG_DIGITS - int(f)
+        rscale = max(rscale, ld, rd, 0)
+        rscale = min(rscale, _MAX_DISPLAY_SCALE)
+        guard = max(40, int(abs(f)) + rscale + 20)
+        with _dec.localcontext(_dec.Context(prec=min(guard, 300000))):
+            if f < -(_MAX_DISPLAY_SCALE + 32):
+                res = _dec.Decimal(0)
+            else:
+                res = (rv * abs(lv).ln()).exp()
+        res = res.quantize(
+            _dec.Decimal(1).scaleb(-rscale), rounding=_dec.ROUND_HALF_UP
+        )
+        return sign * res, rscale
 
 
 def _operand(d_text, i_text, n_text):
@@ -148,6 +235,16 @@ def arith_result_text(
                 if rf == 0.0:
                     return "NaN" if math.isnan(lf) else None
                 f = lf / rf
+            elif op == "^":
+                # numeric_power's NaN rules are POSIX pow's (NaN^0 = 1,
+                # 1^NaN = 1), which math.pow reproduces; the SQL error
+                # rules still apply with infinite inputs (numeric.c
+                # numeric_power) and surface as NULL rows
+                if lf == 0.0 and rf < 0:
+                    return None  # zero raised to a negative power
+                if lf < 0 and not (math.isfinite(rf) and rf == int(rf)):
+                    return None  # negative ^ non-integer
+                f = math.pow(lf, rf)
             else:
                 if rf == 0.0:
                     return "NaN"

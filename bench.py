@@ -216,7 +216,12 @@ def _scale_proof(spark, entry_mod, base_timings):
         alpha = "abcdefghijklmnopqrstuvwxyz"
         ciphered = F.col("text")
         for rep in range(10):
-            rot = alpha[rep * 3 :] + alpha[: rep * 3]
+            # modular shift: rep*3 for rep=9 is 27, and alpha[27:]+alpha[:27]
+            # would collapse to the identity (colliding with rep=0's cipher,
+            # letting cross-replica (0,9) pairs stay similar); shifts
+            # 0,3,...,24,1 are pairwise distinct
+            k = (rep * 3) % 26
+            rot = alpha[k:] + alpha[:k]
             ciphered = F.when(
                 F.col("_rep") == rep,
                 F.translate(F.lower(F.col("text")), alpha, rot),

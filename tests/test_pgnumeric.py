@@ -184,3 +184,57 @@ class TestRuntimeColumns:
         age, g = numgraph
         rows = _out(age, g, "RETURN [x IN [1, 2.5] | x * 2.00::numeric] AS l")
         assert rows == [("[2::numeric, 5::numeric]",)]
+
+
+class TestNumericPower:
+    """`^` with a NUMERIC operand routes through numeric_power
+    (agtype_pow, agtype_ops.c:1035 -> PG numeric.c power_var /
+    power_var_int display scales); int/float kinds stay float8 pow."""
+
+    def test_power_unit_goldens(self):
+        from decimal import Decimal as D
+
+        from age_spark.runtime.pgnumeric import numeric_power_exact
+
+        cases = [
+            (D("2.0"), 1, D(3), 0, "8.0000000000000000"),
+            (D(2), 0, D(3), 0, "8.0000000000000000"),
+            (D(10), 0, D(2), 0, "100.00000000000000"),
+            (D("0.0"), 1, D(0), 0, "1.0000000000000000"),   # 0^0 = 1, dscale 16 flat
+            (D(2), 0, D(-1), 0, "0.5000000000000000"),
+            # exact decimal sqrt(2) to 16 places is ...950 (the float8
+            # double is ...951 — numeric computes in decimal, not binary)
+            (D(2), 0, D("0.5"), 1, "1.4142135623730950"),
+            (D("0.5"), 1, D(10), 0, "0.0009765625000000000"),  # rscale 16-(-3)=19
+            (D(-2), 0, D(3), 0, "-8.0000000000000000"),
+            (D("2.5"), 1, D(4), 0, "39.062500000000000"),
+        ]
+        for lv, ld, rv, rd, want in cases:
+            out = numeric_power_exact(lv, ld, rv, rd)
+            assert out is not None and format(out[0], "f") == want, (lv, rv)
+        # SQL-mandated error cases -> None (NULL row)
+        assert numeric_power_exact(D(0), 0, D(-2), 0) is None
+        assert numeric_power_exact(D(-2), 0, D("0.5"), 1) is None
+
+    def test_power_through_engine(self, numgraph):
+        age, g = numgraph
+        rows = _out(
+            age, g,
+            "MATCH (n:N) RETURN n.i ^ 2 AS ff, 2::numeric ^ n.i AS nn, "
+            "n.w ^ 2 AS ww, n.i::numeric ^ -1 AS inv",
+        )
+        assert rows == [
+            (
+                "49.0",                          # int ^ int stays FLOAT kind
+                "128.00000000000000::numeric",   # f=log10(128)~2.1 -> rscale 14
+                "1.2100000000000000::numeric",   # f~0.08 -> rscale 16
+                "0.1428571428571429::numeric",   # f~-0.85 -> (int)f=0 -> 16
+            )
+        ]
+
+    def test_power_error_rows_null(self, numgraph):
+        age, g = numgraph
+        df = age.cypher(
+            g, "MATCH (n:N) RETURN 0::numeric ^ (0 - n.i) AS z"
+        ).df
+        assert [r["z"] for r in df.collect()] == [None]

@@ -19,10 +19,11 @@ DATA = os.path.join(os.path.dirname(__file__), "data")
 # query-text -> reason, consulted per case.
 # NUMERIC storage/printing is EXACT (text-backed __d slot: NaN/Infinity
 # spellings, >38-digit literals, the in-container ::numeric marker all
-# survive).  CONSTANT numeric arithmetic folds to exact arbitrary
-# precision with PG's display scales (select_div_scale port,
-# exprs.py:_fold_const_numeric); non-constant arithmetic computes through
-# DECIMAL(38,18) (documented bound, COVERAGE.md).
+# survive).  Numeric arithmetic is EXACT at arbitrary precision with PG
+# display scales both at compile time (exprs.py:_fold_const_numeric) and
+# on column data (the vectorized Arrow kernel, runtime/pgnumeric.py);
+# only inside HOF lambdas does a bounded DECIMAL(38,18) lane remain
+# (documented, COVERAGE.md).
 SKIPS = {
     "cypher_with": {
         # the outer SQL resultset casts the value to a PG type before psql
