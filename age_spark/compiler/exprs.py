@@ -1234,8 +1234,12 @@ def _tagged_arith(
         # its numeric slots (int exact, float via %.15g text like the PG
         # cast); try_* variants NULL on >38-digit overflow (falling back
         # to the double spelling below) instead of raising under ANSI
-        ldec = F.coalesce(ldec0, li.cast("decimal(38,18)"), ln.cast("decimal(38,18)"))
-        rdec = F.coalesce(rdec0, ri.cast("decimal(38,18)"), rn.cast("decimal(38,18)"))
+        ldec = F.coalesce(
+            ldec0, li.try_cast("decimal(38,18)"), ln.try_cast("decimal(38,18)")
+        )
+        rdec = F.coalesce(
+            rdec0, ri.try_cast("decimal(38,18)"), rn.try_cast("decimal(38,18)")
+        )
         if op == "/":
             dres = F.when(
                 ri.isNotNull(),
@@ -1369,7 +1373,13 @@ def _cross_kind_compare(op: str, l: Column, r: Column, lk: int, rk: int) -> Colu
 
 
 def _tag_align(
-    scope: ExprScope, l: Column, r: Column, ldt=None, rdt=None, exact: bool = False
+    scope: ExprScope,
+    l: Column,
+    r: Column,
+    ldt=None,
+    rdt=None,
+    exact: bool = False,
+    jvm_exact: bool = False,
 ) -> tuple[Column, Column]:
     """If either comparison side is a tagged dynamic value, wrap the other
     and reduce both to comparison KEYS (the struct minus the exact-int
@@ -1428,10 +1438,19 @@ def _tag_align(
             return plain_numeric_ladder_key(l, ldt), tagged_numeric_ladder_key(r)
         if rk == "numeric" and ldt is not None and is_tagged_type(ldt):
             return tagged_numeric_ladder_key(l), plain_numeric_ladder_key(r, rdt)
-        exact = False
-    from ..graph import _container_kind, let_column
+        exact = jvm_exact = False
+    from ..graph import _container_kind, let_column, tagged_cmp_key_jvm
 
-    key = tagged_cmp_key_exact if exact else tagged_cmp_key
+    # jvm_exact: inside a HOF lambda (no pandas UDF) — the pure-JVM exact
+    # key keeps container comparisons value-exact there (unbounded width,
+    # depth-bounded); scalar kinds key identically to tagged_cmp_key
+    if exact:
+        key = tagged_cmp_key_exact
+    elif jvm_exact:
+        def key(c):
+            return let_column(c, lambda t: tagged_cmp_key_jvm(t))
+    else:
+        key = tagged_cmp_key
 
     def tagged_side(c, dt):
         # freshly tagging a CONTAINER builds a big __o tree; the JVM key
@@ -1507,10 +1526,20 @@ def _infer_ast_dtype(scope: ExprScope, node) -> Optional[T.DataType]:
             return None
         return T.ArrayType(tgt)
     if isinstance(node, A.Binary) and node.op in ("+", "-", "*", "/", "%", "^"):
-        if node.op == "^":
-            return T.DoubleType()
+        from ..graph import is_tagged_type
+
         ldt = _infer_ast_dtype(scope, node.left)
         rdt = _infer_ast_dtype(scope, node.right)
+        # kind-preserving arithmetic: a tagged operand yields a tagged
+        # result (nested arith over a lambda var stays dynamic)
+        if (ldt is not None and is_tagged_type(ldt)) or (
+            rdt is not None and is_tagged_type(rdt)
+        ):
+            from ..graph import TAGGED_TYPE
+
+            return TAGGED_TYPE
+        if node.op == "^":
+            return T.DoubleType()
         if ldt is None or rdt is None:
             return None
         flt = (T.DoubleType, T.FloatType, T.DecimalType)
@@ -1725,14 +1754,21 @@ def _compile_binary(scope: ExprScope, e: A.Binary) -> Column:
             # struct comparison either fails analysis or ignores the jsonb
             # rules — go through the container order keys (pair-count
             # first, then pairs in jsonb key order)
-            from ..graph import let_column, tag_column, tagged_cmp_key, tagged_cmp_key_exact
+            from ..graph import (
+                let_column,
+                tag_column,
+                tagged_cmp_key_exact,
+                tagged_cmp_key_jvm,
+            )
 
             if not (scope.lambda_vars or scope.lambda_types):
                 _key = tagged_cmp_key_exact  # UDF: may not sit inside a HOF
             else:
-                # big object trees: bind once (see _tag_align note)
+                # in-lambda: the pure-JVM exact key (variant recursion over
+                # the canonical __j — unbounded width, depth-bounded); big
+                # object trees: bind once (see _tag_align note)
                 def _key(c):
-                    return let_column(c, tagged_cmp_key)
+                    return let_column(c, lambda t: tagged_cmp_key_jvm(t))
 
             l, r = _key(tag_column(l, ldt)), _key(tag_column(r, rdt))
             return {
@@ -1755,27 +1791,35 @@ def _compile_binary(scope: ExprScope, e: A.Binary) -> Column:
             ldt = rdt = T.ArrayType(_TAGGED_TYPE_CACHE())
         if (l_arr_t or r_arr_t) and isinstance(ldt, T.ArrayType) and isinstance(rdt, T.ArrayType):
             # at least one list is dynamic-kind: lift the concrete one and
-            # compare element cmp-keys so the ladder applies and int/float
-            # elements compare by value
-            from ..graph import tagged_cmp_key, tagged_cmp_key_of
+            # compare element EXACT keys (the pure-JVM variant key — HOF-
+            # safe, any width, depth-bounded) so the ladder applies at full
+            # precision: int/float elements compare by value, container
+            # elements element-wise, and a null element is the agtype null
+            # kind (sorts last, equals itself — the orderability
+            # comparator's rule, agtype_util.c:333)
+            from ..graph import let_column, tag_column, tagged_cmp_key_jvm
+
+            def _ekey(x):
+                return let_column(x, lambda c: tagged_cmp_key_jvm(c, elem=True))
 
             if l_arr_t and not r_arr_t:
                 et = rdt.elementType
-                r = F.transform(r, lambda x: tagged_cmp_key_of(x, et))
-                l = F.transform(l, tagged_cmp_key)
+                r = F.transform(r, lambda x: _ekey(tag_column(x, et)))
+                l = F.transform(l, _ekey)
             elif r_arr_t and not l_arr_t:
                 et = ldt.elementType
-                l = F.transform(l, lambda x: tagged_cmp_key_of(x, et))
-                r = F.transform(r, tagged_cmp_key)
+                l = F.transform(l, lambda x: _ekey(tag_column(x, et)))
+                r = F.transform(r, _ekey)
             else:
-                l = F.transform(l, tagged_cmp_key)
-                r = F.transform(r, tagged_cmp_key)
+                l = F.transform(l, _ekey)
+                r = F.transform(r, _ekey)
         else:
             # exact (UDF-backed) container keys only outside lambda bodies
-            # — a pandas UDF cannot run inside a higher-order function
+            # — a pandas UDF cannot run inside a higher-order function;
+            # inside one, the pure-JVM exact key takes over
+            in_lambda = bool(scope.lambda_vars or scope.lambda_types)
             l, r = _tag_align(
-                scope, l, r, ldt, rdt,
-                exact=not (scope.lambda_vars or scope.lambda_types),
+                scope, l, r, ldt, rdt, exact=not in_lambda, jvm_exact=in_lambda
             )
     if op == "=":
         return l == r
@@ -1844,17 +1888,22 @@ def _compile_binary(scope: ExprScope, e: A.Binary) -> Column:
                 return F.array_contains(
                     tagged_cmp_keys_exact_array(hay_t), tagged_cmp_key_exact(needle)
                 )
-            from ..graph import tagged_cmp_key_of
+            # in-lambda: per-element pure-JVM exact keys (container
+            # elements match by value at any width / bounded depth);
+            # null elements keep NULL keys so IN's three-valued logic
+            # survives (5 IN [null] -> null via array_contains)
+            from ..graph import let_column, tagged_cmp_key_jvm
+
+            def _jkey(c):
+                return let_column(c, lambda t: tagged_cmp_key_jvm(t))
 
             if hay_tagged:
-                hay = F.transform(r, tagged_cmp_key)
+                hay = F.transform(r, _jkey)
             else:
                 et = rdt.elementType
-                hay = F.transform(r, lambda x: tagged_cmp_key_of(x, et))
+                hay = F.transform(r, lambda x: _jkey(tag_column(x, et)))
             needle_key = (
-                tagged_cmp_key(needle)
-                if needle_tagged
-                else tagged_cmp_key_of(l, ldt)
+                _jkey(needle) if needle_tagged else _jkey(tag_column(l, ldt))
             )
             return F.array_contains(hay, needle_key)
         return F.array_contains(r, l)
@@ -2161,6 +2210,140 @@ def _elem_type(scope: ExprScope, src_col: Column) -> Optional[T.DataType]:
     return dt.elementType if isinstance(dt, T.ArrayType) else None
 
 
+def _flatten_arith_tree(e, leaves: list):
+    """Serialize a projection AST into the pgnumeric tree form: nested
+    ('op', l, r) tuples over integer LEAF indexes (maximal non-arithmetic
+    subtrees, appended to ``leaves``).  Returns None when the root is not
+    an arithmetic binary."""
+    if isinstance(e, A.Binary) and e.op in ("+", "-", "*", "/", "%", "^"):
+        l = _flatten_arith_tree(e.left, leaves)
+        if l is None:
+            leaves.append(e.left)
+            l = len(leaves) - 1
+        r = _flatten_arith_tree(e.right, leaves)
+        if r is None:
+            leaves.append(e.right)
+            r = len(leaves) - 1
+        return (e.op, l, r)
+    return None
+
+
+def _listcomp_numeric_fixup(scope: ExprScope, e: A.ListComp, src: Column, et):
+    """Exact NUMERIC arithmetic inside a list-comprehension PROJECTION:
+    the row-level Arrow kernel cannot run inside the transform lambda, so
+    pre-project each element's operand slots (pure JVM), evaluate the
+    whole arithmetic tree through ONE array-level kernel call, and return
+    a zipper that splices the exact __d texts into the (bounded-lane)
+    projected elements.  None when the projection is not an arithmetic
+    tree or no leaf can carry a NUMERIC kind (the JVM int/float lanes are
+    already exact — no Arrow stage is added then)."""
+    from ..graph import _strip_nullability, dec_trim_text, is_tagged_type
+
+    if e.projection is None or not isinstance(e.projection, A.Binary):
+        return None
+    leaves: list = []
+    tree = _flatten_arith_tree(e.projection, leaves)
+    if tree is None or not leaves:
+        return None
+
+    def _is_tagged_leaf(ast_node) -> bool:
+        # is this leaf STATICALLY tagged (dynamic / NUMERIC-capable)?  The
+        # projection's element type is tagged exactly when some operand is,
+        # and the splice below reads tagged fields — so the fix applies
+        # only on a definite yes; unknown leaves keep the bounded lane
+        # (status quo), and pure int/float trees skip the Arrow stage
+        # entirely (their JVM lanes are already exact).
+        if isinstance(ast_node, A.Var) and ast_node.name == e.var:
+            dt = et
+        else:
+            try:
+                c = compile_expr(
+                    scope.child({e.var: F.lit(None)}, {e.var: et} if et else {}),
+                    ast_node,
+                )
+            except Exception:
+                return False
+            dt = _operand_dtype(scope, ast_node, c)
+        return dt is not None and is_tagged_type(_strip_nullability(dt))
+
+    if not any(_is_tagged_leaf(lf) for lf in leaves):
+        return None
+
+    def _leaf_slots(x: Column, j: int, lf) -> list:
+        sub = scope.child({e.var: x}, {e.var: et} if et else {})
+        c = compile_expr(sub, lf)
+        dt = _operand_dtype(sub, lf, c)
+        sdt = _strip_nullability(dt) if dt is not None else None
+        if sdt is not None and is_tagged_type(sdt):
+            num = F.when(c.getField("__k") == 7, F.lit(True))
+            return [
+                c.getField("__d").alias(f"s{j}d"),
+                F.when(num, c.getField("__i")).cast("string").alias(f"s{j}i"),
+                F.when(num, c.getField("__n")).cast("string").alias(f"s{j}n"),
+            ]
+        if sdt is not None and isinstance(sdt, T.DecimalType):
+            return [
+                dec_trim_text(c.cast("string")).alias(f"s{j}d"),
+                F.lit(None).cast("string").alias(f"s{j}i"),
+                F.lit(None).cast("string").alias(f"s{j}n"),
+            ]
+        if sdt is not None and _is_integral(sdt):
+            return [
+                F.lit(None).cast("string").alias(f"s{j}d"),
+                c.cast("long").cast("string").alias(f"s{j}i"),
+                F.lit(None).cast("string").alias(f"s{j}n"),
+            ]
+        if sdt is not None and isinstance(sdt, (T.FloatType, T.DoubleType)):
+            return [
+                F.lit(None).cast("string").alias(f"s{j}d"),
+                F.lit(None).cast("string").alias(f"s{j}i"),
+                c.cast("double").cast("string").alias(f"s{j}n"),
+            ]
+        # statically non-numeric (string/bool/container/null): no number
+        return [
+            F.lit(None).cast("string").alias(f"s{j}d"),
+            F.lit(None).cast("string").alias(f"s{j}i"),
+            F.lit(None).cast("string").alias(f"s{j}n"),
+        ]
+
+    from ..runtime.pgnumeric import make_numeric_tree_udf
+
+    kernel = make_numeric_tree_udf(tree, len(leaves))
+
+    def _fix(filtered: Column, projected: Column) -> Column:
+        slots = F.transform(
+            filtered,
+            lambda x: F.struct(
+                *[s for j, lf in enumerate(leaves) for s in _leaf_slots(x, j, lf)]
+            ),
+        )
+        exact = kernel(slots, F.lit(None).cast("string"))
+        from ..graph import TAGGED_TYPE
+
+        def _splice(v: Column, d: Column) -> Column:
+            fixed = F.struct(
+                *[
+                    (
+                        d.alias("__d")
+                        if f.name == "__d"
+                        else (
+                            F.coalesce(d.cast("double"), v.getField("__n")).alias("__n")
+                            if f.name == "__n"
+                            else v.getField(f.name).alias(f.name)
+                        )
+                    )
+                    for f in TAGGED_TYPE.fields
+                ]
+            )
+            return F.when(
+                d.isNotNull() & (v.getField("__k") == 7), fixed
+            ).otherwise(v)
+
+        return F.zip_with(projected, exact, _splice)
+
+    return _fix
+
+
 def _compile_listcomp(scope: ExprScope, e: A.ListComp) -> Column:
     from ..graph import TAGGED_TYPE, is_tagged_type, let_column
 
@@ -2184,8 +2367,12 @@ def _compile_listcomp(scope: ExprScope, e: A.ListComp) -> Column:
         out = F.filter(out, lambda x: compile_expr(
             scope.child({e.var: x}, {e.var: et} if et else {}), e.where).cast("boolean"))
     if e.projection is not None:
+        filtered = out
         out = F.transform(out, lambda x: compile_expr(
             scope.child({e.var: x}, {e.var: et} if et else {}), e.projection))
+        fix = _listcomp_numeric_fixup(scope, e, filtered, et)
+        if fix is not None:
+            out = fix(filtered, out)
     return out
 
 

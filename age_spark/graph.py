@@ -842,6 +842,215 @@ def tagged_cmp_key_exact(col: Column) -> Column:
     return F.when(col.isNull(), F.lit(None).cast("string")).otherwise(t)
 
 
+# maximum container nesting the JVM-side exact lambda key recurses into;
+# past it the rank + lexical-JSON fallback applies (documented — scalars
+# at ANY nesting stay exact, the bound is on CONTAINER recursion).  Each
+# level is ONE set of variant dispatch expressions (transform lambdas are
+# instantiated once per level, not per element), so the tree stays linear
+# in this constant; 4 keeps Catalyst's optimizer time tolerable on
+# multi-comparison lambda bodies.
+_JVM_EXACT_DEPTH = 4
+
+
+def _variant_order_text(v: Column, depth: int) -> Column:
+    """Exact order text of a VARIANT value — the JVM twin of
+    runtime/ordertext.order_text_value over a parsed ``__j`` payload,
+    byte-identical on every kind except paths (see below).  Pure Column
+    expressions (variant casts, transforms, the exact JVM numeric key), so
+    unlike the pandas order-text UDF it can sit INSIDE higher-order-
+    function lambdas.  Width is unbounded at every level; nesting past
+    ``depth`` falls back to rank + lexical JSON (self-consistent: both
+    sides of a comparison truncate identically).  Paths inside containers
+    key as rank + zero-padded element count + lexical JSON — the count
+    fast path is exact (agtype_util.c:1025), the element tail lexical
+    (a documented bound nobody's suite reaches inside lambdas)."""
+    sch = F.schema_of_variant(v)
+    sval = F.try_variant_get(v, "$", "string")
+    is_num = sch.isin(
+        "BIGINT", "INT", "SMALLINT", "TINYINT", "DOUBLE", "FLOAT"
+    ) | sch.startswith("DECIMAL")
+    is_str = sch == "STRING"
+    is_sent = is_str & (
+        F.startswith(sval, F.lit(NUM_SENTINEL))
+        | F.startswith(sval, F.lit(FLOAT_SENTINEL))
+    )
+    sent_txt = F.substr(sval, F.lit(len(NUM_SENTINEL) + 1))
+    is_arr = sch.startswith("ARRAY")
+    is_obj = sch.startswith("OBJECT")
+
+    def rank(r: int) -> Column:
+        return F.lit(chr(ord("A") + r))
+
+    if depth <= 0:
+        # nesting exhausted: rank + lexical JSON (self-consistent — both
+        # sides of a comparison truncate at the same level)
+        cont = F.concat(
+            F.when(is_arr, rank(4)).otherwise(rank(3)), F.coalesce(sval, F.lit(""))
+        )
+    else:
+        # ONE recursive site per level: normalize both container kinds to
+        # a children array of (key, val) pairs and run a single transform
+        # lambda over it — the naive per-branch recursion instantiates the
+        # subtree 3x per level (3^depth nodes: codegen OOM at depth 6)
+        m = F.try_variant_get(v, "$", "map<string,variant>")
+        ks = F.map_keys(m)
+        is_vertex = (
+            F.array_contains(ks, "id")
+            & F.array_contains(ks, "label")
+            & F.array_contains(ks, "properties")
+            & ~F.array_contains(ks, "start_id")
+        )
+        is_edge = (
+            F.array_contains(ks, "id")
+            & F.array_contains(ks, "label")
+            & F.array_contains(ks, "start_id")
+        )
+        is_path = (
+            (F.size(ks) == 2)
+            & F.array_contains(ks, "nodes")
+            & F.array_contains(ks, "edges")
+        )
+        is_plain_obj = is_obj & ~is_vertex & ~is_edge & ~is_path
+        eid = F.try_variant_get(F.element_at(m, "id"), "$", "bigint")
+        path_n = F.size(
+            F.try_variant_get(F.element_at(m, "nodes"), "$", "array<variant>")
+        ) + F.size(F.try_variant_get(F.element_at(m, "edges"), "$", "array<variant>"))
+        # plain object: pairs in jsonb (length, byte) key order; the
+        # engine's null-means-absent conventions (_none/_pstruct) drop
+        # null-valued pairs the same way order_text_value does
+        entries = F.array_sort(
+            F.map_entries(m),
+            lambda a, b: F.when(
+                F.length(a.getField("key")) < F.length(b.getField("key")), F.lit(-1)
+            )
+            .when(F.length(a.getField("key")) > F.length(b.getField("key")), F.lit(1))
+            .when(a.getField("key") < b.getField("key"), F.lit(-1))
+            .when(a.getField("key") > b.getField("key"), F.lit(1))
+            .otherwise(F.lit(0)),
+        )
+        has_pstruct = F.array_contains(ks, "_pstruct")
+        kept = F.filter(
+            entries,
+            lambda en: ~(
+                F.is_variant_null(en.getField("value"))
+                & (has_pstruct | en.getField("key").isin("_none", "_pstruct"))
+            ),
+        )
+        children = F.when(
+            is_arr,
+            F.transform(
+                F.try_variant_get(v, "$", "array<variant>"),
+                lambda e: F.struct(
+                    F.lit(None).cast("string").alias("k"), e.alias("v")
+                ),
+            ),
+        ).when(
+            is_plain_obj,
+            F.transform(
+                kept,
+                lambda en: F.struct(
+                    en.getField("key").alias("k"), en.getField("value").alias("v")
+                ),
+            ),
+        )
+        body = F.array_join(
+            F.transform(
+                children,
+                lambda ch: F.concat(
+                    F.coalesce(
+                        F.concat(
+                            _ot_escape(ch.getField("k")), F.lit(_OT_SEP)
+                        ),
+                        F.lit(""),
+                    ),
+                    F.coalesce(
+                        _variant_order_text(ch.getField("v"), depth - 1), rank(8)
+                    ),
+                    F.lit(_OT_SEP),
+                ),
+            ),
+            "",
+        )
+        cont = (
+            F.when(is_vertex, F.concat(rank(2), F.format_string("%020d", eid)))
+            .when(is_edge, F.concat(rank(1), F.format_string("%020d", eid)))
+            .when(
+                is_path,
+                F.concat(
+                    rank(0),
+                    F.format_string("%010d", path_n),
+                    F.coalesce(sval, F.lit("")),
+                ),
+            )
+            .otherwise(
+                F.concat(
+                    F.when(is_arr, rank(4)).otherwise(rank(3)),
+                    body,
+                    F.lit(_OT_END),
+                )
+            )
+        )
+    return (
+        F.when(v.isNull() | (sch == "VOID"), rank(8))
+        .when(is_sent, F.concat(rank(7), jvm_numeric_sort_text(sent_txt)))
+        .when(is_num, F.concat(rank(7), jvm_numeric_sort_text(sval)))
+        .when(is_str, F.concat(rank(5), _ot_escape(sval)))
+        .when(
+            sch == "BOOLEAN",
+            F.concat(
+                rank(6), F.when(sval == "true", F.lit("1")).otherwise(F.lit("0"))
+            ),
+        )
+        .otherwise(cont)
+    )
+
+
+def tagged_cmp_key_jvm(col: Column, elem: bool = False) -> Column:
+    """EXACT comparison key of a tagged value as ONE string, pure JVM —
+    the in-lambda twin of tagged_cmp_key_exact: scalar kinds key off their
+    payload slots (numerics through the exact numeric text at any
+    precision), container kinds recurse through the VARIANT parse of the
+    canonical ``__j`` payload (_variant_order_text — unbounded width,
+    depth-bounded).  Replaces the former bounded ``__o`` + lexical ``__j``
+    tiebreak everywhere a pandas UDF cannot run.
+
+    ``elem=True`` keys a container ELEMENT: an SQL-null element is the
+    agtype null (kind 8, sorts last) rather than a strict-operator NULL."""
+    k = col.getField("__k")
+    body = F.concat(
+        F.char(k + F.lit(ord("A"))),
+        F.coalesce(
+            F.when(
+                k == 7,
+                jvm_numeric_sort_text(
+                    F.coalesce(
+                        col.getField("__d"),
+                        col.getField("__i").cast("string"),
+                        col.getField("__n").cast("string"),
+                    )
+                ),
+            ),
+            F.when(k == 5, _ot_escape(col.getField("__s"))),
+            F.when(
+                k == 6,
+                F.when(col.getField("__b"), F.lit("1")).otherwise(F.lit("0")),
+            ),
+            F.lit(""),
+        ),
+    )
+    out = F.when(
+        k.isin(0, 1, 2, 3, 4),
+        F.when(
+            col.getField("__j").isNotNull(),
+            _variant_order_text(
+                F.parse_json(col.getField("__j")), _JVM_EXACT_DEPTH
+            ),
+        ).otherwise(F.lit(chr(ord("A") + 8))),
+    ).otherwise(body)
+    null_key = F.lit(chr(ord("A") + 8)) if elem else F.lit(None).cast("string")
+    return F.when(col.isNull() | k.isNull(), null_key).otherwise(out)
+
+
 def _widen(a: T.DataType, b: T.DataType) -> T.DataType:
     """Common type for schema-merge across labels (missing -> null).
     Structs/arrays merge recursively (field union); numerics widen;

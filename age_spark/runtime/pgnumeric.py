@@ -287,3 +287,150 @@ def make_numeric_arith_udf(op: str):
         return pd.Series(out, dtype="object")
 
     return _exact_arith
+
+
+# ---- array-level arithmetic-tree kernel (in-lambda exact NUMERIC) ----
+#
+# A pandas UDF cannot run inside a higher-order-function lambda, so
+# per-element arithmetic there cannot call the row kernel.  Instead the
+# list-comprehension compiler pre-projects each element's operand slots
+# (a JVM transform), ships the WHOLE array through this kernel once, and
+# zips the exact __d texts back into the projected elements.  The
+# arithmetic TREE (nested ops) is serialized and evaluated value-level
+# per element, tracking the reference's per-node kind rules: int op int
+# stays exact int64 (truncating /, C-style %), a float operand promotes
+# the node to float8, a NUMERIC operand dominates and computes exactly
+# with PG display scales; ^ is float8 unless a NUMERIC operand routes it
+# through numeric_power.  Returns the final __d text when the ROOT is
+# NUMERIC-kind, else None (the JVM lanes own int/float rows).
+
+
+def eval_arith_tree(tree, slots) -> Optional[str]:
+    """tree: int (leaf index) or (op, ltree, rtree); slots: flat list
+    [d0, i0, n0, d1, i1, n1, ...] of one element's leaf texts."""
+
+    def ev(t):
+        if isinstance(t, int):
+            o = _operand(slots[3 * t], slots[3 * t + 1], slots[3 * t + 2])
+            if o is None:
+                return None
+            v, ds, isnum = o
+            if isnum:
+                return ("n", v, ds)
+            if slots[3 * t + 1] is not None:
+                return ("i", int(v), 0)
+            return ("f", float(v), 0)
+        op, lt, rt = t
+        lo, ro = ev(lt), ev(rt)
+        if lo is None or ro is None:
+            return None
+        lk, lv, lds = lo
+        rk, rv, rds = ro
+        if lk == "n" or rk == "n":
+            def as_dec(k, v, ds):
+                if k == "n":
+                    return v, ds
+                if k == "i":
+                    return _dec.Decimal(v), 0
+                if math.isnan(v):
+                    return _dec.Decimal("NaN"), 0
+                if math.isinf(v):
+                    return _dec.Decimal("Infinity" if v > 0 else "-Infinity"), 0
+                d = _dec.Decimal(format(v, ".15g"))
+                return d, _dscale_of(d)
+
+            dv1, ds1 = as_dec(lk, lv, lds)
+            dv2, ds2 = as_dec(rk, rv, rds)
+            if not (dv1.is_finite() and dv2.is_finite()):
+                # specials ride float8, result stays NUMERIC-kind spelling
+                txt = arith_result_text(
+                    op, str(dv1), None, None, str(dv2), None, None
+                )
+                if txt is None:
+                    return None
+                d = _dec.Decimal(txt)
+                return ("n", d, _dscale_of(d) if d.is_finite() else 0)
+            if op == "%" and dv2 == 0:
+                return ("n", _dec.Decimal("NaN"), 0)
+            out = exact_numeric_op(op, dv1, ds1, dv2, ds2)
+            if out is None:
+                return None
+            return ("n", out[0], out[1])
+        if op == "^":
+            # float8 pow whatever the int/float mix (agtype_pow)
+            try:
+                f = math.pow(float(lv), float(rv))
+            except (OverflowError, ValueError):
+                return None
+            return ("f", f, 0)
+        if lk == "i" and rk == "i":
+            a, b = int(lv), int(rv)
+            if op == "+":
+                return ("i", a + b, 0)
+            if op == "-":
+                return ("i", a - b, 0)
+            if op == "*":
+                return ("i", a * b, 0)
+            if op == "/":
+                if b == 0:
+                    return None
+                q = abs(a) // abs(b)
+                return ("i", q if (a >= 0) == (b >= 0) else -q, 0)
+            if b == 0:
+                return None  # int % 0
+            m = abs(a) % abs(b)
+            return ("i", m if a >= 0 else -m, 0)
+        a, b = float(lv), float(rv)
+        try:
+            if op == "+":
+                f = a + b
+            elif op == "-":
+                f = a - b
+            elif op == "*":
+                f = a * b
+            elif op == "/":
+                if b == 0.0:
+                    return None
+                f = a / b
+            else:
+                f = float("nan") if b == 0.0 else math.fmod(a, b)
+        except (OverflowError, ValueError):
+            f = float("nan")
+        return ("f", f, 0)
+
+    root = ev(tree)
+    if root is None or root[0] != "n":
+        return None
+    v = root[1]
+    if not v.is_finite():
+        return "NaN" if v.is_nan() else ("Infinity" if v > 0 else "-Infinity")
+    return format(v, "f")
+
+
+def make_numeric_tree_udf(tree, nleaves: int):
+    """Vectorized kernel over a whole ARRAY column: each element carries
+    its leaf slot struct (s{j}d/s{j}i/s{j}n texts, pre-cast JVM-side);
+    returns the per-element exact __d texts (None where the element's
+    root is not NUMERIC-kind or an operand errors)."""
+    from pyspark.sql.functions import pandas_udf
+
+    names = [f"s{j}{c}" for j in range(nleaves) for c in "din"]
+
+    @pandas_udf("array<string>")
+    def _tree_arith(arr: pd.Series, _pad: pd.Series) -> pd.Series:
+        out = []
+        for elems in arr:
+            if elems is None:
+                out.append(None)
+                continue
+            res = []
+            for el in elems:
+                if el is None:
+                    res.append(None)
+                    continue
+                slots = [el[n] for n in names]
+                res.append(eval_arith_tree(tree, slots))
+            out.append(res)
+        return pd.Series(out, dtype="object")
+
+    return _tree_arith

@@ -178,12 +178,36 @@ class TestRuntimeColumns:
         for t in texts:
             assert got[t] == numeric_key(Decimal(t)), t
 
-    def test_lambda_lane_still_computes(self, numgraph):
-        # inside a HOF lambda the bounded DECIMAL(38,18) lane survives
-        # (documented: trailing display zeros trim there)
+    def test_listcomp_projection_exact(self, numgraph):
+        # list-comprehension projections route through the array-level
+        # arithmetic-tree Arrow kernel: exact at any precision with PG
+        # display scales (the former in-lambda DECIMAL(38,18) bound is
+        # gone for projections)
         age, g = numgraph
         rows = _out(age, g, "RETURN [x IN [1, 2.5] | x * 2.00::numeric] AS l")
-        assert rows == [("[2::numeric, 5::numeric]",)]
+        assert rows == [("[2.00::numeric, 5.000::numeric]",)]
+
+    def test_listcomp_big_product_exact(self, numgraph):
+        age, g = numgraph
+        big = int("9" * 40)
+        rows = _out(age, g, "MATCH (n:N) RETURN [x IN [n.v] | x * x] AS l")
+        assert rows == [(f"[{big * big}::numeric]",)]
+        # nested tree: per-node kind rules (int subtree exact, NUMERIC
+        # dominates the final node)
+        rows = _out(age, g, "MATCH (n:N) RETURN [x IN [n.v] | (x * x) + 0.5] AS l")
+        assert rows == [(f"[{big * big}.5::numeric]",)]
+
+    def test_listcomp_int_lane_no_arrow(self, spark):
+        # a pure int/float tree adds no Arrow stage (the JVM lanes are
+        # already exact); plan-asserted so the gate cannot silently rot
+        from age_spark import AgeSession
+
+        age = AgeSession(spark)
+        g = age.create_graph("pgnum_lane")
+        g = age.cypher(g, "CREATE (:M {i: 3})").graph
+        plan = age.explain(g, "MATCH (m:M) RETURN [x IN [1, 2] | x * m.i] AS l")
+        for marker in ("BatchEvalPython", "ArrowEvalPython"):
+            assert marker not in plan
 
 
 class TestNumericPower:
