@@ -788,7 +788,20 @@ def tagged_cmp_key(col: Column) -> Column:
     higher-order-function lambda (F.transform(arr, tagged_cmp_key)); a
     second parameter would receive the element index.  The exact variant
     (any-depth/width containers, arbitrary-precision numerics) is the
-    separate tagged_cmp_key_exact below."""
+    separate tagged_cmp_key_exact below.
+
+    Documented divergence (>2^53 int vs float): the numeric slot keys on
+    the EXACT decimal text, so `int64max = 9.223372036854776e18` is false
+    here while the reference's compare_agtype_scalar_values casts the int
+    to float8 and says true (agtype_util.c int/float branch).  That
+    collapse is NON-TRANSITIVE (int64max and int64max-1 both equal the
+    same float8 yet differ from each other), so no total-order key can
+    express it — this engine compares exactly instead: scalars here, and
+    containers through the exact keys (order-text UDF at top level,
+    tagged_cmp_key_jvm inside lambdas).  Residual: this struct's bounded
+    __o slot (float8 numeric elements) still keys pattern-join property
+    quals and UNION value-dedup, the two sites left on it.  See also the
+    ordertext.py module docstring."""
     return F.when(col.isNull(), F.lit(None).cast(CMP_KEY_TYPE)).otherwise(
         F.struct(
             col.getField("__k").alias("__k"),

@@ -72,6 +72,22 @@ def main() -> int:
     build_sec = round(time.time() - t0, 3)
     print(f"# graph-build (untimed): {build_sec}s", file=sys.stderr)
 
+    # fixed calibration workload: a constant CPU-bound task whose time
+    # depends only on the machine's current speed, never on this repo's
+    # code — divides out host noise when comparing rounds (measured on
+    # 2026-08-15: the same commit benched 18.9s one day and 29.0s another
+    # purely from host contention; min-of-3 1000x1000 float64 matmuls)
+    import numpy as _np
+
+    _cal_a = _np.ones((1000, 1000))
+    cal = None
+    for _ in range(3):
+        t0 = time.time()
+        (_cal_a @ _cal_a).sum()
+        cal = min(cal, time.time() - t0) if cal is not None else time.time() - t0
+    calibration_sec = round(cal, 4)
+    print(f"# calibration matmul (untimed): {calibration_sec}s", file=sys.stderr)
+
     import gc
 
     timings: dict[str, float] = {}
@@ -107,6 +123,7 @@ def main() -> int:
         "queries": timings,
         "reps": REPS,
         "build_sec": build_sec,
+        "calibration_matmul_sec": calibration_sec,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     if scale is not None:
@@ -151,6 +168,16 @@ def _scale_proof(spark, entry_mod, base_timings):
     age = AgeSession(spark)
 
     qs = {
+        "g_join2_agg": (
+            'MATCH (c:Customer)-[:FROM_NATION]->(n:Nation)-[:IN_REGION]->(r:Region) '
+            'RETURN r.name AS region, count(*) AS n_customers'
+        ),
+        "g_agg_stats": (
+            'MATCH (c:Customer)-[:FROM_NATION]->(n:Nation) '
+            'RETURN n.name AS nation, count(*) AS n, round(sum(c.acctbal), 2) AS sum_bal, '
+            'round(avg(c.acctbal), 2) AS avg_bal, round(min(c.acctbal), 2) AS min_bal, '
+            'round(max(c.acctbal), 2) AS max_bal'
+        ),
         "g_join3_edgeprops": (
             'MATCH (c:Customer)-[:PLACED]->(o:Order)-[l:LINE]->(p:Part) '
             'WHERE l.quantity > 45 '
@@ -250,10 +277,38 @@ def _scale_proof(spark, entry_mod, base_timings):
         out[f"{name}_vs_sf0.1"] = ratio
         print(f"# sf1-proof {name}: {dt}s on 10x docs ({n} pairs, "
               f"{ratio}x the sf0.1 time)", file=sys.stderr)
+    # ANN scale proof: 10x embeddings corpus (vectors reused, fresh ids),
+    # the same 5 queries — brute-force grows with the corpus matmul, IVF
+    # with nprobe/n_centroids of it (both bounded by scan + broadcast)
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    emb10 = emb.crossJoin(
+        spark.range(10).select(F.col("id").alias("_rep3"))
+    ).select(
+        (F.col("vec_id") + F.col("_rep3") * SHIFT).alias("vec_id"),
+        "embedding",
+    ).localCheckpoint(eager=True)
+    qset = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    from age_spark.pipeline.similarity import brute_force_topk, ivf_topk
+
+    for name, fn in (
+        ("p_ann_topk", lambda: brute_force_topk(emb10, qset, k=5)),
+        ("p_ann_ivf", lambda: ivf_topk(emb10, qset, k=5, n_centroids=8, nprobe=3)),
+    ):
+        t0 = time.time()
+        n = fn().count()
+        dt = round(time.time() - t0, 3)
+        out[name] = dt
+        ratio = round(dt / base_timings[name], 2) if base_timings.get(name) else None
+        out[f"{name}_vs_sf0.1"] = ratio
+        print(f"# sf1-proof {name}: {dt}s on 10x embeddings ({n} rows, "
+              f"{ratio}x the sf0.1 time)", file=sys.stderr)
     out["note"] = (
-        "10x replicas of the sf0.1 graph and documents tables: per-query "
-        "growth factors above; sub-10x growth = per-hop driver overhead "
-        "and plan time amortize, joins and banded-LSH scale with data"
+        "10x replicas of the sf0.1 graph, documents, and embeddings "
+        "tables: per-query growth factors above; sub-10x growth = per-hop "
+        "driver overhead and plan time amortize, joins and banded-LSH "
+        "scale with data"
     )
     return out
 

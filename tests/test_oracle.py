@@ -49,8 +49,7 @@ ORACLES = entry_mod.oracle_sql()
 QUERIES = entry_mod.queries()
 
 
-@pytest.mark.parametrize("name", sorted(ORACLES))
-def test_oracle_match(spark, name):
+def _check_oracle(spark, name):
     assert name in QUERIES, f"oracle {name} has no queries() entry"
     sdf = QUERIES[name](spark, SF_DIR)
     s_cols = sdf.columns
@@ -70,14 +69,44 @@ def test_oracle_match(spark, name):
     assert not mismatches, f"{name}: {len(mismatches)} value mismatches; first: {mismatches[:3]}"
 
 
+# each oracle costs py4j/compile LATENCY, not CPU: thread-pool them like
+# the conformance batch (SPARK_GRAFT_SERIAL_SUITES=1 for per-name tests)
+if os.environ.get("SPARK_GRAFT_SERIAL_SUITES") == "1":
+
+    @pytest.mark.parametrize("name", sorted(ORACLES))
+    def test_oracle_match(spark, name):
+        _check_oracle(spark, name)
+
+else:
+
+    def test_oracle_match_pooled(spark):
+        from concurrent.futures import ThreadPoolExecutor
+
+        def run(name):
+            try:
+                _check_oracle(spark, name)
+                return None
+            except Exception as ex:  # noqa: BLE001 — collected and re-raised
+                return f"{name}: {ex}"
+
+        with ThreadPoolExecutor(max_workers=8) as ex:
+            fails = [f for f in ex.map(run, sorted(ORACLES)) if f]
+        assert not fails, f"{len(fails)} oracle mismatches:\n" + "\n".join(fails)
+
+
 def test_rows_only_queries_run(spark):
     """Entries without an oracle still must run and return a DataFrame."""
-    for name, fn in QUERIES.items():
-        if name in ORACLES:
-            continue
-        df = fn(spark, SF_DIR)
-        n = df.count()
-        assert n >= 0, name
+    from concurrent.futures import ThreadPoolExecutor
+
+    names = [n for n in QUERIES if n not in ORACLES]
+
+    def run(name):
+        df = QUERIES[name](spark, SF_DIR)
+        return None if df.count() >= 0 else name
+
+    with ThreadPoolExecutor(max_workers=8) as ex:
+        fails = [f for f in ex.map(run, names) if f]
+    assert not fails, fails
 
 
 def test_entry_smoke(spark):
