@@ -531,6 +531,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "RETURN id, round(log10(rank), 4) AS lr",
     )
 
+    def _chunk_documents(s, d):
+        from age_spark.pipeline.text import chunk_documents
+
+        return chunk_documents(_docs(s, d), max_tokens=64, overlap=16)
+
+    q["p_chunk_documents"] = _chunk_documents
+
+    def _semantic_dedup(s, d):
+        from age_spark.pipeline.dedup import semantic_dedup
+
+        return semantic_dedup(_emb(s, d), threshold=0.45, n_bands=48)
+
+    q["p_semantic_dedup"] = _semantic_dedup
+
     # ============ rows-only tail (non-SQL-expressible internals) ============
 
     def _near_dedup(s, d):  # minhash internals
@@ -735,6 +749,36 @@ def oracle_sql() -> dict[str, str]:
         "CAST(len(regexp_extract_all(text, "
         "'\\+\\d[\\d -]{6,14}\\d')) AS INT) AS n_phone "
         "FROM documents"
+    )
+    O["p_chunk_documents"] = (
+        # same windowing arithmetic as pipeline/text.py chunk_documents:
+        # whitespace tokens, stride 48 = 64 - 16, 1-based inclusive list
+        # slices, every doc yields >= 1 chunk
+        "WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), "
+        "c AS (SELECT doc_id, t, len(t) AS n, "
+        "  1 + CAST(ceil(greatest(len(t) - 64, 0) / 48.0) AS INT) AS n_chunks FROM toks), "
+        "g AS (SELECT doc_id, t, n, "
+        "  unnest(range(0, CAST(n_chunks AS BIGINT))) AS chunk_id FROM c) "
+        "SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id, "
+        "array_to_string(t[chunk_id*48 + 1 : chunk_id*48 + 64], ' ') AS chunk_text, "
+        "CAST(least(n - chunk_id*48, 64) AS BIGINT) AS n_tokens FROM g"
+    )
+    O["p_semantic_dedup"] = (
+        # transitive closure of the >= 0.45 cosine pair graph (recursive
+        # CTE), min reachable id = the component representative
+        "WITH RECURSIVE pairs AS ("
+        "  SELECT a.vec_id AS ia, b.vec_id AS ib FROM embeddings a JOIN embeddings b "
+        "  ON a.vec_id < b.vec_id AND "
+        "  list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.45"
+        "), edges AS (SELECT ia, ib FROM pairs UNION SELECT ib, ia FROM pairs), "
+        "closure(a, b) AS ("
+        "  SELECT ia, ib FROM edges "
+        "  UNION "
+        "  SELECT c.a, e.ib FROM closure c JOIN edges e ON c.b = e.ia WHERE e.ib <> c.a"
+        "), comp AS ("
+        "  SELECT e.vec_id, least(e.vec_id, coalesce(min(c.b), e.vec_id)) AS rep_id "
+        "  FROM embeddings e LEFT JOIN closure c ON c.a = e.vec_id GROUP BY e.vec_id) "
+        "SELECT vec_id, rep_id, (vec_id = rep_id) AS is_representative FROM comp"
     )
     O["p_fuzzy_join"] = (
         # brute-force all-pairs twin of the prefix-filtered join: trigram

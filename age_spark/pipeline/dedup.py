@@ -431,6 +431,35 @@ def embedding_near_pairs_exact(
     )
 
 
+def semantic_dedup(
+    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
+    threshold: float = 0.45, n_bands: int = 48,
+) -> DataFrame:
+    """SemDeDup-style embedding-space near-duplicate clustering: RP-LSH
+    banded candidate pairs with exact cosine verify (embedding_near_pairs),
+    connected components over the duplicate graph, and the min-id member
+    of each component as its representative.  Returns one row per input
+    vector — (vec_id, rep_id, is_representative) — so callers can either
+    filter the corpus (keep representatives) or map members to survivors.
+
+    100 TB shape: the only shuffles are the banded equi-join (candidates,
+    not n^2) and the component label propagation (iterations bounded by
+    cluster diameter); nothing is collected."""
+    from ..algorithms import connected_components
+
+    pairs = embedding_near_pairs(emb, id_col, vec_col, threshold, n_bands)
+    ids = emb.select(F.col(id_col).alias("id"))
+    edges = pairs.select(
+        F.col("id_a").alias("start_id"), F.col("id_b").alias("end_id")
+    )
+    comps = connected_components(ids, edges, max_iterations=20)
+    return comps.select(
+        F.col("id").alias(id_col),
+        F.col("component").alias("rep_id"),
+        (F.col("id") == F.col("component")).alias("is_representative"),
+    )
+
+
 def exact_decontaminate(
     corpus: DataFrame,
     reference: DataFrame,

@@ -183,3 +183,42 @@ def repetition_signals(df: DataFrame, text_col: str = "text", id_col: str = "doc
         F.coalesce(F.size(bigrams), F.lit(0)).alias("n_bigrams"),
         top_bigram_ratio.alias("top_bigram_ratio"),
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    max_tokens: int = 64,
+    overlap: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Fixed-size token-window chunking with overlap — the standard
+    pre-training document splitter.  Tokens are whitespace words; windows
+    start every ``stride = max_tokens - overlap`` tokens, and every
+    document yields at least one chunk (``n_chunks = 1 +
+    ceil(max(n - max_tokens, 0) / stride)``).  Pure Column ops: split ->
+    sequence -> inline explode of (chunk_id, slice) — a map-side explode
+    whose output is bounded by ~n/stride rows per document, no shuffle at
+    any scale."""
+    if overlap >= max_tokens:
+        raise ValueError("overlap must be smaller than max_tokens")
+    stride = max_tokens - overlap
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks)
+    n_chunks = (
+        F.lit(1)
+        + F.ceil(F.greatest(n - max_tokens, F.lit(0)) / F.lit(stride)).cast("int")
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.struct(
+            i.cast("bigint").alias("chunk_id"),
+            F.array_join(
+                F.slice(toks, i * stride + 1, max_tokens), " "
+            ).alias("chunk_text"),
+            F.least(n - i * stride, F.lit(max_tokens))
+            .cast("bigint")
+            .alias("n_tokens"),
+        ),
+    )
+    return df.select(F.col(id_col), F.inline(chunks))

@@ -91,3 +91,30 @@ def test_embedding_near_pairs_lsh_agrees_with_exact(spark):
     }
     assert len(exact) > 0, "threshold yields no pairs — the check is vacuous"
     assert lsh == exact
+
+
+def test_recall_floors_hold_at_10x(spark):
+    """Banding/probe parameters must hold recall at scale, not just at
+    sf0.01: replicate the corpus 10x (fresh ids, vectors reused) and
+    re-measure IVF and multi-probe LSH recall against the 10x exact
+    baseline.  Replicated vectors mean every true neighbor set has ten
+    copies of each hit — the bucketing must still surface them."""
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    shift = 1 << 28
+    emb10 = emb.crossJoin(
+        spark.range(10).select(F.col("id").alias("_rep"))
+    ).select(
+        (F.col("vec_id") + F.col("_rep") * shift).alias("vec_id"), "embedding"
+    ).localCheckpoint(eager=True)
+    qs = _queries(emb, n=10)  # queries from replica 0
+    exact = _topk_sets(brute_force_topk(emb10, qs, k=5))
+    total = sum(len(v) for v in exact.values())
+
+    def recall(df):
+        got = _topk_sets(df)
+        return sum(len(exact[q] & got.get(q, set())) for q in exact) / total
+
+    r_ivf = recall(ivf_topk(emb10, qs, k=5, n_centroids=8, nprobe=4))
+    assert r_ivf >= 0.7, f"IVF recall at 10x: {r_ivf}"
+    r_lsh = recall(lsh_bucketed_topk(emb10, qs, k=5, planes=6, probe_bits=2))
+    assert r_lsh >= 0.6, f"multi-probe LSH recall at 10x: {r_lsh}"

@@ -144,7 +144,7 @@ else:
         idempotent)."""
         from concurrent.futures import ThreadPoolExecutor
 
-        with ThreadPoolExecutor(max_workers=8) as ex:
+        with ThreadPoolExecutor(max_workers=12) as ex:
             results = dict(
                 zip(SUITES, ex.map(lambda s: _run_suite(spark, s), SUITES))
             )
