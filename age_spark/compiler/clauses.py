@@ -1318,7 +1318,7 @@ def _union_positional(df: DataFrame, nxt: DataFrame) -> DataFrame:
 def _union_distinct(df: DataFrame, ub: str) -> DataFrame:
     from pyspark.sql.window import Window
 
-    from ..graph import is_tagged_type, tagged_cmp_key
+    from ..graph import is_tagged_type, let_column, tagged_cmp_key_jvm
 
     data_cols = [c for c in df.columns if c != ub]
     if not any(is_tagged_type(df.schema[c].dataType) for c in data_cols):
@@ -1326,7 +1326,9 @@ def _union_distinct(df: DataFrame, ub: str) -> DataFrame:
         # tagged unions still see earliest-branch representatives
         return df.groupBy(*data_cols).agg(F.min(ub).alias(ub))
     keys = [
-        tagged_cmp_key(F.col(c)) if is_tagged_type(df.schema[c].dataType) else F.col(c)
+        let_column(F.col(c), lambda t: tagged_cmp_key_jvm(t))
+        if is_tagged_type(df.schema[c].dataType)
+        else F.col(c)
         for c in data_cols
     ]
     urn = ub + "_rn"  # derived from the fresh ordinal name, so also fresh

@@ -102,7 +102,7 @@ def _contains(col: Column, dt, q) -> Column:
     match a recursive key subset, arrays match when every requested
     element is contained in SOME target element (order-free, extras
     allowed), scalars match by value."""
-    from ..graph import _strip_nullability, is_tagged_type, tag_column, tagged_cmp_key
+    from ..graph import _strip_nullability, is_tagged_type, tag_column
     from .exprs import _tagged_container_access, literal_to_column
 
     dt = _strip_nullability(dt) if dt is not None else None
@@ -255,14 +255,14 @@ def _props_filter(scope: ExprScope, struct_col: Column, props: A.Expr, struct_dt
             # Spark analysis error
             rcol = compile_expr(scope, vexpr)
             rdt = _operand_dtype(scope, vexpr, rcol)
-            from ..graph import tagged_cmp_key_of
+            from ..graph import tagged_cmp_key_jvm_of
 
-            # tagged_cmp_key_of let-binds container tags: the key's ~10
-            # input references would otherwise duplicate the literal's
-            # tagged tree past Catalyst's budget (measured: nested-map
-            # property constraints OOMed the driver)
+            # exact JVM keys, let-bound: the key's input references would
+            # otherwise duplicate the literal's tagged tree past Catalyst's
+            # budget (measured: nested-map property constraints OOMed the
+            # driver)
             cond = cond & (
-                tagged_cmp_key_of(lcol, fdt) == tagged_cmp_key_of(rcol, rdt)
+                tagged_cmp_key_jvm_of(lcol, fdt) == tagged_cmp_key_jvm_of(rcol, rdt)
             )
             continue
         rcol = compile_expr(scope, vexpr)
@@ -287,18 +287,20 @@ def _props_filter(scope: ExprScope, struct_col: Column, props: A.Expr, struct_dt
         lt = fdt is not None and is_tagged_type(fdt)
         rt = rdt is not None and is_tagged_type(rdt)
         if lt or rt:
-            from ..graph import tagged_cmp_key
+            from ..graph import let_column, tagged_cmp_key_jvm
+
+            def _jk(c):
+                return let_column(c, lambda t: tagged_cmp_key_jvm(t))
 
             lk = lcol if lt else tag_column(lcol, fdt) if fdt is not None else None
             rk = rcol if rt else tag_column(rcol, rdt) if rdt is not None else None
             if lk is None or rk is None:
                 cond = cond & (lcol == rcol)
             else:
-                cond = cond & (tagged_cmp_key(lk) == tagged_cmp_key(rk))
+                cond = cond & (_jk(lk) == _jk(rk))
             continue
         if fdt is not None and rdt is not None:
             from ..graph import _strip_nullability, _widen, is_tagged_type as _itt
-            from ..graph import tagged_cmp_key
 
             if isinstance(fdt, T.ArrayType) and isinstance(rdt, T.ArrayType) and (
                 is_tagged_type(fdt.elementType)
@@ -309,10 +311,16 @@ def _props_filter(scope: ExprScope, struct_col: Column, props: A.Expr, struct_dt
                 # element-tag both and compare cmp-keys (the `=` operator's
                 # list path) — a MERGE {list:[i IN [1,2,3]]} against a
                 # tagged-element stored list must not fail analysis
+                from ..graph import let_column, tagged_cmp_key_jvm
                 from .exprs import _as_tagged_array
 
-                lc = F.transform(_as_tagged_array(lcol, fdt.elementType), tagged_cmp_key)
-                rc = F.transform(_as_tagged_array(rcol, rdt.elementType), tagged_cmp_key)
+                def _jek(x):
+                    return let_column(
+                        x, lambda c: tagged_cmp_key_jvm(c, elem=True)
+                    )
+
+                lc = F.transform(_as_tagged_array(lcol, fdt.elementType), _jek)
+                rc = F.transform(_as_tagged_array(rcol, rdt.elementType), _jek)
                 cond = cond & (lc == rc)
                 continue
             try:
@@ -321,10 +329,10 @@ def _props_filter(scope: ExprScope, struct_col: Column, props: A.Expr, struct_dt
                 cond = cond & F.lit(False)
                 continue
             if _itt(tgt):
-                from ..graph import tagged_cmp_key_of
+                from ..graph import tagged_cmp_key_jvm_of
 
                 cond = cond & (
-                    tagged_cmp_key_of(lcol, fdt) == tagged_cmp_key_of(rcol, rdt)
+                    tagged_cmp_key_jvm_of(lcol, fdt) == tagged_cmp_key_jvm_of(rcol, rdt)
                 )
                 continue
         cond = cond & (lcol == rcol)

@@ -87,32 +87,25 @@ def prop_display_name(nm: str) -> str:
 # Container ordering: the reference compares containers element-wise,
 # depth-first, shorter-is-a-prefix sorts first, each element through the
 # full cross-kind ladder (compare_agtype_containers_orderability,
-# agtype_util.c:333-520). Two keys implement it:
-#   - EXACT (tagged_cmp_key_exact + runtime/ordertext.py): the full
+# agtype_util.c:333-520). Three keys implement it:
+#   - EXACT UDF (tagged_cmp_key_exact + runtime/ordertext.py): the full
 #     comparator as one normalized order-text string — any depth/width,
 #     arbitrary-precision numerics. Used by ORDER BY, the = <> < <= > >=
 #     operators, and min()/max() — every top-level Column context.
-#   - BOUNDED (__o below): a JVM-side struct of the first ORDER_KEY_WIDTH
-#     element comparison keys (object pairs carry their jsonb-ordered key
-#     string too). Native struct comparison walks elements left-to-right;
-#     a missing slot is NULL and nulls-first makes the shorter (prefix)
-#     container sort lower, exactly the premature-END rule. NUMERIC
-#     payloads key on the exact JVM numeric text (jvm_numeric_sort_text —
-#     arbitrary precision, no float8 collapse). Beyond the width bound —
-#     and past _ORDER_TEXT_DEPTH nesting — it falls back to lexical __j
-#     JSON. It remains ONLY where a pandas UDF cannot run: inside
-#     higher-order-function lambdas (IN / element containment / list
-#     uniqueness), a documented residual bound.
+#   - EXACT JVM (tagged_cmp_key_jvm + _variant_order_text below): the
+#     same order text rebuilt in pure Column expressions by recursing
+#     over the VARIANT parse of __j — unbounded width, container nesting
+#     to _JVM_EXACT_DEPTH, scalars exact at any depth. Used INSIDE
+#     higher-order-function lambdas (IN / containment / element
+#     comparisons), where a pandas UDF cannot run.
+# The former BOUNDED key (a 16-slot __o struct of element comparison keys)
+# is retired: since round 7 the __o field is ALWAYS NULL — kept in
+# TAGGED_TYPE only so stored graphs written by earlier rounds still read
+# (their populated __o is ignored).  Skipping its construction removed
+# the largest expression tree from every container tag site.
 _ELEM_KEY_TYPE = T.StructType(
     [
         T.StructField("__k", T.ByteType(), True),
-        # numeric elements keep the float8 sort slot here: this struct is
-        # instantiated once per STATIC __o slot (x ORDER_KEY_WIDTH), so the
-        # ~100-node exact numeric-text tree would multiply the container
-        # key past Catalyst's optimizer cliff (measured: a container
-        # equality inside a lambda went 9 s -> non-terminating).  The
-        # WHOLE-VALUE bounded key (tagged_cmp_key) and the containment key
-        # DO carry the exact text — they cost one tree per use.
         T.StructField("__n", T.DoubleType(), True),
         T.StructField("__s", T.StringType(), True),
         T.StructField("__b", T.BooleanType(), True),
@@ -224,20 +217,6 @@ def let_column(col: Column, body) -> Column:
     return F.get(F.transform(F.array(col), body), 0)
 
 
-def _null_kind_elem_key() -> Column:
-    """agtype NULL sorts LAST (priority 8, agtype_util.c:271) — a null
-    element inside a container gets an explicit kind-8 key so it outranks
-    every value, while a missing SLOT (shorter container) stays NULL and
-    sorts first (the premature-END rule)."""
-    return F.struct(
-        F.lit(8).cast("tinyint").alias("__k"),
-        F.lit(None).cast("double").alias("__n"),
-        F.lit(None).cast("string").alias("__s"),
-        F.lit(None).cast("boolean").alias("__b"),
-        F.lit(None).cast("string").alias("__j"),
-    )
-
-
 # separators for the recursive order text: END < SEP < any payload byte, so
 # a container that ends while the other continues sorts FIRST (the
 # reference's premature-END rule, agtype_util.c:447).  String payloads are
@@ -246,7 +225,6 @@ def _null_kind_elem_key() -> Column:
 # with the framing.
 _OT_END = "\x02"
 _OT_SEP = "\x03"
-_ORDER_TEXT_DEPTH = 3
 
 
 def _ot_escape(c: Column) -> Column:
@@ -328,150 +306,6 @@ def plain_numeric_ladder_key(c: Column, dt: T.DataType) -> Column:
         else c.cast("string")
     )
     return F.concat(F.lit(chr(ord("A") + 7)), jvm_numeric_sort_text(txt))
-
-
-def _order_text(c: Column, dt: T.DataType, depth: int = _ORDER_TEXT_DEPTH) -> Column:
-    """Normalized ORDER-ONLY text of a value: kind-rank byte + payload,
-    numbers in sortable fixed-width form, containers as recursively encoded
-    element sequences (depth-bounded; beyond the bound, canonical JSON —
-    the documented lexical fallback).  Purely a comparison key — the data
-    payload stays in __j untouched."""
-    dt = _strip_nullability(dt)
-    kind = _scalar_kind(dt) or _container_kind(dt)
-    ek = _entity_kind(dt)
-    if ek in ("vertex", "edge"):
-        rank = _KIND_RANK[ek]
-        return F.concat(
-            F.lit(chr(ord("A") + rank)),
-            F.format_string("%020d", c.getField("id")),
-        )
-    if kind == "numeric":
-        return F.concat(
-            F.lit(chr(ord("A") + 7)),
-            jvm_numeric_sort_text(
-                dec_trim_text(c.cast("string"))
-                if isinstance(dt, T.DecimalType)
-                else c.cast("string")
-            ),
-        )
-    if kind == "string":
-        return F.concat(F.lit(chr(ord("A") + 5)), _ot_escape(c))
-    if kind == "bool":
-        return F.concat(
-            F.lit(chr(ord("A") + 6)), F.when(c, F.lit("1")).otherwise(F.lit("0"))
-        )
-    if kind == "array" and depth > 0:
-        et = dt.elementType
-        parts = F.array_join(
-            F.transform(c, lambda x: F.coalesce(_order_text(x, et, depth - 1), F.lit("J"))),
-            _OT_SEP,
-        )
-        return F.concat(F.lit(chr(ord("A") + 4)), parts, F.lit(_OT_END))
-    if isinstance(dt, T.StructType) and not is_tagged_type(dt) and depth > 0:
-        names = sorted(
-            (f.name for f in dt.fields if f.name != "_none"),
-            key=lambda n: (len(n), n),
-        )
-        segs = []
-        for n in names:
-            fv = _order_text(c.getField(n), dt[n].dataType, depth - 1)
-            from .runtime.ordertext import esc_payload as _esc_py
-
-            segs.append(
-                F.when(
-                    c.getField(n).isNotNull(),
-                    F.concat(
-                        F.lit(_esc_py(prop_display_name(n)) + _OT_SEP),
-                        fv,
-                        F.lit(_OT_SEP),
-                    ),
-                ).otherwise(F.lit(""))
-            )
-        body = F.concat(*segs) if segs else F.lit("")
-        return F.concat(F.lit(chr(ord("A") + 3)), body, F.lit(_OT_END))
-    if kind in ("array", "object"):
-        # depth exhausted: canonical-JSON lexical fallback (documented)
-        return F.concat(
-            F.lit(chr(ord("A") + _KIND_RANK[kind])),
-            F.to_json(_jsonb_canonical(c, dt), {"ignoreNullFields": "false"}),
-        )
-    if is_tagged_type(dt):
-        # dynamic element: rank from __k; scalar slots by value, container
-        # payloads by their (sentinel-bearing) JSON text — bounded
-        k = c.getField("__k")
-        return F.concat(
-            F.char(k + F.lit(ord("A"))),
-            F.coalesce(
-                F.when(
-                    k == 7,
-                    jvm_numeric_sort_text(
-                        F.coalesce(
-                            c.getField("__d"),
-                            c.getField("__i").cast("string"),
-                            c.getField("__n").cast("string"),
-                        )
-                    ),
-                ),
-                # __s is a string payload only for kind 5; vertex/edge ids
-                # are digit-only so the escape is a no-op there
-                F.when(k == 5, _ot_escape(c.getField("__s"))).otherwise(
-                    c.getField("__s")
-                ),
-                F.when(
-                    c.getField("__b").isNotNull(),
-                    F.when(c.getField("__b"), F.lit("1")).otherwise(F.lit("0")),
-                ),
-                c.getField("__j"),
-                F.lit(""),
-            ),
-        )
-    return F.lit("J")  # null/unknown: sorts after every ranked kind
-
-
-def _elem_key(c: Column, dt: T.DataType) -> Column:
-    """Depth-1 comparison key of one container element: (kind rank, value
-    slots) through the cross-kind ladder; nested containers compare by
-    their normalized ORDER TEXT (_order_text — element-wise, numbers by
-    VALUE, depth-bounded). Entities rank 1/2.  Numeric elements keep the
-    float8 slot here — see the _ELEM_KEY_TYPE note on the per-slot tree
-    budget."""
-    if is_tagged_type(dt):
-        key = F.struct(
-            c.getField("__k").alias("__k"),
-            c.getField("__n").alias("__n"),
-            c.getField("__s").alias("__s"),
-            c.getField("__b").alias("__b"),
-            c.getField("__j").alias("__j"),
-        )
-        return F.when(c.isNull(), _null_kind_elem_key()).otherwise(key)
-    kind = _scalar_kind(dt) or _container_kind(dt)
-    if kind is not None:
-        rank = _KIND_RANK[kind]
-    elif isinstance(dt, T.StructType):
-        names = {f.name for f in dt.fields}
-        rank = 1 if {"start_id", "end_id"} <= names else 2  # edge / vertex
-    else:
-        rank = 8
-    key = F.struct(
-        F.lit(rank).cast("tinyint").alias("__k"),
-        (c.cast("double") if kind == "numeric" else F.lit(None).cast("double")).alias("__n"),
-        (c if kind == "string" else F.lit(None).cast("string")).alias("__s"),
-        (c if kind == "bool" else F.lit(None).cast("boolean")).alias("__b"),
-        (
-            # nested containers: recursive normalized order text — numbers
-            # compare by value, pair order never affects identity (the
-            # canonical-JSON fallback applies past the depth bound);
-            # entities keep their canonical JSON (id-leading)
-            _order_text(c, dt)
-            if kind in ("array", "object")
-            else (
-                F.to_json(_jsonb_canonical(c, dt), {"ignoreNullFields": "false"})
-                if rank in (1, 2)
-                else F.lit(None).cast("string")
-            )
-        ).alias("__j"),
-    )
-    return F.when(c.isNull(), _null_kind_elem_key()).otherwise(key)
 
 
 # marker prefix for NUMERIC values embedded in JSON container payloads:
@@ -586,72 +420,6 @@ def _jsonb_canonical(col: Column, dt: T.DataType) -> Column:
     return col
 
 
-def _order_key(col: Column, src_dt: T.DataType, kind: str) -> Column:
-    """Bounded element-wise order key of a container (see ORDER_KEY_TYPE
-    comment). Arrays keep position order with a NULL pair key; objects
-    emit (key, value) pairs in jsonb key order — (length, byte) — the
-    iteration order the reference's comparator sees."""
-    no_key = F.lit(None).cast("string")
-    if kind == "array":
-        assert isinstance(src_dt, T.ArrayType)
-        et = src_dt.elementType
-        slots = [
-            F.when(
-                F.size(col) > i,
-                F.struct(no_key.alias("k"), _elem_key(F.element_at(col, i + 1), et).alias("v")),
-            ).otherwise(F.lit(None).cast(_PAIR_TYPE)).alias(f"e{i}")
-            for i in range(ORDER_KEY_WIDTH)
-        ]
-        return F.struct(*slots)
-    if isinstance(src_dt, T.StructType):
-        names = sorted(
-            (f.name for f in src_dt.fields if f.name != "_none"),
-            key=lambda n: (len(n), n),
-        )
-        pairs = F.array(
-            *[
-                F.struct(
-                    F.lit(n).alias("k"),
-                    _elem_key(col.getField(n), src_dt[n].dataType).alias("v"),
-                )
-                for n in names
-            ]
-        ) if names else F.array().cast(T.ArrayType(_PAIR_TYPE))
-        # null-valued struct fields mean "key absent" in the engine's
-        # object convention — drop them from the key
-        present = F.filter(pairs, lambda p: p.getField("v").getField("__k") != 8)
-    else:
-        assert isinstance(src_dt, T.MapType)
-        vt = src_dt.valueType
-        entries = F.array_sort(
-            F.map_entries(col),
-            lambda a, b: F.when(
-                F.length(a.getField("key")) < F.length(b.getField("key")), F.lit(-1)
-            )
-            .when(F.length(a.getField("key")) > F.length(b.getField("key")), F.lit(1))
-            .when(a.getField("key") < b.getField("key"), F.lit(-1))
-            .when(a.getField("key") > b.getField("key"), F.lit(1))
-            .otherwise(F.lit(0)),
-        )
-        present = F.filter(
-            F.transform(
-                entries,
-                lambda en: F.struct(
-                    en.getField("key").alias("k"),
-                    _elem_key(en.getField("value"), vt).alias("v"),
-                ),
-            ),
-            lambda p: p.getField("v").getField("__k") != 8,
-        )
-    slots = [
-        F.when(F.size(present) > i, F.element_at(present, i + 1))
-        .otherwise(F.lit(None).cast(_PAIR_TYPE))
-        .alias(f"e{i}")
-        for i in range(ORDER_KEY_WIDTH)
-    ]
-    return F.struct(*slots)
-
-
 def tag_column(col: Column, src_dt: T.DataType) -> Column:
     """Wrap a concretely-typed value column into the tagged struct.
     NULL in -> NULL struct out, so IS NULL / NULLS-LARGEST still hold.
@@ -715,7 +483,14 @@ def tag_column(col: Column, src_dt: T.DataType) -> Column:
         # containers reference `col` many times (order-key slots + JSON
         # payload): bind it once so the tree stays linear
         def _build(cc: Column) -> Column:
-            o = _order_key(cc, src_dt, kind)
+            # __o stays NULL since round 7: every comparison path reads
+            # either the exact order-text keys (UDF at top level, the
+            # variant-recursion JVM key in lambdas and join quals) or the
+            # scalar slots; skipping the 16-slot key construction removes
+            # the largest tree from every container tag site (the
+            # ORDER_KEY_WIDTH x _elem_key unrolling dominated compile time
+            # on container-literal-heavy queries)
+            o = F.lit(None).cast(ORDER_KEY_TYPE)
             # the JSON payload is also the final comparison tiebreak, so
             # objects serialize with their keys in jsonb (length, byte)
             # order — otherwise {a:1, b:2} != {b:2, a:1} (pair ORDER is
@@ -745,7 +520,6 @@ CMP_KEY_TYPE = T.StructType(
         T.StructField("__n", T.StringType(), True),
         T.StructField("__s", T.StringType(), True),
         T.StructField("__b", T.BooleanType(), True),
-        T.StructField("__o", ORDER_KEY_TYPE, True),
         T.StructField("__j", T.StringType(), True),
     ]
 )
@@ -781,14 +555,17 @@ def tagged_cmp_key(col: Column) -> Column:
     the struct minus the __i payload slot, so int 2 and float 2.0 compare
     EQUAL (the reference compares all numeric kinds by value,
     compare_agtype_scalar_values; expr.out `RETURN 1 = 1.0` -> true).
-    Containers order element-wise via __o before the lexical __j tiebreak.
     NULL-safe: a NULL tagged value yields a NULL key (strict operators).
+    Since round 7 this key serves only SCALAR-deciding comparisons (the
+    plain string/bool downgrade lane in _tag_align — cross-rank pairs
+    decide on __k, same-rank scalar pairs on their slots); every container
+    comparison routes through the exact keys instead (tagged_cmp_key_exact
+    at top level, tagged_cmp_key_jvm in lambdas and join quals), so the
+    canonical-__j tiebreak here is vestigial.
 
     This function stays UNARY on purpose — it doubles as a
     higher-order-function lambda (F.transform(arr, tagged_cmp_key)); a
-    second parameter would receive the element index.  The exact variant
-    (any-depth/width containers, arbitrary-precision numerics) is the
-    separate tagged_cmp_key_exact below.
+    second parameter would receive the element index.
 
     Documented divergence (>2^53 int vs float): the numeric slot keys on
     the EXACT decimal text, so `int64max = 9.223372036854776e18` is false
@@ -796,11 +573,8 @@ def tagged_cmp_key(col: Column) -> Column:
     to float8 and says true (agtype_util.c int/float branch).  That
     collapse is NON-TRANSITIVE (int64max and int64max-1 both equal the
     same float8 yet differ from each other), so no total-order key can
-    express it — this engine compares exactly instead: scalars here, and
-    containers through the exact keys (order-text UDF at top level,
-    tagged_cmp_key_jvm inside lambdas).  Residual: this struct's bounded
-    __o slot (float8 numeric elements) still keys pattern-join property
-    quals and UNION value-dedup, the two sites left on it.  See also the
+    express it — this engine compares exactly instead, in every context
+    (scalars here, containers through the exact keys).  See also the
     ordertext.py module docstring."""
     return F.when(col.isNull(), F.lit(None).cast(CMP_KEY_TYPE)).otherwise(
         F.struct(
@@ -817,7 +591,6 @@ def tagged_cmp_key(col: Column) -> Column:
             ).alias("__n"),
             col.getField("__s").alias("__s"),
             col.getField("__b").alias("__b"),
-            col.getField("__o").alias("__o"),
             col.getField("__j").alias("__j"),
         )
     )
@@ -836,6 +609,14 @@ def tagged_cmp_key_of(col: Column, dt: T.DataType) -> Column:
     ):
         return let_column(t, tagged_cmp_key)
     return tagged_cmp_key(t)
+
+
+def tagged_cmp_key_jvm_of(col: Column, dt: T.DataType) -> Column:
+    """tagged_cmp_key_jvm over a FRESHLY TAGGED value (the let-binding
+    discipline of tagged_cmp_key_of — the key references its input several
+    times, so container tags bind once)."""
+    t = tag_column(col, dt)
+    return let_column(t, lambda c: tagged_cmp_key_jvm(c))
 
 
 def tagged_cmp_key_exact(col: Column) -> Column:
