@@ -887,12 +887,6 @@ def dyn_array_contains(l: Column, ldt, r: Column, rdt) -> Column:
     return F.forall(rk, lambda e: F.array_contains(lk, e))
 
 
-def _ck(c: Column) -> Column:
-    from ..graph import tagged_cmp_key
-
-    return tagged_cmp_key(c)
-
-
 def _containment_key(c: Column) -> Column:
     """Containment equality is KIND-STRICT, unlike the ordering ladder:
     `[5] @> [5.0]` is FALSE (list_comprehension.out:46 — the int and float
@@ -1033,7 +1027,15 @@ def compile_containment(big: Column, bdt, small: Column, sdt) -> Column:
     array via element cmp-keys; a dynamic (tagged) big side contains when
     its array-kind payload does; non-container shapes fall to kind-aligned
     equality (scalar @> scalar is equality in jsonb)."""
-    from ..graph import is_tagged_type, tagged_cmp_key, tagged_cmp_key_of
+    from ..graph import (
+        is_tagged_type,
+        let_column,
+        tagged_cmp_key_jvm,
+        tagged_cmp_key_jvm_of,
+    )
+
+    def _jk(c):
+        return let_column(c, lambda t: tagged_cmp_key_jvm(t))
 
     if isinstance(bdt, T.ArrayType) and isinstance(sdt, T.ArrayType):
         return dyn_array_contains(big, bdt, small, sdt)
@@ -1045,15 +1047,16 @@ def compile_containment(big: Column, bdt, small: Column, sdt) -> Column:
                 big.getField("__k") == 4,
                 F.forall(sk, lambda x: F.array_contains(elems, x)),
             ).otherwise(F.lit(False))
-        # tagged_cmp_key_of let-binds container tags (the key references
-        # its input ~10x; unbound literal trees OOMed the driver)
-        return tagged_cmp_key(big) == (
-            tagged_cmp_key(small)
+        # exact JVM keys (value-exact at any width, bounded depth); the
+        # let-binding keeps the key's input references from duplicating
+        # big trees (unbound literal trees OOMed the driver)
+        return _jk(big) == (
+            _jk(small)
             if (sdt is not None and is_tagged_type(sdt))
-            else tagged_cmp_key_of(small, sdt)
+            else tagged_cmp_key_jvm_of(small, sdt)
         )
     if bdt is not None and sdt is not None:
-        return tagged_cmp_key_of(big, bdt) == tagged_cmp_key_of(small, sdt)
+        return tagged_cmp_key_jvm_of(big, bdt) == tagged_cmp_key_jvm_of(small, sdt)
     return big == small
 
 
@@ -1828,7 +1831,7 @@ def _compile_binary(scope: ExprScope, e: A.Binary) -> Column:
     if op in ("<", "<=", ">", ">="):
         return {"<": l < r, "<=": l <= r, ">": l > r, ">=": l >= r}[op]
     if op == "in":
-        from ..graph import _strip_nullability, is_tagged_type, tag_column, tagged_cmp_key
+        from ..graph import _strip_nullability, is_tagged_type, tag_column
 
         ldt, rdt = _operand_dtype(scope, e.left, l), _operand_dtype(scope, e.right, r)
         # the IN object must be list-shaped (expr.out:42 'object of IN
@@ -2228,6 +2231,49 @@ def _flatten_arith_tree(e, leaves: list):
     return None
 
 
+def _arith_leaf_slots(sub: "ExprScope", lf, j: int) -> list:
+    """d/i/n payload-slot text Columns of one arithmetic-tree leaf under
+    an element-bound scope (names s{j}d / s{j}i / s{j}n).  All slots go
+    to TEXT JVM-side: pandas float64 NaN would alias SQL NULL for __n,
+    and int64-with-nulls rounds >2^53 for __i."""
+    from ..graph import _strip_nullability, dec_trim_text, is_tagged_type
+
+    c = compile_expr(sub, lf)
+    dt = _operand_dtype(sub, lf, c)
+    sdt = _strip_nullability(dt) if dt is not None else None
+    if sdt is not None and is_tagged_type(sdt):
+        num = F.when(c.getField("__k") == 7, F.lit(True))
+        return [
+            c.getField("__d").alias(f"s{j}d"),
+            F.when(num, c.getField("__i")).cast("string").alias(f"s{j}i"),
+            F.when(num, c.getField("__n")).cast("string").alias(f"s{j}n"),
+        ]
+    if sdt is not None and isinstance(sdt, T.DecimalType):
+        return [
+            dec_trim_text(c.cast("string")).alias(f"s{j}d"),
+            F.lit(None).cast("string").alias(f"s{j}i"),
+            F.lit(None).cast("string").alias(f"s{j}n"),
+        ]
+    if sdt is not None and _is_integral(sdt):
+        return [
+            F.lit(None).cast("string").alias(f"s{j}d"),
+            c.cast("long").cast("string").alias(f"s{j}i"),
+            F.lit(None).cast("string").alias(f"s{j}n"),
+        ]
+    if sdt is not None and isinstance(sdt, (T.FloatType, T.DoubleType)):
+        return [
+            F.lit(None).cast("string").alias(f"s{j}d"),
+            F.lit(None).cast("string").alias(f"s{j}i"),
+            c.cast("double").cast("string").alias(f"s{j}n"),
+        ]
+    # statically non-numeric (string/bool/container/null): no number
+    return [
+        F.lit(None).cast("string").alias(f"s{j}d"),
+        F.lit(None).cast("string").alias(f"s{j}i"),
+        F.lit(None).cast("string").alias(f"s{j}n"),
+    ]
+
+
 def _listcomp_numeric_fixup(scope: ExprScope, e: A.ListComp, src: Column, et):
     """Exact NUMERIC arithmetic inside a list-comprehension PROJECTION:
     the row-level Arrow kernel cannot run inside the transform lambda, so
@@ -2271,40 +2317,7 @@ def _listcomp_numeric_fixup(scope: ExprScope, e: A.ListComp, src: Column, et):
 
     def _leaf_slots(x: Column, j: int, lf) -> list:
         sub = scope.child({e.var: x}, {e.var: et} if et else {})
-        c = compile_expr(sub, lf)
-        dt = _operand_dtype(sub, lf, c)
-        sdt = _strip_nullability(dt) if dt is not None else None
-        if sdt is not None and is_tagged_type(sdt):
-            num = F.when(c.getField("__k") == 7, F.lit(True))
-            return [
-                c.getField("__d").alias(f"s{j}d"),
-                F.when(num, c.getField("__i")).cast("string").alias(f"s{j}i"),
-                F.when(num, c.getField("__n")).cast("string").alias(f"s{j}n"),
-            ]
-        if sdt is not None and isinstance(sdt, T.DecimalType):
-            return [
-                dec_trim_text(c.cast("string")).alias(f"s{j}d"),
-                F.lit(None).cast("string").alias(f"s{j}i"),
-                F.lit(None).cast("string").alias(f"s{j}n"),
-            ]
-        if sdt is not None and _is_integral(sdt):
-            return [
-                F.lit(None).cast("string").alias(f"s{j}d"),
-                c.cast("long").cast("string").alias(f"s{j}i"),
-                F.lit(None).cast("string").alias(f"s{j}n"),
-            ]
-        if sdt is not None and isinstance(sdt, (T.FloatType, T.DoubleType)):
-            return [
-                F.lit(None).cast("string").alias(f"s{j}d"),
-                F.lit(None).cast("string").alias(f"s{j}i"),
-                c.cast("double").cast("string").alias(f"s{j}n"),
-            ]
-        # statically non-numeric (string/bool/container/null): no number
-        return [
-            F.lit(None).cast("string").alias(f"s{j}d"),
-            F.lit(None).cast("string").alias(f"s{j}i"),
-            F.lit(None).cast("string").alias(f"s{j}n"),
-        ]
+        return _arith_leaf_slots(sub, lf, j)
 
     from ..runtime.pgnumeric import make_numeric_tree_udf
 
@@ -2465,6 +2478,116 @@ def _reduce_may_null(scope: ExprScope, e: A.Reduce) -> bool:
     return any(_ast_any(part, p) for part in (e.source, e.init, e.expr))
 
 
+def _reduce_numeric_fixup(scope: ExprScope, e: A.Reduce, src, et, init, idt, rdt):
+    """Exact NUMERIC arithmetic inside a reduce() FOLD: when the body is
+    a pure arithmetic tree whose accumulator references are bare leaves,
+    one Arrow kernel call replays the WHOLE fold value-level (the
+    reference folds through agtype-numeric ops step by step, age_reduce)
+    and splices the exact __d text into the JVM fold result.  None when
+    the body is not tree-expressible, the accumulator feeds a
+    non-arithmetic subexpression, or no operand can statically carry a
+    NUMERIC kind (the JVM int/float fold lanes are already exact — no
+    Arrow stage is added then)."""
+    from ..graph import TAGGED_TYPE, _strip_nullability, dec_trim_text, is_tagged_type, let_column
+
+    if scope.lambda_vars or scope.lambda_types:
+        return None  # a pandas UDF cannot run inside a HOF lambda
+    srt = _strip_nullability(rdt) if rdt is not None else None
+    if srt is None or not is_tagged_type(srt):
+        return None  # statically-typed folds stay on the exact JVM lanes
+    leaves: list = []
+    tree = _flatten_arith_tree(e.expr, leaves)
+    if tree is None or not leaves:
+        return None
+    acc_ix = []
+    for j, lf in enumerate(leaves):
+        if isinstance(lf, A.Var) and lf.name == e.acc:
+            acc_ix.append(j)
+        elif _ast_any(lf, lambda x, _a=e.acc: isinstance(x, A.Var) and x.name == _a):
+            return None  # acc inside a non-arithmetic leaf
+
+    def _cap(dt):
+        s = _strip_nullability(dt) if dt is not None else None
+        return s is not None and (is_tagged_type(s) or isinstance(s, T.DecimalType))
+
+    cap = _cap(idt)
+    for j, lf in enumerate(leaves):
+        if cap or j in acc_ix:
+            continue
+        try:
+            sub = scope.child({e.var: F.lit(None)}, {e.var: et} if et else {})
+            c = compile_expr(sub, lf)
+            cap = _cap(_operand_dtype(sub, lf, c))
+        except Exception:
+            continue
+    if not cap:
+        return None
+
+    # init d/i/n slot texts from its (post-widen) static type
+    sidt = _strip_nullability(idt) if idt is not None else None
+    nil = F.lit(None).cast("string")
+    if sidt is not None and is_tagged_type(sidt):
+        num = init.getField("__k") == 7
+        d = init.getField("__d")
+        i = F.when(num, init.getField("__i")).cast("string")
+        n = F.when(num, init.getField("__n")).cast("string")
+    elif sidt is not None and isinstance(sidt, T.DecimalType):
+        d, i, n = dec_trim_text(init.cast("string")), nil, nil
+    elif sidt is not None and _is_integral(sidt):
+        d, i, n = nil, init.cast("long").cast("string"), nil
+    elif sidt is not None and isinstance(sidt, (T.FloatType, T.DoubleType)):
+        d, i, n = nil, nil, init.cast("double").cast("string")
+    else:
+        return None  # non-numeric init: the fold result is never NUMERIC
+    init_slots = F.struct(d.alias("d"), i.alias("i"), n.alias("n"))
+
+    from ..runtime.pgnumeric import make_numeric_fold_udf
+
+    kernel = make_numeric_fold_udf(tree, acc_ix, len(leaves))
+
+    def _elem_struct(x: Column) -> Column:
+        sub = scope.child({e.var: x}, {e.var: et} if et else {})
+        cols = []
+        for j, lf in enumerate(leaves):
+            if j in acc_ix:
+                cols.extend(
+                    F.lit(None).cast("string").alias(f"s{j}{c}") for c in "din"
+                )
+            else:
+                cols.extend(_arith_leaf_slots(sub, lf, j))
+        return F.struct(*cols)
+
+    def _fix(out: Column) -> Column:
+        dtext = kernel(init_slots, F.transform(src, _elem_struct))
+
+        # let-bind BOTH the fold result and the kernel text (the splice
+        # reads each several times; the kernel must evaluate OUTSIDE the
+        # binding lambda — a pandas UDF cannot live inside one)
+        def _splice(s: Column) -> Column:
+            o, dcol = s.getField("o"), s.getField("d")
+            fixed = F.struct(
+                *[
+                    (
+                        dcol.alias("__d")
+                        if f.name == "__d"
+                        else (
+                            F.coalesce(dcol.cast("double"), o.getField("__n")).alias("__n")
+                            if f.name == "__n"
+                            else o.getField(f.name).alias(f.name)
+                        )
+                    )
+                    for f in TAGGED_TYPE.fields
+                ]
+            )
+            return F.when(
+                dcol.isNotNull() & (o.getField("__k") == 7), fixed
+            ).otherwise(o)
+
+        return let_column(F.struct(out.alias("o"), dtext.alias("d")), _splice)
+
+    return _fix
+
+
 def _compile_reduce(scope: ExprScope, e: A.Reduce) -> Column:
     # the reference transforms reduce() with a dedicated walker that
     # rejects nested subqueries/reduces (age_reduce.out parity)
@@ -2506,7 +2629,15 @@ def _compile_reduce(scope: ExprScope, e: A.Reduce) -> Column:
             F.coalesce(F.size(src), F.lit(0)) > 0, _tagged_null()
         ).otherwise(F.lit(None).cast(TAGGED_TYPE))
     if rdt is not None and idt is not None and rdt != idt:
-        init = init.cast(rdt)
+        from ..graph import is_tagged_type, tag_column
+
+        if is_tagged_type(rdt) and not is_tagged_type(idt):
+            # a dynamic fold over a plain init: TAG it (a struct CAST from
+            # a scalar is an analysis error) — reduce(a = 0, x IN n.list
+            # | a + x) is the reference's canonical sum fold
+            init = tag_column(init, idt)
+        else:
+            init = init.cast(rdt)
         idt = rdt
 
     def merge(acc, x):
@@ -2518,6 +2649,9 @@ def _compile_reduce(scope: ExprScope, e: A.Reduce) -> Column:
         return compile_expr(scope.child({e.acc: acc, e.var: x}, types), e.expr)
 
     out = F.aggregate(src, init, merge)
+    fix = _reduce_numeric_fixup(scope, e, src, et, init, idt, rdt)
+    if fix is not None:
+        out = fix(out)
     if _reduce_may_null(scope, e):
         # a null CAN flow through the fold: dynamic-value result so a null
         # outcome prints as agtype `null` (age_reduce.out:158), not an

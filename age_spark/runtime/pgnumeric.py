@@ -305,12 +305,16 @@ def make_numeric_arith_udf(op: str):
 # NUMERIC-kind, else None (the JVM lanes own int/float rows).
 
 
-def eval_arith_tree(tree, slots) -> Optional[str]:
-    """tree: int (leaf index) or (op, ltree, rtree); slots: flat list
-    [d0, i0, n0, d1, i1, n1, ...] of one element's leaf texts."""
+def _ev_tree(t, slots, acc_ix=frozenset(), acc_state=None):
+    """Evaluate one serialized arithmetic tree node to a kind-tracked
+    state tuple ('n'|'i'|'f', value, dscale) or None (error/non-number).
+    ``acc_ix`` leaf indexes substitute ``acc_state`` (the reduce() fold
+    accumulator) instead of reading payload slots."""
 
     def ev(t):
         if isinstance(t, int):
+            if t in acc_ix:
+                return acc_state
             o = _operand(slots[3 * t], slots[3 * t + 1], slots[3 * t + 2])
             if o is None:
                 return None
@@ -398,13 +402,24 @@ def eval_arith_tree(tree, slots) -> Optional[str]:
             f = float("nan")
         return ("f", f, 0)
 
-    root = ev(tree)
+    return ev(t)
+
+
+def _numeric_state_text(root) -> Optional[str]:
+    """Final __d text of a kind-state when the root is NUMERIC-kind, else
+    None (the JVM int/float lanes own those rows)."""
     if root is None or root[0] != "n":
         return None
     v = root[1]
     if not v.is_finite():
         return "NaN" if v.is_nan() else ("Infinity" if v > 0 else "-Infinity")
     return format(v, "f")
+
+
+def eval_arith_tree(tree, slots) -> Optional[str]:
+    """tree: int (leaf index) or (op, ltree, rtree); slots: flat list
+    [d0, i0, n0, d1, i1, n1, ...] of one element's leaf texts."""
+    return _numeric_state_text(_ev_tree(tree, slots))
 
 
 def make_numeric_tree_udf(tree, nleaves: int):
@@ -434,3 +449,47 @@ def make_numeric_tree_udf(tree, nleaves: int):
         return pd.Series(out, dtype="object")
 
     return _tree_arith
+
+
+def make_numeric_fold_udf(tree, acc_ix, nleaves: int):
+    """Exact reduce() fold kernel: evaluates the WHOLE fold over one
+    row's element array value-level (the reference folds through
+    agtype-numeric ops one step at a time, age_reduce), substituting the
+    running accumulator state at the ``acc_ix`` leaf positions.  Input:
+    the init's slot struct (d/i/n texts) and the array of per-element
+    leaf-slot structs; output: the final __d text when the fold RESULT
+    is NUMERIC-kind, else None (int/float results stay on the exact JVM
+    lanes; a non-numeric init or element row nulls out like the JVM
+    path)."""
+    from pyspark.sql.functions import pandas_udf
+
+    names = [f"s{j}{c}" for j in range(nleaves) for c in "din"]
+    aset = frozenset(acc_ix)
+
+    @pandas_udf("string")
+    def _fold_arith(init: pd.DataFrame, arr: pd.Series) -> pd.Series:
+        out = []
+        for d0, i0, n0, elems in zip(init["d"], init["i"], init["n"], arr):
+            o = _operand(d0, i0, n0)
+            if o is None or elems is None:
+                out.append(None)
+                continue
+            v, ds, isnum = o
+            if isnum:
+                state = ("n", v, ds)
+            elif i0 is not None:
+                state = ("i", int(v), 0)
+            else:
+                state = ("f", float(v), 0)
+            for el in elems:
+                if el is None:
+                    state = None
+                    break
+                slots = [el[n] for n in names]
+                state = _ev_tree(tree, slots, aset, state)
+                if state is None:
+                    break
+            out.append(_numeric_state_text(state))
+        return pd.Series(out, dtype="object")
+
+    return _fold_arith

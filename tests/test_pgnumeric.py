@@ -210,6 +210,71 @@ class TestRuntimeColumns:
             assert marker not in plan
 
 
+class TestReduceFold:
+    """reduce() folds route through the whole-fold Arrow kernel: exact
+    NUMERIC arithmetic step by step (the former in-lambda DECIMAL(38,18)
+    bound is gone for tree-shaped fold bodies)."""
+
+    def test_reduce_sum_exact(self, numgraph):
+        age, g = numgraph
+        big = int("9" * 40)
+        rows = _out(
+            age, g,
+            "MATCH (n:N) RETURN reduce(a = 0, x IN [n.v, n.v, n.v] | a + x) AS s",
+        )
+        assert rows == [(f"{3 * big}::numeric",)]
+
+    def test_reduce_product_beyond_38_digits(self, numgraph):
+        age, g = numgraph
+        big = int("9" * 40)
+        rows = _out(
+            age, g,
+            "MATCH (n:N) RETURN reduce(a = 1, x IN [n.v, n.v] | a * x) AS p",
+        )
+        assert rows == [(f"{big * big}::numeric",)]
+
+    def test_reduce_display_scale_through_fold(self, numgraph):
+        # adds keep max(dscale) at every STEP, like the reference's
+        # step-by-step numeric_add folding
+        age, g = numgraph
+        rows = _out(
+            age, g,
+            "MATCH (n:N) RETURN reduce(a = 0, x IN [n.w, n.w] | a + x) AS s",
+        )
+        assert rows == [("2.20::numeric",)]
+
+    def test_reduce_int_float_lanes_unchanged(self, numgraph):
+        age, g = numgraph
+        rows = _out(
+            age, g,
+            "RETURN reduce(a = 0, x IN [1, 2, 3] | a + x) AS si",
+        )
+        assert rows == [("6",)]
+        rows = _out(
+            age, g,
+            "MATCH (n:N) RETURN reduce(a = 0.5, x IN [n.i, 2] | a + x * 2) AS m",
+        )
+        assert rows == [("18.5",)]
+
+    def test_reduce_int_fold_no_arrow(self, numgraph):
+        # a fold that cannot see a NUMERIC kind adds no Arrow stage
+        age, g = numgraph
+        plan = age.explain(g, "RETURN reduce(a = 0, x IN [1, 2, 3] | a + x) AS si")
+        for marker in ("BatchEvalPython", "ArrowEvalPython"):
+            assert marker not in plan
+
+    def test_reduce_nontree_body_keeps_bounded_lane(self, numgraph):
+        # acc inside a non-arithmetic leaf (a function call) is not
+        # tree-expressible: the fold stays on the JVM lanes and still
+        # answers (bounded exactness, documented)
+        age, g = numgraph
+        rows = _out(
+            age, g,
+            "RETURN reduce(a = 0, x IN [1, -2, 3] | abs(a) + x) AS s",
+        )
+        assert rows == [("4",)]
+
+
 class TestNumericPower:
     """`^` with a NUMERIC operand routes through numeric_power
     (agtype_pow, agtype_ops.c:1035 -> PG numeric.c power_var /
