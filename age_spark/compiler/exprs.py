@@ -2084,8 +2084,12 @@ def _compile_binary(scope: ExprScope, e: A.Binary) -> Column:
             # agtype_ops.c:984,1040) via the exact Arrow kernel
             return _tagged_arith(
                 op, l, ldt, lt_tag, r, rdt, rt_tag,
-                # the exact Arrow kernel cannot run inside HOF lambdas —
-                # there the bounded DECIMAL(38,18) lane survives
+                # the row-level Arrow kernel cannot run inside HOF
+                # lambdas; tree-shaped lambda bodies pre-project through
+                # the array kernels instead (_lambda_arith_pre,
+                # _listcomp_numeric_fixup, _reduce_numeric_fixup) — only
+                # NON-tree in-lambda arithmetic keeps the bounded
+                # DECIMAL(38,18) lane
                 exact_num=not (scope.lambda_vars or scope.lambda_types),
             )
         if op == "-":
@@ -2274,15 +2278,15 @@ def _arith_leaf_slots(sub: "ExprScope", lf, j: int) -> list:
     ]
 
 
-def _listcomp_numeric_fixup(scope: ExprScope, e: A.ListComp, src: Column, et):
+def _listcomp_numeric_fixup(scope: ExprScope, e: A.ListComp, et):
     """Exact NUMERIC arithmetic inside a list-comprehension PROJECTION:
     the row-level Arrow kernel cannot run inside the transform lambda, so
     pre-project each element's operand slots (pure JVM), evaluate the
     whole arithmetic tree through ONE array-level kernel call, and return
-    a zipper that splices the exact __d texts into the (bounded-lane)
-    projected elements.  None when the projection is not an arithmetic
-    tree or no leaf can carry a NUMERIC kind (the JVM int/float lanes are
-    already exact — no Arrow stage is added then)."""
+    a function ``arr -> exact __d text array`` to splice into the
+    (bounded-lane) projected elements.  None when the projection is not
+    an arithmetic tree or no leaf can carry a NUMERIC kind (the JVM
+    int/float lanes are already exact — no Arrow stage is added then)."""
     from ..graph import _strip_nullability, dec_trim_text, is_tagged_type
 
     if e.projection is None or not isinstance(e.projection, A.Binary):
@@ -2323,38 +2327,183 @@ def _listcomp_numeric_fixup(scope: ExprScope, e: A.ListComp, src: Column, et):
 
     kernel = make_numeric_tree_udf(tree, len(leaves))
 
-    def _fix(filtered: Column, projected: Column) -> Column:
+    def _dtexts(arr: Column) -> Column:
         slots = F.transform(
-            filtered,
+            arr,
             lambda x: F.struct(
                 *[s for j, lf in enumerate(leaves) for s in _leaf_slots(x, j, lf)]
             ),
         )
-        exact = kernel(slots, F.lit(None).cast("string"))
-        from ..graph import TAGGED_TYPE
+        return kernel(slots, F.lit(None).cast("string"))
 
-        def _splice(v: Column, d: Column) -> Column:
-            fixed = F.struct(
+    return _dtexts
+
+
+def _splice_exact_tagged(v: Column, d: Column) -> Column:
+    """Replace a tagged NUMERIC value's __d payload (and its float8
+    shadow) with the exact kernel text ``d``; non-numeric rows and rows
+    the kernel declined (NULL text) keep the JVM value."""
+    from ..graph import TAGGED_TYPE
+
+    fixed = F.struct(
+        *[
+            (
+                d.alias("__d")
+                if f.name == "__d"
+                else (
+                    F.coalesce(d.cast("double"), v.getField("__n")).alias("__n")
+                    if f.name == "__n"
+                    else v.getField(f.name).alias(f.name)
+                )
+            )
+            for f in TAGGED_TYPE.fields
+        ]
+    )
+    return F.when(d.isNotNull() & (v.getField("__k") == 7), fixed).otherwise(v)
+
+
+def _find_arith_subtrees(scope: ExprScope, body, var: str, et) -> list:
+    """Maximal arithmetic subtrees of a lambda-body AST whose leaves
+    include a STATICALLY tagged (NUMERIC-capable) operand and reference
+    no lambda variable other than ``var``.  Descent stops at nested
+    binder nodes (their element vars aren't bound in a pre-projection)."""
+    from ..graph import _strip_nullability, is_tagged_type
+
+    found: list = []
+
+    def _leaf_ok_and_tagged(leaves):
+        any_tagged = False
+        for lf in leaves:
+            try:
+                sub = scope.child({var: F.lit(None)}, {var: et} if et else {})
+                c = compile_expr(sub, lf)
+                dt = _operand_dtype(sub, lf, c)
+            except Exception:
+                return False  # unresolvable leaf (nested-lambda var etc.)
+            sdt = _strip_nullability(dt) if dt is not None else None
+            if sdt is not None and is_tagged_type(sdt):
+                any_tagged = True
+        return any_tagged
+
+    def walk(node):
+        if not hasattr(node, "__dict__") or not node.__class__.__module__.endswith(
+            "ast"
+        ):
+            return
+        if isinstance(node, A.Binary) and node.op in ("+", "-", "*", "/", "%", "^"):
+            leaves: list = []
+            tree = _flatten_arith_tree(node, leaves)
+            if tree is not None and leaves and _leaf_ok_and_tagged(leaves):
+                found.append((node, tree, leaves))
+                return
+        if isinstance(node, (A.ListComp, A.PredFn, A.Reduce)):
+            return
+        for v in vars(node).values():
+            items = v if isinstance(v, (list, tuple)) else [v]
+            for it in items:
+                for it2 in it if isinstance(it, tuple) else [it]:
+                    walk(it2)
+
+    walk(body)
+    return found
+
+
+def _ast_replace(e, mapping: dict):
+    """Deep-copy an expression AST substituting nodes by identity."""
+    import copy
+
+    if id(e) in mapping:
+        return mapping[id(e)]
+    if not hasattr(e, "__dict__") or not e.__class__.__module__.endswith("ast"):
+        return e
+    c = copy.copy(e)
+    for k, v in vars(e).items():
+        if isinstance(v, list):
+            setattr(c, k, [_ast_replace(i, mapping) for i in v])
+        elif isinstance(v, tuple):
+            setattr(c, k, tuple(_ast_replace(i, mapping) for i in v))
+        else:
+            setattr(c, k, _ast_replace(v, mapping))
+    return c
+
+
+def _lambda_arith_pre(scope: ExprScope, body, var: str, src: Column, et):
+    """Exact NUMERIC arithmetic inside a lambda PREDICATE (quantifier
+    WHERE, list-comprehension filter): pre-compute each arithmetic
+    subtree's exact value per element (JVM slot projection + one Arrow
+    tree-kernel call per subtree), zip the spliced values with the
+    elements, and rewrite the body to read them.  The comparison then
+    runs on exact __d payloads through the in-lambda JVM keys.  Returns
+    (zipped_source, rewritten_body, child_scope_factory) or None when no
+    subtree qualifies (pure int/float predicates add no Arrow stage)."""
+    from ..graph import TAGGED_TYPE
+
+    if scope.lambda_vars or scope.lambda_types:
+        return None  # a pandas UDF cannot run inside a HOF lambda
+    subs = _find_arith_subtrees(scope, body, var, et)
+    if not subs:
+        return None
+    from ..runtime.pgnumeric import make_numeric_tree_udf
+
+    pre_arrays = []
+    for node, tree, leaves in subs:
+        # closure factories keep the HOF lambdas UNARY (a second python
+        # parameter — even a defaulted one — would receive the array
+        # index)
+        def _proj_of(_n):
+            return lambda x: compile_expr(
+                scope.child({var: x}, {var: et} if et else {}), _n
+            )
+
+        def _slots_of(_ls):
+            return lambda x: F.struct(
                 *[
-                    (
-                        d.alias("__d")
-                        if f.name == "__d"
-                        else (
-                            F.coalesce(d.cast("double"), v.getField("__n")).alias("__n")
-                            if f.name == "__n"
-                            else v.getField(f.name).alias(f.name)
-                        )
+                    s
+                    for j, lf in enumerate(_ls)
+                    for s in _arith_leaf_slots(
+                        scope.child({var: x}, {var: et} if et else {}), lf, j
                     )
-                    for f in TAGGED_TYPE.fields
                 ]
             )
-            return F.when(
-                d.isNotNull() & (v.getField("__k") == 7), fixed
-            ).otherwise(v)
 
-        return F.zip_with(projected, exact, _splice)
+        projected = F.transform(src, _proj_of(node))
+        slots = F.transform(src, _slots_of(leaves))
+        exact = make_numeric_tree_udf(tree, len(leaves))(
+            slots, F.lit(None).cast("string")
+        )
+        pre_arrays.append(F.zip_with(projected, exact, _splice_exact_tagged))
 
-    return _fix
+    mapping = {
+        id(node): A.Var(f"__arith{k}") for k, (node, _, _) in enumerate(subs)
+    }
+    new_body = _ast_replace(body, mapping)
+    # chained zip_with: each pre-array is an Arrow-kernel result, which
+    # must evaluate OUTSIDE any lambda — zip_with's array inputs do
+    zsrc = F.zip_with(
+        src,
+        pre_arrays[0],
+        lambda x, p: F.struct(x.alias("e"), p.alias("p0")),
+    )
+    for k in range(1, len(pre_arrays)):
+
+        def _zip_of(_k):
+            return lambda z, p: F.struct(
+                z.getField("e").alias("e"),
+                *[z.getField(f"p{i}").alias(f"p{i}") for i in range(_k)],
+                p.alias(f"p{_k}"),
+            )
+
+        zsrc = F.zip_with(zsrc, pre_arrays[k], _zip_of(k))
+
+    def mkchild(z: Column) -> ExprScope:
+        binds = {var: z.getField("e")}
+        types = dict({var: et} if et else {})
+        for k in range(len(subs)):
+            binds[f"__arith{k}"] = z.getField(f"p{k}")
+            types[f"__arith{k}"] = TAGGED_TYPE
+        return scope.child(binds, types)
+
+    return zsrc, new_body, mkchild
 
 
 def _compile_listcomp(scope: ExprScope, e: A.ListComp) -> Column:
@@ -2375,17 +2524,53 @@ def _compile_listcomp(scope: ExprScope, e: A.ListComp) -> Column:
         et = TAGGED_TYPE
     else:
         et = _elem_type(scope, src)
+    fix = (
+        _listcomp_numeric_fixup(scope, e, et) if e.projection is not None else None
+    )
+
+    def _project(x: Column) -> Column:
+        return compile_expr(
+            scope.child({e.var: x}, {e.var: et} if et else {}), e.projection
+        )
+
     out = src
     if e.where is not None:
+        pre = _lambda_arith_pre(scope, e.where, e.var, out, et)
+        if pre is not None:
+            # exact predicate arithmetic: filter the zipped source.  The
+            # projection's exact texts must ALSO pre-compute here (two
+            # stacked Arrow kernels cannot nest in one expression), so
+            # they ride the zip — the kernel is exception-free on
+            # elements the WHERE excludes, while the projection's JVM
+            # lanes (whose ANSI division raise is the reference's error
+            # surface) stay post-filter
+            zsrc, wbody, mkchild = pre
+            if fix is not None:
+                zsrc = F.zip_with(
+                    zsrc,
+                    fix(src),
+                    lambda z, d: z.withField("pd", d),
+                )
+            zf = F.filter(
+                zsrc, lambda z: compile_expr(mkchild(z), wbody).cast("boolean")
+            )
+            if e.projection is None:
+                return F.transform(zf, lambda z: z.getField("e"))
+            if fix is not None:
+                return F.transform(
+                    zf,
+                    lambda z: _splice_exact_tagged(
+                        _project(z.getField("e")), z.getField("pd")
+                    ),
+                )
+            return F.transform(zf, lambda z: _project(z.getField("e")))
         out = F.filter(out, lambda x: compile_expr(
             scope.child({e.var: x}, {e.var: et} if et else {}), e.where).cast("boolean"))
     if e.projection is not None:
         filtered = out
-        out = F.transform(out, lambda x: compile_expr(
-            scope.child({e.var: x}, {e.var: et} if et else {}), e.projection))
-        fix = _listcomp_numeric_fixup(scope, e, filtered, et)
+        out = F.transform(filtered, _project)
         if fix is not None:
-            out = fix(filtered, out)
+            out = F.zip_with(out, fix(filtered), _splice_exact_tagged)
     return out
 
 
@@ -2396,8 +2581,19 @@ def _compile_predfn(scope: ExprScope, e: A.PredFn) -> Column:
         return F.lit(None).cast("boolean")  # all/any/... over NULL -> NULL
     et = _elem_type(scope, src)
 
-    def pred(x):
-        return compile_expr(scope.child({e.var: x}, {e.var: et} if et else {}), e.where).cast("boolean")
+    pre = _lambda_arith_pre(scope, e.where, e.var, src, et)
+    if pre is not None:
+        # quantifier over the exact-arithmetic zipped source: the
+        # predicate's NUMERIC subtrees read pre-spliced exact payloads
+        src, wbody, mkchild = pre
+
+        def pred(z):
+            return compile_expr(mkchild(z), wbody).cast("boolean")
+
+    else:
+
+        def pred(x):
+            return compile_expr(scope.child({e.var: x}, {e.var: et} if et else {}), e.where).cast("boolean")
 
     if e.kind == "all":
         return F.forall(src, pred)

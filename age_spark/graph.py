@@ -134,9 +134,11 @@ TAGGED_TYPE = T.StructType(
         # NUMERIC payload: the EXACT decimal text (PG numeric is arbitrary
         # precision with NaN/Infinity spellings, agtype.h:307-323 — a fixed
         # DECIMAL cannot hold those); arithmetic computes EXACTLY through
-        # the Arrow kernel (runtime/pgnumeric.py) outside HOF lambdas,
-        # through DECIMAL(38,18) inside them (a documented bound);
-        # storage/printing stay exact
+        # the Arrow kernels (runtime/pgnumeric.py) outside HOF lambdas and
+        # for tree-shaped in-lambda bodies (projections, filters,
+        # quantifier predicates, reduce folds — pre-projected array
+        # kernels); only NON-tree in-lambda arithmetic rides the bounded
+        # DECIMAL(38,18) lane; storage/printing stay exact
         T.StructField("__d", T.StringType(), True),
         T.StructField("__s", T.StringType(), True),
         T.StructField("__b", T.BooleanType(), True),

@@ -275,6 +275,48 @@ class TestReduceFold:
         assert rows == [("4",)]
 
 
+class TestPredicateExact:
+    """Arithmetic inside quantifier predicates and list-comprehension
+    filters pre-computes through the array-level Arrow kernel: the
+    comparison then reads exact __d payloads via the in-lambda JVM
+    keys."""
+
+    BIG = int("9" * 40)
+
+    def test_quantifier_product_exact(self, numgraph):
+        age, g = numgraph
+        sq = self.BIG * self.BIG
+        rows = _out(
+            age, g,
+            f"MATCH (n:N) RETURN any(x IN [n.v] WHERE x * x = '{sq}'::numeric) AS t, "
+            f"any(x IN [n.v] WHERE x * x = '{sq - 1}'::numeric) AS f",
+        )
+        # only exact arithmetic distinguishes sq from sq-1 at 80 digits
+        assert rows == [("true", "false")]
+
+    def test_filter_exact_and_projection_splice(self, numgraph):
+        age, g = numgraph
+        sq = self.BIG * self.BIG
+        rows = _out(
+            age, g,
+            f"MATCH (n:N) RETURN [x IN [n.v, 1] WHERE x * x <> '{sq - 1}'::numeric | x + 0] AS l",
+        )
+        assert rows == [(f"[{self.BIG}::numeric, 1]",)]
+
+    def test_filter_guards_projection_division(self, numgraph):
+        # the WHERE must still guard the projection's ANSI division raise
+        # (only the exception-free kernel may run before the filter)
+        age, g = numgraph
+        rows = _out(age, g, "RETURN [x IN [0, 1, 2] WHERE x <> 0 | 1 / x] AS l")
+        assert rows == [("[1, 0]",)]
+
+    def test_int_predicate_no_arrow(self, numgraph):
+        age, g = numgraph
+        plan = age.explain(g, "RETURN any(x IN [1, 2, 3] WHERE x * 2 = 4) AS t")
+        for marker in ("BatchEvalPython", "ArrowEvalPython"):
+            assert marker not in plan
+
+
 class TestNumericPower:
     """`^` with a NUMERIC operand routes through numeric_power
     (agtype_pow, agtype_ops.c:1035 -> PG numeric.c power_var /
