@@ -998,10 +998,25 @@ class Graph:
         # lets _append skip the replace-or-union decision without running a
         # Spark job (an isEmpty probe per label load was ~1s x 11 labels)
         self._sentinel_ids: set[int] = set()
+        # capped vertex-count probes (cap -> min(count, cap)), lazily
+        # filled: broadcast-size gates only need "under the bound or not",
+        # and the whole-graph bound answers for ANY label subset — one
+        # LocalLimit job per snapshot instead of one per gated query
+        self._vcount_capped: dict[int, int] = {}
 
     @property
     def name(self) -> str:
         return self.meta.name
+
+    def vertex_count_capped(self, cap: int) -> int:
+        """min(total vertex count, cap) — a LocalLimit probe that stops
+        scanning at ``cap`` rows, cached per snapshot.  Broadcast-size
+        gates use it as a cheap upper bound for any vertex subset."""
+        n = self._vcount_capped.get(cap)
+        if n is None:
+            n = self.scan_vertices(None).select("id").limit(cap).count()
+            self._vcount_capped[cap] = n
+        return n
 
     # ------------------------------------------------------------------ DDL
     def create_vlabel(self, label: str) -> None:
