@@ -2575,11 +2575,25 @@ def _compile_listcomp(scope: ExprScope, e: A.ListComp) -> Column:
 
 
 def _compile_predfn(scope: ExprScope, e: A.PredFn) -> Column:
+    from ..graph import TAGGED_TYPE, is_tagged_type, let_column
+
     src = compile_expr(scope, e.source)
     sdt = dtype_of(scope, src)
     if sdt is not None and isinstance(sdt, T.NullType):
         return F.lit(None).cast("boolean")  # all/any/... over NULL -> NULL
-    et = _elem_type(scope, src)
+    if sdt is not None and is_tagged_type(sdt):
+        # dynamic source: iterate the array-kind payload's elements (same
+        # unwrap as the list-comprehension compiler); non-list rows yield
+        # NULL like the reference's iterator on a non-list
+        src = let_column(
+            src,
+            lambda c: F.when(c.getField("__k") == 4, tagged_json_elements(c)).otherwise(
+                F.lit(None).cast(T.ArrayType(TAGGED_TYPE))
+            ),
+        )
+        et = TAGGED_TYPE
+    else:
+        et = _elem_type(scope, src)
 
     pre = _lambda_arith_pre(scope, e.where, e.var, src, et)
     if pre is not None:
@@ -2795,12 +2809,25 @@ def _compile_reduce(scope: ExprScope, e: A.Reduce) -> Column:
         )
     src = compile_expr(scope, e.source)
     init = compile_expr(scope, e.init)
-    et = _elem_type(scope, src)
     idt = dtype_of(scope, init)
     sdt = dtype_of(scope, src)
     if sdt is not None and isinstance(sdt, T.NullType):
         # reduce over NULL: strict SQL NULL (empty cell, age_reduce.out:10)
         return F.lit(None)
+    from ..graph import TAGGED_TYPE, is_tagged_type, let_column
+
+    if sdt is not None and is_tagged_type(sdt):
+        # dynamic source: fold over the array-kind payload's elements
+        # (same unwrap as list comprehension); non-list rows yield NULL
+        src = let_column(
+            src,
+            lambda c: F.when(c.getField("__k") == 4, tagged_json_elements(c)).otherwise(
+                F.lit(None).cast(T.ArrayType(TAGGED_TYPE))
+            ),
+        )
+        et = TAGGED_TYPE
+    else:
+        et = _elem_type(scope, src)
 
     # F.aggregate requires merge-result type == init type; probe the merge
     # type with stand-in columns (driver-side schema analysis, no job) and

@@ -798,3 +798,34 @@ def test_call_rule_errors_precede_resolution(social):
     age, g = social
     with pytest.raises(CompileError, match="naming results implicitly"):
         age.cypher(g, "MATCH (a) CALL totally_unknown_proc(1)")
+
+
+def test_quantifier_and_reduce_over_dynamic_source(spark):
+    """A property that is a list on one vertex and a scalar on another
+    merges to a dynamic column: quantifiers and reduce() iterate the
+    array-kind payload and yield NULL on non-list rows — the same
+    unwrap the list-comprehension compiler applies (the reference's
+    iterator raises on a non-list; a per-row raise is not expressible
+    in a vectorized plan, so NULL is this engine's documented surface)."""
+    from age_spark.runtime.agvalue import agtype_out
+
+    age = AgeSession(spark)
+    g = age.create_graph("dynsrc")
+    g = age.cypher(
+        g, "CREATE (:P {name:'A', mix: [1,2,3]}), (:P {name:'B', mix: 7})"
+    ).graph
+
+    def rows(q):
+        return sorted(
+            tuple(agtype_out(v) for v in r) for r in age.cypher(g, q).df.collect()
+        )
+
+    assert rows(
+        "MATCH (a:P) RETURN a.name AS nm, any(x IN a.mix WHERE x > 1) AS t"
+    ) == [('"A"', "true"), ('"B"', None)]
+    assert rows(
+        "MATCH (a:P) RETURN a.name AS nm, single(x IN a.mix WHERE x = 2) AS t"
+    ) == [('"A"', "true"), ('"B"', None)]
+    assert rows(
+        "MATCH (a:P) RETURN a.name AS nm, reduce(s = 0, x IN a.mix | s + x) AS t"
+    ) == [('"A"', "6"), ('"B"', None)]
