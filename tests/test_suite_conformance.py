@@ -76,6 +76,7 @@ SKIPS = {
 }
 
 SUITES = [
+    "cypher_match",
     "cypher_create",
     "cypher_delete",
     "cypher_set",
@@ -144,7 +145,7 @@ else:
         idempotent)."""
         from concurrent.futures import ThreadPoolExecutor
 
-        with ThreadPoolExecutor(max_workers=12) as ex:
+        with ThreadPoolExecutor(max_workers=16) as ex:
             results = dict(
                 zip(SUITES, ex.map(lambda s: _run_suite(spark, s), SUITES))
             )
