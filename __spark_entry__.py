@@ -656,6 +656,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["m_media_features"] = _media
 
+    def _audio(s, d):  # REAL WAV decode through the Arrow kernel
+        from age_spark.pipeline.multimodal import attach_generated_wav, audio_features
+
+        docs = _docs(s, d).limit(50)
+        out = audio_features(attach_generated_wav(docs))
+        return out.select(
+            "doc_id",
+            F.element_at("audio_features", 1).alias("duration_sec"),
+            F.size("audio_features").alias("feat_dim"),
+        )
+
+    q["m_audio_features"] = _audio
+
     return q
 
 

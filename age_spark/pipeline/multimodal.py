@@ -1,12 +1,14 @@
 """Multimodal columns: image/audio/video as opaque binary + typed metadata.
 
 The Spark-side plumbing — schema contract, Arrow-batched ``mapInPandas``
-kernels, partition sizing — is real and tested, and so is the image decode
-for the two formats a dependency-free engine can own: **PPM (P6/P3) and
-uncompressed BMP (24/32-bit BI_RGB)**, decoded by a ~70-line pure-Python
-reader. Other formats (JPEG/PNG/...) still raise ``NotImplementedError``
-honestly: swapping in PIL/libvips changes ONE function body
-(``decode_image``), the distributed plumbing stays identical.
+kernels, partition sizing — is real and tested, and so are the decoders a
+dependency-free engine can own: images in **PPM (P6/P3), uncompressed BMP
+(24/32-bit BI_RGB), PNG, and baseline/progressive JPEG** (pure-Python
+readers; see also pipeline/jpeg.py), and audio in **PCM RIFF/WAVE (8/16
+bit)** with duration/RMS/zero-crossing features. Other formats raise
+``NotImplementedError`` honestly: swapping in PIL/libvips/ffmpeg changes
+ONE function body (``decode_image`` / ``decode_wav``), the distributed
+plumbing stays identical.
 
 Column contract:
     media: STRUCT<content: BINARY, meta: STRUCT<mime STRING, width INT,
@@ -416,6 +418,144 @@ def resize_plan(
     return df.withColumn(
         media_col, F.struct(m.getField("content").alias("content"), new_meta.alias("meta"))
     )
+
+
+# ------------------------------------------------------------ audio codec
+
+
+def encode_wav(sample_rate: int, samples, n_channels: int = 1) -> bytes:
+    """Minimal RIFF/WAVE writer: canonical 44-byte header + PCM16LE data
+    (the WAVE spec's PCM layout — public format documentation)."""
+    import struct
+
+    data = b"".join(
+        struct.pack("<h", max(-32768, min(32767, int(s)))) for s in samples
+    )
+    byte_rate = sample_rate * n_channels * 2
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack(
+            "<IHHIIHH", 16, 1, n_channels, sample_rate, byte_rate, n_channels * 2, 16
+        )
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+
+
+def decode_wav(data: bytes) -> Tuple[int, int, list]:
+    """(sample_rate, n_channels, samples) of a PCM RIFF/WAVE blob: a
+    chunk-walking parser (fmt/data in any order, unknown chunks skipped,
+    odd-sized chunks pad to even per the RIFF spec); 8-bit unsigned and
+    16-bit signed PCM only — anything else raises honestly, like
+    decode_image."""
+    import struct
+
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise NotImplementedError("not a RIFF/WAVE blob")
+    i, fmt, raw = 12, None, None
+    while i + 8 <= len(data):
+        cid = data[i : i + 4]
+        (sz,) = struct.unpack("<I", data[i + 4 : i + 8])
+        body = data[i + 8 : i + 8 + sz]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            raw = body
+        i += 8 + sz + (sz & 1)
+    if fmt is None or raw is None or len(fmt) < 16:
+        raise NotImplementedError("missing fmt/data chunk")
+    audio_fmt, n_ch, sr, _br, _ba, bits = struct.unpack("<HHIIHH", fmt[:16])
+    if audio_fmt != 1 or bits not in (8, 16):
+        raise NotImplementedError(f"unsupported WAV (fmt={audio_fmt}, bits={bits})")
+    if bits == 8:
+        samples = [(b - 128) * 256 for b in raw]  # center + widen to 16-bit range
+    else:
+        n = len(raw) // 2
+        samples = list(struct.unpack(f"<{n}h", raw[: n * 2]))
+    return sr, n_ch, samples
+
+
+def attach_generated_wav(
+    df: DataFrame, text_col: str = "text", sample_rate: int = 8000, n_samples: int = 256
+) -> DataFrame:
+    """Deterministic REAL audio: a PCM16 WAV per row whose samples derive
+    from the row's text digest — the genuine decode path runs end-to-end
+    without audio libraries or fixtures. JVM-side like
+    attach_generated_ppm: the header is one literal (sizes are fixed by
+    n_samples) and the PCM bytes come from repeated sha2 hex."""
+    nbytes = n_samples * 2
+    reps = (nbytes * 2 + 63) // 64  # sha2-256 hex chars per rep
+    hexpcm = F.substring(
+        F.concat(
+            *[F.sha2(F.concat(F.col(text_col), F.lit(f"wav{r}")), 256) for r in range(reps)]
+        ),
+        1,
+        nbytes * 2,
+    )
+    # header sizes are fixed by n_samples: take the canonical 44 bytes of
+    # an all-zero clip of the same length
+    header = encode_wav(sample_rate, [0] * n_samples)[:44]
+    content = F.concat(F.lit(header).cast("binary"), F.unhex(hexpcm))
+    meta = F.struct(
+        F.lit("audio/wav").alias("mime"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(n_samples).alias("n_frames"),
+        F.lit(sample_rate).alias("sample_rate"),
+    )
+    return df.withColumn("media", F.struct(content.alias("content"), meta.alias("meta")))
+
+
+def _audio_feature_values(sr: int, samples: list) -> list:
+    """Library-free audio features of one PCM clip: duration, RMS level,
+    zero-crossing rate, peak, DC mean — all normalized to [-1, 1] full
+    scale."""
+    import math
+
+    n = len(samples)
+    if n == 0:
+        return [0.0] * 5
+    rms = math.sqrt(sum(s * s for s in samples) / n) / 32768.0
+    zc = sum(1 for a, b in zip(samples, samples[1:]) if (a < 0) != (b < 0))
+    peak = max(abs(s) for s in samples) / 32768.0
+    mean = sum(samples) / n / 32768.0
+    return [
+        round(n / sr, 6),
+        round(rms, 6),
+        round(zc / max(1, n - 1), 6),
+        round(peak, 6),
+        round(mean, 6),
+    ]
+
+
+def audio_features(df: DataFrame, media_col: str = "media") -> DataFrame:
+    """Arrow-batched audio feature extraction: decode each WAV blob and
+    append ``audio_features`` (duration_sec, rms, zcr, peak, dc_mean).
+    Same mapInPandas slot as extract_features — binary stays columnar,
+    no shuffle."""
+    out_schema = T.StructType(
+        list(df.schema.fields)
+        + [T.StructField("audio_features", T.ArrayType(T.DoubleType()))]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for m in pdf[media_col]:
+                if m is None:
+                    feats.append(None)
+                    continue
+                sr, _nch, samples = decode_wav(m["content"])
+                feats.append(_audio_feature_values(sr, samples))
+            pdf = pdf.copy()
+            pdf["audio_features"] = feats
+            yield pdf
+
+    return df.mapInPandas(kernel, schema=out_schema)
 
 
 def frame_sample_plan(df: DataFrame, media_col: str = "media", every_n: int = 10) -> DataFrame:

@@ -242,3 +242,59 @@ def test_jpeg_decodes_through_spark_kernel(spark):
     assert all(len(r.features) == FEATURE_DIM for r in out)
     # both rows share the same image -> identical features
     assert tuple(out[0].features) == tuple(out[1].features)
+
+
+def test_wav_roundtrip_and_sine_features():
+    """PCM16 encode -> decode is lossless; features of a known sine match
+    closed forms (RMS = A/sqrt(2), ZCR = 2f/sr)."""
+    import math
+
+    from age_spark.pipeline.multimodal import (
+        _audio_feature_values, decode_wav, encode_wav,
+    )
+
+    sr = 8000
+    sine = [int(16384 * math.sin(2 * math.pi * 440 * t / sr)) for t in range(800)]
+    sr2, nch, out = decode_wav(encode_wav(sr, sine))
+    assert (sr2, nch) == (8000, 1) and out == sine
+    dur, rms, zcr, peak, mean = _audio_feature_values(sr2, out)
+    assert dur == 0.1
+    assert abs(rms - 0.5 / math.sqrt(2)) < 0.01
+    assert abs(zcr - 2 * 440 / sr) < 0.01
+    assert peak == 0.5 and abs(mean) < 0.001
+
+
+def test_wav_8bit_and_chunk_walk():
+    """8-bit unsigned PCM centers/widens; unknown chunks are skipped; a
+    non-RIFF blob raises honestly."""
+    import struct
+
+    import pytest
+
+    from age_spark.pipeline.multimodal import decode_wav
+
+    data8 = bytes([128, 255, 0, 128])
+    junk = b"LIST" + struct.pack("<I", 3) + b"abc" + b"\x00"  # odd size pads
+    blob = (
+        b"RIFF" + struct.pack("<I", 4 + 24 + len(junk) + 12) + b"WAVE" + junk
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 4000, 4000, 1, 8)
+        + b"data" + struct.pack("<I", 4) + data8
+    )
+    assert decode_wav(blob) == (4000, 1, [0, 32512, -32768, 0])
+    with pytest.raises(NotImplementedError):
+        decode_wav(b"OggS0000")
+
+
+def test_generated_wav_features_spark(spark):
+    """JVM-generated WAV blobs decode through the Arrow kernel: duration
+    pins the sample count, values are deterministic across runs."""
+    from pyspark.sql import functions as F
+
+    from age_spark.pipeline.multimodal import attach_generated_wav, audio_features
+
+    df = spark.createDataFrame([(1, "hello"), (2, "world")], ["id", "text"])
+    out = audio_features(attach_generated_wav(df)).select("id", "audio_features")
+    rows = {r["id"]: tuple(r["audio_features"]) for r in out.collect()}
+    assert all(v[0] == 256 / 8000 for v in rows.values())
+    rows2 = {r["id"]: tuple(r["audio_features"]) for r in out.collect()}
+    assert rows == rows2
