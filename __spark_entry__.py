@@ -669,6 +669,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["m_audio_features"] = _audio
 
+    def _video(s, d):  # REAL Y4M decode + in-kernel frame fan-out
+        from age_spark.pipeline.multimodal import (
+            attach_generated_y4m, video_frame_features,
+        )
+
+        docs = _docs(s, d).limit(25)
+        out = video_frame_features(attach_generated_y4m(docs), every_n=2)
+        return out.select("doc_id", "frame_index", "y_mean")
+
+    q["m_video_frames"] = _video
+
     return q
 
 

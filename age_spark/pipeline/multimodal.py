@@ -565,3 +565,136 @@ def frame_sample_plan(df: DataFrame, media_col: str = "media", every_n: int = 10
     n_frames = F.col(f"{media_col}.meta.n_frames")
     idx = F.sequence(F.lit(0), F.greatest(n_frames - 1, F.lit(0)), F.lit(every_n))
     return df.withColumn("frame_index", F.explode(idx))
+
+
+# ------------------------------------------------------------ video codec
+
+
+def encode_y4m(width: int, height: int, frames, fps: int = 25) -> bytes:
+    """Minimal YUV4MPEG2 writer: C444 planar frames (the Y4M stream
+    header + per-frame FRAME markers — public format documentation)."""
+    hdr = f"YUV4MPEG2 W{width} H{height} F{fps}:1 Ip A1:1 C444\n".encode()
+    body = b"".join(b"FRAME\n" + f for f in frames)
+    return hdr + body
+
+
+def decode_y4m(data: bytes) -> Tuple[int, int, int, list]:
+    """(width, height, fps, frames) of a YUV4MPEG2 stream: header tokens
+    parsed per the spec (unknown tags skipped), C444/C420(jpeg/paldv)
+    plane sizes honored, per-frame parameter tails allowed.  Frames come
+    back as raw planar bytes (Y plane first)."""
+    nl = data.find(b"\n")
+    if nl < 0 or not data.startswith(b"YUV4MPEG2"):
+        raise NotImplementedError("not a YUV4MPEG2 stream")
+    w = h = fps = None
+    chroma = "444"
+    for tok in data[:nl].split(b" ")[1:]:
+        if not tok:
+            continue
+        tag, val = tok[:1], tok[1:]
+        if tag == b"W":
+            w = int(val)
+        elif tag == b"H":
+            h = int(val)
+        elif tag == b"F":
+            fps = int(val.split(b":")[0])
+        elif tag == b"C":
+            chroma = val.decode("ascii", "replace")
+    if not w or not h:
+        raise NotImplementedError("Y4M header missing W/H")
+    if chroma.startswith("444"):
+        fsize = 3 * w * h
+    elif chroma.startswith("420"):
+        fsize = w * h + 2 * ((w // 2) * (h // 2))
+    else:
+        raise NotImplementedError(f"unsupported Y4M chroma C{chroma}")
+    frames = []
+    i = nl + 1
+    while i < len(data):
+        if not data[i:].startswith(b"FRAME"):
+            raise NotImplementedError("malformed Y4M frame marker")
+        j = data.find(b"\n", i)  # FRAME may carry parameters to EOL
+        frames.append(data[j + 1 : j + 1 + fsize])
+        i = j + 1 + fsize
+    return w, h, fps or 25, frames
+
+
+def attach_generated_y4m(
+    df: DataFrame, text_col: str = "text", width: int = 8, height: int = 8,
+    n_frames: int = 4, fps: int = 25,
+) -> DataFrame:
+    """Deterministic REAL video: a C444 Y4M clip per row whose planes
+    derive from the row's text digest, assembled JVM-side (header literal
+    + sha2-hex planes) like attach_generated_ppm/_wav."""
+    fsize = 3 * width * height
+    reps = (fsize * 2 + 63) // 64
+    header = F.lit(
+        f"YUV4MPEG2 W{width} H{height} F{fps}:1 Ip A1:1 C444\n".encode()
+    ).cast("binary")
+    parts = [header]
+    for fr in range(n_frames):
+        hexplane = F.substring(
+            F.concat(
+                *[
+                    F.sha2(F.concat(F.col(text_col), F.lit(f"y4m{fr}_{r}")), 256)
+                    for r in range(reps)
+                ]
+            ),
+            1,
+            fsize * 2,
+        )
+        parts.append(F.lit(b"FRAME\n").cast("binary"))
+        parts.append(F.unhex(hexplane))
+    meta = F.struct(
+        F.lit("video/x-yuv4mpeg").alias("mime"),
+        F.lit(width).alias("width"),
+        F.lit(height).alias("height"),
+        F.lit(n_frames).alias("n_frames"),
+        F.lit(None).cast("int").alias("sample_rate"),
+    )
+    return df.withColumn(
+        "media", F.struct(F.concat(*parts).alias("content"), meta.alias("meta"))
+    )
+
+
+def video_frame_features(
+    df: DataFrame, media_col: str = "media", every_n: int = 2
+) -> DataFrame:
+    """REAL frame sampling: decode the Y4M stream, keep every Nth frame,
+    and emit ONE ROW PER SAMPLED FRAME with luma statistics — the
+    mapInPandas kernel both decodes and fans out, so the explode never
+    leaves the Arrow batch and the binary column never shuffles."""
+    import math
+
+    out_schema = T.StructType(
+        list(df.schema.fields)
+        + [
+            T.StructField("frame_index", T.IntegerType()),
+            T.StructField("y_mean", T.DoubleType()),
+            T.StructField("y_std", T.DoubleType()),
+        ]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                m = row[media_col]
+                if m is None:
+                    continue
+                w, h, _fps, frames = decode_y4m(m["content"])
+                npix = w * h
+                for idx in range(0, len(frames), every_n):
+                    y = frames[idx][:npix]  # luma plane leads in planar Y4M
+                    mean = sum(y) / npix
+                    var = sum((b - mean) ** 2 for b in y) / npix
+                    d = dict(row)
+                    d.update(
+                        frame_index=idx,
+                        y_mean=round(mean / 255.0, 6),
+                        y_std=round(math.sqrt(var) / 255.0, 6),
+                    )
+                    rows.append(d)
+            yield pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
+
+    return df.mapInPandas(kernel, schema=out_schema)

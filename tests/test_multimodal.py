@@ -298,3 +298,39 @@ def test_generated_wav_features_spark(spark):
     assert all(v[0] == 256 / 8000 for v in rows.values())
     rows2 = {r["id"]: tuple(r["audio_features"]) for r in out.collect()}
     assert rows == rows2
+
+
+def test_y4m_roundtrip_and_chroma():
+    """C444 encode -> decode is lossless; C420 plane sizes honored; an
+    unsupported chroma raises honestly."""
+    import pytest
+
+    from age_spark.pipeline.multimodal import decode_y4m, encode_y4m
+
+    frames = [
+        bytes([i % 256 for i in range(192)]),
+        bytes([255 - (i % 256) for i in range(192)]),
+    ]
+    assert decode_y4m(encode_y4m(8, 8, frames)) == (8, 8, 25, frames)
+    f420 = bytes(16 + 2 * 4)
+    blob420 = b"YUV4MPEG2 W4 H4 F30:1 C420jpeg\n" + b"FRAME\n" + f420 + b"FRAME\n" + f420
+    w, h, fps, fr = decode_y4m(blob420)
+    assert (w, h, fps, len(fr)) == (4, 4, 30, 2)
+    with pytest.raises(NotImplementedError):
+        decode_y4m(b"YUV4MPEG2 W2 H2 C411\nFRAME\n" + bytes(12))
+
+
+def test_video_frame_features_spark(spark):
+    """The kernel decodes AND fans out: every 2nd of 4 generated frames
+    emits a row with luma stats; the explode happens inside the Arrow
+    batch (one mapInPandas, no join back)."""
+    from age_spark.pipeline.multimodal import attach_generated_y4m, video_frame_features
+
+    df = spark.createDataFrame([(1, "hello"), (2, "world")], ["id", "text"])
+    out = video_frame_features(attach_generated_y4m(df), every_n=2)
+    rows = sorted(
+        (r["id"], r["frame_index"]) for r in out.select("id", "frame_index").collect()
+    )
+    assert rows == [(1, 0), (1, 2), (2, 0), (2, 2)]
+    stats = out.select("y_mean", "y_std").collect()
+    assert all(0.0 <= r["y_mean"] <= 1.0 and 0.0 <= r["y_std"] <= 0.6 for r in stats)
