@@ -244,6 +244,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         .select("doc_id")
     )
+    q["p_ngram_decontaminate"] = lambda s, d: (
+        __import__("age_spark.pipeline.dedup", fromlist=["ngram_decontaminate"])
+        .ngram_decontaminate(
+            _docs(s, d),
+            _docs(s, d).filter(F.col("doc_id") % 37 == 0).select("text"),
+            n=8,
+        )
+        .select("doc_id")
+    )
+    q["p_unigram_logprob"] = lambda s, d: (
+        __import__("age_spark.pipeline.text", fromlist=["unigram_logprob"])
+        .unigram_logprob(_docs(s, d), vocab_size=200)
+    )
 
     # ================= Cypher graph engine (oracled) =================
 
@@ -1090,6 +1103,43 @@ def oracle_sql() -> dict[str, str]:
         "SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) "
         "FROM documents WHERE doc_id < 20)"
     )
+    # same gram rule as dedup.word_shingles: normalized text, n-word
+    # windows, whole text as the single gram when shorter than n words
+    O["p_ngram_decontaminate"] = """
+        WITH norm AS (
+          SELECT doc_id,
+                 string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
+          FROM documents
+        ),
+        grams AS (
+          SELECT doc_id,
+                 CASE WHEN len(toks) >= 8
+                      THEN array_to_string(toks[i:i+7], ' ')
+                      ELSE array_to_string(toks, ' ') END AS g
+          FROM norm, unnest(range(1, greatest(len(toks) - 8 + 1, 1) + 1)) AS t(i)
+        ),
+        ref AS (SELECT DISTINCT g FROM grams WHERE doc_id % 37 = 0),
+        bad AS (SELECT DISTINCT doc_id FROM grams WHERE g IN (SELECT g FROM ref))
+        SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM bad)
+    """
+    O["p_unigram_logprob"] = """
+        WITH tok AS (
+          SELECT doc_id,
+                 unnest(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS t
+          FROM documents
+        ),
+        tok2 AS (SELECT * FROM tok WHERE t <> ''),
+        counts AS (SELECT t, count(*) AS c FROM tok2 GROUP BY t),
+        stats AS (SELECT sum(c) AS n, count(*) AS d FROM counts),
+        vocab AS (SELECT t, c FROM counts ORDER BY c DESC, t LIMIT 200),
+        lp AS (SELECT v.t, ln((v.c + 1) / (s.n + s.d + 1.0)) AS _lp FROM vocab v, stats s),
+        oov AS (SELECT ln(1.0 / (n + d + 1.0)) AS o FROM stats)
+        SELECT k.doc_id,
+               round(avg(coalesce(l._lp, o.o)), 4) AS logprob,
+               count(*) AS n_tokens
+        FROM tok2 k LEFT JOIN lp l ON k.t = l.t CROSS JOIN oov o
+        GROUP BY k.doc_id
+    """
     O["e_asof_join"] = (
         "SELECT l.event_id, l.user_id, round(r.value, 6) AS click_value FROM "
         "(SELECT * FROM events WHERE event_type = 'purchase') l "

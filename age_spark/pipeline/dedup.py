@@ -484,6 +484,39 @@ def exact_decontaminate(
     )
 
 
+def ngram_decontaminate(
+    corpus: DataFrame,
+    reference: DataFrame,
+    text_col: str = "text",
+    ref_text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 13,
+) -> DataFrame:
+    """Eval-overlap decontamination at the n-gram level (the 13-gram rule
+    large-scale pretraining pipelines apply): a corpus document is dropped
+    when ANY of its word n-grams appears anywhere in the reference set —
+    stricter than whole-text fingerprints, catches eval passages quoted
+    inside larger documents.  Documents shorter than n words contribute
+    their whole text as one gram (word_shingles' short-input rule).
+
+    Scale shape: both sides explode to n-gram xxhash64 digests map-side
+    (rows ∝ tokens, text itself never leaves the scan); the reference
+    reduces to DISTINCT digests first (eval sets are small next to a
+    100 TB corpus) so the membership probe is a broadcast left-semi join,
+    and only the (small) contaminated-id set shuffles for the final
+    anti-join."""
+
+    def grams(c: Column) -> Column:
+        return F.transform(word_shingles(c, n), lambda g: F.xxhash64(g))
+
+    ref_g = reference.select(F.explode(grams(F.col(ref_text_col))).alias("_g")).distinct()
+    doc_g = corpus.select(F.col(id_col), F.explode(grams(F.col(text_col))).alias("_g"))
+    bad = (
+        doc_g.join(F.broadcast(ref_g), "_g", "left_semi").select(id_col).distinct()
+    )
+    return corpus.join(bad, id_col, "left_anti")
+
+
 def minhash_decontaminate(
     corpus: DataFrame,
     reference: DataFrame,

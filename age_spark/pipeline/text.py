@@ -87,6 +87,55 @@ def fingerprint(col: Column) -> Column:
     return F.md5(norm)
 
 
+def unigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab_size: int = 10_000,
+    ref: DataFrame = None,
+) -> DataFrame:
+    """Corpus-fit unigram language-model quality score — the classic
+    cheap perplexity proxy corpus-curation pipelines rank documents by:
+    fit token frequencies on the corpus itself (or ``ref``), keep the
+    top ``vocab_size`` tokens (count DESC, token ASC — a deterministic
+    tie-break both engines reproduce), add-one smooth over the FULL
+    distinct-token count D, and score each document as
+    round(mean ln P(token), 4) with OOV mass ln(1/(N+D+1)).
+
+    Scale shape: one groupBy shuffle fits the vocab on the reference
+    side (token-keyed, partial aggregation); the top-K is a
+    TakeOrderedAndProject bounded by vocab_size; scoring joins the
+    exploded tokens against the BROADCAST vocab (map-side) and
+    re-aggregates per document — the only full-corpus shuffle is that
+    doc-id groupBy, with partial aggregation underneath."""
+    import math
+
+    toks = lambda c: F.split(F.regexp_replace(F.lower(F.trim(c)), r"\s+", " "), " ")
+    ref_toks = (ref if ref is not None else df).select(
+        F.explode(toks(F.col(text_col))).alias("_tok")
+    ).filter(F.col("_tok") != "")
+    counts = ref_toks.groupBy("_tok").agg(F.count(F.lit(1)).alias("_c"))
+    row = counts.agg(F.sum("_c").alias("n"), F.count(F.lit(1)).alias("d")).first()
+    denom = float((row["n"] or 0) + (row["d"] or 0) + 1)
+    oov = math.log(1.0 / denom)
+    vocab = (
+        counts.orderBy(F.col("_c").desc(), F.col("_tok"))
+        .limit(vocab_size)
+        .select("_tok", F.log((F.col("_c") + 1) / F.lit(denom)).alias("_lp"))
+    )
+    doc_toks = df.select(
+        F.col(id_col), F.explode(toks(F.col(text_col))).alias("_tok")
+    ).filter(F.col("_tok") != "")
+    return (
+        doc_toks.join(F.broadcast(vocab), "_tok", "left")
+        .groupBy(id_col)
+        .agg(
+            F.round(F.avg(F.coalesce(F.col("_lp"), F.lit(oov))), 4).alias("logprob"),
+            F.count(F.lit(1)).alias("n_tokens"),
+        )
+    )
+
+
 def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     t = F.col(text_col)
     return df.select(

@@ -298,3 +298,55 @@ def test_trigram_similarity_join_exact(spark):
         assert got == want, t
     # identical strings always survive any threshold
     assert any(a == 2 and b == 12 for a, b, _ in got)
+
+
+def test_ngram_decontaminate_catches_quoted_passage(spark):
+    """The n-gram rule drops a doc QUOTING an eval passage inside a larger
+    text — the case whole-text fingerprints miss — and keeps clean docs."""
+    from age_spark.pipeline.dedup import ngram_decontaminate
+
+    eval_passage = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = spark.createDataFrame(
+        [
+            (1, f"intro words here {eval_passage} trailing content words"),
+            (2, "a completely unrelated document about other things entirely"),
+            (3, eval_passage),  # verbatim copy
+        ],
+        ["doc_id", "text"],
+    )
+    ref = spark.createDataFrame([(eval_passage,)], ["text"])
+    kept = sorted(
+        r["doc_id"]
+        for r in ngram_decontaminate(docs, ref, n=8).select("doc_id").collect()
+    )
+    assert kept == [2]
+
+
+def test_ngram_decontaminate_short_doc_whole_text_rule(spark):
+    """Docs shorter than n words contribute their whole text as one gram:
+    a short doc is dropped only on a whole-text match."""
+    from age_spark.pipeline.dedup import ngram_decontaminate
+
+    docs = spark.createDataFrame(
+        [(1, "tiny doc"), (2, "other tiny")], ["doc_id", "text"]
+    )
+    ref = spark.createDataFrame([("tiny doc",)], ["text"])
+    kept = [r["doc_id"] for r in ngram_decontaminate(docs, ref, n=13).collect()]
+    assert kept == [2]
+
+
+def test_unigram_logprob_ranks_common_above_rare(spark):
+    """A document of corpus-common tokens must outscore one of rare/OOV
+    tokens; token counts and determinism hold."""
+    from age_spark.pipeline.text import unigram_logprob
+
+    rows = [(i, "common words appear often in this corpus") for i in range(10)]
+    rows += [(100, "common words appear often in this corpus"),
+             (101, "zzyzx qwfp xyzzy plugh vexing jabberwock unseen tokens")]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in unigram_logprob(docs, vocab_size=7).collect()}
+    assert out[100]["logprob"] > out[101]["logprob"]
+    assert out[101]["n_tokens"] == 8
+    out2 = {r["doc_id"]: r for r in unigram_logprob(docs, vocab_size=7).collect()}
+    assert {k: (v["logprob"], v["n_tokens"]) for k, v in out.items()} == \
+           {k: (v["logprob"], v["n_tokens"]) for k, v in out2.items()}
