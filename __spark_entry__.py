@@ -244,6 +244,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         .select("doc_id")
     )
+    q["p_temperature_mixture"] = lambda s, d: (
+        __import__("age_spark.pipeline.sampling", fromlist=["temperature_mixture"])
+        .temperature_mixture(
+            _docs(s, d), "source", temperature=2.0, target_total=100,
+            order_col="n_chars", id_col="doc_id",
+        )
+        .select("doc_id", "source")
+    )
     q["p_ngram_decontaminate"] = lambda s, d: (
         __import__("age_spark.pipeline.dedup", fromlist=["ngram_decontaminate"])
         .ngram_decontaminate(
@@ -1103,6 +1111,24 @@ def oracle_sql() -> dict[str, str]:
         "SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) "
         "FROM documents WHERE doc_id < 20)"
     )
+    # temperature mixture: p_s ∝ n_s^(1/2), quota = floor(100 * p_s)
+    # capped at n_s, filled top-by-n_chars (doc_id tie-break) per source
+    O["p_temperature_mixture"] = """
+        WITH counts AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+        wts AS (SELECT source, n, pow(n, 1.0/2.0) AS w FROM counts),
+        z AS (SELECT sum(w) AS z FROM wts),
+        quota AS (
+          SELECT source, least(n, CAST(floor(100 * w / z.z) AS BIGINT)) AS q
+          FROM wts, z
+        ),
+        ranked AS (
+          SELECT doc_id, source,
+                 row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rk
+          FROM documents
+        )
+        SELECT r.doc_id, r.source FROM ranked r JOIN quota q ON r.source = q.source
+        WHERE r.rk <= q.q
+    """
     # same gram rule as dedup.word_shingles: normalized text, n-word
     # windows, whole text as the single gram when shorter than n words
     O["p_ngram_decontaminate"] = """

@@ -60,6 +60,59 @@ def stratified_sample(
     return df.filter(draw < rate)
 
 
+def temperature_mixture(
+    df: DataFrame,
+    source_col: str,
+    temperature: float = 1.0,
+    target_total: int = 1_000,
+    order_col: Optional[str] = None,
+    seed: int = 42,
+    id_col: Optional[str] = None,
+) -> DataFrame:
+    """Temperature-reweighted mixture sampling — the multilingual /
+    multi-source pretraining recipe: source s gets a share of
+    ``target_total`` proportional to ``n_s^(1/T)`` (T=1 keeps natural
+    proportions; T→∞ approaches uniform over sources, up-weighting small
+    sources), floored to an integer and capped at the source's row count.
+    Within each source the quota fills top-by-``order_col`` (quality
+    ordering, ``id_col`` tie-break — deterministic, SQL-oracle-able) or
+    by the seeded hash draw.
+
+    Scale shape: the per-source counts are ONE tiny aggregation collected
+    to the driver (bounded by the number of sources, never rows); the
+    selection is the same single window shuffle as stratified_cap."""
+    import math
+
+    counts = {
+        r[source_col]: r["_n"]
+        for r in df.groupBy(source_col).agg(F.count(F.lit(1)).alias("_n")).collect()
+    }
+    ws = {k: float(n) ** (1.0 / float(temperature)) for k, n in counts.items()}
+    z = sum(ws.values()) or 1.0
+    want = {
+        k: min(counts[k], int(math.floor(target_total * w / z)))
+        for k, w in ws.items()
+    }
+    quota = None
+    for k, q in want.items():
+        quota = (
+            F.when(F.col(source_col) == k, F.lit(q))
+            if quota is None
+            else quota.when(F.col(source_col) == k, F.lit(q))
+        )
+    quota = quota.otherwise(F.lit(0)) if quota is not None else F.lit(0)
+    if order_col is not None:
+        order = [F.col(order_col).desc()] + ([F.col(id_col)] if id_col else [])
+    else:
+        order = [_hash_draw(df, seed, id_col).asc()]
+    w = Window.partitionBy(source_col).orderBy(*order)
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= quota)
+        .drop("_rk")
+    )
+
+
 def stratified_cap(
     df: DataFrame,
     strata_col: str,

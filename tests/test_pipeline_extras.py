@@ -350,3 +350,35 @@ def test_unigram_logprob_ranks_common_above_rare(spark):
     out2 = {r["doc_id"]: r for r in unigram_logprob(docs, vocab_size=7).collect()}
     assert {k: (v["logprob"], v["n_tokens"]) for k, v in out.items()} == \
            {k: (v["logprob"], v["n_tokens"]) for k, v in out2.items()}
+
+
+def test_temperature_mixture_reweights_small_sources(spark):
+    """Temperature > 1 moves the mixture toward uniform: the small
+    source's share rises vs its natural proportion; quotas never exceed a
+    source's row count; selection is deterministic under repartition."""
+    from age_spark.pipeline.sampling import temperature_mixture
+
+    rows = [(i, "a", i) for i in range(80)]
+    rows += [(100 + i, "b", i) for i in range(16)]
+    rows += [(200 + i, "c", i) for i in range(4)]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "q"])
+
+    def shares(t):
+        out = temperature_mixture(
+            df, "source", temperature=t, target_total=50,
+            order_col="q", id_col="doc_id",
+        )
+        by = {r["source"]: r["n"] for r in out.groupBy("source").count()
+              .withColumnRenamed("count", "n").collect()}
+        return by
+
+    nat = shares(1.0)      # ∝ 80:16:4  -> 40:8:2
+    hot = shares(100.0)    # ~uniform    -> ~16:16:4(capped)
+    assert nat == {"a": 40, "b": 8, "c": 2}
+    assert hot["c"] == 4 and hot["b"] > nat["b"] and hot["a"] < nat["a"]
+    # deterministic under repartition
+    out1 = sorted(r["doc_id"] for r in temperature_mixture(
+        df, "source", 2.0, 50, order_col="q", id_col="doc_id").collect())
+    out2 = sorted(r["doc_id"] for r in temperature_mixture(
+        df.repartition(7), "source", 2.0, 50, order_col="q", id_col="doc_id").collect())
+    assert out1 == out2
