@@ -88,6 +88,10 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
+    # drop PySpark's per-op call-site capture on whatever session the
+    # driver hands us — pure plan-time overhead (see api._disable_df_debugging)
+    from age_spark.api import _disable_df_debugging as _nodbg
+
     # ================= LLM-pipeline operators (oracled) =================
 
     # ---- text analysis: token count + quality score + language ID +
@@ -264,6 +268,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["p_unigram_logprob"] = lambda s, d: (
         __import__("age_spark.pipeline.text", fromlist=["unigram_logprob"])
         .unigram_logprob(_docs(s, d), vocab_size=200)
+    )
+    # per-doc top-k TF-IDF terms (keyword/topic features for corpus balancing)
+    q["p_tfidf_topk"] = lambda s, d: (
+        __import__("age_spark.pipeline.text", fromlist=["tfidf_topk"])
+        .tfidf_topk(_docs(s, d), k=3)
+    )
+    # adjacent-pair counting — one BPE tokenizer-training merge iteration
+    q["p_bpe_pair_counts"] = lambda s, d: (
+        __import__("age_spark.pipeline.text", fromlist=["bpe_pair_counts"])
+        .bpe_pair_counts(_docs(s, d), top_n=50)
     )
 
     # ================= Cypher graph engine (oracled) =================
@@ -701,7 +715,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["m_video_frames"] = _video
 
-    return q
+    def _with_nodbg(fn):
+        def run(s, d, fn=fn):
+            _nodbg(s)
+            return fn(s, d)
+
+        return run
+
+    return {k: _with_nodbg(v) for k, v in q.items()}
 
 
 # ---------------------------------------------------------------- oracles
@@ -1165,6 +1186,37 @@ def oracle_sql() -> dict[str, str]:
                count(*) AS n_tokens
         FROM tok2 k LEFT JOIN lp l ON k.t = l.t CROSS JOIN oov o
         GROUP BY k.doc_id
+    """
+    O["p_tfidf_topk"] = """
+        WITH doc_toks AS (
+          SELECT doc_id,
+                 unnest(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS term
+          FROM documents
+        ), tf AS (
+          SELECT doc_id, term, count(*) AS tf FROM doc_toks WHERE term <> '' GROUP BY 1, 2
+        ), idf AS (
+          SELECT term,
+                 ln(((SELECT count(*) FROM documents) + 1.0) / (count(*) + 1.0)) + 1.0 AS idf
+          FROM tf GROUP BY 1
+        ), ranked AS (
+          SELECT tf.doc_id, tf.term, tf.tf * idf.idf AS s,
+                 row_number() OVER (PARTITION BY tf.doc_id
+                                    ORDER BY tf.tf * idf.idf DESC, tf.term ASC) AS rank
+          FROM tf JOIN idf USING (term)
+        )
+        SELECT doc_id, term, round(s, 4) AS tfidf, rank FROM ranked WHERE rank <= 3
+    """
+    O["p_bpe_pair_counts"] = """
+        WITH toks AS (
+          SELECT string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS t
+          FROM documents
+        ), pairs AS (
+          SELECT t[i] || ' ' || t[i+1] AS pair
+          FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t)-1)) AS i) u
+          WHERE t[i] <> '' AND t[i+1] <> ''
+        )
+        SELECT pair, count(*) AS n FROM pairs GROUP BY pair
+        ORDER BY n DESC, pair ASC LIMIT 50
     """
     O["e_asof_join"] = (
         "SELECT l.event_id, l.user_id, round(r.value, 6) AS click_value FROM "

@@ -36,9 +36,35 @@ class CypherResult:
     graph: Graph
 
 
+def _disable_df_debugging(spark: SparkSession) -> None:
+    """Turn off PySpark's per-operation call-site capture for this process.
+
+    With ``spark.python.sql.dataFrameDebugging.enabled`` (default true in
+    PySpark 4) every Column/DataFrame method pays ~4 extra py4j
+    round-trips (conf read + JVM PySparkCurrentOrigin set/clear) purely to
+    enrich error messages with the Python call site.  The Cypher compiler
+    builds plans from thousands of fine-grained Column ops, so this is
+    3-4x of its entire driver-side compile time (measured: g_join2_agg
+    985 -> 265 py4j commands per compile).  Errors still carry the full
+    Python traceback; only the JVM-side origin annotation is lost."""
+    try:
+        spark.conf.set("spark.python.sql.dataFrameDebugging.enabled", "false")
+    except Exception:
+        pass
+    try:
+        # the flag is cached module-globally on first use, so flipping the
+        # conf alone does nothing once any DataFrame op has run
+        from pyspark.errors import utils as _pyspark_err_utils
+
+        _pyspark_err_utils._enable_debugging_cache = False
+    except Exception:
+        pass
+
+
 class AgeSession:
     def __init__(self, spark: SparkSession, mutable_graphs: bool = False):
         self.spark = spark
+        _disable_df_debugging(spark)
         # reference GUC parity: age.enable_containment (cypher_match.sql:1082)
         self.enable_containment = True
         # The reference has ONE mutable graph per name; this engine returns

@@ -929,9 +929,12 @@ def _project_aggregate(ctx, df, env, items, aliases, order_by, distinct):
         if not any(n == u for u in uniq):
             uniq.append(n)
 
+    # batch every helper column into single withColumns calls — each
+    # withColumn is a full py4j select + analysis round-trip, and the
+    # helpers here never reference each other (driver plan time only)
     pre = df
-    for name, c in key_cols.items():
-        pre = pre.withColumn(name, c)
+    if key_cols:
+        pre = pre.withColumns(key_cols)
     # a preceding `WITH ... ORDER BY` defines the row order collect() sees
     # in the reference's sequential executor (pattern_expression.sql
     # `WITH a ORDER BY a.name RETURN collect(...)`); materialize the sort
@@ -942,6 +945,7 @@ def _project_aggregate(ctx, df, env, items, aliases, order_by, distinct):
         try:
             sc_ord = ExprScope(ctx, pre, env)
             cols_pre = [(compile_expr(sc_ord, ob.expr), ob.asc) for ob in pending]
+            ob_cols = {}
             for i, (c, asc) in enumerate(cols_pre):
                 # a tagged sort key materializes as its EXACT order key so
                 # the collect() array_sort comparator (a lambda — no UDFs
@@ -949,8 +953,10 @@ def _project_aggregate(ctx, df, env, items, aliases, order_by, distinct):
                 k = _exact_order_key(pre, c)
                 if k is not None:
                     c = k
-                pre = pre.withColumn(f"_ob{i}", c)
+                ob_cols[f"_ob{i}"] = c
                 ord_specs_pre.append(asc)
+            if ob_cols:
+                pre = pre.withColumns(ob_cols)
         except Exception:
             ord_specs_pre = []
     if not ord_specs_pre:
@@ -963,21 +969,28 @@ def _project_aggregate(ctx, df, env, items, aliases, order_by, distinct):
         from .context import EDGE, VERTEX
 
         i = 0
+        ob_cols = {}
+        pre_cols = set(pre.columns)
         for name, b in env.bindings.items():
-            if b.kind in (VERTEX, EDGE) and name in pre.columns:
-                pre = pre.withColumn(f"_ob{i}", F.col(name).getField("id"))
+            if b.kind in (VERTEX, EDGE) and name in pre_cols:
+                ob_cols[f"_ob{i}"] = F.col(name).getField("id")
                 ord_specs_pre.append(True)
                 i += 1
-        pre = pre.withColumn(f"_ob{i}", F.monotonically_increasing_id())
+        ob_cols[f"_ob{i}"] = F.monotonically_increasing_id()
         ord_specs_pre.append(True)
+        pre = pre.withColumns(ob_cols)
     arg_names: list[Optional[str]] = []
+    aa_cols = {}
+    aa_scope = ExprScope(ctx, pre, env)
     for j, node in enumerate(uniq):
         if node.args and not isinstance(node.args[0], A.Star):
             an = f"_aa{j}"
-            pre = pre.withColumn(an, compile_expr(ExprScope(ctx, pre, env), node.args[0]))
+            aa_cols[an] = compile_expr(aa_scope, node.args[0])
             arg_names.append(an)
         else:
             arg_names.append(None)
+    if aa_cols:
+        pre = pre.withColumns(aa_cols)
 
     aggs = []
     for j, node in enumerate(uniq):

@@ -1105,9 +1105,10 @@ def _tagged_arith(
     ``exact_num=True`` computes the NUMERIC-kind __d payload through the
     EXACT Arrow kernel (runtime/pgnumeric.py — arbitrary precision with
     PG display scales, matching numeric_out at any width); the bounded
-    DECIMAL(38,18) lane survives ONLY inside higher-order-function
-    lambdas, where a pandas UDF cannot run.  The int/float lanes
-    (__i/__n) stay pure JVM codegen either way."""
+    DECIMAL(38,18) lane survives ONLY for non-tree arithmetic inside
+    higher-order-function lambdas (where a pandas UDF cannot run and the
+    array-level eval_arith_tree kernel cannot reach).  The int/float
+    lanes (__i/__n) stay pure JVM codegen either way."""
     from ..graph import ORDER_KEY_TYPE, TAGGED_TYPE
 
     def parts(c, dt, tagged):

@@ -389,9 +389,16 @@ class MatchState:
     def _vertex_scan(self, name: str, labels: list[str], props: Optional[A.Expr]) -> DataFrame:
         g = self.ctx.graph
         scan = g.scan_vertices(labels or None)
-        out = scan.select(
-            F.struct(F.col("id"), F.col("label"), F.col("properties")).alias(name)
+        # memoize the struct packing under a generic column and rename per
+        # pattern variable — the rename is one py4j select vs rebuilding
+        # the struct tree (driver plan-time only; same physical plan)
+        packed = g._scan_cached(
+            ("vpack", tuple(labels or ())), [scan],
+            lambda: scan.select(
+                F.struct(F.col("id"), F.col("label"), F.col("properties")).alias("__v")
+            ),
         )
+        out = packed.select(F.col("__v").alias(name))
         if props is not None:
             if _props_refs_vars(props):
                 self.deferred_props.append((name, props))
@@ -423,22 +430,35 @@ class MatchState:
             scan = scan.filter(
                 _props_filter(scope, F.struct(F.col("id"), F.col("start_id"), F.col("end_id"), F.col("label"), F.col("properties")), props, dt)
             )
-        e = F.struct(
-            F.col("id"), F.col("start_id"), F.col("end_id"), F.col("label"), F.col("properties")
-        ).alias(name)
+        def build_oriented():
+            e = F.struct(
+                F.col("id"), F.col("start_id"), F.col("end_id"), F.col("label"), F.col("properties")
+            ).alias("__e")
+            if direction == "out":
+                return scan.select(e, F.col("start_id").alias("__src"), F.col("end_id").alias("__dst"))
+            if direction == "in":
+                return scan.select(e, F.col("end_id").alias("__src"), F.col("start_id").alias("__dst"))
+            fwd = scan.select(e, F.col("start_id").alias("__src"), F.col("end_id").alias("__dst"))
+            # undirected: self-loops match once, not once per orientation
+            # (the reference's separate edges_self list,
+            # age_global_graph.c:642-657)
+            rev = scan.filter(F.col("start_id") != F.col("end_id")).select(
+                e, F.col("end_id").alias("__src"), F.col("start_id").alias("__dst")
+            )
+            return fwd.unionByName(rev)
+
+        if props is None:
+            # memoize the oriented packing (generic names) per type set +
+            # direction; the per-variable rename is a single cheap select
+            oriented = g._scan_cached(
+                ("epack", tuple(types or ()), direction), [scan], build_oriented
+            )
+        else:
+            oriented = build_oriented()
         src, dst = f"_src_{name}", f"_dst_{name}"
-        if direction == "out":
-            return scan.select(e, F.col("start_id").alias(src), F.col("end_id").alias(dst))
-        if direction == "in":
-            return scan.select(e, F.col("end_id").alias(src), F.col("start_id").alias(dst))
-        fwd = scan.select(e, F.col("start_id").alias(src), F.col("end_id").alias(dst))
-        # undirected: self-loops match once, not once per orientation
-        # (the reference's separate edges_self list,
-        # age_global_graph.c:642-657)
-        rev = scan.filter(F.col("start_id") != F.col("end_id")).select(
-            e, F.col("end_id").alias(src), F.col("start_id").alias(dst)
+        return oriented.select(
+            F.col("__e").alias(name), F.col("__src").alias(src), F.col("__dst").alias(dst)
         )
-        return fwd.unionByName(rev)
 
     @staticmethod
     def _check_varname(var):

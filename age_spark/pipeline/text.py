@@ -271,3 +271,90 @@ def chunk_documents(
         ),
     )
     return df.select(F.col(id_col), F.inline(chunks))
+
+
+def tfidf_topk(
+    df: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document top-k TF-IDF terms — the classic keyword/feature
+    extractor corpus-curation pipelines use for topic balancing and
+    cheap relevance features.
+
+    TF = raw term count in the document; IDF = ln((N+1)/(df+1)) + 1
+    (sklearn's smoothed form); rank = row_number over (tf*idf DESC,
+    term ASC) per document, keep rank <= k.
+
+    Scale shape: explode -> (doc, term) groupBy with partial aggregation
+    (term-in-doc cardinality bounds the shuffle, not raw token count);
+    document frequency is a second groupBy over the already-reduced
+    (doc, term) pairs; the per-term IDF table is vocabulary-sized and
+    BROADCAST back; the final top-k is one window shuffle keyed by
+    doc_id.  N (corpus size) is a scalar count — one number on the
+    driver, never the data."""
+    from pyspark.sql import Window
+
+    toks = F.split(
+        F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "), " "
+    )
+    n_docs = df.count()
+    tf = (
+        df.select(F.col(id_col), F.explode(toks).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    idf = tf.groupBy("term").agg(
+        (
+            F.log((F.lit(n_docs) + 1.0) / (F.count(F.lit(1)) + 1.0)) + 1.0
+        ).alias("idf")
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        (F.col("tf") * F.col("idf")).desc(), F.col("term").asc()
+    )
+    return (
+        tf.join(F.broadcast(idf), "term")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col(id_col),
+            F.col("term"),
+            F.round(F.col("tf") * F.col("idf"), 4).alias("tfidf"),
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+    )
+
+
+def bpe_pair_counts(
+    df: DataFrame,
+    top_n: int = 50,
+    text_col: str = "text",
+) -> DataFrame:
+    """Adjacent-token-pair frequencies over the corpus — the counting
+    step of one BPE merge iteration, the hot inner loop of tokenizer
+    training at corpus scale (the pair with the highest count becomes
+    the next merge rule).
+
+    Scale shape: pairs are formed INSIDE the array (zip_with of the two
+    shifted slices — map-side, no posexplode self-join), then one
+    pair-keyed groupBy with partial aggregation; the top-N is a
+    TakeOrderedAndProject bounded by ``top_n``, never a full sort."""
+    toks = F.split(
+        F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "), " "
+    )
+    n = F.size(toks)
+    pairs = F.zip_with(
+        F.slice(toks, 1, F.greatest(n - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(n - 1, F.lit(0))),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    return (
+        df.select(F.explode(pairs).alias("pair"))
+        .filter(~F.col("pair").rlike(r"(^ )|( $)|(^$)"))
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("pair").asc())
+        .limit(top_n)
+    )

@@ -55,6 +55,9 @@ def main() -> int:
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
+        # per-op Python call-site capture costs ~4 py4j round-trips per
+        # Column method — 3-4x the compiler's driver-side plan time
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         .appName("age_spark-bench")
         .getOrCreate()
     )

@@ -11,6 +11,9 @@ def spark():
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", "8g")
+        # per-op Python call-site capture costs ~4 py4j round-trips per
+        # Column method — 3-4x the compiler's driver-side plan time
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         .appName("age_spark-tests")
         .getOrCreate()
     )

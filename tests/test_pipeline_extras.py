@@ -382,3 +382,51 @@ def test_temperature_mixture_reweights_small_sources(spark):
     out2 = sorted(r["doc_id"] for r in temperature_mixture(
         df.repartition(7), "source", 2.0, 50, order_col="q", id_col="doc_id").collect())
     assert out1 == out2
+
+
+def test_tfidf_topk_hand_values(spark):
+    """TF-IDF on a 3-doc corpus, checked against hand-computed values:
+    a term present in every document gets idf = ln(4/4)+1 = 1.0 (score =
+    tf); a term unique to one document gets idf = ln(4/2)+1; ranking
+    breaks score ties by term ASC."""
+    import math
+
+    from age_spark.pipeline.text import tfidf_topk
+
+    df = spark.createDataFrame(
+        [(1, "apple apple banana common"),
+         (2, "banana common"),
+         (3, "cherry common common")],
+        ["doc_id", "text"],
+    )
+    out = {(r["doc_id"], r["term"]): (r["tfidf"], r["rank"])
+           for r in tfidf_topk(df, k=2).collect()}
+    idf_unique = math.log(4.0 / 2.0) + 1.0   # df=1 -> ln((3+1)/(1+1))+1
+    idf_two = math.log(4.0 / 3.0) + 1.0      # df=2
+    assert out[(1, "apple")] == (round(2 * idf_unique, 4), 1)
+    assert out[(1, "banana")] == (round(1 * idf_two, 4), 2)
+    # doc 3: common tf=2 * idf 1.0 = 2.0 beats cherry 1*1.693
+    assert out[(3, "cherry")] == (round(idf_unique, 4), 2)
+    # 'common' in all 3 docs: idf = ln(4/4)+1 = 1.0, score == tf
+    assert out[(3, "common")] == (2.0, 1)
+    # every doc yields at most k rows
+    assert max(
+        len([k for k in out if k[0] == d]) for d in (1, 2, 3)
+    ) <= 2
+
+
+def test_bpe_pair_counts_hand_values(spark):
+    """Pair counting matches the by-hand merge table; whitespace is
+    collapsed, case folded, single-token docs yield nothing."""
+    from age_spark.pipeline.text import bpe_pair_counts
+
+    df = spark.createDataFrame(
+        [(1, "a b a b a"), (2, "A  b\ta"), (3, "solo"), (4, "")],
+        ["doc_id", "text"],
+    )
+    got = {(r["pair"], r["n"]) for r in bpe_pair_counts(df).collect()}
+    # doc1: (a b)x2 (b a)x2 ; doc2: (a b) (b a)
+    assert got == {("a b", 3), ("b a", 3)}
+    # top_n truncates deterministically (count DESC, pair ASC)
+    one = bpe_pair_counts(df, top_n=1).collect()
+    assert [(one[0]["pair"], one[0]["n"])] == [("a b", 3)]

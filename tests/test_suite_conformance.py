@@ -21,8 +21,11 @@ DATA = os.path.join(os.path.dirname(__file__), "data")
 # spellings, >38-digit literals, the in-container ::numeric marker all
 # survive).  Numeric arithmetic is EXACT at arbitrary precision with PG
 # display scales both at compile time (exprs.py:_fold_const_numeric) and
-# on column data (the vectorized Arrow kernel, runtime/pgnumeric.py);
-# only inside HOF lambdas does a bounded DECIMAL(38,18) lane remain
+# on column data (the vectorized Arrow kernel, runtime/pgnumeric.py),
+# including arithmetic trees inside HOF lambdas and reduce() folds
+# (eval_arith_tree / make_numeric_fold_udf); only NON-tree in-lambda
+# arithmetic (an arithmetic operand feeding a non-arithmetic function
+# inside the lambda) keeps the bounded DECIMAL(38,18) lane
 # (documented, COVERAGE.md).
 SKIPS = {
     "cypher_with": {
