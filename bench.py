@@ -39,6 +39,8 @@ HEADLINE = [
     "p_fuzzy_join",
     "p_ann_topk",
     "p_ann_ivf",
+    "p_tfidf_topk",
+    "p_bpe_pair_counts",
     "e_type_agg",
     "e_sessionize",
     "e_tumbling",

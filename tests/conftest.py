@@ -19,3 +19,33 @@ def spark():
     )
     s.sparkContext.setLogLevel("ERROR")
     yield s
+
+
+import contextlib
+
+
+@contextlib.contextmanager
+def tiny_query_confs(spark):
+    """Runtime confs for statement-replay batches over <100-row fixtures.
+
+    These batches run thousands of UNIQUE tiny statements; the wall time
+    is JVM-side per-statement overhead (whole-stage-codegen class
+    compilation per unique plan, 32-partition shuffles), not data.  Both
+    are documented runtime-mutable SQL confs; semantics are identical —
+    plan-shape tests elsewhere still run with the session defaults.
+    Measured on the 37-suite conformance batch: 20:47 -> 14:05.
+    (Tried and rejected: adaptive.enabled=false overflows the plan-
+    recursion stack on 200-hop VLE statements; constraintPropagation off
+    measured no win.)"""
+    keys = (
+        "spark.sql.codegen.wholeStage",
+        "spark.sql.shuffle.partitions",
+    )
+    saved = {k: spark.conf.get(k) for k in keys}
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        yield
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)

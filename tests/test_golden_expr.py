@@ -884,3 +884,17 @@ def test_golden_mixed_kind_ordering(empty_graph):
 
 def test_ordering_case_count():
     assert len(ORDERING_CASES) >= 20, len(ORDERING_CASES)
+
+
+# statement-replay batches over tiny fixtures: run under the reduced
+# per-statement-overhead confs (see conftest.tiny_query_confs)
+import pytest as _pytest
+
+
+@_pytest.fixture(autouse=True)
+def _tiny_confs(spark):
+    from conftest import tiny_query_confs
+
+    with tiny_query_confs(spark):
+        yield
+

@@ -148,10 +148,19 @@ else:
         idempotent)."""
         from concurrent.futures import ThreadPoolExecutor
 
-        with ThreadPoolExecutor(max_workers=16) as ex:
-            results = dict(
-                zip(SUITES, ex.map(lambda s: _run_suite(spark, s), SUITES))
-            )
+        # The batch is JVM-bound (measured: java ~29 cores, python ~6%):
+        # thousands of UNIQUE tiny statements each pay whole-stage-codegen
+        # class compilation and 32-partition shuffles over <100-row
+        # fixtures.  Interpreted mode + small shuffles are strictly faster
+        # here and semantics-identical (conftest.tiny_query_confs; 20:47
+        # -> 14:05 measured on this batch).
+        from conftest import tiny_query_confs
+
+        with tiny_query_confs(spark):
+            with ThreadPoolExecutor(max_workers=16) as ex:
+                results = dict(
+                    zip(SUITES, ex.map(lambda s: _run_suite(spark, s), SUITES))
+                )
         report = []
         for suite, fails in results.items():
             if fails:
