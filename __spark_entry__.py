@@ -269,6 +269,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         __import__("age_spark.pipeline.text", fromlist=["unigram_logprob"])
         .unigram_logprob(_docs(s, d), vocab_size=200)
     )
+    # per-doc contaminated-13-gram share (the audit report next to the
+    # binary decontamination rule)
+    q["p_contamination_share"] = lambda s, d: (
+        __import__("age_spark.pipeline.dedup", fromlist=["contamination_share"])
+        .contamination_share(
+            _docs(s, d),
+            _docs(s, d).filter(F.col("doc_id") % 37 == 0).select("text"),
+            n=13,
+        )
+    )
+    # corpus vocabulary profile: Zipf rank + share + cumulative share
+    q["p_vocab_stats"] = lambda s, d: (
+        __import__("age_spark.pipeline.text", fromlist=["vocab_stats"])
+        .vocab_stats(_docs(s, d), top_n=100)
+    )
     # per-doc top-k TF-IDF terms (keyword/topic features for corpus balancing)
     q["p_tfidf_topk"] = lambda s, d: (
         __import__("age_spark.pipeline.text", fromlist=["tfidf_topk"])
@@ -1186,6 +1201,44 @@ def oracle_sql() -> dict[str, str]:
                count(*) AS n_tokens
         FROM tok2 k LEFT JOIN lp l ON k.t = l.t CROSS JOIN oov o
         GROUP BY k.doc_id
+    """
+    O["p_contamination_share"] = """
+        WITH norm AS (
+          SELECT doc_id,
+                 string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
+          FROM documents
+        ),
+        grams AS (
+          SELECT DISTINCT doc_id,
+                 CASE WHEN len(toks) >= 13
+                      THEN array_to_string(toks[i:i+12], ' ')
+                      ELSE array_to_string(toks, ' ') END AS g
+          FROM norm, unnest(range(1, greatest(len(toks) - 13 + 1, 1) + 1)) AS t(i)
+        ),
+        ref AS (SELECT DISTINCT g FROM grams WHERE doc_id % 37 = 0)
+        SELECT doc_id,
+               count(*) AS n_grams,
+               coalesce(sum(CASE WHEN g IN (SELECT g FROM ref) THEN 1 ELSE 0 END), 0) AS n_contaminated,
+               round(coalesce(sum(CASE WHEN g IN (SELECT g FROM ref) THEN 1 ELSE 0 END), 0)::double
+                     / count(*), 4) AS contamination_share
+        FROM grams GROUP BY doc_id
+    """
+    O["p_vocab_stats"] = """
+        WITH tok AS (
+          SELECT unnest(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS token
+          FROM documents
+        ),
+        counts AS (SELECT token, count(*) AS n FROM tok WHERE token <> '' GROUP BY 1),
+        total AS (SELECT sum(n)::double AS t FROM counts),
+        top AS (
+          SELECT token, n, row_number() OVER (ORDER BY n DESC, token ASC) AS rank
+          FROM counts QUALIFY rank <= 100
+        )
+        SELECT rank, token, n,
+               round(n / t.t, 6) AS share,
+               round(sum(n) OVER (ORDER BY n DESC, token ASC ROWS UNBOUNDED PRECEDING) / t.t, 6)
+                 AS cum_share
+        FROM top, total t
     """
     O["p_tfidf_topk"] = """
         WITH doc_toks AS (

@@ -565,3 +565,41 @@ def minhash_decontaminate(
         .distinct()
     )
     return corpus.join(contaminated, id_col, "left_anti")
+
+
+def contamination_share(
+    corpus: DataFrame,
+    reference: DataFrame,
+    text_col: str = "text",
+    ref_text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 13,
+) -> DataFrame:
+    """Per-document contamination SHARE: the fraction of a document's
+    distinct word n-grams that appear anywhere in the reference set — the
+    span-coverage report curation pipelines publish next to the binary
+    drop rule (``ngram_decontaminate`` is the filter; this is the audit).
+
+    Scale shape: identical to ngram_decontaminate — the reference reduces
+    to DISTINCT gram digests (eval sets are small) and broadcasts; the
+    corpus explodes to digests map-side and re-aggregates per document
+    (one doc-keyed groupBy with partial aggregation).  Text never leaves
+    the scan stage."""
+    ref_g = (
+        reference.select(F.explode(word_shingles(F.col(ref_text_col), n)).alias("_gs"))
+        .select(F.xxhash64(F.col("_gs")).alias("_g"))
+        .distinct()
+    )
+    doc_g = corpus.select(
+        F.col(id_col), F.explode(word_shingles(F.col(text_col), n)).alias("_gs")
+    ).select(F.col(id_col), F.xxhash64(F.col("_gs")).alias("_g"))
+    hits = doc_g.join(
+        F.broadcast(ref_g.withColumn("_hit", F.lit(1))), "_g", "left"
+    )
+    return hits.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.coalesce(F.sum("_hit"), F.lit(0)).cast("bigint").alias("n_contaminated"),
+        F.round(
+            F.coalesce(F.sum("_hit"), F.lit(0)) / F.count(F.lit(1)), 4
+        ).alias("contamination_share"),
+    )

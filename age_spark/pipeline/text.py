@@ -358,3 +358,42 @@ def bpe_pair_counts(
         .orderBy(F.col("n").desc(), F.col("pair").asc())
         .limit(top_n)
     )
+
+
+def vocab_stats(
+    df: DataFrame,
+    top_n: int = 100,
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus vocabulary profile: the top-N tokens with Zipf rank,
+    corpus share, and cumulative share — the standard corpus-composition
+    report (tokenizer coverage, stopword mass, Zipf-fit sanity).
+
+    Scale shape: one token-keyed groupBy with partial aggregation
+    (shuffle bounded by vocabulary size, not corpus size); the corpus
+    total is a scalar aggregate; the top-N is a TakeOrderedAndProject
+    bounded by ``top_n``, and the cumulative-share window runs over
+    those N rows only — never a global single-partition pass over the
+    full vocabulary."""
+    from pyspark.sql import Window
+
+    toks = F.split(
+        F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "), " "
+    )
+    counts = (
+        df.select(F.explode(toks).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    total = counts.agg(F.sum("n")).first()[0] or 1
+    top = counts.orderBy(F.col("n").desc(), F.col("token").asc()).limit(top_n)
+    w = Window.orderBy(F.col("n").desc(), F.col("token").asc())
+    wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return top.select(
+        F.row_number().over(w).cast("bigint").alias("rank"),
+        "token",
+        "n",
+        F.round(F.col("n") / F.lit(float(total)), 6).alias("share"),
+        F.round(F.sum("n").over(wc) / F.lit(float(total)), 6).alias("cum_share"),
+    )

@@ -430,3 +430,45 @@ def test_bpe_pair_counts_hand_values(spark):
     # top_n truncates deterministically (count DESC, pair ASC)
     one = bpe_pair_counts(df, top_n=1).collect()
     assert [(one[0]["pair"], one[0]["n"])] == [("a b", 3)]
+
+
+def test_contamination_share_hand_values(spark):
+    """Share = contaminated distinct n-grams / distinct n-grams; a doc
+    wholly inside the reference scores 1.0, a disjoint doc 0.0, and a
+    half-quoted doc the exact fraction."""
+    from age_spark.pipeline.dedup import contamination_share
+
+    ref = spark.createDataFrame([("one two three four",)], ["text"])
+    docs = spark.createDataFrame(
+        [(1, "one two three four"),          # fully contaminated
+         (2, "alpha beta gamma delta"),      # clean
+         (3, "zero one two three four")],    # grams: (zero..two? no) see below
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in contamination_share(docs, ref, n=3).collect()}
+    # doc1: grams {one two three, two three four} both in ref -> 1.0
+    assert (out[1]["n_grams"], out[1]["n_contaminated"]) == (2, 2)
+    assert out[1]["contamination_share"] == 1.0
+    # doc2: 2 grams, none hit
+    assert (out[2]["n_contaminated"], out[2]["contamination_share"]) == (0, 0.0)
+    # doc3: grams {zero one two, one two three, two three four} -> 2/3
+    assert (out[3]["n_grams"], out[3]["n_contaminated"]) == (3, 2)
+    assert out[3]["contamination_share"] == 0.6667
+
+
+def test_vocab_stats_zipf_profile(spark):
+    """Rank order, shares and cumulative shares match the hand-counted
+    frequency table; top_n truncates after ranking."""
+    from age_spark.pipeline.text import vocab_stats
+
+    df = spark.createDataFrame(
+        [(1, "a a a b b c"), (2, "a b x")], ["doc_id", "text"]
+    )
+    rows = vocab_stats(df, top_n=3).collect()
+    got = [(r["rank"], r["token"], r["n"], r["share"], r["cum_share"]) for r in rows]
+    # counts: a=4, b=3, c=1, x=1 (ties c/x broken by token asc); total=9
+    assert got == [
+        (1, "a", 4, round(4 / 9, 6), round(4 / 9, 6)),
+        (2, "b", 3, round(3 / 9, 6), round(7 / 9, 6)),
+        (3, "c", 1, round(1 / 9, 6), round(8 / 9, 6)),
+    ]
