@@ -36,7 +36,10 @@ def tiny_query_confs(spark):
     Measured on the 37-suite conformance batch: 20:47 -> 14:05.
     (Tried and rejected: adaptive.enabled=false overflows the plan-
     recursion stack on 200-hop VLE statements; constraintPropagation off
-    measured no win.)"""
+    measured no win; applying these confs to the OTHER replay modules was
+    net-negative — their wall time sits in few large HOF-heavy statements
+    where codegen pays for itself, e.g. a 5-row cross-pattern count went
+    14 s -> 71 s interpreted. Only the many-small-statements batch wins.)"""
     keys = (
         "spark.sql.codegen.wholeStage",
         "spark.sql.shuffle.partitions",

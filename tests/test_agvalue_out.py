@@ -69,16 +69,3 @@ def test_numeric_prints_with_suffix():
     assert agtype_out(decimal.Decimal("2.710000000000000000")) == "2.71::numeric"
     assert agtype_out(decimal.Decimal("0E-18")) == "0::numeric"
 
-
-# statement-replay batches over tiny fixtures: run under the reduced
-# per-statement-overhead confs (see conftest.tiny_query_confs)
-import pytest as _pytest
-
-
-@_pytest.fixture(autouse=True)
-def _tiny_confs(spark):
-    from conftest import tiny_query_confs
-
-    with tiny_query_confs(spark):
-        yield
-

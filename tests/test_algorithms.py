@@ -98,16 +98,3 @@ def test_near_dedup_releases_caches(spark):
     final = {info.id() for info in sc._jsc.sc().getRDDStorageInfo()}
     assert final <= before, f"leaked cached RDDs: {sorted(final - before)}"
 
-
-# statement-replay batches over tiny fixtures: run under the reduced
-# per-statement-overhead confs (see conftest.tiny_query_confs)
-import pytest as _pytest
-
-
-@_pytest.fixture(autouse=True)
-def _tiny_confs(spark):
-    from conftest import tiny_query_confs
-
-    with tiny_query_confs(spark):
-        yield
-

@@ -258,16 +258,3 @@ def test_lambda_deep_container_membership(xo):
         'RETURN any(x IN [["a' + sep + 'Fb"]] WHERE x = ["a", "b"])',
     ) == ["false"]
 
-
-# statement-replay batches over tiny fixtures: run under the reduced
-# per-statement-overhead confs (see conftest.tiny_query_confs)
-import pytest as _pytest
-
-
-@_pytest.fixture(autouse=True)
-def _tiny_confs(spark):
-    from conftest import tiny_query_confs
-
-    with tiny_query_confs(spark):
-        yield
-

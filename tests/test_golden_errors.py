@@ -64,16 +64,3 @@ def test_float_mod_zero_is_nan(g):
     v = age.cypher(graph, "RETURN 5.5 % 2 AS v").df.collect()[0][0]
     assert agtype_out(v) == "1.5"
 
-
-# statement-replay batches over tiny fixtures: run under the reduced
-# per-statement-overhead confs (see conftest.tiny_query_confs)
-import pytest as _pytest
-
-
-@_pytest.fixture(autouse=True)
-def _tiny_confs(spark):
-    from conftest import tiny_query_confs
-
-    with tiny_query_confs(spark):
-        yield
-

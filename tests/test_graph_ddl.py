@@ -73,16 +73,3 @@ def test_alter_graph_operation_and_null_errors(age):
     with pytest.raises(CatalogError, match="new graph name is invalid"):
         age.alter_graph("ddl_graph4", "RENAME", "")
 
-
-# statement-replay batches over tiny fixtures: run under the reduced
-# per-statement-overhead confs (see conftest.tiny_query_confs)
-import pytest as _pytest
-
-
-@_pytest.fixture(autouse=True)
-def _tiny_confs(spark):
-    from conftest import tiny_query_confs
-
-    with tiny_query_confs(spark):
-        yield
-

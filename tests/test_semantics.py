@@ -830,16 +830,3 @@ def test_quantifier_and_reduce_over_dynamic_source(spark):
         "MATCH (a:P) RETURN a.name AS nm, reduce(s = 0, x IN a.mix | s + x) AS t"
     ) == [('"A"', "6"), ('"B"', None)]
 
-
-# statement-replay batches over tiny fixtures: run under the reduced
-# per-statement-overhead confs (see conftest.tiny_query_confs)
-import pytest as _pytest
-
-
-@_pytest.fixture(autouse=True)
-def _tiny_confs(spark):
-    from conftest import tiny_query_confs
-
-    with tiny_query_confs(spark):
-        yield
-

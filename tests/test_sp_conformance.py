@@ -114,16 +114,3 @@ def test_isolated_unreachable_and_zero_length(sp_big):
     assert _hops(age, g, f"CALL shortest_path({a}, {z})") == []
     assert _hops(age, g, f"CALL shortest_path({a}, {a})") == [0]
 
-
-# statement-replay batches over tiny fixtures: run under the reduced
-# per-statement-overhead confs (see conftest.tiny_query_confs)
-import pytest as _pytest
-
-
-@_pytest.fixture(autouse=True)
-def _tiny_confs(spark):
-    from conftest import tiny_query_confs
-
-    with tiny_query_confs(spark):
-        yield
-

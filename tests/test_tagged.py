@@ -350,16 +350,3 @@ def test_deep_container_ordering(spark):
     got = ordered("[[3], [2.0], [2]]")
     assert got[2] == "[3]" and set(got[:2]) == {"[2]", "[2.0]"}
 
-
-# statement-replay batches over tiny fixtures: run under the reduced
-# per-statement-overhead confs (see conftest.tiny_query_confs)
-import pytest as _pytest
-
-
-@_pytest.fixture(autouse=True)
-def _tiny_confs(spark):
-    from conftest import tiny_query_confs
-
-    with tiny_query_confs(spark):
-        yield
-
