@@ -358,9 +358,22 @@ def shortest_path_pairs(
     # ONCE and let every hop hit the cached rows instead (the path-carrying
     # mode keeps the lazy scan — its per-hop frontier join needs the edge
     # payload anyway).
-    edges_thin = edges.select("_s", "_d")
+    # The materialized thin table is query-independent (types + direction
+    # only), so memoize it per Graph snapshot — the Spark analogue of the
+    # reference's whole-graph GGC adjacency cache (age_global_graph.c):
+    # repeated traversal calls over the same snapshot reuse the cached
+    # blocks instead of re-scanning the edge tables.  Keyed through
+    # _scan_cached, which pins the underlying scan identity, so any label
+    # swap/write snapshot self-invalidates.
+    thin_lazy = edges.select("_s", "_d")
     if slim:
-        edges_thin = edges_thin.localCheckpoint(eager=True)
+        edges_thin = graph._scan_cached(
+            ("sp_thin", tuple(types or ()), direction),
+            [graph.scan_edges(types)],
+            lambda: thin_lazy.localCheckpoint(eager=True),
+        )
+    else:
+        edges_thin = thin_lazy
     edges_by_d = None  # pre-partitioned fallback, built only if ever needed
     reach0 = targets.select(F.col("_tgt").alias("_rv")).localCheckpoint(eager=True)
     reach_parts = [reach0]
@@ -382,7 +395,11 @@ def shortest_path_pairs(
             )
         else:
             if edges_by_d is None:
-                edges_by_d = edges_thin.repartition(npart, "_d").localCheckpoint(eager=True)
+                edges_by_d = graph._scan_cached(
+                    ("sp_thin_by_d", tuple(types or ()), direction, npart),
+                    [graph.scan_edges(types)],
+                    lambda: edges_thin.repartition(npart, "_d").localCheckpoint(eager=True),
+                )
             joined = front.join(edges_by_d, front["_rv"] == edges_by_d["_d"])
         rc = F.broadcast(reach) if n_reach < _SP_BCAST_ROWS else reach
         return (
