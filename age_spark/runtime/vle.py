@@ -281,6 +281,7 @@ def shortest_path_pairs(
     slim: bool = False,
     starts_df: Optional[DataFrame] = None,
     targets_df: Optional[DataFrame] = None,
+    _chosen: bool = False,
 ) -> DataFrame:
     """Unweighted shortest path(s) between vertex sets — BFS with early stop.
 
@@ -317,6 +318,34 @@ def shortest_path_pairs(
         targets = targets_df.select(F.col("id").alias("_tgt")).distinct()
     else:
         targets = vscan.filter(end_filter(vscan)).select(F.col("id").alias("_tgt")).distinct()
+    # Direction choice by endpoint cardinality (slim counting shapes only):
+    # BFS state is |sources| x reachable-vertices, so traversing FROM the
+    # smaller endpoint set over reversed edges and swapping (src, dst) at
+    # the end shrinks every frontier, aggregation and anti-join by the
+    # cardinality ratio — the lever that matters when a 100 TB call pairs
+    # a huge start label with a handful of targets.  Safe in slim mode:
+    # hops, the zero-hop (v, v) set, and minimal-path multiplicity are all
+    # direction-symmetric, and slim never materializes path content (whose
+    # deterministic representative COULD differ under reversal).  Two
+    # LocalLimit probes decide; they stop scanning at the cap.
+    if slim and not (min_hops and min_hops > 0) and not _chosen:
+        _SWAP_PROBE = 4096
+        n_t = targets.limit(_SWAP_PROBE).count()
+        if n_t < _SWAP_PROBE and starts.limit(4 * n_t + 8).count() > 4 * n_t:
+            rev = {"out": "in", "in": "out"}.get(direction, direction)
+            sw = shortest_path_pairs(
+                graph, types=types, direction=rev,
+                min_hops=min_hops, max_hops=max_hops, all_paths=all_paths,
+                slim=True,
+                starts_df=targets.select(F.col("_tgt").alias("id")),
+                targets_df=starts.select(F.col("src").alias("id")),
+                _chosen=True,
+            )
+            return sw.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst"),
+                "edges", "nodes", "hops",
+            )
+
     edges = _oriented_edges(graph, types, direction, slim=slim)
     edge_dt = edges.schema["_e"].dataType
     vddl = _vertex_ddl(graph)
@@ -414,7 +443,7 @@ def shortest_path_pairs(
     # the round's union materializes eagerly.  Halves the scheduling
     # rounds — the dominant cost of the loop at local scale — without
     # changing the per-hop data movement that matters at 100 TB.
-    for _ in range((hard_max + 1) // 2):
+    for _ in range(0 if _chosen else (hard_max + 1) // 2):
         reach = reach_parts[0]
         for p in reach_parts[1:]:
             reach = reach.unionByName(p)
@@ -436,17 +465,25 @@ def shortest_path_pairs(
         n_reach += n_bfront
         reach_parts.append(step)
         bfront = step
-    reach = reach_parts[0]
-    for p in reach_parts[1:]:
-        reach = reach.unionByName(p)
-    rc = F.broadcast(reach) if n_reach < _SP_BCAST_ROWS else reach
-    if slim:
-        # prune the CACHED thin table — the forward hops then never touch
-        # the expensive unified scan again
-        edges = edges_thin.join(rc, edges_thin["_d"] == reach["_rv"], "left_semi")
+    if _chosen:
+        # swapped run: the targets here are the ORIGINAL (large) start
+        # set, whose backward closure approaches the whole graph — a
+        # closure BFS would cost driver rounds for near-zero selectivity.
+        # The cardinality swap already encodes the small-set optimization.
+        if slim:
+            edges = edges_thin
     else:
-        edges = edges.join(rc, edges["_d"] == reach["_rv"], "left_semi")
-    starts = starts.join(rc, starts["src"] == reach["_rv"], "left_semi")
+        reach = reach_parts[0]
+        for p in reach_parts[1:]:
+            reach = reach.unionByName(p)
+        rc = F.broadcast(reach) if n_reach < _SP_BCAST_ROWS else reach
+        if slim:
+            # prune the CACHED thin table — the forward hops then never
+            # touch the expensive unified scan again
+            edges = edges_thin.join(rc, edges_thin["_d"] == reach["_rv"], "left_semi")
+        else:
+            edges = edges.join(rc, edges["_d"] == reach["_rv"], "left_semi")
+        starts = starts.join(rc, starts["src"] == reach["_rv"], "left_semi")
 
     if slim:
         # the target-id set is already cached as reach0 — reuse it for the

@@ -114,3 +114,32 @@ def test_isolated_unreachable_and_zero_length(sp_big):
     assert _hops(age, g, f"CALL shortest_path({a}, {z})") == []
     assert _hops(age, g, f"CALL shortest_path({a}, {a})") == [0]
 
+
+
+def test_direction_choice_swap_equivalence(sp_big):
+    """Endpoint-cardinality direction choice (slim BFS runs from the
+    smaller endpoint set over reversed edges, src/dst swapped back) must
+    be observationally identical to the forced-unswapped run: same
+    (src, dst, hops) multiset, including all_paths multiplicities and
+    zero-hop pairs.  The sp_big fixture's id<5 target set against the
+    full N label triggers the swap (120 starts vs <=5 targets)."""
+    from age_spark.runtime.vle import shortest_path_pairs
+
+    age, g = sp_big
+
+    def pairs(all_paths, **kw):
+        df = shortest_path_pairs(
+            g,
+            start_filter=lambda v: v["label"] == "N",
+            end_filter=lambda v: v["properties"]["id"] < 5,
+            direction="out",
+            all_paths=all_paths,
+            slim=True,
+            **kw,
+        )
+        return sorted((r["src"], r["dst"], r["hops"]) for r in df.collect())
+
+    for ap in (False, True):
+        swapped = pairs(ap)                  # cardinality gate fires
+        forced = pairs(ap, _chosen=True)     # swap suppressed
+        assert swapped == forced and len(swapped) > 0
