@@ -107,7 +107,21 @@ def vle_pairs(
     join after the traversal remains the semantic gate.
     """
     spark = graph.spark
-    edges = _oriented_edges(graph, types, direction, slim=slim, edge_filter=edge_filter)
+    edges_lazy = _oriented_edges(graph, types, direction, slim=slim, edge_filter=edge_filter)
+    if slim and edge_filter is None:
+        # Slim traversal state is (edge-id, src, dst) — query-independent
+        # given types + direction, so materialize it ONCE per snapshot and
+        # share across VLE calls (snapshot-pinned like sp_thin; the GGC
+        # analogue).  The lazy plan otherwise re-reads the unified
+        # per-label union scan once PER HOP; the eager checkpoint is a
+        # single pass reused by every hop of every query on the snapshot.
+        edges = graph._scan_cached(
+            ("vle_thin", tuple(types or ()), direction),
+            [graph.scan_edges(types)],
+            lambda: edges_lazy.localCheckpoint(eager=True),
+        )
+    else:
+        edges = edges_lazy
     edge_dt = edges.schema["_e"].dataType
 
     # backward distance-to-target levels, built lazily INSIDE the one-job
