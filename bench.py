@@ -209,9 +209,15 @@ def _scale_proof(spark, entry_mod, base_timings):
     }
     out = {"edges_x": 10}
     for name, q in qs.items():
-        t0 = time.time()
-        n = age.cypher(g10, q).df.count()
-        dt = round(time.time() - t0, 3)
+        # min-of-2, same methodology as the headline loop: snapshot-scoped
+        # caches (thin traversal tables) amortize across queries, so the
+        # steady-state number is the comparable one
+        dt = None
+        for _ in range(2):
+            t0 = time.time()
+            n = age.cypher(g10, q).df.count()
+            r = round(time.time() - t0, 3)
+            dt = r if dt is None else min(dt, r)
         out[name] = dt
         ratio = round(dt / base_timings[name], 2) if base_timings.get(name) else None
         out[f"{name}_vs_sf0.1"] = ratio
