@@ -49,17 +49,50 @@ ORACLES = entry_mod.oracle_sql()
 QUERIES = entry_mod.queries()
 
 
+# int-vs-float column dtype divergence passes a pure == compare (3 == 3.0)
+# but fails the driver's value-hash serialization (DuckDB HUGEINT surfaces
+# as float64 there, VERDICT r7 "What's wrong" #1) — so classify numeric
+# kinds on both sides and fail the oracle when they disagree.
+_DUCK_INT = {"TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+             "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT"}
+_DUCK_FLT = {"FLOAT", "DOUBLE", "HUGEINT"}  # HUGEINT -> float64 in the driver
+_SPARK_INT = {"tinyint", "smallint", "int", "bigint"}
+_SPARK_FLT = {"float", "double"}
+
+
+def _num_kind(t, int_set, flt_set):
+    t = str(t).lower() if t is not None else ""
+    if t.upper() in int_set or t in int_set:
+        return "i"
+    if t.upper() in flt_set or t in flt_set:
+        return "f"
+    return None
+
+
 def _check_oracle(spark, name):
     assert name in QUERIES, f"oracle {name} has no queries() entry"
     sdf = QUERIES[name](spark, SF_DIR)
     s_cols = sdf.columns
+    s_kinds = {c: _num_kind(t, _SPARK_INT, _SPARK_FLT) for c, t in sdf.dtypes}
     s_rows = [tuple(r) for r in sdf.collect()]
 
     con = _duck()
-    cur = con.execute(ORACLES[name])
-    d_cols = [d[0] for d in cur.description]
-    d_rows = cur.fetchall()
+    rel = con.sql(ORACLES[name])
+    d_cols = list(rel.columns)
+    d_kinds = {c: _num_kind(t, _DUCK_INT, _DUCK_FLT)
+               for c, t in zip(rel.columns, rel.types)}
+    d_rows = rel.fetchall()
     con.close()
+
+    kind_bad = [
+        c for c in s_cols
+        if c in d_kinds and s_kinds.get(c) and d_kinds.get(c)
+        and s_kinds[c] != d_kinds[c]
+    ]
+    assert not kind_bad, (
+        f"{name}: int-vs-float column dtype mismatch (would fail the driver "
+        f"hash): {[(c, s_kinds[c], d_kinds[c]) for c in kind_bad]}"
+    )
 
     sc, sr = _norm_rows(s_cols, s_rows)
     dc, dr = _norm_rows(d_cols, d_rows)
