@@ -1072,6 +1072,7 @@ class Graph:
         else:
             self.edge_dfs.pop(label, None)
         del self.meta.labels[label]
+        self._vcount_capped.clear()
 
     # ------------------------------------------------------------- loading
     def add_vertices(self, label: str, df: DataFrame, id_col: Optional[str] = None) -> None:
@@ -1088,6 +1089,11 @@ class Graph:
         df = _escape_reserved_props(df, VERTEX_RESERVED, consumed=(id_col,))
         packed = self._pack_ids(df, meta, id_col)
         self.vertex_dfs[label] = self._append(self.vertex_dfs.get(label), packed, VERTEX_RESERVED)
+        # in-place mutation: cached count probes are stale now (write paths
+        # get a fresh dict via snapshot(); loads mutate this Graph directly,
+        # and a stale under-bound answer would re-enable the size-gated VLE
+        # pruning broadcast on a graph that outgrew it)
+        self._vcount_capped.clear()
 
     def add_edges(
         self,
@@ -1127,6 +1133,7 @@ class Graph:
             out = out.drop(*drop)
         packed = self._pack_ids(out, meta, id_col)
         self.edge_dfs[label] = self._append(self.edge_dfs.get(label), packed, EDGE_RESERVED)
+        self._vcount_capped.clear()  # same staleness rule as add_vertices
 
     def _pack_ids(self, df: DataFrame, meta, id_col: Optional[str]) -> DataFrame:
         shift = F.lit(meta.label_id).cast("long") * F.lit(1 << ENTRY_ID_BITS)

@@ -38,6 +38,21 @@ DEFAULT_MAX_HOPS = 30
 _SP_BCAST_ROWS = 4_000_000
 
 
+def _pruning_small_enough(graph, targets) -> bool:
+    """Size gate for the target-closure pruning broadcast, via limit-probes
+    and never a full count: the whole-graph capped probe (cached per
+    snapshot, invalidated by in-place loads) bounds any target subset, so
+    repeated VLE queries on a small graph pay no per-query job; only when
+    the graph itself exceeds the bound does the target set get its own
+    LocalLimit probe, which stops scanning at _SP_BCAST_ROWS rows — a
+    label-sized target set at 100x never pays a full-table count just to
+    learn "too big"."""
+    return (
+        graph.vertex_count_capped(_SP_BCAST_ROWS) < _SP_BCAST_ROWS
+        or targets.limit(_SP_BCAST_ROWS).count() < _SP_BCAST_ROWS
+    )
+
+
 def _oriented_edges(
     graph, types, direction: str, slim: bool = False, edge_filter=None
 ) -> DataFrame:
@@ -143,17 +158,7 @@ def vle_pairs(
         targets is not None
         and max_hops is not None
         and 1 <= max_hops <= 4
-        # size gate via limit-probes, never a full count: the whole-graph
-        # capped probe (cached per snapshot) bounds any target subset, so
-        # repeated VLE queries on a small graph pay no per-query job;
-        # only when the graph itself exceeds the bound does the target
-        # set get its own LocalLimit probe, which stops scanning at
-        # _SP_BCAST_ROWS rows — a label-sized target set at 100x never
-        # pays a full-table count just to learn "too big"
-        and (
-            graph.vertex_count_capped(_SP_BCAST_ROWS) < _SP_BCAST_ROWS
-            or targets.limit(_SP_BCAST_ROWS).count() < _SP_BCAST_ROWS
-        )
+        and _pruning_small_enough(graph, targets)
     ):
         rev = edges.select(F.col("_d").alias("_rs"), F.col("_s").alias("_rd"))
         level = targets.select(F.col("_tv").alias("_pv")).distinct()

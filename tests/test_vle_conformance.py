@@ -120,3 +120,48 @@ def test_undirected_self_loop_matches_once(vle_graph):
     ).df.collect()[0].c
     assert got == 1
 
+
+
+def test_vcount_gate_invalidated_by_inplace_load(spark):
+    """VERDICT r7 "What's wrong" #3: the capped vertex-count probe behind
+    the VLE pruning gate is cached per Graph object; an IN-PLACE bulk load
+    (loads mutate the same Graph, unlike write snapshots) must invalidate
+    it, or the gate keeps answering "under bound" for a graph that outgrew
+    the broadcast budget and re-enables a label-sized closure broadcast."""
+    import pyspark.sql.functions as F
+
+    from age_spark.runtime import vle as vle_mod
+    from age_spark.runtime.vle import _pruning_small_enough
+
+    age = AgeSession(spark)
+    g = age.create_graph("gate_inval")
+    g = age.load_vertices(
+        g, "N", spark.range(5).select(F.col("id"), F.lit("x").alias("name")),
+        id_col="id",
+    )
+    bound = 16
+    orig = vle_mod._SP_BCAST_ROWS
+    vle_mod._SP_BCAST_ROWS = bound
+    try:
+        targets = g.scan_vertices(None).select(F.col("id").alias("_tv"))
+        # small graph: probe caches "under bound", pruning allowed
+        assert g.vertex_count_capped(bound) == 5
+        assert _pruning_small_enough(g, targets)
+        # in-place load pushes the SAME Graph object past the bound
+        g = age.load_vertices(
+            g, "N",
+            spark.range(100, 100 + 2 * bound).select(
+                F.col("id"), F.lit("y").alias("name")
+            ),
+            id_col="id",
+        )
+        assert g.vertex_count_capped(bound) == bound, (
+            "stale capped-count cache survived an in-place load"
+        )
+        big_targets = g.scan_vertices(None).select(F.col("id").alias("_tv"))
+        assert not _pruning_small_enough(g, big_targets), (
+            "VLE gate still allows the pruning broadcast after the graph "
+            "outgrew _SP_BCAST_ROWS"
+        )
+    finally:
+        vle_mod._SP_BCAST_ROWS = orig
