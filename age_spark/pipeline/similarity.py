@@ -167,19 +167,25 @@ def _fit_centroids(corpus: DataFrame, vec_col: str, id_col: str, n_centroids: in
     # targets ~2x sample_size rows so the cap rarely truncates a biased
     # prefix; falls back to the whole (small) corpus when the estimate
     # undershoots.
-    n_total = corpus.count()
-    frac = min(1.0, (2.0 * sample_size) / max(n_total, 1))
-    bound = int(frac * (1 << 62))
-    hashed = (
-        corpus.select(F.col(id_col).alias("i"), F.col(vec_col).cast("array<double>").alias("v"))
-        .withColumn("_h", F.abs(F.xxhash64(F.col("i"), F.lit(seed))) % F.lit(1 << 62))
-        .where(F.col("_h") < bound)
-    )
-    # the filtered set is ~2x sample_size rows, so ordering it by the hash
-    # before the cap is cheap and makes the sample layout-independent (a
-    # bare limit() over the unordered scan would vary with partitioning)
-    picked = hashed.orderBy("_h", "i").limit(sample_size).drop("_h").collect()
-    rows = picked
+    base = corpus.select(
+        F.col(id_col).alias("i"), F.col(vec_col).cast("array<double>").alias("v")
+    ).withColumn("_h", F.abs(F.xxhash64(F.col("i"), F.lit(seed))) % F.lit(1 << 62))
+    # LocalLimit probe instead of a full count: stops scanning as soon as
+    # the corpus proves bigger than the no-filter fast path can take.
+    # Small corpora (<= 2x sample_size) collect in ONE job with no Spark
+    # sort; the (_h, i) cap order is applied driver-side, bit-identical to
+    # the TakeOrdered the big path runs.
+    n_cap = corpus.select(id_col).limit(2 * sample_size + 1).count()
+    if n_cap <= 2 * sample_size:
+        hashed = base
+    else:
+        n_total = corpus.count()
+        frac = min(1.0, (2.0 * sample_size) / max(n_total, 1))
+        bound = int(frac * (1 << 62))
+        hashed = base.where(F.col("_h") < bound).orderBy("_h", "i").limit(sample_size)
+    picked = hashed.collect()
+    picked.sort(key=lambda r: (r._h, r.i))
+    rows = picked[:sample_size]
     X = np.stack([r.v for r in rows])
     X = X / np.linalg.norm(X, axis=1, keepdims=True)
     rng = np.random.RandomState(seed)
@@ -216,6 +222,108 @@ def ivf_topk(
 
     C = _fit_centroids(corpus, vec_col, id_col, n_centroids)
 
+    # The query side of an IVF search is the small side by construction —
+    # the join-based plan would F.broadcast() it, which collects it to the
+    # driver anyway.  Collecting it OURSELVES (capped: past the cap we keep
+    # the broadcast-join plan) lets the whole search run as ONE
+    # mapInPandas pass over the corpus — assignment, probe routing, and
+    # scoring fused into a single Arrow-batched kernel with no join
+    # operator and one Python eval instead of three.  Still the 100 TB
+    # shape: corpus-parallel map, then a top-k shuffle over candidates
+    # only (nprobe/n_centroids of the corpus).
+    qrows = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(query_vec_col).cast("array<double>").alias("qv"),
+    ).limit(_IVF_QUERY_COLLECT_CAP + 1).collect()
+    if len(qrows) > _IVF_QUERY_COLLECT_CAP:
+        return _ivf_topk_join(
+            corpus, queries, C, k=k, nprobe=nprobe, id_col=id_col,
+            vec_col=vec_col, query_id_col=query_id_col,
+            query_vec_col=query_vec_col,
+        )
+
+    qids = [r.query_id for r in qrows]
+    Q = np.stack([np.asarray(r.qv, dtype="float64") for r in qrows])
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    probe_order = np.argsort(-(Qn @ C.T), axis=1)[:, :nprobe]
+    cell2q: dict[int, list[int]] = {}
+    for qi, cells in enumerate(probe_order):
+        for cell in cells:
+            cell2q.setdefault(int(cell), []).append(qi)
+
+    qid_dt = queries.select(F.col(query_id_col)).schema[0].dataType.simpleString()
+    vid_dt = corpus.select(F.col(id_col)).schema[0].dataType.simpleString()
+    out_schema = f"query_id {qid_dt}, vec_id {vid_dt}, cosine double"
+    qnorm = np.sqrt(np.einsum("ij,ij->i", Q, Q))
+
+    def search(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.stack(
+                [np.asarray(v, dtype="float64") for v in pdf["cv"].to_numpy()]
+            )
+            vnorm = np.sqrt(np.einsum("ij,ij->i", V, V))
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cells = np.argmax((V / vnorm[:, None]) @ C.T, axis=1)
+            ids = pdf["vec_id"].to_numpy()
+            out_q, out_v, out_c = [], [], []
+            for cell in np.unique(cells):
+                qis = cell2q.get(int(cell))
+                if not qis:
+                    continue
+                mask = cells == cell
+                Vm, im, nm = V[mask], ids[mask], vnorm[mask]
+                # same num/den formula as the pairwise cosine kernel, so
+                # values are bit-compatible with the join-based plan
+                num = Vm @ Q[qis].T
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    cos = num / (nm[:, None] * qnorm[qis][None, :])
+                for j, qi in enumerate(qis):
+                    out_q.extend([qids[qi]] * len(im))
+                    out_v.extend(im)
+                    out_c.extend(cos[:, j])
+            yield pd.DataFrame(
+                {"query_id": out_q, "vec_id": out_v, "cosine": out_c}
+            )
+
+    scored = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+    ).mapInPandas(search, out_schema)
+    return _topk_window(scored, k)
+
+
+# past this many query rows the fused mapInPandas path would collect an
+# unbounded set to the driver; fall back to the broadcast-join plan
+_IVF_QUERY_COLLECT_CAP = 8192
+
+
+def _topk_window(scored: DataFrame, k: int) -> DataFrame:
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", F.round("cosine", 6).alias("cosine"), "rank")
+    )
+
+
+def _ivf_topk_join(
+    corpus: DataFrame,
+    queries: DataFrame,
+    C,
+    k: int,
+    nprobe: int,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str,
+    query_vec_col: str,
+) -> DataFrame:
+    """Large-query-set path: centroid-id equi-join with the query side
+    broadcast, exactly the pre-r8 plan."""
+    import numpy as np
+    import pandas as pd
+
     @F.pandas_udf("int")
     def assign1(v):
         if len(v) == 0:
@@ -239,13 +347,8 @@ def ivf_topk(
         .withColumn("cell", F.explode(assign_probe(F.col("qv").cast("array<double>"))))
     scored = c.join(F.broadcast(q), "cell").withColumn(
         "cosine", cosine(F.col("qv"), F.col("cv"))
-    )
-    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "vec_id", F.round("cosine", 6).alias("cosine"), "rank")
-    )
+    ).select("query_id", "vec_id", "cosine")
+    return _topk_window(scored, k)
 
 
 def lsh_bucketed_topk(
