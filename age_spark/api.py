@@ -17,6 +17,7 @@ it back; Catalyst plans it together with whatever the caller does next.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 from typing import Optional
 
@@ -46,25 +47,49 @@ def _disable_df_debugging(spark: SparkSession) -> None:
     builds plans from thousands of fine-grained Column ops, so this is
     3-4x of its entire driver-side compile time (measured: g_join2_agg
     985 -> 265 py4j commands per compile).  Errors still carry the full
-    Python traceback; only the JVM-side origin annotation is lost."""
+    Python traceback; only the JVM-side origin annotation is lost.
+
+    This mutates PROCESS-WIDE state: the conf is static (runtime set
+    raises CANNOT_MODIFY_STATIC_CONFIG), so the only lever is PySpark's
+    module-global `_enable_debugging_cache`, which short-circuits the
+    per-op conf read for ALL DataFrame code in the host process.  Opt out
+    with AgeSession(..., disable_df_debugging=False) or
+    SPARK_GRAFT_KEEP_DF_DEBUGGING=1; AgeSession.close() resets the cache
+    so the next DataFrame op re-reads the (unchanged) conf."""
     try:
-        spark.conf.set("spark.python.sql.dataFrameDebugging.enabled", "false")
-    except Exception:
-        pass
-    try:
-        # the flag is cached module-globally on first use, so flipping the
-        # conf alone does nothing once any DataFrame op has run
         from pyspark.errors import utils as _pyspark_err_utils
 
+        if not hasattr(_pyspark_err_utils, "_enable_debugging_cache"):
+            # version drift: the private cache was renamed/removed — this
+            # path silently loses the compile-time win, so make the drift
+            # visible instead of no-opping quietly
+            import warnings
+
+            warnings.warn(
+                "pyspark.errors.utils._enable_debugging_cache is gone in "
+                "this PySpark version; DataFrame-debugging stays on and "
+                "Cypher compile time will be ~3-4x slower",
+                RuntimeWarning,
+                stacklevel=2,
+            )
         _pyspark_err_utils._enable_debugging_cache = False
     except Exception:
         pass
 
 
 class AgeSession:
-    def __init__(self, spark: SparkSession, mutable_graphs: bool = False):
+    def __init__(
+        self,
+        spark: SparkSession,
+        mutable_graphs: bool = False,
+        disable_df_debugging: bool = True,
+    ):
         self.spark = spark
-        _disable_df_debugging(spark)
+        self._df_debugging_disabled = disable_df_debugging and (
+            os.environ.get("SPARK_GRAFT_KEEP_DF_DEBUGGING") != "1"
+        )
+        if self._df_debugging_disabled:
+            _disable_df_debugging(spark)
         # reference GUC parity: age.enable_containment (cypher_match.sql:1082)
         self.enable_containment = True
         # The reference has ONE mutable graph per name; this engine returns
@@ -82,6 +107,21 @@ class AgeSession:
         # delete_global_graphs()
         self.graphs: dict[str, Graph] = {}
         self.ggc: set[str] = set()
+
+    def close(self) -> None:
+        """Undo the process-wide DataFrame-debugging disable from __init__:
+        reset PySpark's module-global cache to its virgin state (None =
+        re-read the static conf on next use, so call-site enrichment
+        resumes).  Idempotent; the SparkSession itself is left running."""
+        if not self._df_debugging_disabled:
+            return
+        self._df_debugging_disabled = False
+        try:
+            from pyspark.errors import utils as _pyspark_err_utils
+
+            _pyspark_err_utils._enable_debugging_cache = None
+        except Exception:
+            pass
 
     # ---- DDL (graph_commands.c:47-299 parity)
     def create_graph(self, name: str) -> Graph:

@@ -1436,12 +1436,13 @@ def _tag_align(
         # codegen, so WHERE tagged-vs-literal scans stay UDF-free.
         # Plain-vs-plain numerics stay native (both sides' exact values
         # are typed columns).
-        from ..graph import plain_numeric_ladder_key, tagged_numeric_ladder_key
+        from ..graph import ladder_keys_float8_collapse
 
         if lk == "numeric" and rdt is not None and is_tagged_type(rdt):
-            return plain_numeric_ladder_key(l, ldt), tagged_numeric_ladder_key(r)
+            return ladder_keys_float8_collapse(l, ldt, r)
         if rk == "numeric" and ldt is not None and is_tagged_type(ldt):
-            return tagged_numeric_ladder_key(l), plain_numeric_ladder_key(r, rdt)
+            kr, kl = ladder_keys_float8_collapse(r, rdt, l)
+            return kl, kr
         exact = jvm_exact = False
     from ..graph import _container_kind, let_column, tagged_cmp_key_jvm
 
@@ -1475,6 +1476,14 @@ def _tag_align(
     if rt and not lt and ldt is not None:
         return tagged_side(l, ldt), key(r)
     if lt and rt:
+        if exact or jvm_exact:
+            # both dynamic, string-lane keys: apply the reference's
+            # int-vs-float float8 collapse per pair (agtype_util.c:333;
+            # non-transitive above 2^53, so it lives here and not in the
+            # total-order key — see graph.py)
+            from ..graph import pair_float8_collapse_string_keys
+
+            return pair_float8_collapse_string_keys(l, r, key)
         return key(l), key(r)
     return l, r
 
@@ -1553,6 +1562,19 @@ def _infer_ast_dtype(scope: ExprScope, node) -> Optional[T.DataType]:
                 return T.DoubleType()
             return T.LongType()
         return None
+    if isinstance(node, A.FuncCall):
+        # fixed-result-type conversions appearing in lambda bodies (e.g.
+        # size(toString(x*y)) — size() needs to know the inner call yields
+        # a string to dispatch char-count instead of array-size)
+        fixed = {
+            "tostring": T.StringType(),
+            "tostringlist": T.ArrayType(T.StringType()),
+            "tointeger": T.LongType(),
+            "tofloat": T.DoubleType(),
+            "toboolean": T.BooleanType(),
+            "keys": T.ArrayType(T.StringType()),
+        }
+        return fixed.get(node.name)
     return None
 
 
@@ -1884,13 +1906,27 @@ def _compile_binary(scope: ExprScope, e: A.Binary) -> Column:
                 # match by value ([2] IN [[2.0]] true) at any depth
                 from ..graph import tagged_cmp_key_exact, tagged_cmp_keys_exact_array
 
+                from ..graph import float8_collapse_eq_pair
+
                 if hay_tagged:
                     hay_t = r
                 else:
                     et = rdt.elementType
                     hay_t = F.transform(r, lambda x: tag_column(x, et))
-                return F.array_contains(
-                    tagged_cmp_keys_exact_array(hay_t), tagged_cmp_key_exact(needle)
+                # the needle key cannot vary per element, so the reference's
+                # int-vs-float float8 collapse (agtype_util.c:333) ORs in as
+                # a per-pair existence check; it only adds hits the exact
+                # keys miss (>2^53 mixed pairs), never removes one.  No
+                # let-binding here: the pandas-UDF exact key cannot sit
+                # inside a HOF lambda.
+                return F.when(
+                    F.exists(hay_t, lambda x: float8_collapse_eq_pair(x, needle)),
+                    F.lit(True),
+                ).otherwise(
+                    F.array_contains(
+                        tagged_cmp_keys_exact_array(hay_t),
+                        tagged_cmp_key_exact(needle),
+                    )
                 )
             # in-lambda: per-element pure-JVM exact keys (container
             # elements match by value at any width / bounded depth);
@@ -1901,15 +1937,24 @@ def _compile_binary(scope: ExprScope, e: A.Binary) -> Column:
             def _jkey(c):
                 return let_column(c, lambda t: tagged_cmp_key_jvm(t))
 
+            from ..graph import float8_collapse_eq_pair
+
             if hay_tagged:
                 hay = F.transform(r, _jkey)
+                hay_t = r
             else:
                 et = rdt.elementType
                 hay = F.transform(r, lambda x: _jkey(tag_column(x, et)))
-            needle_key = (
-                _jkey(needle) if needle_tagged else _jkey(tag_column(l, ldt))
+                hay_t = F.transform(r, lambda x: tag_column(x, et))
+            needle_t = needle if needle_tagged else tag_column(l, ldt)
+            # same float8-collapse OR as the top-level lane
+            return let_column(
+                needle_t,
+                lambda n: F.when(
+                    F.exists(hay_t, lambda x: float8_collapse_eq_pair(x, n)),
+                    F.lit(True),
+                ).otherwise(F.array_contains(hay, _jkey(n))),
             )
-            return F.array_contains(hay, needle_key)
         return F.array_contains(r, l)
     if op in ("starts with", "ends with", "contains", "=~"):
         from ..graph import is_tagged_type
@@ -2564,14 +2609,35 @@ def _compile_listcomp(scope: ExprScope, e: A.ListComp) -> Column:
                         _project(z.getField("e")), z.getField("pd")
                     ),
                 )
-            return F.transform(zf, lambda z: _project(z.getField("e")))
-        out = F.filter(out, lambda x: compile_expr(
-            scope.child({e.var: x}, {e.var: et} if et else {}), e.where).cast("boolean"))
+            # projection may still hold NON-root arithmetic (e.g.
+            # toString(x*y)): unwrap the filtered elements and fall
+            # through to the shared projection pre-pass below
+            out = F.transform(zf, lambda z: z.getField("e"))
+        else:
+            out = F.filter(out, lambda x: compile_expr(
+                scope.child({e.var: x}, {e.var: et} if et else {}), e.where).cast("boolean"))
     if e.projection is not None:
         filtered = out
-        out = F.transform(filtered, _project)
         if fix is not None:
+            out = F.transform(filtered, _project)
             out = F.zip_with(out, fix(filtered), _splice_exact_tagged)
+        else:
+            # NON-root arithmetic inside the projection (an arithmetic
+            # operand feeding a non-arithmetic function, e.g.
+            # `toString(x*y)`): the root-tree fixup above cannot splice
+            # into a consumed value, but the predicate pre-pass machinery
+            # can — pre-compute each maximal arithmetic subtree's exact
+            # tagged value per (already filtered) element and rewrite the
+            # projection to read it, so downstream functions see the exact
+            # __d payload (closes the r7 "non-tree in-lambda" NUMERIC
+            # bound for projections; fold steps and inner lambdas remain
+            # the documented residual)
+            proj_pre = _lambda_arith_pre(scope, e.projection, e.var, filtered, et)
+            if proj_pre is not None:
+                pz, pbody, pmk = proj_pre
+                out = F.transform(pz, lambda z: compile_expr(pmk(z), pbody))
+            else:
+                out = F.transform(filtered, _project)
     return out
 
 
@@ -3312,17 +3378,23 @@ def _to_boolean(c: Column, dt) -> Column:
 
 @fn("tointeger")
 def _fn_tointeger(scope, args, cols):
-    return _to_integer(cols[0], dtype_of(scope, cols[0]))
+    # _operand_dtype: lambda-bound tagged operands must kind-dispatch
+    dt = _operand_dtype(scope, args[0], cols[0]) if args else dtype_of(scope, cols[0])
+    return _to_integer(cols[0], dt)
 
 
 @fn("tofloat")
 def _fn_tofloat(scope, args, cols):
-    return _to_float(cols[0], dtype_of(scope, cols[0]))
+    # _operand_dtype: lambda-bound tagged operands must kind-dispatch
+    dt = _operand_dtype(scope, args[0], cols[0]) if args else dtype_of(scope, cols[0])
+    return _to_float(cols[0], dt)
 
 
 @fn("toboolean")
 def _fn_toboolean(scope, args, cols):
-    return _to_boolean(cols[0], dtype_of(scope, cols[0]))
+    # _operand_dtype: lambda-bound tagged operands must kind-dispatch
+    dt = _operand_dtype(scope, args[0], cols[0]) if args else dtype_of(scope, cols[0])
+    return _to_boolean(cols[0], dt)
 
 
 def _float_literal_ok(txt: str) -> bool:
@@ -3367,7 +3439,11 @@ def _fn_castbool(scope, args, cols):
 
 @fn("tostring")
 def _fn_tostring(scope, args, cols):
-    dt = dtype_of(scope, cols[0])
+    # _operand_dtype, not dtype_of: inside a HOF lambda the column is not
+    # schema-resolvable, but the scope's hint map knows a tagged element /
+    # pre-computed arithmetic value — which must kind-dispatch here
+    # (toString over a raw tagged struct would stringify the struct)
+    dt = _operand_dtype(scope, args[0], cols[0]) if args else dtype_of(scope, cols[0])
     if _is_tagged(dt):
         return _tagged_to_string(cols[0])
     if isinstance(dt, T.DecimalType):

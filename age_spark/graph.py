@@ -310,6 +310,108 @@ def plain_numeric_ladder_key(c: Column, dt: T.DataType) -> Column:
     return F.concat(F.lit(chr(ord("A") + 7)), jvm_numeric_sort_text(txt))
 
 
+# ---- int-vs-float float8 collapse (compare_agtype_scalar_values parity)
+#
+# The reference compares an int64 against a float8 by casting the int to
+# float8 (agtype_util.c:333 int/float branch), so
+# `9223372036854775807 = 9.223372036854776e18` is TRUE there.  That
+# collapse is NON-TRANSITIVE above 2^53 (two distinct ints equal the same
+# float8), so it cannot live in a total-order KEY — it applies per
+# comparison PAIR: a side's key collapses to the float8 spelling only when
+# that side is an int64 AND the other side is a float8 (no NUMERIC operand
+# anywhere; int-vs-NUMERIC goes through numeric_cmp in the reference too).
+# Below 2^53 the collapse agrees with the exact key, so this changes
+# nothing but the >2^53 parity cases.  ORDER BY and container-ELEMENT
+# comparisons keep the exact total order (COVERAGE.md records why).
+
+
+def tagged_is_collapsible_int(t: Column) -> Column:
+    """Runtime: tagged value is an int64 with no NUMERIC payload."""
+    return (
+        (t.getField("__k") == 7)
+        & t.getField("__d").isNull()
+        & t.getField("__i").isNotNull()
+    )
+
+
+def tagged_is_collapsible_float(t: Column) -> Column:
+    """Runtime: tagged value is a float8 with no NUMERIC payload."""
+    return (
+        (t.getField("__k") == 7)
+        & t.getField("__d").isNull()
+        & t.getField("__i").isNull()
+        & t.getField("__n").isNotNull()
+    )
+
+
+def tagged_float8_value(t: Column) -> Column:
+    return F.coalesce(t.getField("__i").cast("double"), t.getField("__n"))
+
+
+def _collapsed_int_string_key(t: Column) -> Column:
+    """String-lane key of a tagged int collapsed through float8 (rank 7 +
+    the numeric sort text of the double spelling) — the same format the
+    string key lanes give a real float8."""
+    return F.concat(
+        F.lit(chr(ord("A") + 7)),
+        jvm_numeric_sort_text(t.getField("__i").cast("double").cast("string")),
+    )
+
+
+def pair_float8_collapse_string_keys(l: Column, r: Column, key) -> tuple[Column, Column]:
+    """Wrap a string-lane key pair with the reference's int-vs-float
+    collapse: the INT side re-keys on its float8 spelling exactly when the
+    OTHER side is a float8 (the float side's key is already the float8
+    text, so it never changes).  Collapsed keys only ever meet collapsed
+    keys, so per-pair conditioning preserves the lane's order semantics."""
+    kl = F.when(
+        tagged_is_collapsible_int(l) & tagged_is_collapsible_float(r),
+        _collapsed_int_string_key(l),
+    ).otherwise(key(l))
+    kr = F.when(
+        tagged_is_collapsible_int(r) & tagged_is_collapsible_float(l),
+        _collapsed_int_string_key(r),
+    ).otherwise(key(r))
+    return kl, kr
+
+
+def ladder_keys_float8_collapse(
+    plain: Column, pdt: T.DataType, tagged: Column
+) -> tuple[Column, Column]:
+    """(plain numeric, tagged) ladder-key pair with the int-vs-float
+    collapse: a plain INT column re-keys on its float8 spelling when the
+    tagged side holds a float8; a plain FLOAT column makes the tagged side
+    collapse when it holds an int.  A plain DECIMAL (NUMERIC) side never
+    collapses — the reference compares through numeric_cmp there."""
+    sdt = _strip_nullability(pdt)
+    pk = plain_numeric_ladder_key(plain, pdt)
+    tk = tagged_numeric_ladder_key(tagged)
+    if isinstance(sdt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        pk = F.when(
+            tagged_is_collapsible_float(tagged),
+            F.concat(
+                F.lit(chr(ord("A") + 7)),
+                jvm_numeric_sort_text(plain.cast("double").cast("string")),
+            ),
+        ).otherwise(pk)
+    elif isinstance(sdt, (T.FloatType, T.DoubleType)):
+        tk = F.when(
+            tagged_is_collapsible_int(tagged), _collapsed_int_string_key(tagged)
+        ).otherwise(tk)
+    return pk, tk
+
+
+def float8_collapse_eq_pair(a: Column, b: Column) -> Column:
+    """Boolean: the pair is an int/float pair AND equal after the float8
+    collapse.  Used to OR reference-parity hits into key-based membership
+    (IN / array_contains lanes), where the needle key cannot vary per
+    element; never true below 2^53 unless the exact compare is also true."""
+    mixed = (
+        tagged_is_collapsible_int(a) & tagged_is_collapsible_float(b)
+    ) | (tagged_is_collapsible_float(a) & tagged_is_collapsible_int(b))
+    return mixed & (tagged_float8_value(a) == tagged_float8_value(b))
+
+
 # marker prefix for NUMERIC values embedded in JSON container payloads:
 # JSON has no ::numeric kind, so numerics serialize as sentinel STRINGS and
 # the printer / element access decode them back (the agtype printer shows
@@ -569,15 +671,17 @@ def tagged_cmp_key(col: Column) -> Column:
     higher-order-function lambda (F.transform(arr, tagged_cmp_key)); a
     second parameter would receive the element index.
 
-    Documented divergence (>2^53 int vs float): the numeric slot keys on
-    the EXACT decimal text, so `int64max = 9.223372036854776e18` is false
-    here while the reference's compare_agtype_scalar_values casts the int
-    to float8 and says true (agtype_util.c int/float branch).  That
-    collapse is NON-TRANSITIVE (int64max and int64max-1 both equal the
-    same float8 yet differ from each other), so no total-order key can
-    express it — this engine compares exactly instead, in every context
-    (scalars here, containers through the exact keys).  See also the
-    ordertext.py module docstring."""
+    >2^53 int vs float: the numeric slot keys on the EXACT decimal text.
+    The reference's compare_agtype_scalar_values casts the int to float8
+    (agtype_util.c int/float branch) — a NON-TRANSITIVE collapse (int64max
+    and int64max-1 both equal the same float8 yet differ from each other)
+    that no total-order key can express.  Since round 8 the comparison
+    OPERATORS and IN apply that collapse per pair
+    (pair_float8_collapse_string_keys / ladder_keys_float8_collapse /
+    float8_collapse_eq_pair above; `int64max = 9.223372036854776e18` is
+    now true, reference parity); ORDER BY / min / max keep the exact
+    total order — the residual, recorded in COVERAGE.md and pinned by
+    tests/test_float8_collapse.py.  See also ordertext.py."""
     return F.when(col.isNull(), F.lit(None).cast(CMP_KEY_TYPE)).otherwise(
         F.struct(
             col.getField("__k").alias("__k"),
@@ -975,6 +1079,12 @@ def merge_property_schema(
     return sorted(merged.items())
 
 
+# per-Graph bound on memoized scans/thin tables (LRU; see _scan_cached) —
+# generous for real query mixes (a few labels x kinds x directions) while
+# keeping long sessions from pinning unbounded checkpoint blocks
+_SCAN_CACHE_MAX = 32
+
+
 class Graph:
     """A named property graph: per-label vertex/edge DataFrames + catalog.
 
@@ -1018,9 +1128,28 @@ class Graph:
         if hit is not None:
             old, out = hit
             if len(old) == len(dfs) and all(a is b for a, b in zip(old, dfs)):
+                # LRU touch: move to the back so hot entries survive the cap
+                self._scan_cache[key] = self._scan_cache.pop(key)
                 return out
+            # superseded (underlying label tables swapped): drop THIS
+            # graph's reference immediately.  Unpersisting outright would
+            # break older snapshots sharing the entry (their dict copies
+            # still serve it, and a localCheckpoint has no lineage to
+            # recompute from); instead the storage blocks are released by
+            # Spark's ContextCleaner as soon as the last snapshot holding
+            # the entry is GC'd — the same ref-drop discipline bench.py
+            # uses between reps.
+            del self._scan_cache[key]
         out = build()
         self._scan_cache[key] = (tuple(dfs), out)
+        # bound the cache per graph (ADVICE r7): distinct (kind, types,
+        # direction, ...) keys otherwise accumulate without limit across a
+        # long session, and snapshot() copies carry them forward forever.
+        # Eviction drops only this dict's reference — cheap plan-only
+        # entries rebuild in ~0.1 s, and evicted checkpoints are freed by
+        # the ContextCleaner once unreferenced everywhere.
+        while len(self._scan_cache) > _SCAN_CACHE_MAX:
+            self._scan_cache.pop(next(iter(self._scan_cache)))
         return out
 
     @property

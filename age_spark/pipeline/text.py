@@ -292,24 +292,32 @@ def tfidf_topk(
     document frequency is a second groupBy over the already-reduced
     (doc, term) pairs; the per-term IDF table is vocabulary-sized and
     BROADCAST back; the final top-k is one window shuffle keyed by
-    doc_id.  N (corpus size) is a scalar count — one number on the
-    driver, never the data."""
+    doc_id.  N (corpus size) stays LAZY — a broadcast crossJoin with a
+    1-row aggregate, so building this op runs no job and the scalar is
+    taken from the same data the action reads (ADVICE r7: an eager
+    df.count() froze N at build time and double-scanned the corpus)."""
     from pyspark.sql import Window
 
     toks = F.split(
         F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "), " "
     )
-    n_docs = df.count()
+    n_docs = df.agg(F.count(F.lit(1)).alias("_n_docs"))
     tf = (
         df.select(F.col(id_col), F.explode(toks).alias("term"))
         .filter(F.col("term") != "")
         .groupBy(id_col, "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    idf = tf.groupBy("term").agg(
-        (
-            F.log((F.lit(n_docs) + 1.0) / (F.count(F.lit(1)) + 1.0)) + 1.0
-        ).alias("idf")
+    idf = (
+        tf.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "term",
+            (
+                F.log((F.col("_n_docs") + 1.0) / (F.col("_df") + 1.0)) + 1.0
+            ).alias("idf"),
+        )
     )
     w = Window.partitionBy(id_col).orderBy(
         (F.col("tf") * F.col("idf")).desc(), F.col("term").asc()
@@ -371,10 +379,11 @@ def vocab_stats(
 
     Scale shape: one token-keyed groupBy with partial aggregation
     (shuffle bounded by vocabulary size, not corpus size); the corpus
-    total is a scalar aggregate; the top-N is a TakeOrderedAndProject
-    bounded by ``top_n``, and the cumulative-share window runs over
-    those N rows only — never a global single-partition pass over the
-    full vocabulary."""
+    total stays LAZY — a broadcast crossJoin with a 1-row aggregate, so
+    building this op runs no job (ADVICE r7); the top-N is a
+    TakeOrderedAndProject bounded by ``top_n``, and the cumulative-share
+    window runs over those N rows only — never a global single-partition
+    pass over the full vocabulary."""
     from pyspark.sql import Window
 
     toks = F.split(
@@ -386,14 +395,22 @@ def vocab_stats(
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    total = counts.agg(F.sum("n")).first()[0] or 1
-    top = counts.orderBy(F.col("n").desc(), F.col("token").asc()).limit(top_n)
+    total = counts.agg(
+        F.greatest(F.coalesce(F.sum("n"), F.lit(0)), F.lit(1)).alias("_total")
+    )
+    top = (
+        counts.orderBy(F.col("n").desc(), F.col("token").asc())
+        .limit(top_n)
+        .crossJoin(F.broadcast(total))
+    )
     w = Window.orderBy(F.col("n").desc(), F.col("token").asc())
     wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return top.select(
         F.row_number().over(w).cast("bigint").alias("rank"),
         "token",
         "n",
-        F.round(F.col("n") / F.lit(float(total)), 6).alias("share"),
-        F.round(F.sum("n").over(wc) / F.lit(float(total)), 6).alias("cum_share"),
+        F.round(F.col("n") / F.col("_total").cast("double"), 6).alias("share"),
+        F.round(
+            F.sum("n").over(wc) / F.col("_total").cast("double"), 6
+        ).alias("cum_share"),
     )

@@ -73,3 +73,28 @@ def test_alter_graph_operation_and_null_errors(age):
     with pytest.raises(CatalogError, match="new graph name is invalid"):
         age.alter_graph("ddl_graph4", "RENAME", "")
 
+
+
+def test_scan_cache_bounded_and_supersede_drops_ref(spark):
+    """ADVICE r7: the per-graph scan/thin-table cache must not grow
+    unboundedly across keys, and a superseded entry (label table swapped)
+    must drop this graph's reference so the ContextCleaner can release
+    the checkpoint once no snapshot holds it."""
+    from age_spark.graph import _SCAN_CACHE_MAX, create_graph
+
+    g = create_graph(spark, "cache_bound")
+    df = spark.range(3)
+    for i in range(_SCAN_CACHE_MAX + 8):
+        g._scan_cached(("k", i), [df], lambda: df)
+    assert len(g._scan_cache) <= _SCAN_CACHE_MAX
+
+    # hit path returns the same object and refreshes recency
+    out1 = g._scan_cached(("hot",), [df], lambda: df.select("id"))
+    out2 = g._scan_cached(("hot",), [df], lambda: df.select("id"))
+    assert out1 is out2
+
+    # supersede: same key, different underlying df -> old entry replaced
+    df2 = spark.range(4)
+    out3 = g._scan_cached(("hot",), [df2], lambda: df2.select("id"))
+    assert out3 is not out1
+    assert g._scan_cache[("hot",)][1] is out3

@@ -317,6 +317,71 @@ class TestPredicateExact:
             assert marker not in plan
 
 
+class TestProjectionNonTreeExact:
+    """Round 8 (VERDICT r7 #4): an arithmetic operand feeding a
+    NON-arithmetic function inside a list-comprehension PROJECTION
+    (e.g. toString(x*y)) pre-computes through the same array-level Arrow
+    kernel the predicates use — the rewritten body reads the exact
+    spliced __d payload, so >38-digit results survive the conversion.
+    Fold steps (abs(acc+x)) and inner-lambda nesting remain the
+    documented bounded lane."""
+
+    BIG = int("9" * 40)
+
+    def test_tostring_of_product_exact(self, numgraph):
+        age, g = numgraph
+        sq = self.BIG * self.BIG
+        rows = _out(
+            age, g, "MATCH (n:N) RETURN [x IN [n.v] | toString(x * x)] AS l"
+        )
+        assert rows == [(f'["{sq}"]',)]
+
+    def test_size_of_tostring_exact(self, numgraph):
+        age, g = numgraph
+        sq = self.BIG * self.BIG
+        rows = _out(
+            age, g,
+            "MATCH (n:N) RETURN [x IN [n.v] | size(toString(x * x))] AS l",
+        )
+        assert rows == [(f"[{len(str(sq))}]",)]
+
+    def test_projection_exact_after_filter(self, numgraph):
+        age, g = numgraph
+        sq = self.BIG * self.BIG
+        rows = _out(
+            age, g,
+            "MATCH (n:N) RETURN "
+            "[x IN [n.v, 1] WHERE x > 10 | toString(x * x)] AS l",
+        )
+        assert rows == [(f'["{sq}"]',)]
+
+    def test_projection_exact_after_arith_filter(self, numgraph):
+        # WHERE itself carries arithmetic (the zipped-source path), and
+        # the projection still pre-computes over the filtered elements
+        age, g = numgraph
+        sq = self.BIG * self.BIG
+        rows = _out(
+            age, g,
+            "MATCH (n:N) RETURN "
+            "[x IN [n.v, 1] WHERE x * x > 10 | toString(x + 1)] AS l",
+        )
+        assert rows == [(f'["{self.BIG + 1}"]',)]
+
+    def test_lambda_tostring_kind_dispatch(self, numgraph):
+        # the pre-existing gap this lane exposed: toString over a tagged
+        # lambda element must kind-dispatch, not stringify the struct
+        age, g = numgraph
+        rows = _out(age, g, "RETURN [x IN [1, 'a', 2.5] | toString(x)] AS l")
+        assert rows == [('["1", "a", "2.5"]',)]
+
+    def test_int_projection_no_arrow(self, numgraph):
+        # pure int/float projections add no Arrow stage
+        age, g = numgraph
+        plan = age.explain(g, "RETURN [x IN [1, 2, 3] | toString(x * 2)] AS l")
+        for marker in ("BatchEvalPython", "ArrowEvalPython"):
+            assert marker not in plan
+
+
 class TestNumericPower:
     """`^` with a NUMERIC operand routes through numeric_power
     (agtype_pow, agtype_ops.c:1035 -> PG numeric.c power_var /

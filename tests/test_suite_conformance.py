@@ -23,10 +23,15 @@ DATA = os.path.join(os.path.dirname(__file__), "data")
 # display scales both at compile time (exprs.py:_fold_const_numeric) and
 # on column data (the vectorized Arrow kernel, runtime/pgnumeric.py),
 # including arithmetic trees inside HOF lambdas and reduce() folds
-# (eval_arith_tree / make_numeric_fold_udf); only NON-tree in-lambda
-# arithmetic (an arithmetic operand feeding a non-arithmetic function
-# inside the lambda) keeps the bounded DECIMAL(38,18) lane
-# (documented, COVERAGE.md).
+# (eval_arith_tree / make_numeric_fold_udf) AND, since round 8,
+# arithmetic subtrees feeding non-arithmetic functions inside lambda
+# PREDICATES and list-comprehension PROJECTIONS (the _lambda_arith_pre
+# pre-pass; `toString(x*y)` reads the exact spliced __d,
+# tests/test_pgnumeric.py::TestProjectionNonTreeExact).  The bounded
+# DECIMAL(38,18) lane survives only inside reduce() STEP bodies whose
+# root is not an arithmetic tree (the accumulator is not element-aligned,
+# so no pre-projection exists — e.g. abs(acc + x)) and inside
+# nested-inner lambdas (documented, COVERAGE.md).
 SKIPS = {
     "cypher_with": {
         # the outer SQL resultset casts the value to a PG type before psql
