@@ -139,7 +139,52 @@ def test_direction_choice_swap_equivalence(sp_big):
         )
         return sorted((r["src"], r["dst"], r["hops"]) for r in df.collect())
 
+    # ground truth (ADVICE r7): an independent driver-side BFS with
+    # minimal-path counting over the collected fixture edges — neither
+    # engine arm is trusted to check the other
+    from collections import defaultdict, deque
+
+    from age_spark.runtime.vle import DEFAULT_MAX_HOPS
+
+    edges = [
+        (r.start_id, r.end_id)
+        for r in g.scan_edges(None).select("start_id", "end_id").collect()
+    ]
+    vrows = age.cypher(
+        g, "MATCH (n:N) RETURN id(n) AS gid, n.id AS pid"
+    ).df.collect()
+    start_ids = [r.gid for r in vrows]
+    target_ids = {r.gid for r in vrows if r.pid < 5}
+    adj = defaultdict(list)
+    for s, d in edges:
+        adj[s].append(d)
+
+    def py_pairs(all_paths):
+        rows = []
+        for src in start_ids:
+            dist = {src: 0}
+            cnt = defaultdict(int)
+            cnt[src] = 1
+            dq = deque([src])
+            while dq:
+                u = dq.popleft()
+                if dist[u] >= DEFAULT_MAX_HOPS:
+                    continue
+                for v in adj[u]:
+                    if v not in dist:
+                        dist[v] = dist[u] + 1
+                        dq.append(v)
+                    if dist[v] == dist[u] + 1:
+                        cnt[v] += cnt[u]
+            for t in target_ids:
+                if t in dist:
+                    rows += [(src, t, dist[t])] * (cnt[t] if all_paths else 1)
+        return sorted(rows)
+
     for ap in (False, True):
         swapped = pairs(ap)                  # cardinality gate fires
         forced = pairs(ap, _chosen=True)     # swap suppressed
-        assert swapped == forced and len(swapped) > 0
+        expected = py_pairs(ap)
+        assert len(expected) > 0
+        assert swapped == expected, "swapped arm diverges from ground truth"
+        assert forced == expected, "unswapped arm diverges from ground truth"
