@@ -295,6 +295,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         .bpe_pair_counts(_docs(s, d), top_n=50)
     )
 
+    # deterministic md5 split + epoch shuffle key (map-only, no shuffle)
+    q["p_split_assign"] = lambda s, d: (
+        __import__("age_spark.pipeline.sampling", fromlist=["split_assign"])
+        .split_assign(_docs(s, d), seed=42)
+    )
+    # curriculum binning by token count (one bucket-keyed groupBy)
+    q["p_length_curriculum"] = lambda s, d: (
+        __import__("age_spark.pipeline.sampling", fromlist=["length_curriculum"])
+        .length_curriculum(_docs(s, d), boundaries=(8, 32, 128, 512))
+    )
+    # conditional-bigram LM score with unigram backoff (bounded broadcast
+    # tables, one doc-keyed groupBy)
+    q["p_bigram_logprob"] = lambda s, d: (
+        __import__("age_spark.pipeline.text", fromlist=["bigram_logprob"])
+        .bigram_logprob(_docs(s, d), vocab_size=10_000, bigram_size=50_000)
+    )
+    # k-means cluster assignment + per-cluster cap (rows-only: the
+    # centroid fit is a seeded sample, not SQL-expressible)
+    q["p_cluster_balance"] = lambda s, d: (
+        __import__("age_spark.pipeline.similarity", fromlist=["cluster_balance"])
+        .cluster_balance(_emb(s, d), n_clusters=8, cap=100)
+    )
+
     # ================= Cypher graph engine (oracled) =================
 
     # ---- §2.1/§2.4 scans, filters, projections
@@ -1302,6 +1325,74 @@ def oracle_sql() -> dict[str, str]:
         "ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') r "
         "ON l.user_id = r.user_id AND l.ts >= r.ts"
     )
+    O["p_split_assign"] = """
+        SELECT doc_id,
+               CASE WHEN substr(md5(concat('42:', CAST(doc_id AS VARCHAR))), 1, 8) < 'e6666666' THEN 'train'
+                    WHEN substr(md5(concat('42:', CAST(doc_id AS VARCHAR))), 1, 8) < 'f3333333' THEN 'val'
+                    ELSE 'test' END AS split,
+               md5(concat('43:', CAST(doc_id AS VARCHAR))) AS shuffle_key
+        FROM documents
+    """
+    O["p_length_curriculum"] = """
+        WITH b AS (
+          SELECT CASE WHEN length(trim(text)) = 0 THEN 0
+                      ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n
+          FROM documents
+        ),
+        lab AS (
+          SELECT n,
+                 CASE WHEN n < 8 THEN 0 WHEN n < 32 THEN 1 WHEN n < 128 THEN 2
+                      WHEN n < 512 THEN 3 ELSE 4 END::BIGINT AS bucket,
+                 CASE WHEN n < 8 THEN '[0,8)' WHEN n < 32 THEN '[8,32)'
+                      WHEN n < 128 THEN '[32,128)' WHEN n < 512 THEN '[128,512)'
+                      ELSE '>=512' END AS bucket_label
+          FROM b
+        ),
+        t AS (SELECT count(*)::double AS total FROM b)
+        SELECT bucket, bucket_label,
+               count(*) AS n_docs,
+               CAST(sum(n) AS BIGINT) AS n_tokens,
+               round(avg(n), 4) AS avg_tokens,
+               round(count(*) / (SELECT total FROM t), 6) AS share
+        FROM lab GROUP BY bucket, bucket_label
+    """
+    O["p_bigram_logprob"] = """
+        WITH norm AS (
+          SELECT doc_id,
+                 list_filter(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '),
+                             x -> x <> '') AS toks
+          FROM documents
+        ),
+        uni AS (
+          SELECT t, count(*) AS cu
+          FROM (SELECT unnest(toks) AS t FROM norm) GROUP BY t
+        ),
+        tot AS (SELECT CAST(sum(cu) AS BIGINT) AS n, count(*) AS d FROM uni),
+        bg AS (
+          SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS bg, toks[i + 1] AS w2
+          FROM norm, unnest(range(1, len(toks))) AS r(i)
+          WHERE len(toks) >= 2
+        ),
+        bcnt AS (
+          SELECT bg, count(*) AS cb FROM bg GROUP BY bg
+          ORDER BY cb DESC, bg LIMIT 50000
+        ),
+        blp AS (
+          SELECT b.bg, ln((b.cb + 1) / (u.cu + (SELECT d FROM tot)::double)) AS lpb
+          FROM bcnt b JOIN uni u ON u.t = string_split(b.bg, ' ')[1]
+        ),
+        ulp AS (
+          SELECT t AS w2,
+                 ln((cu + 1) / ((SELECT n FROM tot) + (SELECT d FROM tot) + 1)::double) AS lpu
+          FROM uni ORDER BY cu DESC, t LIMIT 10000
+        )
+        SELECT doc_id,
+               round(avg(coalesce(lpb, lpu,
+                     ln(1.0 / ((SELECT n FROM tot) + (SELECT d FROM tot) + 1)))), 4) AS bigram_logprob,
+               count(*) AS n_bigrams
+        FROM bg LEFT JOIN blp USING (bg) LEFT JOIN ulp USING (w2)
+        GROUP BY doc_id
+    """
     return O
 
 

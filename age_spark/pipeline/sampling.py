@@ -136,3 +136,84 @@ def stratified_cap(
         .filter(F.col("_rk") <= n_per_stratum)
         .drop("_rk")
     )
+
+
+def split_assign(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    train: float = 0.90,
+    val: float = 0.05,
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic train/val/test split + epoch shuffle key.
+
+    Every large-scale training pipeline needs a split that is a pure
+    function of document identity — stable across reruns, engines, and
+    partitionings — plus a reproducible global shuffle order for epoch
+    streaming.  Both derive from md5 over the seeded id text (md5 is
+    bit-identical across engines, so the DuckDB oracle reproduces the
+    assignment EXACTLY; xxhash64 is Spark-only).  The split compares the
+    first 8 hex chars lexically against precomputed hex thresholds —
+    lowercase-hex lexical order IS numeric order, no bigint conversion
+    needed on either engine.
+
+    Scale shape: map-only projection, no shuffle; ORDER BY shuffle_key
+    at write time gives the deterministic epoch order."""
+    h_split = F.md5(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string")))
+    h_order = F.md5(F.concat(F.lit(f"{seed + 1}:"), F.col(id_col).cast("string")))
+    t_train = format(int(train * 16**8), "08x")
+    t_val = format(int((train + val) * 16**8), "08x")
+    b = F.substring(h_split, 1, 8)
+    return df.select(
+        F.col(id_col),
+        F.when(b < t_train, F.lit("train"))
+        .when(b < t_val, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+        h_order.alias("shuffle_key"),
+    )
+
+
+def length_curriculum(
+    df: DataFrame,
+    text_col: str = "text",
+    boundaries: tuple = (8, 32, 128, 512),
+) -> DataFrame:
+    """Curriculum binning by token count: per-bucket document counts,
+    token statistics and corpus share — the report curriculum schedules
+    and packing planners key on.
+
+    Scale shape: map-only token count (same whitespace rule as
+    quality_features), one small groupBy on the bucket id, corpus total
+    via a lazy broadcast 1-row aggregate (no build-time job)."""
+    t = F.trim(F.col(text_col))
+    n_tok = F.when(F.length(t) == 0, F.lit(0)).otherwise(
+        F.size(F.split(t, r"\s+"))
+    ).cast("long")
+    bucket = F.lit(len(boundaries)).cast("long")
+    label = F.lit(f">={boundaries[-1]}")
+    for i in reversed(range(len(boundaries))):
+        lo = 0 if i == 0 else boundaries[i - 1]
+        bucket = F.when(n_tok < boundaries[i], F.lit(i).cast("long")).otherwise(bucket)
+        label = F.when(
+            n_tok < boundaries[i], F.lit(f"[{lo},{boundaries[i]})")
+        ).otherwise(label)
+    binned = df.select(bucket.alias("bucket"), label.alias("bucket_label"), n_tok.alias("_n"))
+    total = binned.agg(F.count(F.lit(1)).alias("_total"))
+    return (
+        binned.groupBy("bucket", "bucket_label")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_n").alias("n_tokens"),
+            F.round(F.avg("_n"), 4).alias("avg_tokens"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "bucket",
+            "bucket_label",
+            "n_docs",
+            "n_tokens",
+            "avg_tokens",
+            F.round(F.col("n_docs") / F.col("_total").cast("double"), 6).alias("share"),
+        )
+    )

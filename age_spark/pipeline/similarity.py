@@ -402,3 +402,44 @@ def lsh_bucketed_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "vec_id", F.round("cosine", 6).alias("cosine"), "rank")
     )
+
+
+def cluster_balance(
+    corpus: DataFrame,
+    n_clusters: int = 8,
+    cap: int = 100,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Topic-balanced subsampling over an embedding column: assign every
+    vector to its nearest k-means centroid (the SemDeDup/DSIR-style
+    cluster-then-rebalance recipe) and keep at most ``cap`` rows per
+    cluster, lowest id first (deterministic).
+
+    Scale shape: the quantizer fits on a bounded seeded sample
+    (_fit_centroids — the corpus never collects) and broadcasts; cluster
+    assignment is one Arrow-batched matmul per batch; the cap is one
+    cluster-keyed window shuffle.  Output: (vec_id, cluster, rank)."""
+    import numpy as np
+    import pandas as pd
+
+    C = _fit_centroids(corpus, vec_col, id_col, n_clusters)
+
+    @F.pandas_udf("int")
+    def assign(v):
+        if len(v) == 0:
+            return pd.Series([], dtype="int32")
+        V = np.stack(v.to_numpy())
+        V = V / np.linalg.norm(V, axis=1, keepdims=True)
+        return pd.Series(np.argmax(V @ C.T, axis=1).astype("int32"))
+
+    w = Window.partitionBy("cluster").orderBy(F.col("vec_id").asc())
+    return (
+        corpus.select(
+            F.col(id_col).alias("vec_id"),
+            assign(F.col(vec_col).cast("array<double>")).alias("cluster"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= cap)
+        .select("vec_id", F.col("cluster").cast("bigint").alias("cluster"), F.col("rank").cast("bigint").alias("rank"))
+    )

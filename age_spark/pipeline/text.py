@@ -414,3 +414,97 @@ def vocab_stats(
             F.sum("n").over(wc) / F.col("_total").cast("double"), 6
         ).alias("cum_share"),
     )
+
+
+def bigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab_size: int = 10_000,
+    bigram_size: int = 50_000,
+    ref: DataFrame = None,
+) -> DataFrame:
+    """Corpus-fit conditional-bigram language-model score — one step up
+    the perplexity-proxy ladder from unigram_logprob: each document is
+    scored by round(mean ln P(w2 | w1), 4) over its token bigrams, with
+    add-one smoothing against the corpus distinct-token count D and
+    BACKOFF to the unigram model (same formula as unigram_logprob,
+    including its OOV mass) when the bigram is outside the fitted top-K.
+    Documents with fewer than two tokens have no bigram and drop out.
+
+    Scale shape: bigrams form IN-ARRAY (zip_with of shifted slices — no
+    posexplode self-join); the fitted tables are bounded (top
+    ``bigram_size`` bigrams joined with their w1 unigram counts, top
+    ``vocab_size`` unigram fallbacks) and BROADCAST; scoring is one
+    map-side explode + two broadcast joins + one doc-keyed groupBy with
+    partial aggregation — the same single-shuffle shape as the unigram
+    scorer at any corpus size."""
+    import math
+
+    def toks_arr(c):
+        return F.filter(
+            F.split(F.regexp_replace(F.lower(F.trim(c)), r"\s+", " "), " "),
+            lambda x: x != "",
+        )
+
+    def bigrams(a):
+        return F.when(
+            F.size(a) >= 2,
+            F.zip_with(
+                F.slice(a, 1, F.size(a) - 1),
+                F.slice(a, 2, F.size(a) - 1),
+                lambda x, y: F.concat_ws(" ", x, y),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    fit = ref if ref is not None else df
+    ref_toks = fit.select(F.explode(toks_arr(F.col(text_col))).alias("_tok"))
+    uni = ref_toks.groupBy("_tok").agg(F.count(F.lit(1)).alias("_cu"))
+    row = uni.agg(F.sum("_cu").alias("n"), F.count(F.lit(1)).alias("d")).first()
+    n_total, d_distinct = int(row["n"] or 0), int(row["d"] or 0)
+    denom_uni = float(n_total + d_distinct + 1)
+    oov = math.log(1.0 / denom_uni)
+
+    bi = (
+        fit.select(F.explode(bigrams(toks_arr(F.col(text_col)))).alias("_bg"))
+        .groupBy("_bg")
+        .agg(F.count(F.lit(1)).alias("_cb"))
+        .orderBy(F.col("_cb").desc(), F.col("_bg"))
+        .limit(bigram_size)
+    )
+    # P(w2|w1) = (c(w1 w2) + 1) / (c(w1) + D): join each kept bigram with
+    # its w1 unigram count (bounded table x bounded table)
+    w1 = F.split(F.col("_bg"), " ").getItem(0)
+    bi_lp = (
+        bi.withColumn("_w1", w1)
+        .join(uni.select(F.col("_tok").alias("_w1"), "_cu"), "_w1")
+        .select(
+            "_bg",
+            F.log(
+                (F.col("_cb") + 1) / (F.col("_cu") + F.lit(float(d_distinct)))
+            ).alias("_lpb"),
+        )
+    )
+    uni_lp = (
+        uni.orderBy(F.col("_cu").desc(), F.col("_tok"))
+        .limit(vocab_size)
+        .select(
+            F.col("_tok").alias("_w2"),
+            F.log((F.col("_cu") + 1) / F.lit(denom_uni)).alias("_lpu"),
+        )
+    )
+
+    doc_bi = df.select(
+        F.col(id_col), F.explode(bigrams(toks_arr(F.col(text_col)))).alias("_bg")
+    ).withColumn("_w2", F.split(F.col("_bg"), " ").getItem(1))
+    return (
+        doc_bi.join(F.broadcast(bi_lp), "_bg", "left")
+        .join(F.broadcast(uni_lp), "_w2", "left")
+        .groupBy(id_col)
+        .agg(
+            F.round(
+                F.avg(F.coalesce(F.col("_lpb"), F.col("_lpu"), F.lit(oov))), 4
+            ).alias("bigram_logprob"),
+            F.count(F.lit(1)).alias("n_bigrams"),
+        )
+    )

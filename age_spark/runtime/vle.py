@@ -423,7 +423,11 @@ def shortest_path_pairs(
     else:
         edges_thin = thin_lazy
     edges_by_d = None  # pre-partitioned fallback, built only if ever needed
-    reach0 = targets.select(F.col("_tgt").alias("_rv")).localCheckpoint(eager=True)
+    # lazy checkpoint: the count() right below is the materializing action,
+    # so each checkpoint+count pair costs ONE job instead of two — at ~20
+    # sequential hops the saved short jobs are a measurable slice of SP
+    # wall time
+    reach0 = targets.select(F.col("_tgt").alias("_rv")).localCheckpoint(eager=False)
     reach_parts = [reach0]
     bfront = reach0
     n_bfront = reach0.count()
@@ -477,8 +481,8 @@ def shortest_path_pairs(
         )
         # s1 and s2 are each distinct and mutually disjoint (s2 anti-joins
         # reach ∪ s1), so the union needs no extra dedup shuffle
-        step = s1.unionByName(s2).localCheckpoint(eager=True)
-        n_bfront = step.count()
+        step = s1.unionByName(s2).localCheckpoint(eager=False)
+        n_bfront = step.count()  # materializes the lazy checkpoint
         if n_bfront == 0:
             break
         n_reach += n_bfront
@@ -601,7 +605,7 @@ def _sp_slim_bfs(
     edges2 = edges.select("_s", "_d")
     frontier = starts.distinct().select(
         F.col("src"), F.col("src").alias("cur"), F.lit(1).cast("long").alias("cnt")
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)  # materialized by the count below
     # visited = lazy union of the per-hop frontiers: each is per-(src, cur)
     # distinct by construction (groupBy) and anti-joined against everything
     # before it, so the pieces are disjoint — no dedup, no extra
@@ -641,8 +645,8 @@ def _sp_slim_bfs(
             vs,
             (nxt["src"] == visited["src"]) & (nxt["cur"] == visited["vid"]),
             "left_anti",
-        ).localCheckpoint(eager=True)
-        n_frontier = nxt.count()
+        ).localCheckpoint(eager=False)
+        n_frontier = nxt.count()  # materializes the lazy checkpoint
         if n_frontier == 0:
             break
         n_visited += n_frontier

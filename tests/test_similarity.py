@@ -118,3 +118,24 @@ def test_recall_floors_hold_at_10x(spark):
     assert r_ivf >= 0.7, f"IVF recall at 10x: {r_ivf}"
     r_lsh = recall(lsh_bucketed_topk(emb10, qs, k=5, planes=6, probe_bits=2))
     assert r_lsh >= 0.6, f"multi-probe LSH recall at 10x: {r_lsh}"
+
+
+def test_cluster_balance_cap_and_determinism(spark):
+    from age_spark.pipeline.similarity import cluster_balance
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    n_total = emb.count()
+    out1 = cluster_balance(emb, n_clusters=4, cap=30).collect()
+    out2 = cluster_balance(emb, n_clusters=4, cap=30).collect()
+    # deterministic: seeded sample + seeded init + id-ordered cap
+    assert sorted(map(tuple, out1)) == sorted(map(tuple, out2))
+    by_cluster = {}
+    for r in out1:
+        by_cluster.setdefault(r.cluster, []).append(r)
+    assert set(by_cluster) <= set(range(4)) and len(by_cluster) >= 2
+    for c, rows in by_cluster.items():
+        assert len(rows) <= 30
+        # lowest-id-first cap with dense ranks
+        assert sorted(r.rank for r in rows) == list(range(1, len(rows) + 1))
+    # caps bind only when a cluster exceeds them
+    assert len(out1) <= min(n_total, 4 * 30)
