@@ -108,29 +108,36 @@ def unigram_logprob(
     exploded tokens against the BROADCAST vocab (map-side) and
     re-aggregates per document — the only full-corpus shuffle is that
     doc-id groupBy, with partial aggregation underneath."""
-    import math
-
     toks = lambda c: F.split(F.regexp_replace(F.lower(F.trim(c)), r"\s+", " "), " ")
     ref_toks = (ref if ref is not None else df).select(
         F.explode(toks(F.col(text_col))).alias("_tok")
     ).filter(F.col("_tok") != "")
     counts = ref_toks.groupBy("_tok").agg(F.count(F.lit(1)).alias("_c"))
-    row = counts.agg(F.sum("_c").alias("n"), F.count(F.lit(1)).alias("d")).first()
-    denom = float((row["n"] or 0) + (row["d"] or 0) + 1)
-    oov = math.log(1.0 / denom)
+    # N and D stay LAZY (1-row aggregate crossJoined broadcast) so
+    # building the op runs no job and the scalars come from the same data
+    # the action reads (the tfidf/vocab_stats rule, ADVICE r7)
+    stats = counts.agg(
+        F.coalesce(F.sum("_c"), F.lit(0)).alias("_n"),
+        F.count(F.lit(1)).alias("_d"),
+    )
+    denom = (F.col("_n") + F.col("_d") + 1).cast("double")
     vocab = (
         counts.orderBy(F.col("_c").desc(), F.col("_tok"))
         .limit(vocab_size)
-        .select("_tok", F.log((F.col("_c") + 1) / F.lit(denom)).alias("_lp"))
+        .crossJoin(F.broadcast(stats))
+        .select("_tok", F.log((F.col("_c") + 1) / denom).alias("_lp"))
     )
     doc_toks = df.select(
         F.col(id_col), F.explode(toks(F.col(text_col))).alias("_tok")
     ).filter(F.col("_tok") != "")
     return (
         doc_toks.join(F.broadcast(vocab), "_tok", "left")
+        .crossJoin(F.broadcast(stats))
         .groupBy(id_col)
         .agg(
-            F.round(F.avg(F.coalesce(F.col("_lp"), F.lit(oov))), 4).alias("logprob"),
+            F.round(
+                F.avg(F.coalesce(F.col("_lp"), F.log(F.lit(1.0) / denom))), 4
+            ).alias("logprob"),
             F.count(F.lit(1)).alias("n_tokens"),
         )
     )
@@ -439,8 +446,6 @@ def bigram_logprob(
     map-side explode + two broadcast joins + one doc-keyed groupBy with
     partial aggregation — the same single-shuffle shape as the unigram
     scorer at any corpus size."""
-    import math
-
     def toks_arr(c):
         return F.filter(
             F.split(F.regexp_replace(F.lower(F.trim(c)), r"\s+", " "), " "),
@@ -460,10 +465,14 @@ def bigram_logprob(
     fit = ref if ref is not None else df
     ref_toks = fit.select(F.explode(toks_arr(F.col(text_col))).alias("_tok"))
     uni = ref_toks.groupBy("_tok").agg(F.count(F.lit(1)).alias("_cu"))
-    row = uni.agg(F.sum("_cu").alias("n"), F.count(F.lit(1)).alias("d")).first()
-    n_total, d_distinct = int(row["n"] or 0), int(row["d"] or 0)
-    denom_uni = float(n_total + d_distinct + 1)
-    oov = math.log(1.0 / denom_uni)
+    # N and D stay LAZY (1-row aggregate crossJoined broadcast): building
+    # the op runs no job, and the scalars come from the data the action
+    # reads (the tfidf/vocab_stats rule, ADVICE r7)
+    stats = uni.agg(
+        F.coalesce(F.sum("_cu"), F.lit(0)).alias("_n"),
+        F.count(F.lit(1)).alias("_d"),
+    )
+    denom_uni = (F.col("_n") + F.col("_d") + 1).cast("double")
 
     bi = (
         fit.select(F.explode(bigrams(toks_arr(F.col(text_col)))).alias("_bg"))
@@ -478,19 +487,21 @@ def bigram_logprob(
     bi_lp = (
         bi.withColumn("_w1", w1)
         .join(uni.select(F.col("_tok").alias("_w1"), "_cu"), "_w1")
+        .crossJoin(F.broadcast(stats))
         .select(
             "_bg",
             F.log(
-                (F.col("_cb") + 1) / (F.col("_cu") + F.lit(float(d_distinct)))
+                (F.col("_cb") + 1) / (F.col("_cu") + F.col("_d").cast("double"))
             ).alias("_lpb"),
         )
     )
     uni_lp = (
         uni.orderBy(F.col("_cu").desc(), F.col("_tok"))
         .limit(vocab_size)
+        .crossJoin(F.broadcast(stats))
         .select(
             F.col("_tok").alias("_w2"),
-            F.log((F.col("_cu") + 1) / F.lit(denom_uni)).alias("_lpu"),
+            F.log((F.col("_cu") + 1) / denom_uni).alias("_lpu"),
         )
     )
 
@@ -500,10 +511,16 @@ def bigram_logprob(
     return (
         doc_bi.join(F.broadcast(bi_lp), "_bg", "left")
         .join(F.broadcast(uni_lp), "_w2", "left")
+        .crossJoin(F.broadcast(stats))
         .groupBy(id_col)
         .agg(
             F.round(
-                F.avg(F.coalesce(F.col("_lpb"), F.col("_lpu"), F.lit(oov))), 4
+                F.avg(
+                    F.coalesce(
+                        F.col("_lpb"), F.col("_lpu"), F.log(F.lit(1.0) / denom_uni)
+                    )
+                ),
+                4,
             ).alias("bigram_logprob"),
             F.count(F.lit(1)).alias("n_bigrams"),
         )
