@@ -283,7 +283,7 @@ def test_trigram_similarity_join_exact(spark):
          (14, "Bob Marley"), (15, "Alyce Walker")],
         "doc_id int, text string",
     )
-    for t in (0.4, 0.6, 0.8):
+    def check(t):
         got = sorted(tuple(r) for r in trigram_similarity_join(L, R, threshold=t).collect())
         brute = (
             L.alias("a").crossJoin(R.alias("b"))
@@ -296,8 +296,16 @@ def test_trigram_similarity_join_exact(spark):
         )
         want = sorted(tuple(r) for r in brute.collect())
         assert got == want, t
+        return got
+
+    # thresholds are independent plans; the wall time is compile latency,
+    # so overlap them (same pooling rule as the replay batches)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=3) as ex:
+        results = list(ex.map(check, (0.4, 0.6, 0.8)))
     # identical strings always survive any threshold
-    assert any(a == 2 and b == 12 for a, b, _ in got)
+    assert any(a == 2 and b == 12 for a, b, _ in results[-1])
 
 
 def test_ngram_decontaminate_catches_quoted_passage(spark):
