@@ -198,3 +198,36 @@ def test_vle_pruning_broadcast_is_size_gated(tpch, monkeypatch):
     # past the gate the plan carries no pruning semi-joins at all
     assert gated_plan.count("LeftSemi") < pruned_plan.count("LeftSemi")
     assert "LeftSemi" not in gated_plan
+
+
+def test_split_assign_map_only(spark):
+    """split_assign is a pure projection: no Exchange, no Python eval."""
+    from age_spark.pipeline.sampling import split_assign
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = split_assign(docs)._jdf.queryExecution().toString()
+    assert "Exchange" not in plan
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "PythonUDF"):
+        assert marker not in plan
+
+
+def test_bigram_logprob_broadcast_tables(spark):
+    """The fitted bigram/unigram tables join BROADCAST; the corpus side
+    must never sort-merge against the LM tables."""
+    from age_spark.pipeline.text import bigram_logprob
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = bigram_logprob(docs)._jdf.queryExecution().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_length_curriculum_jvm_only(spark):
+    """Token counting and binning stay whole-JVM: no Python eval node;
+    the corpus total rides a broadcast 1-row aggregate."""
+    from age_spark.pipeline.sampling import length_curriculum
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = length_curriculum(docs)._jdf.queryExecution().toString()
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "PythonUDF"):
+        assert marker not in plan
