@@ -318,6 +318,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         .cluster_balance(_emb(s, d), n_clusters=8, cap=100)
     )
 
+    # full BPE train (word-table merge loop) + encode; the iteration is
+    # not SQL-expressible, so rows-only with value-pinned pytests
+    def _bpe_encode(s, d):
+        from age_spark.pipeline.bpe import bpe_encode, train_bpe
+
+        docs = _docs(s, d)
+        merges = train_bpe(docs, n_merges=20)
+        return bpe_encode(docs, merges).select("doc_id", "n_tokens")
+
+    q["p_bpe_encode"] = _bpe_encode
+
     # ================= Cypher graph engine (oracled) =================
 
     # ---- §2.1/§2.4 scans, filters, projections

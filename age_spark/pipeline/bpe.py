@@ -1,0 +1,172 @@
+"""Byte-pair-encoding tokenizer training and encoding at corpus scale.
+
+The classic BPE recipe (Sennrich et al. 2016, public) reformulated
+Spark-first:
+
+- ``train_bpe``: the merge loop NEVER touches the corpus after one
+  initial word-frequency aggregation — each iteration runs on the
+  DISTINCT-WORD table (bounded by vocabulary size, not corpus size),
+  weighting pair counts by word frequency.  One pair-keyed partial-agg
+  shuffle + one TakeOrdered(1) per merge; the evolving symbol arrays
+  stay distributed.  At 100 TB the corpus is read once; every iteration
+  is vocabulary-sized.
+- ``bpe_encode``: applies the ranked merge table per document inside an
+  Arrow-batched kernel (mapInPandas) with the merges BROADCAST via task
+  closure — the standard lowest-rank-first merge loop per word, cached
+  per distinct word within each batch.
+
+`pipeline/text.py bpe_pair_counts` remains the single-iteration counting
+primitive with its DuckDB oracle; this module is the full loop (the
+iteration makes it non-SQL-expressible, so training is pinned by
+value-level pytests instead).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# end-of-word sentinel (the </w> of the original recipe): merges can then
+# distinguish word-final from word-internal pairs, and decoding restores
+# word boundaries.  \x17 never appears in whitespace-split tokens.
+EOW = "\x17"
+
+
+def _words_with_counts(df: DataFrame, text_col: str) -> DataFrame:
+    toks = F.split(
+        F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "), " "
+    )
+    return (
+        df.select(F.explode(toks).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+
+
+def train_bpe(
+    df: DataFrame,
+    n_merges: int = 50,
+    text_col: str = "text",
+    max_words: Optional[int] = 1_000_000,
+) -> list[tuple[str, str]]:
+    """Learn ``n_merges`` BPE merge rules from a corpus.
+
+    Returns the ranked merge list [(left, right), ...].  Ties break
+    deterministically (count DESC, pair ASC) so retraining reproduces the
+    same tokenizer anywhere.
+
+    Scale shape: ONE corpus-wide word-frequency aggregation up front;
+    every merge iteration then runs on the distinct-word table — a
+    pair-explode bounded by total symbol count over distinct words, one
+    partial-agg shuffle, and a TakeOrdered(1) for the argmax (two driver
+    rows per iteration, never the table).  The symbol arrays re-derive
+    from the merge list per iteration (pure column ops — no Python in the
+    loop, no unbounded lineage: the word table is checkpointed once).
+
+    ``max_words`` caps the working vocabulary to the most frequent words
+    (freq DESC, word ASC — deterministic); None disables the cap.
+    """
+    words = _words_with_counts(df, text_col)
+    if max_words is not None:
+        words = words.orderBy(F.col("freq").desc(), F.col("word")).limit(max_words)
+    # one materialization: every iteration replans from this table
+    words = words.localCheckpoint(eager=False)
+
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        syms = _apply_merges_column(F.col("word"), merges)
+        n = F.size(syms)
+        pairs = F.zip_with(
+            F.slice(syms, 1, F.greatest(n - 1, F.lit(0))),
+            F.slice(syms, 2, F.greatest(n - 1, F.lit(0))),
+            lambda a, b: F.concat_ws(" ", a, b),
+        )
+        top = (
+            words.select(F.explode(pairs).alias("pair"), "freq")
+            .groupBy("pair")
+            .agg(F.sum("freq").alias("n"))
+            .orderBy(F.col("n").desc(), F.col("pair").asc())
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        left, right = top[0]["pair"].split(" ", 1)
+        merges.append((left, right))
+    return merges
+
+
+def _apply_merges_column(word: "F.Column", merges: list[tuple[str, str]]) -> "F.Column":
+    """Symbol array of a word after applying ``merges`` in rank order —
+    pure column ops: initial symbols are characters + EOW; each merge is
+    one pass replacing adjacent (l, r) with l||r.  Merge application uses
+    the string form with \\x1f separators (regexp-free, injective since
+    \\x1f never occurs in tokens)."""
+    SEP = "\x1f"
+    # "abc" -> "a\x1fb\x1fc\x17"
+    s = F.concat(
+        F.array_join(F.split(word, ""), SEP), F.lit(SEP + EOW)
+    )
+    for l, r in merges:
+        # adjacent pair (l, r) merges into l||r: replace "l\x1fr" with "lr".
+        # One pass per rule mirrors the reference recipe's greedy
+        # left-to-right scan: replace() substitutes left-to-right and a
+        # merged symbol can immediately participate in later RULES (rank
+        # order), exactly like the classic implementation.
+        s = F.replace(s, F.lit(l + SEP + r), F.lit(l + r))
+    return F.split(s, SEP)
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Tokenize documents with a trained merge table: per document, the
+    lowest-rank-applicable merge loop over each word's symbols (the
+    reference encode algorithm), word results memoized per batch.
+
+    Output: (id, tokens array<string>, n_tokens).  Scale shape: map-only
+    mapInPandas — merges ride the task closure (broadcast-sized: one
+    small dict), nothing shuffles."""
+    import pandas as pd
+
+    ranks = {pair: i for i, pair in enumerate(merges)}
+    out_schema = f"{id_col} long, tokens array<string>, n_tokens int"
+
+    def encode_word(word: str, cache: dict) -> list[str]:
+        hit = cache.get(word)
+        if hit is not None:
+            return hit
+        syms = list(word) + [EOW]
+        while len(syms) > 1:
+            best, best_i = None, -1
+            for i in range(len(syms) - 1):
+                r = ranks.get((syms[i], syms[i + 1]))
+                if r is not None and (best is None or r < best):
+                    best, best_i = r, i
+            if best is None:
+                break
+            syms[best_i:best_i + 2] = [syms[best_i] + syms[best_i + 1]]
+        cache[word] = syms
+        return syms
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cache: dict = {}
+        for pdf in batches:
+            ids, toks, ns = [], [], []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                words = [w for w in (text or "").lower().strip().split() if w]
+                enc: list[str] = []
+                for w in words:
+                    enc.extend(encode_word(w, cache))
+                ids.append(did)
+                toks.append(enc)
+                ns.append(len(enc))
+            yield pd.DataFrame({id_col: ids, "tokens": toks, "n_tokens": ns})
+
+    return df.select(id_col, text_col).mapInPandas(run, out_schema)
