@@ -318,6 +318,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         .cluster_balance(_emb(s, d), n_clusters=8, cap=100)
     )
 
+    # char-level exact-substring decontamination (Rabin-Karp stride
+    # sampling; md5 windows so the oracle reproduces the decision exactly)
+    q["p_char_decontaminate"] = lambda s, d: (
+        __import__("age_spark.pipeline.dedup", fromlist=["char_decontaminate"])
+        .char_decontaminate(
+            _docs(s, d),
+            _docs(s, d).filter(F.col("doc_id") % 37 == 0),
+            window=40,
+            stride=8,
+        )
+    )
+
     # full BPE train (word-table merge loop) + encode; the iteration is
     # not SQL-expressible, so rows-only with value-pinned pytests
     def _bpe_encode(s, d):
@@ -1403,6 +1415,28 @@ def oracle_sql() -> dict[str, str]:
                count(*) AS n_bigrams
         FROM bg LEFT JOIN blp USING (bg) LEFT JOIN ulp USING (w2)
         GROUP BY doc_id
+    """
+    O["p_char_decontaminate"] = """
+        WITH normc AS (
+          SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+          FROM documents
+        ),
+        refw AS (
+          SELECT DISTINCT md5(substr(t, i, 40)) AS w
+          FROM normc, unnest(range(1, greatest(length(t) - 39, 1) + 1)) AS r(i)
+          WHERE doc_id % 37 = 0
+        ),
+        docw AS (
+          SELECT doc_id, md5(substr(t, i, 40)) AS w
+          FROM normc, unnest(range(1, greatest(length(t) - 39, 1) + 1, 8)) AS r(i)
+        )
+        SELECT doc_id,
+               count(*) AS n_windows,
+               coalesce(sum(CASE WHEN w IN (SELECT w FROM refw) THEN 1 ELSE 0 END), 0)::BIGINT
+                 AS n_contaminated,
+               coalesce(sum(CASE WHEN w IN (SELECT w FROM refw) THEN 1 ELSE 0 END), 0) > 0
+                 AS dropped
+        FROM docw GROUP BY doc_id
     """
     return O
 

@@ -603,3 +603,70 @@ def contamination_share(
             F.coalesce(F.sum("_hit"), F.lit(0)) / F.count(F.lit(1)), 4
         ).alias("contamination_share"),
     )
+
+
+def char_decontaminate(
+    corpus: DataFrame,
+    reference: DataFrame,
+    text_col: str = "text",
+    ref_text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 40,
+    stride: int = 8,
+) -> DataFrame:
+    """Character-level exact-substring decontamination: flag a corpus
+    document when a ``window``-char run of its normalized text appears
+    VERBATIM anywhere in the reference set — the complement of the token
+    13-gram rule for eval passages that token boundaries miss (code,
+    numbers, partially-tokenized quotes).
+
+    The Rabin-Karp sampling trick keeps the corpus side cheap: corpus
+    windows are taken every ``stride`` chars while the reference side
+    enumerates EVERY offset, so any shared run of length >=
+    window + stride - 1 is guaranteed to align one sampled corpus window
+    with a reference window (no false negatives above that length; the
+    reference side is the small one by construction).  Digests are md5,
+    so the DuckDB oracle reproduces the decision exactly.
+
+    Output: per corpus document, the sampled-window count, the number of
+    contaminated sampled windows, and the drop verdict.
+
+    Scale shape: both sides form windows map-side (substring over the
+    normalized text — rows ∝ chars/stride, the text itself never leaves
+    the scan); the reference reduces to DISTINCT digests and broadcasts;
+    one doc-keyed groupBy with partial aggregation."""
+    norm = lambda c: F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+
+    def windows(c: Column, step: int) -> Column:
+        t = norm(c)
+        n = F.length(t)
+        return F.transform(
+            F.sequence(
+                F.lit(1),
+                F.greatest(n - window + 1, F.lit(1)),
+                F.lit(step),
+            ),
+            lambda i: F.md5(F.substring(t, i, window)),
+        )
+
+    ref_w = reference.select(
+        F.explode(windows(F.col(ref_text_col), 1)).alias("_w")
+    ).distinct()
+    doc_w = corpus.select(
+        F.col(id_col), F.explode(windows(F.col(text_col), stride)).alias("_w")
+    )
+    return (
+        doc_w.join(
+            F.broadcast(ref_w.select(F.col("_w"), F.lit(True).alias("_hit"))),
+            "_w",
+            "left",
+        )
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.coalesce(
+                F.sum(F.when(F.col("_hit"), 1).otherwise(0)), F.lit(0)
+            ).cast("long").alias("n_contaminated"),
+        )
+        .withColumn("dropped", F.col("n_contaminated") > 0)
+    )

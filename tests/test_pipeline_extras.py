@@ -480,3 +480,30 @@ def test_vocab_stats_zipf_profile(spark):
         (2, "b", 3, round(3 / 9, 6), round(7 / 9, 6)),
         (3, "c", 1, round(1 / 9, 6), round(8 / 9, 6)),
     ]
+
+
+def test_char_decontaminate_catches_offset_verbatim_run(spark):
+    """A corpus doc embedding a >= window+stride-1 char VERBATIM run of an
+    eval doc is flagged at ANY offset (the Rabin-Karp sampling guarantee);
+    clean docs keep dropped=false."""
+    from age_spark.pipeline.dedup import char_decontaminate
+
+    passage = "the quick brown fox jumps over the lazy dog near the riverbank today"
+    ref = spark.createDataFrame([(100, passage)], "doc_id long, text string")
+    docs = spark.createDataFrame(
+        [
+            # guarantee bound: window=20, stride=5 -> any shared run >= 24
+            # chars must be caught; embed at awkward offsets
+            (1, "xyzab " + passage + " tail"),
+            (2, "prefix words then " + passage[10:45] + " suffix"),
+            (3, "completely unrelated text with no overlap at all here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r.dropped
+        for r in char_decontaminate(docs, ref, window=20, stride=5).collect()
+    }
+    assert out[1] is True
+    assert out[2] is True   # 35-char verbatim slice >= 24
+    assert out[3] is False
