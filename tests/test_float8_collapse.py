@@ -45,6 +45,13 @@ CASES = [
     # NUMERIC operands never collapse: int-vs-numeric is numeric_cmp
     (f"WITH [{I64MAX}] AS xs RETURN xs[0] = {I64MAX}::numeric AS r", True),
     (f"WITH [{F8}] AS xs RETURN xs[0] = {I64MAX}::numeric AS r", False),
+    # float8 specials through the collapse: NaN sorts largest (PG float8
+    # comparator), infinities bracket every int, -0.0 equals 0
+    ("WITH [5, toFloat('NaN')] AS xs RETURN xs[0] < xs[1] AS r", True),
+    ("WITH [5, toFloat('NaN')] AS xs RETURN xs[0] = xs[1] AS r", False),
+    ("WITH [5, toFloat('Infinity')] AS xs RETURN xs[0] < xs[1] AS r", True),
+    ("WITH [5, toFloat('-Infinity')] AS xs RETURN xs[1] < xs[0] AS r", True),
+    ("WITH [0, -0.0] AS xs RETURN xs[0] = xs[1] AS r", True),
 ]
 
 
