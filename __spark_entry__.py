@@ -318,6 +318,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         .cluster_balance(_emb(s, d), n_clusters=8, cap=100)
     )
 
+    # PCA projection over embeddings (bounded-sample fit, map-only
+    # projection; the SVD fit is not SQL-expressible -> rows-only)
+    q["p_pca_project"] = lambda s, d: (
+        __import__("age_spark.pipeline.similarity", fromlist=["pca_project"])
+        .pca_project(_emb(s, d), k=16)
+    )
+
     # char-level exact-substring decontamination (Rabin-Karp stride
     # sampling; md5 windows so the oracle reproduces the decision exactly)
     q["p_char_decontaminate"] = lambda s, d: (

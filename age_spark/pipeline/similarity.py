@@ -153,20 +153,16 @@ def _rp_band_signatures(
     return sig(vec.cast("array<double>"))
 
 
-def _fit_centroids(corpus: DataFrame, vec_col: str, id_col: str, n_centroids: int,
-                   sample_size: int = 8192, iters: int = 10, seed: int = 42):
-    """Driver-side Lloyd's k-means on a deterministic sample of normalized
-    vectors (numpy). The coarse quantizer is tiny (n_centroids x dim) and is
-    broadcast; fitting on a bounded sample is the standard IVF recipe — the
-    full corpus never leaves the cluster."""
+def _sample_vectors(corpus: DataFrame, vec_col: str, id_col: str,
+                    sample_size: int, seed: int):
+    """Deterministic bounded vector sample as a numpy matrix: a seeded
+    hash-threshold filter at the SCAN (no per-partition top-K heap over
+    the full corpus that orderBy().limit() would cost), then a bounded
+    driver-side cap.  The xxhash threshold targets ~2x sample_size rows
+    so the cap rarely truncates a biased prefix; falls back to the whole
+    (small) corpus when the estimate undershoots."""
     import numpy as np
 
-    # deterministic hash-threshold sample: a seeded filter at the SCAN (no
-    # per-partition top-K heap over the full corpus that orderBy().limit()
-    # would cost), then a bounded driver-side cap.  The xxhash threshold
-    # targets ~2x sample_size rows so the cap rarely truncates a biased
-    # prefix; falls back to the whole (small) corpus when the estimate
-    # undershoots.
     base = corpus.select(
         F.col(id_col).alias("i"), F.col(vec_col).cast("array<double>").alias("v")
     ).withColumn("_h", F.abs(F.xxhash64(F.col("i"), F.lit(seed))) % F.lit(1 << 62))
@@ -185,8 +181,18 @@ def _fit_centroids(corpus: DataFrame, vec_col: str, id_col: str, n_centroids: in
         hashed = base.where(F.col("_h") < bound).orderBy("_h", "i").limit(sample_size)
     picked = hashed.collect()
     picked.sort(key=lambda r: (r._h, r.i))
-    rows = picked[:sample_size]
-    X = np.stack([r.v for r in rows])
+    return np.stack([r.v for r in picked[:sample_size]])
+
+
+def _fit_centroids(corpus: DataFrame, vec_col: str, id_col: str, n_centroids: int,
+                   sample_size: int = 8192, iters: int = 10, seed: int = 42):
+    """Driver-side Lloyd's k-means on a deterministic sample of normalized
+    vectors (numpy). The coarse quantizer is tiny (n_centroids x dim) and is
+    broadcast; fitting on a bounded sample is the standard IVF recipe — the
+    full corpus never leaves the cluster."""
+    import numpy as np
+
+    X = _sample_vectors(corpus, vec_col, id_col, sample_size, seed)
     X = X / np.linalg.norm(X, axis=1, keepdims=True)
     rng = np.random.RandomState(seed)
     C = X[rng.choice(len(X), size=min(n_centroids, len(X)), replace=False)]
@@ -442,4 +448,65 @@ def cluster_balance(
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= cap)
         .select("vec_id", F.col("cluster").cast("bigint").alias("cluster"), F.col("rank").cast("bigint").alias("rank"))
+    )
+
+
+def pca_fit(
+    corpus: DataFrame,
+    k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_size: int = 8192,
+    seed: int = 42,
+):
+    """Fit a k-component PCA (mean + principal directions) on the
+    deterministic bounded sample — the standard dimension-reduction
+    preprocessor for ANN/clustering over embedding columns.  Returns
+    (mean 1xd, components kxd) as numpy arrays; signs are canonicalized
+    (largest-|coeff| entry positive) so the fit is reproducible.
+
+    The full corpus never leaves the cluster: the sample is the same
+    seeded hash-threshold scan the IVF quantizer uses."""
+    import numpy as np
+
+    X = _sample_vectors(corpus, vec_col, id_col, sample_size, seed)
+    mean = X.mean(axis=0, keepdims=True)
+    _, _, Vt = np.linalg.svd(X - mean, full_matrices=False)
+    comps = Vt[:k]
+    # canonical signs: flip each component so its max-|coeff| entry is >= 0
+    flips = np.sign(comps[np.arange(len(comps)), np.abs(comps).argmax(axis=1)])
+    flips[flips == 0] = 1.0
+    return mean, comps * flips[:, None]
+
+
+def pca_project(
+    corpus: DataFrame,
+    k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_size: int = 8192,
+    seed: int = 42,
+) -> DataFrame:
+    """Project an embedding column onto its top-k principal components:
+    (id, reduced array<float>).  Scale shape: the (k x d) projection
+    matrix fits on a bounded sample and ships in the task closure; the
+    projection itself is one numpy matmul per Arrow batch — map-only,
+    nothing shuffles."""
+    import numpy as np
+    import pandas as pd
+
+    mean, comps = pca_fit(corpus, k, id_col, vec_col, sample_size, seed)
+    P = comps.T  # (d, k)
+
+    @F.pandas_udf("array<float>")
+    def project(v):
+        if len(v) == 0:
+            return pd.Series([], dtype="object")
+        V = np.stack(v.to_numpy())
+        R = ((V - mean) @ P).astype("float32")
+        return pd.Series(list(R))
+
+    return corpus.select(
+        F.col(id_col).alias("vec_id"),
+        project(F.col(vec_col).cast("array<double>")).alias("embedding"),
     )

@@ -139,3 +139,31 @@ def test_cluster_balance_cap_and_determinism(spark):
         assert sorted(r.rank for r in rows) == list(range(1, len(rows) + 1))
     # caps bind only when a cluster exceeds them
     assert len(out1) <= min(n_total, 4 * 30)
+
+
+def test_pca_project_variance_and_determinism(spark):
+    import numpy as np
+
+    from age_spark.pipeline.similarity import pca_fit, pca_project
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    out = pca_project(emb, k=8).collect()
+    assert len(out) == emb.count()
+    R = np.stack([np.array(r.embedding) for r in sorted(out, key=lambda r: r.vec_id)])
+    assert R.shape[1] == 8
+    # component variances are non-increasing (principal axes ordered)
+    var = R.var(axis=0)
+    assert all(var[i] >= var[i + 1] - 1e-6 for i in range(7)), var
+    # top-8 captures most of the energy vs the per-axis mean
+    full = np.stack([
+        np.array(r.embedding, dtype="float64")
+        for r in emb.orderBy("vec_id").collect()
+    ])
+    total_var = full.var(axis=0).sum()
+    # the synthetic embeddings are near-isotropic: top-8/64 of pure noise
+    # would capture 12.5% of the energy; the fitted axes must beat that
+    assert var.sum() > 1.2 * (8 / full.shape[1]) * total_var
+    # deterministic across partitionings (seeded sample, canonical signs)
+    m1, c1 = pca_fit(emb, k=8)
+    m2, c2 = pca_fit(emb.repartition(7), k=8)
+    assert np.allclose(m1, m2) and np.allclose(c1, c2)
