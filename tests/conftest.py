@@ -52,3 +52,17 @@ def tiny_query_confs(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def pytest_runtestloop(session):
+    """Overlap the ~14-min reference-suite replay batch with the rest of
+    the run: session.items here is FINAL (post -k/-x deselection), so the
+    batch starts only when its joining test will actually run.  The batch
+    lives on a private newSession() whose interpreted-mode confs cannot
+    leak into concurrent tests; returning None continues pytest's default
+    loop."""
+    if any(i.name == "test_suite_replays_parallel" for i in session.items):
+        import test_suite_conformance
+
+        test_suite_conformance.ensure_replays_started()
+    return None

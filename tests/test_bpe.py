@@ -2,6 +2,8 @@
 classic worked example (Sennrich et al. 2016 §3.2 shape: low/lower/
 newest/widest with end-of-word markers)."""
 
+import pytest
+
 from age_spark.pipeline.bpe import EOW, bpe_encode, train_bpe
 
 CORPUS = " ".join(
@@ -13,11 +15,17 @@ def _corpus_df(spark):
     return spark.createDataFrame([(1, CORPUS)], "doc_id long, text string")
 
 
-def test_train_bpe_matches_hand_computed_merges(spark):
-    merges = train_bpe(_corpus_df(spark), n_merges=5)
+@pytest.fixture(scope="module")
+def merges5(spark):
+    """One training run shared by every test: greedy merges are
+    prefix-stable, so merges(n) == merges5[:n]."""
+    return train_bpe(_corpus_df(spark), n_merges=5)
+
+
+def test_train_bpe_matches_hand_computed_merges(merges5):
     # pair counts: (e,s)=(s,t)=(t,EOW)=9 tie -> pair-ASC picks (e,s);
     # then the merged symbol cascades; then (l,o)=(o,w)=7 -> (l,o) first
-    assert merges == [
+    assert merges5 == [
         ("e", "s"),
         ("es", "t"),
         ("est", EOW),
@@ -26,29 +34,27 @@ def test_train_bpe_matches_hand_computed_merges(spark):
     ]
 
 
-def test_train_bpe_deterministic_across_partitionings(spark):
+def test_train_bpe_deterministic_across_partitionings(spark, merges5):
     df = _corpus_df(spark)
-    assert train_bpe(df, n_merges=4) == train_bpe(df.repartition(7), n_merges=4)
+    assert train_bpe(df.repartition(7), n_merges=4) == merges5[:4]
 
 
-def test_bpe_encode_lowest_rank_first(spark):
-    merges = train_bpe(_corpus_df(spark), n_merges=5)
+def test_bpe_encode_lowest_rank_first(spark, merges5):
     docs = spark.createDataFrame(
         [(1, "lowest newest low")], "doc_id long, text string"
     )
-    out = {r.doc_id: (list(r.tokens), r.n_tokens) for r in bpe_encode(docs, merges).collect()}
+    out = {r.doc_id: (list(r.tokens), r.n_tokens) for r in bpe_encode(docs, merges5).collect()}
     assert out[1] == (
         ["low", "est" + EOW, "n", "e", "w", "est" + EOW, "low", EOW],
         8,
     )
 
 
-def test_bpe_encode_handles_empty_and_unseen(spark):
-    merges = train_bpe(_corpus_df(spark), n_merges=3)
+def test_bpe_encode_handles_empty_and_unseen(spark, merges5):
     docs = spark.createDataFrame(
         [(1, ""), (2, "zzz")], "doc_id long, text string"
     )
-    out = {r.doc_id: list(r.tokens) for r in bpe_encode(docs, merges).collect()}
+    out = {r.doc_id: list(r.tokens) for r in bpe_encode(docs, merges5[:3]).collect()}
     assert out[1] == []
     # unseen word falls back to characters + EOW (no applicable merges)
     assert out[2] == ["z", "z", "z", EOW]

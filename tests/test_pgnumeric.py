@@ -284,15 +284,27 @@ class TestPredicateExact:
     BIG = int("9" * 40)
 
     def test_quantifier_product_exact(self, numgraph):
+        # only exact arithmetic distinguishes sq from sq-1 at 80 digits.
+        # Two separate pooled queries: each quantifier's pre-pass plan is
+        # large, and one combined projection paid superlinear Catalyst
+        # time (~25 s vs ~2x7 s overlapped).
+        from concurrent.futures import ThreadPoolExecutor
+
         age, g = numgraph
         sq = self.BIG * self.BIG
-        rows = _out(
-            age, g,
-            f"MATCH (n:N) RETURN any(x IN [n.v] WHERE x * x = '{sq}'::numeric) AS t, "
-            f"any(x IN [n.v] WHERE x * x = '{sq - 1}'::numeric) AS f",
-        )
-        # only exact arithmetic distinguishes sq from sq-1 at 80 digits
-        assert rows == [("true", "false")]
+
+        def run(case):
+            rhs, want = case
+            rows = _out(
+                age, g,
+                f"MATCH (n:N) RETURN any(x IN [n.v] WHERE x * x = {rhs}) AS r",
+            )
+            return None if rows == [(want,)] else f"{rhs}: {rows}"
+
+        cases = [(f"'{sq}'::numeric", "true"), (f"'{sq - 1}'::numeric", "false")]
+        with ThreadPoolExecutor(max_workers=2) as ex:
+            fails = [f for f in ex.map(run, cases) if f]
+        assert not fails, fails
 
     def test_filter_exact_and_projection_splice(self, numgraph):
         age, g = numgraph

@@ -142,30 +142,63 @@ if os.environ.get("SPARK_GRAFT_SERIAL_SUITES") == "1":
 
 else:
 
-    def test_suite_replays_parallel(spark):
-        """All reference-suite replays, fanned out over a thread pool.
-
-        Each statement costs ~1-2 s of py4j/compile round-trip LATENCY
-        (measured ~2,500 gateway round-trips per statement), not CPU, so
-        overlapping suites cuts the ~3,700-statement wall time ~5x.  Each
-        suite gets its own AgeSession and graph-name prefix; the engine
-        holds no session-global mutable state (the lazy UDF caches are
-        idempotent)."""
+    # The ~3,700-statement batch is the test suite's wall-time whale
+    # (~14 min at its tuned floor: 16 threads, interpreted mode, tiny
+    # shuffles — each statement is py4j/compile LATENCY, not data).
+    # conftest's pytest_runtestloop hook kicks it off AT RUN START on a
+    # PRIVATE Spark session so it overlaps the entire rest of the suite;
+    # the test below only joins the futures.  newSession() shares the JVM
+    # but has its own SQLConf, so the batch's interpreted-mode/
+    # 4-partition confs cannot leak into concurrently-running tests
+    # (test_plans asserts WholeStageCodegen under the session defaults).
+    # The engine is already exercised concurrently (this batch itself is
+    # 16-way); each suite keeps its own AgeSession and graph-name prefix.
+    def _kickoff_replays():
         from concurrent.futures import ThreadPoolExecutor
 
-        # The batch is JVM-bound (measured: java ~29 cores, python ~6%):
-        # thousands of UNIQUE tiny statements each pay whole-stage-codegen
-        # class compilation and 32-partition shuffles over <100-row
-        # fixtures.  Interpreted mode + small shuffles are strictly faster
-        # here and semantics-identical (conftest.tiny_query_confs; 20:47
-        # -> 14:05 measured on this batch).
-        from conftest import tiny_query_confs
+        from pyspark.sql import SparkSession
 
-        with tiny_query_confs(spark):
-            with ThreadPoolExecutor(max_workers=16) as ex:
-                results = dict(
-                    zip(SUITES, ex.map(lambda s: _run_suite(spark, s), SUITES))
-                )
+        base = (
+            SparkSession.builder.master("local[*]")
+            .config("spark.sql.shuffle.partitions", "32")
+            .config("spark.sql.adaptive.enabled", "true")
+            .config("spark.sql.session.timeZone", "UTC")
+            .config("spark.ui.enabled", "false")
+            .config("spark.driver.memory", "8g")
+            .config("spark.python.sql.dataFrameDebugging.enabled", "false")
+            .appName("age_spark-tests")
+            .getOrCreate()
+        )
+        base.sparkContext.setLogLevel("ERROR")
+        rs = base.newSession()
+        rs.conf.set("spark.sql.session.timeZone", "UTC")
+        rs.conf.set("spark.sql.adaptive.enabled", "true")
+        # interpreted mode + small shuffles: strictly faster for
+        # thousands of unique tiny statements (20:47 -> 14:05 measured),
+        # confined to this private session
+        rs.conf.set("spark.sql.codegen.wholeStage", "false")
+        rs.conf.set("spark.sql.shuffle.partitions", "4")
+        pool = ThreadPoolExecutor(max_workers=16)
+        return pool, {s: pool.submit(_run_suite, rs, s) for s in SUITES}
+
+    _REPLAY_STATE: list = []
+
+    def ensure_replays_started():
+        """Idempotent kickoff, called from conftest's pytest_runtestloop
+        ONLY when this test survives collection/deselection — an
+        import-time pool would burn the full batch (and block interpreter
+        exit on the executor's atexit join) on -k runs that never join
+        it."""
+        if not _REPLAY_STATE:
+            _REPLAY_STATE.append(_kickoff_replays())
+        return _REPLAY_STATE[0]
+
+    def test_suite_replays_parallel():
+        pool, futures = ensure_replays_started()
+        results = {
+            suite: fut.result(timeout=3600) for suite, fut in futures.items()
+        }
+        pool.shutdown(wait=False)
         report = []
         for suite, fails in results.items():
             if fails:

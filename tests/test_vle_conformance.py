@@ -105,7 +105,7 @@ else:
             got = age.cypher(g, q).df.collect()[0].c
             return None if got == want else f"{q}: got {got}, want {want}"
 
-        with ThreadPoolExecutor(max_workers=8) as ex:
+        with ThreadPoolExecutor(max_workers=16) as ex:
             fails = [f for f in ex.map(run, COUNT_CASES) if f]
         assert not fails, "\n".join(fails)
 
