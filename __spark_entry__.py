@@ -231,6 +231,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["e_asof_join"] = _asof
 
+    def _range_join(s, d):
+        from age_spark.pipeline.events import range_join_bucketed
+
+        ev = _events(s, d)
+        # floor(), not cast: Spark's double->long cast truncates while
+        # DuckDB's rounds — floor agrees on both engines
+        pt = F.floor(F.col("value") * 100).cast("long")
+        left = ev.filter(F.col("event_type") == "purchase").select(
+            F.col("event_id").alias("lid"), pt.alias("p")
+        )
+        right = ev.filter(F.col("event_type") == "click").select(
+            F.col("event_id").alias("rid"),
+            pt.alias("lo"),
+            (pt + 1500).alias("hi"),
+        )
+        j = range_join_bucketed(left, right, "p", "lo", "hi", bucket_width=512)
+        return j.groupBy("rid").agg(
+            F.count(F.lit(1)).alias("n_in_range"),
+            F.sum("p").alias("sum_points"),
+        )
+
+    q["e_range_join"] = _range_join
+
     # ---- corpus curation: stratified sampling + decontamination
     q["p_stratified_cap"] = lambda s, d: (
         __import__("age_spark.pipeline.sampling", fromlist=["stratified_cap"])
@@ -1444,6 +1467,21 @@ def oracle_sql() -> dict[str, str]:
                coalesce(sum(CASE WHEN w IN (SELECT w FROM refw) THEN 1 ELSE 0 END), 0) > 0
                  AS dropped
         FROM docw GROUP BY doc_id
+    """
+    O["e_range_join"] = """
+        WITH l AS (
+          SELECT event_id AS lid, CAST(floor(value * 100) AS BIGINT) AS p
+          FROM events WHERE event_type = 'purchase'
+        ),
+        r AS (
+          SELECT event_id AS rid,
+                 CAST(floor(value * 100) AS BIGINT) AS lo,
+                 CAST(floor(value * 100) AS BIGINT) + 1500 AS hi
+          FROM events WHERE event_type = 'click'
+        )
+        SELECT rid, count(*) AS n_in_range, CAST(sum(p) AS BIGINT) AS sum_points
+        FROM l JOIN r ON p BETWEEN lo AND hi
+        GROUP BY rid
     """
     return O
 
