@@ -254,6 +254,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["e_range_join"] = _range_join
 
+    # batch sliding-window aggregation (1 h windows sliding 30 min): each
+    # event replicates into window_size/slide buckets map-side, then one
+    # window-keyed groupBy — the batch twin of streaming/sliding_counts
+    def _sliding(s, d):
+        HOUR = 3_600_000_000_000  # ns
+        SLIDE = HOUR // 2
+        ev = _events(s, d)
+        # window starts covering ts: floor((ts - off)/slide)*slide for
+        # off in [0, window) step slide -> 2 replicas per event
+        starts = F.array(
+            *[
+                (F.floor((F.col("ts") - F.lit(k * SLIDE)) / F.lit(HOUR)) * HOUR
+                 + F.lit(k * SLIDE)).cast("long")
+                for k in range(2)
+            ]
+        )
+        return (
+            ev.select(F.explode(starts).alias("win_start"), "value")
+            .groupBy("win_start")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.round(F.sum("value"), 2).alias("sum_value"),
+            )
+        )
+
+    q["e_sliding"] = _sliding
+
     # ---- corpus curation: stratified sampling + decontamination
     q["p_stratified_cap"] = lambda s, d: (
         __import__("age_spark.pipeline.sampling", fromlist=["stratified_cap"])
@@ -1482,6 +1509,17 @@ def oracle_sql() -> dict[str, str]:
         SELECT rid, count(*) AS n_in_range, CAST(sum(p) AS BIGINT) AS sum_points
         FROM l JOIN r ON p BETWEEN lo AND hi
         GROUP BY rid
+    """
+    O["e_sliding"] = """
+        WITH ns AS (SELECT epoch_ns(ts) AS t, value FROM events),
+        rep AS (
+          SELECT CAST(floor((t - k * 1800000000000) / 3600000000000) * 3600000000000
+                      + k * 1800000000000 AS BIGINT) AS win_start,
+                 value
+          FROM ns, unnest([0, 1]) AS u(k)
+        )
+        SELECT win_start, count(*) AS n, round(sum(value), 2) AS sum_value
+        FROM rep GROUP BY win_start
     """
     return O
 
