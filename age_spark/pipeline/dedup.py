@@ -63,6 +63,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.8,
     num_hashes: int = 64,
     bands: int = 32,
+    hash_fn: str = "xxh",
 ) -> DataFrame:
     """EXACT n-gram Jaccard >= threshold (id_a < id_b), LSH-driven.
 
@@ -74,7 +75,7 @@ def ngram_jaccard_pairs(
     self-join was exact but O(n^2) in hot shingles — a scale-killer as a
     declared operator; it survives as ``ngram_jaccard_pairs_exact`` for
     tests."""
-    cand = minhash_lsh_candidates(df, text_col, id_col, num_hashes, bands, k)
+    cand = minhash_lsh_candidates(df, text_col, id_col, num_hashes, bands, k, hash_fn)
     sh = df.select(
         F.col(id_col).alias("_jid"), word_shingles(F.col(text_col), k).alias("_sh")
     )
@@ -124,6 +125,17 @@ def ngram_jaccard_pairs_exact(
 _MERSENNE_P = (1 << 31) - 1  # a*h+b stays < 2^62: no int64 overflow
 
 
+def _hash60(col: Column) -> Column:
+    """Engine-portable 60-bit hash: first 15 hex chars of md5 as a BIGINT.
+    DuckDB twin: ``('0x' || substr(md5(x), 1, 15))::BIGINT`` — bit-identical
+    across engines, which is what gives the seeded dedup family EXACT
+    cross-engine oracles (xxhash64 is Spark-only; the md5 trick is the
+    ``split_assign`` precedent, sampling.py).  md5 costs ~2x xxhash64 per
+    call, so the default lane stays xxhash64 and ``hash_fn="md5"`` is the
+    opt-in for oracle-checked runs."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
 def _perm_coeffs(num_hashes: int) -> list[tuple[int, int]]:
     """Deterministic (a, b) coefficients for the universal-hash permutation
     family sig_i = min((a_i * h + b_i) mod p) — standard MinHash construction
@@ -136,19 +148,24 @@ def _perm_coeffs(num_hashes: int) -> list[tuple[int, int]]:
 
 def minhash_signatures(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-    num_hashes: int = 64, k: int = 3,
+    num_hashes: int = 64, k: int = 3, hash_fn: str = "xxh",
 ) -> DataFrame:
     """MinHash signature per doc.
 
-    Scale path: explode shingles to rows, hash each ONCE (xxhash64), then
-    num_hashes min-aggregates over permuted hashes — a single codegen'd
-    hash-aggregate with map-side partial combine; the shuffle carries one
-    row of num_hashes longs per doc. (A nested transform-in-transform
-    formulation computed 64 full hash passes per row in interpreted eval.)"""
+    Scale path: explode shingles to rows, hash each ONCE (xxhash64, or md5
+    when ``hash_fn="md5"`` for engine-portable signatures — see _hash60),
+    then num_hashes min-aggregates over permuted hashes — a single
+    codegen'd hash-aggregate with map-side partial combine; the shuffle
+    carries one row of num_hashes longs per doc. (A nested
+    transform-in-transform formulation computed 64 full hash passes per
+    row in interpreted eval.)"""
+    base = (
+        _hash60(F.col("s")) if hash_fn == "md5" else F.abs(F.xxhash64("s"))
+    ) % _MERSENNE_P
     inv = _spread(df).select(
         F.col(id_col).alias("id"),
         F.explode(word_shingles(F.col(text_col), k)).alias("s"),
-    ).select("id", (F.abs(F.xxhash64("s")) % _MERSENNE_P).alias("h"))
+    ).select("id", base.alias("h"))
     aggs = [
         F.min((F.col("h") * a + b) % _MERSENNE_P).alias(f"m{i}")
         for i, (a, b) in enumerate(_perm_coeffs(num_hashes))
@@ -157,19 +174,28 @@ def minhash_signatures(
     return wide.select("id", F.array(*[F.col(f"m{i}") for i in range(num_hashes)]).alias("sig"))
 
 
-def _band_buckets(sig: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+def _band_buckets(
+    sig: DataFrame, num_hashes: int, bands: int, hash_fn: str = "xxh"
+) -> DataFrame:
     """Explode a signature table into (id, band, bucket) rows.
 
     Band boundaries are Python constants, so the bucket hash is unrolled at
     compile time into one flat ``xxhash64(sig[i], ..., band)`` per band —
     plain codegen-friendly expressions (a nested transform-in-transform
-    formulation here fell back to interpreted eval and was ~40x slower)."""
+    formulation here fell back to interpreted eval and was ~40x slower).
+    ``hash_fn="md5"`` buckets on md5 over the '|'-joined band values so
+    DuckDB reproduces the buckets exactly (concat_ws renders BIGINTs the
+    same decimal way on both engines)."""
     r = num_hashes // bands
+
+    def bucket(b: int) -> Column:
+        parts = [F.get(F.col("sig"), b * r + j) for j in range(r)]
+        if hash_fn == "md5":
+            return _hash60(F.concat_ws("|", *parts, F.lit(b)))
+        return F.xxhash64(*parts, F.lit(b))
+
     bb = F.array(*[
-        F.struct(
-            F.lit(b).alias("band"),
-            F.xxhash64(*[F.get(F.col("sig"), b * r + j) for j in range(r)], F.lit(b)).alias("bucket"),
-        )
+        F.struct(F.lit(b).alias("band"), bucket(b).alias("bucket"))
         for b in range(bands)
     ])
     return sig.select("id", F.explode(bb).alias("bb")).select(
@@ -179,13 +205,13 @@ def _band_buckets(sig: DataFrame, num_hashes: int, bands: int) -> DataFrame:
 
 def minhash_lsh_candidates(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-    num_hashes: int = 64, bands: int = 16, k: int = 3,
+    num_hashes: int = 64, bands: int = 16, k: int = 3, hash_fn: str = "xxh",
 ) -> DataFrame:
     """LSH banding: split the signature into `bands` rows of r hashes; docs
     sharing any (band, band-hash) bucket become candidate pairs. The only
     shuffle is the self-join keyed on the band bucket."""
-    sig = minhash_signatures(df, text_col, id_col, num_hashes, k)
-    banded = _band_buckets(sig, num_hashes, bands)
+    sig = minhash_signatures(df, text_col, id_col, num_hashes, k, hash_fn)
+    banded = _band_buckets(sig, num_hashes, bands, hash_fn)
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -203,7 +229,7 @@ def minhash_lsh_candidates(
 def minhash_dedup_pairs(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     num_hashes: int = 64, bands: int = 16, k: int = 3, threshold: float = 0.7,
-    materialize: bool = False,
+    materialize: bool = False, hash_fn: str = "xxh",
 ) -> DataFrame:
     """Scale-path near-dup: LSH candidates verified by signature-estimated
     Jaccard (fraction of agreeing minhashes).
@@ -219,11 +245,11 @@ def minhash_dedup_pairs(
     use when the result is iterated over (``near_dedup``'s component
     loop). The caller owns ``out.unpersist()``; a persisted DataFrame is
     pinned in Spark's CacheManager until then (not released by GC)."""
-    sig = minhash_signatures(df, text_col, id_col, num_hashes, k)
+    sig = minhash_signatures(df, text_col, id_col, num_hashes, k, hash_fn)
     if materialize:
         sig = sig.persist()
     try:
-        banded = _band_buckets(sig, num_hashes, bands)
+        banded = _band_buckets(sig, num_hashes, bands, hash_fn)
         a = banded.alias("a")
         b = banded.alias("b")
         cand = (
@@ -264,23 +290,38 @@ def minhash_dedup_pairs(
 
 
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-            bits: int = 64, k: int = 3) -> DataFrame:
+            bits: int = 64, k: int = 3, hash_fn: str = "xxh") -> DataFrame:
     """64-bit SimHash over word shingles: bit j of the fingerprint is the
     sign of sum over shingles of (+1/-1 from hash bit j).
 
     Explode shingles to rows and take `bits` sum-aggregates of ±1 — one
     codegen'd hash-aggregate with map-side combine (same shape as MinHash:
-    the shuffle carries `bits` longs per doc, never the shingles)."""
+    the shuffle carries `bits` longs per doc, never the shingles).
+
+    ``hash_fn="md5"`` draws bit j from hex digit j//4 of the shingle's md5
+    (engine-portable: DuckDB computes the identical bit with
+    ``(('0x'||substr(md5(s), j/4+1, 1))::INT >> (j%4)) & 1``), giving the
+    fingerprints an exact cross-engine oracle."""
     from functools import reduce
 
     inv = _spread(df).select(
         F.col(id_col).alias("id"),
         F.explode(word_shingles(F.col(text_col), k)).alias("s"),
-    ).select("id", F.xxhash64("s").alias("h"))
+    )
+    if hash_fn == "md5":
+        inv = inv.select("id", F.substring(F.md5("s"), 1, (bits + 3) // 4).alias("h"))
+
+        def bit(j: int) -> Column:
+            d = F.conv(F.substring(F.col("h"), j // 4 + 1, 1), 16, 10).cast("int")
+            return F.shiftright(d, j % 4).bitwiseAND(F.lit(1))
+    else:
+        inv = inv.select("id", F.xxhash64("s").alias("h"))
+
+        def bit(j: int) -> Column:
+            return F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1))
+
     aggs = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"s{j}")
+        F.sum(F.when(bit(j) == 1, 1).otherwise(-1)).alias(f"s{j}")
         for j in range(bits)
     ]
     wide = inv.groupBy("id").agg(*aggs)
@@ -295,11 +336,12 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
 
 
 def simhash_near_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-                       max_hamming: int = 3, k: int = 3) -> DataFrame:
+                       max_hamming: int = 3, k: int = 3,
+                       hash_fn: str = "xxh") -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance. Candidate generation by
     16-bit band equality (any of 4 bands equal -> candidate), then exact
     popcount verification."""
-    fps = simhash(df, text_col, id_col, 64, k)
+    fps = simhash(df, text_col, id_col, 64, k, hash_fn)
     banded = fps.select(
         "id", "simhash",
         F.explode(
@@ -331,6 +373,7 @@ def simhash_near_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc
 def near_dedup(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     threshold: float = 0.7, num_hashes: int = 64, bands: int = 16, k: int = 3,
+    hash_fn: str = "xxh",
 ) -> DataFrame:
     """End-to-end near-dedup: MinHash-LSH pairs -> connected components over
     the duplicate graph -> keep the min-id representative per component.
@@ -350,7 +393,8 @@ def near_dedup(
     from ..algorithms import connected_components
 
     pairs = minhash_dedup_pairs(
-        df, text_col, id_col, num_hashes, bands, k, threshold, materialize=True
+        df, text_col, id_col, num_hashes, bands, k, threshold,
+        materialize=True, hash_fn=hash_fn,
     )
     try:
         ids = df.select(F.col(id_col).alias("id"))
@@ -527,6 +571,7 @@ def minhash_decontaminate(
     bands: int = 16,
     k: int = 3,
     threshold: float = 0.7,
+    hash_fn: str = "xxh",
 ) -> DataFrame:
     """Near-duplicate decontamination: drop corpus docs whose estimated
     Jaccard vs ANY reference doc is >= threshold (catches light rewording
@@ -539,10 +584,10 @@ def minhash_decontaminate(
     ref_ids = reference.select(
         F.monotonically_increasing_id().alias(id_col), F.col(ref_text_col).alias(text_col)
     )
-    sig_c = minhash_signatures(corpus, text_col, id_col, num_hashes, k)
-    sig_r = minhash_signatures(ref_ids, text_col, id_col, num_hashes, k)
-    bc = _band_buckets(sig_c, num_hashes, bands).alias("c")
-    br = _band_buckets(sig_r, num_hashes, bands).alias("r")
+    sig_c = minhash_signatures(corpus, text_col, id_col, num_hashes, k, hash_fn)
+    sig_r = minhash_signatures(ref_ids, text_col, id_col, num_hashes, k, hash_fn)
+    bc = _band_buckets(sig_c, num_hashes, bands, hash_fn).alias("c")
+    br = _band_buckets(sig_r, num_hashes, bands, hash_fn).alias("r")
     cand = (
         bc.join(
             br,

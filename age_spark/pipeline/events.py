@@ -98,28 +98,26 @@ def range_join_bucketed(
     """Point-in-interval join (l.p BETWEEN r.lo AND r.hi) via bucketing:
     each interval replicates into the buckets it overlaps, the join becomes
     an equi-join on bucket id + a residual filter. Replication factor =
-    interval span / bucket_width (bounded by ``max_span_buckets`` — wider
-    intervals are rejected so a single huge interval cannot explode the
-    build side). This is the standard replacement for Spark's O(|L|x|R|)
-    BroadcastNestedLoopJoin on range predicates."""
-    n_bk = (F.col(right_hi) - F.col(right_lo)) / F.lit(bucket_width)
-    r = right.withColumn(
-        "_bk",
-        F.explode(
-            F.sequence(
-                (F.col(right_lo) / bucket_width).cast("long"),
-                F.least(
-                    (F.col(right_hi) / bucket_width).cast("long"),
-                    (F.col(right_lo) / bucket_width).cast("long") + max_span_buckets,
-                ),
-            )
-        ),
-    )
+    interval span / bucket_width, bounded by ``max_span_buckets``: intervals
+    spanning MORE buckets than the cap are routed through a separate
+    broadcast range-join lane instead of being replicated (or truncated) —
+    wide intervals are outliers by construction of the cap, so that side is
+    small, and if it ever were not, the broadcast build fails loudly rather
+    than dropping matches. This is the standard replacement for Spark's
+    O(|L|x|R|) BroadcastNestedLoopJoin on range predicates: only the rare
+    wide-interval residue pays the nested-loop price."""
+    lo_bk = (F.col(right_lo) / bucket_width).cast("long")
+    hi_bk = (F.col(right_hi) / bucket_width).cast("long")
+    span_ok = (hi_bk - lo_bk) <= F.lit(max_span_buckets)
+    narrow = right.filter(span_ok).withColumn("_bk", F.explode(F.sequence(lo_bk, hi_bk)))
     l = left.withColumn("_bk", (F.col(left_point) / bucket_width).cast("long"))
-    return (
-        l.join(r, "_bk")
-        .filter(
-            (F.col(left_point) >= F.col(right_lo)) & (F.col(left_point) <= F.col(right_hi))
-        )
-        .drop("_bk")
+    in_range = (F.col(left_point) >= F.col(right_lo)) & (
+        F.col(left_point) <= F.col(right_hi)
     )
+    out = l.join(narrow, "_bk").filter(in_range).drop("_bk")
+    # Wide-interval lane: a broadcast theta-join over just the outliers.
+    # Kept lazy — when no interval exceeds the cap (the common case) the
+    # wide side is an empty relation and AQE prunes the join at runtime.
+    wide = right.filter(~span_ok)
+    out = out.unionByName(left.join(F.broadcast(wide), in_range))
+    return out
