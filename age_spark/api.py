@@ -37,6 +37,13 @@ class CypherResult:
     graph: Graph
 
 
+# process-wide count of live AgeSessions that disabled the debugging cache:
+# close() only restores the module-global when the LAST such session closes
+# (two sessions in one process must not re-enable each other's 3-4x
+# compile-cost path mid-flight)
+_df_debugging_refcount = 0
+
+
 def _disable_df_debugging(spark: SparkSession) -> None:
     """Turn off PySpark's per-operation call-site capture for this process.
 
@@ -55,7 +62,8 @@ def _disable_df_debugging(spark: SparkSession) -> None:
     per-op conf read for ALL DataFrame code in the host process.  Opt out
     with AgeSession(..., disable_df_debugging=False) or
     SPARK_GRAFT_KEEP_DF_DEBUGGING=1; AgeSession.close() resets the cache
-    so the next DataFrame op re-reads the (unchanged) conf."""
+    (refcounted: only when the LAST disabling session closes) so the next
+    DataFrame op re-reads the (unchanged) conf."""
     try:
         from pyspark.errors import utils as _pyspark_err_utils
 
@@ -89,6 +97,8 @@ class AgeSession:
             os.environ.get("SPARK_GRAFT_KEEP_DF_DEBUGGING") != "1"
         )
         if self._df_debugging_disabled:
+            global _df_debugging_refcount
+            _df_debugging_refcount += 1
             _disable_df_debugging(spark)
         # reference GUC parity: age.enable_containment (cypher_match.sql:1082)
         self.enable_containment = True
@@ -116,6 +126,10 @@ class AgeSession:
         if not self._df_debugging_disabled:
             return
         self._df_debugging_disabled = False
+        global _df_debugging_refcount
+        _df_debugging_refcount = max(0, _df_debugging_refcount - 1)
+        if _df_debugging_refcount > 0:
+            return  # another live session still depends on the disable
         try:
             from pyspark.errors import utils as _pyspark_err_utils
 

@@ -363,16 +363,30 @@ def pair_float8_collapse_string_keys(l: Column, r: Column, key) -> tuple[Column,
     collapse: the INT side re-keys on its float8 spelling exactly when the
     OTHER side is a float8 (the float side's key is already the float8
     text, so it never changes).  Collapsed keys only ever meet collapsed
-    keys, so per-pair conditioning preserves the lane's order semantics."""
-    kl = F.when(
-        tagged_is_collapsible_int(l) & tagged_is_collapsible_float(r),
-        _collapsed_int_string_key(l),
-    ).otherwise(key(l))
-    kr = F.when(
-        tagged_is_collapsible_int(r) & tagged_is_collapsible_float(l),
-        _collapsed_int_string_key(r),
-    ).otherwise(key(r))
-    return kl, kr
+    keys, so per-pair conditioning preserves the lane's order semantics.
+
+    The probe-and-collapse branch is let-bound (one struct binding embeds
+    each side's tree ONCE for its ~4 getField references — duplicating
+    large freshly-tagged trees per reference makes Catalyst's optimizer
+    time superlinear, the measured 9s -> 60s lambda-container-equality
+    cliff).  ``key()`` stays OUTSIDE the binding: the string-key lane can
+    contain a Python UDF, which Spark rejects inside a higher-order
+    function lambda.  The collapsed key is never null when the collapse
+    condition holds (__i is non-null by construction), so coalescing the
+    otherwise-null bound branch with ``key(side)`` is exact."""
+
+    def one_side(side: Column, other: Column) -> Column:
+        bound = let_column(
+            F.struct(side.alias("_s"), other.alias("_o")),
+            lambda b: F.when(
+                tagged_is_collapsible_int(b.getField("_s"))
+                & tagged_is_collapsible_float(b.getField("_o")),
+                _collapsed_int_string_key(b.getField("_s")),
+            ),
+        )
+        return F.coalesce(bound, key(side))
+
+    return one_side(l, r), one_side(r, l)
 
 
 def ladder_keys_float8_collapse(

@@ -658,6 +658,7 @@ def char_decontaminate(
     id_col: str = "doc_id",
     window: int = 40,
     stride: int = 8,
+    broadcast_max_windows: int = 2_000_000,
 ) -> DataFrame:
     """Character-level exact-substring decontamination: flag a corpus
     document when a ``window``-char run of its normalized text appears
@@ -678,8 +679,14 @@ def char_decontaminate(
 
     Scale shape: both sides form windows map-side (substring over the
     normalized text — rows ∝ chars/stride, the text itself never leaves
-    the scan); the reference reduces to DISTINCT digests and broadcasts;
-    one doc-keyed groupBy with partial aggregation."""
+    the scan); the reference reduces to DISTINCT digests; one doc-keyed
+    groupBy with partial aggregation.  The reference-side broadcast is
+    SIZE-GATED (same capped-probe idiom as vle._pruning_small_enough):
+    a LocalLimit row probe plus a bounded char-sum bound the window count
+    without ever scanning an oversized reference in full — past
+    ``broadcast_max_windows`` the hint is dropped and AQE picks the join
+    strategy from runtime sizes (a too-big eval set degrades to a shuffle
+    instead of OOMing every executor)."""
     norm = lambda c: F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
 
     def windows(c: Column, step: int) -> Column:
@@ -700,12 +707,25 @@ def char_decontaminate(
     doc_w = corpus.select(
         F.col(id_col), F.explode(windows(F.col(text_col), stride)).alias("_w")
     )
-    return (
-        doc_w.join(
-            F.broadcast(ref_w.select(F.col("_w"), F.lit(True).alias("_hit"))),
-            "_w",
-            "left",
+    # Every-offset windows ~= total reference chars, so bound the window
+    # count in two capped steps: (1) a LocalLimit row probe (each doc is
+    # >= 1 window, so > cap rows is already too big without scanning
+    # further); (2) a char-sum over the now-bounded row set.
+    ref_small = (
+        reference.limit(broadcast_max_windows + 1).count() <= broadcast_max_windows
+        and (
+            reference.agg(
+                F.sum(F.greatest(F.length(norm(F.col(ref_text_col))) - window + 1, F.lit(1)))
+            ).collect()[0][0]
+            or 0
         )
+        <= broadcast_max_windows
+    )
+    ref_side = ref_w.select(F.col("_w"), F.lit(True).alias("_hit"))
+    if ref_small:
+        ref_side = F.broadcast(ref_side)
+    return (
+        doc_w.join(ref_side, "_w", "left")
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_windows"),

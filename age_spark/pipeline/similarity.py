@@ -241,7 +241,10 @@ def ivf_topk(
         F.col(query_id_col).alias("query_id"),
         F.col(query_vec_col).cast("array<double>").alias("qv"),
     ).limit(_IVF_QUERY_COLLECT_CAP + 1).collect()
-    if len(qrows) > _IVF_QUERY_COLLECT_CAP:
+    if len(qrows) > _IVF_QUERY_COLLECT_CAP or not qrows:
+        # over the cap: keep the broadcast-join plan; EMPTY query set: the
+        # fused kernel would np.stack([]) — the join plan returns the
+        # correctly-typed empty result for free
         return _ivf_topk_join(
             corpus, queries, C, k=k, nprobe=nprobe, id_col=id_col,
             vec_col=vec_col, query_id_col=query_id_col,

@@ -22,6 +22,17 @@ def _topk_sets(df):
     return out
 
 
+def test_ivf_empty_query_set(spark):
+    """An empty queries DataFrame returns an empty, correctly-typed result
+    — the fused path's np.stack([]) crash (ADVICE r8) routes to the join
+    plan instead."""
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    qs = _queries(emb).filter(F.lit(False))
+    out = ivf_topk(emb, qs, k=5, n_centroids=8, nprobe=3)
+    assert out.count() == 0
+    assert set(out.columns) >= {"query_id", "vec_id", "cosine"}
+
+
 def test_ivf_recall_vs_brute_force(spark):
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     qs = _queries(emb)
