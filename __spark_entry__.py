@@ -849,22 +849,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # dict (VERDICT r7 "What's wrong" #2).  Emit every SURVEY §2 graph
     # entry (g_*) first so the whole §2 surface has a green driver row
     # every round, then fill the remaining window slots with a rotating
-    # pipeline subset — this round: the contamination-share fix proof plus
-    # the oracled pipeline entries that sat outside r7's window.  All
-    # other entries keep their (r7-green) oracles and run after the
-    # window; they rotate back in next round.
+    # pipeline subset — round 9 (VERDICT r8 next-round #5): the nine
+    # oracled entries that never yet had a driver row (e_range_join with
+    # its wide-interval fix, e_sliding, split/curriculum/bigram/char-
+    # decontaminate, ngram-jaccard, simhash) plus the two dedup flagships
+    # whose oracles flipped from rows-only to exact md5 twins this round.
+    # Still waiting on a future window: p_vector_fns, p_tfidf_topk, and
+    # the r7-green tail (all green r7, unchanged since); rows-only
+    # entries (m_*, p_ann_*, p_bpe_encode, p_pca_project,
+    # p_cluster_balance, p_pack_sequences) rotate behind those.
     window_pipeline = [
-        "p_contamination_share",
-        "p_redact_pii",
-        "p_repetition_signals",
-        "p_fuzzy_join",
-        "p_trgm_similarity",
-        "p_chunk_documents",
-        "p_semantic_dedup",
+        "e_range_join",
+        "e_sliding",
+        "p_split_assign",
+        "p_length_curriculum",
+        "p_bigram_logprob",
+        "p_char_decontaminate",
+        "p_ngram_jaccard",
+        "p_simhash_pairs",
         "p_minhash_pairs",
-        "p_ann_ivf",
+        "p_minhash_decontaminate",
         "p_near_dedup",
-        "m_media_features",
     ]
     ordered = [k for k in q if k.startswith("g_")]
     ordered += [k for k in window_pipeline if k in q]
