@@ -383,7 +383,10 @@ def _attach_vertex_lookup(ctx: QueryContext, st: State, node: A.FuncCall, out_na
     return State(out, env)
 
 
-def _attach_subquery(ctx: QueryContext, st: State, node, out_name: str) -> State:
+def _subquery_parts(ctx: QueryContext, st: State, node):
+    """Shared front half of EXISTS/COUNT/pattern-predicate compilation:
+    validate, compile the sub-pattern seeded on the DISTINCT shared
+    variables, and return (outer_df, sub_df, keys, want_count)."""
     if isinstance(node, A.PatternPred):
         pats, where = [node.pattern], None
         want_count = False
@@ -446,7 +449,11 @@ def _attach_subquery(ctx: QueryContext, st: State, node, out_name: str) -> State
     for v in sorted(ret_vars):
         if sub_st.env.get(v) is None:
             raise CompileError(f"could not find rte for {v}")
-    sub_df = sub_st.df
+    return df, sub_st.df, keys, want_count
+
+
+def _attach_subquery(ctx: QueryContext, st: State, node, out_name: str) -> State:
+    df, sub_df, keys, want_count = _subquery_parts(ctx, st, node)
 
     key_cols = []
     for v, fld in keys:
@@ -479,6 +486,61 @@ def _attach_subquery(ctx: QueryContext, st: State, node, out_name: str) -> State
         )
     new_env = st.env.bind(Binding(out_name, SCALAR, hidden=True))
     return State(out, new_env)
+
+
+def _split_exists_conjuncts(e):
+    """Decompose a WHERE tree into (semi, anti, rest): top-level AND
+    conjuncts that are a bare EXISTS/pattern predicate (semi), its NOT
+    (anti), and everything else.  AND-splitting is retention-exact under
+    Cypher WHERE (NULL keeps nothing, same as FALSE)."""
+    semi, anti, rest = [], [], []
+
+    def walk(x):
+        if isinstance(x, A.Binary) and x.op == "and":
+            walk(x.left)
+            walk(x.right)
+            return
+        if isinstance(x, (A.ExistsSubquery, A.PatternPred)):
+            semi.append(x)
+            return
+        if (
+            isinstance(x, A.Unary)
+            and x.op == "not"
+            and isinstance(x.expr, (A.ExistsSubquery, A.PatternPred))
+        ):
+            anti.append(x.expr)
+            return
+        rest.append(x)
+
+    walk(e)
+    return semi, anti, rest
+
+
+def _attach_exists_join(ctx: QueryContext, st: State, node, how: str):
+    """(NOT) EXISTS used as a whole top-level WHERE conjunct compiles to a
+    LEFT SEMI/ANTI join on the shared entity keys instead of the lifted
+    helper-column plan: no distinct aggregate, no outer join, no filter.
+    The lifted plan's build side (DISTINCT matched keys) falls out of
+    broadcast once the match set outgrows the threshold, and the
+    left-outer SMJ then carries the distinct exchange for nothing —
+    BENCH r8 measured g_not_exists' 10x growth drifting 2.73x -> 3.41x on
+    exactly that cliff; semi/anti joins need neither the distinct nor the
+    helper column.  Returns None when there are no shared keys (the
+    uncorrelated case keeps the crossJoin helper lane) — the caller then
+    falls back to lifting."""
+    if st.df is None:
+        return None
+    df, sub_df, keys, _ = _subquery_parts(ctx, st, node)
+    if not keys:
+        return None
+    key_cols = []
+    cond = None
+    for v, fld in keys:
+        c = F.col(v).getField(fld) if fld else F.col(v)
+        key_cols.append(c.alias(f"_key_{v}"))
+        eq = c.eqNullSafe(F.col(f"_key_{v}"))
+        cond = eq if cond is None else (cond & eq)
+    return State(df.join(sub_df.select(*key_cols), cond, how), st.env)
 
 
 # ------------------------------------------------------------- aggregates
@@ -1098,9 +1160,24 @@ def compile_match(ctx: QueryContext, st: State, m: A.Match) -> State:
     df, env, mst = compile_match_patterns(ctx, st.df, st.env, m.patterns)
     state = State(df, env)
     if m.where is not None:
-        state, w = lift_subqueries(ctx, state, m.where)
-        scope = ExprScope(ctx, state.df, state.env)
-        state = State(state.df.filter(compile_expr(scope, w).cast("boolean")), state.env)
+        semi, anti, rest = _split_exists_conjuncts(m.where)
+        for node, how in (
+            [(n, "left_semi") for n in semi] + [(n, "left_anti") for n in anti]
+        ):
+            ns = _attach_exists_join(ctx, state, node, how)
+            if ns is None:  # uncorrelated: keep the helper-column lane
+                rest.append(node if how == "left_semi" else A.Unary("not", node))
+            else:
+                state = ns
+        w_all = None
+        for x in rest:
+            w_all = x if w_all is None else A.Binary("and", w_all, x)
+        if w_all is not None:
+            state, w = lift_subqueries(ctx, state, w_all)
+            scope = ExprScope(ctx, state.df, state.env)
+            state = State(
+                state.df.filter(compile_expr(scope, w).cast("boolean")), state.env
+            )
     mst.df = state.df
     mst.drop_helpers()
     return State(mst.df, state.env)

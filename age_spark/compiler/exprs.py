@@ -1574,6 +1574,10 @@ def _infer_ast_dtype(scope: ExprScope, node) -> Optional[T.DataType]:
             "toboolean": T.BooleanType(),
             "keys": T.ArrayType(T.StringType()),
         }
+        if node.name == "abs" and len(node.args) == 1:
+            # abs() is type-preserving (age_abs: int->int, float->float,
+            # numeric->numeric) — a tagged arg yields a tagged result
+            return _infer_ast_dtype(scope, node.args[0])
         return fixed.get(node.name)
     return None
 
@@ -2266,8 +2270,11 @@ def _elem_type(scope: ExprScope, src_col: Column) -> Optional[T.DataType]:
 def _flatten_arith_tree(e, leaves: list):
     """Serialize a projection AST into the pgnumeric tree form: nested
     ('op', l, r) tuples over integer LEAF indexes (maximal non-arithmetic
-    subtrees, appended to ``leaves``).  Returns None when the root is not
-    an arithmetic binary."""
+    subtrees, appended to ``leaves``), plus the unary nodes
+    ('neg'|'abs', child, None) — the two numeric functions the reference
+    evaluates EXACTLY on NUMERIC (numeric_uminus; numeric_abs via
+    age_abs, agtype.c:10517 — floor/ceil/round/sign return FLOAT there,
+    so they stay leaves).  Returns None when the root is neither."""
     if isinstance(e, A.Binary) and e.op in ("+", "-", "*", "/", "%", "^"):
         l = _flatten_arith_tree(e.left, leaves)
         if l is None:
@@ -2278,6 +2285,19 @@ def _flatten_arith_tree(e, leaves: list):
             leaves.append(e.right)
             r = len(leaves) - 1
         return (e.op, l, r)
+    if isinstance(e, A.Unary) and e.op == "+":
+        return _flatten_arith_tree(e.expr, leaves)
+    inner = None
+    if isinstance(e, A.Unary) and e.op == "-":
+        kind, inner = "neg", e.expr
+    elif isinstance(e, A.FuncCall) and e.name == "abs" and len(e.args) == 1:
+        kind, inner = "abs", e.args[0]
+    if inner is not None:
+        c = _flatten_arith_tree(inner, leaves)
+        if c is None:
+            leaves.append(inner)
+            c = len(leaves) - 1
+        return (kind, c, None)
     return None
 
 
@@ -3981,8 +4001,61 @@ def _fn_range(scope, args, cols):
 
 # -- math (agtype.c:9849-10923)
 
+
+def _math_operand(scope, a, c) -> Column:
+    """Double view of a math-function operand: tagged (dynamic/NUMERIC)
+    values read their numeric payload (int64 exact-cast, else the float8
+    shadow — NUMERIC rows carry it too); non-numeric kinds yield NULL.
+    The float-returning math family (agtype.c:10496 floor/ceil et al.
+    return FLOAT even for NUMERIC inputs) needs nothing more."""
+    from ..graph import _strip_nullability, is_tagged_type
+
+    dt = _operand_dtype(scope, a, c)
+    sdt = _strip_nullability(dt) if dt is not None else None
+    if sdt is not None and is_tagged_type(sdt):
+        return F.when(
+            c.getField("__k") == 7,
+            F.coalesce(c.getField("__i").cast("double"), c.getField("__n")),
+        )
+    return c
+
+
+@fn("abs")
+def _fn_abs(scope, args, cols):
+    """abs() is TYPE-PRESERVING in the reference (age_abs,
+    agtype.c:10517: int->int, float->float, numeric->numeric via
+    numeric_abs).  A tagged operand therefore returns a tagged result
+    per row kind; the NUMERIC payload's abs is EXACT in the text domain
+    (strip the sign — numeric_abs changes nothing else, and it is pure
+    JVM so it stays exact inside HOF lambdas too)."""
+    from ..graph import TAGGED_TYPE, _strip_nullability, is_tagged_type
+
+    _require_numeric(scope, "abs", args, cols)
+    c = cols[0]
+    dt = _operand_dtype(scope, args[0], c)
+    sdt = _strip_nullability(dt) if dt is not None else None
+    if sdt is None or not is_tagged_type(sdt):
+        return F.abs(c)
+    fields = []
+    for f in TAGGED_TYPE.fields:
+        if f.name == "__k":
+            fields.append(F.lit(7).cast("tinyint").alias("__k"))
+        elif f.name == "__n":
+            fields.append(F.abs(c.getField("__n")).alias("__n"))
+        elif f.name == "__i":
+            fields.append(F.abs(c.getField("__i")).alias("__i"))
+        elif f.name == "__d":
+            fields.append(
+                F.regexp_replace(c.getField("__d"), "^-", "").alias("__d")
+            )
+        else:
+            fields.append(F.lit(None).cast(f.dataType).alias(f.name))
+    return F.when(c.getField("__k") == 7, F.struct(*fields)).otherwise(
+        F.lit(None).cast(TAGGED_TYPE)
+    )
+
+
 for _name, _f in [
-    ("abs", F.abs),
     # AGE floor/ceil return FLOAT (PG float8 semantics, agtype.c:10496),
     # Spark's return LONG — cast back
     ("ceil", lambda c: F.ceil(c).cast("double")),
@@ -4001,7 +4074,7 @@ for _name, _f in [
     def _mk(f, name):
         def impl(scope, args, cols):
             _require_numeric(scope, name, args, cols)
-            return f(cols[0])
+            return f(_math_operand(scope, args[0], cols[0]))
         return impl
     FUNCTIONS[_name] = _mk(_f, _name)
 
@@ -4028,20 +4101,23 @@ def _fn_agtype_sum(scope, args, cols):
 @fn("cot")
 def _fn_cot(scope, args, cols):
     _require_numeric(scope, "cot", args, cols)
-    return F.lit(1.0) / F.tan(cols[0])
+    return F.lit(1.0) / F.tan(_math_operand(scope, args[0], cols[0]))
 
 
 @fn("atan2")
 def _fn_atan2(scope, args, cols):
     _require_numeric(scope, "atan2", args, cols)
-    return F.atan2(cols[0], cols[1])
+    return F.atan2(
+        _math_operand(scope, args[0], cols[0]),
+        _math_operand(scope, args[1], cols[1]),
+    )
 
 
 @fn("sign")
 def _fn_sign(scope, args, cols):
     # age_sign returns an INTEGER (expr.out:6010-6026 prints 1/-1/0 bare)
     _require_numeric(scope, "sign", args, cols)
-    return F.signum(cols[0]).cast("long")
+    return F.signum(_math_operand(scope, args[0], cols[0])).cast("long")
 
 
 @fn("round")
@@ -4049,7 +4125,7 @@ def _fn_round(scope, args, cols):
     # round always returns FLOAT (round(0) -> 0.0, round(7, 2) -> 7.0) and
     # a NULL precision means 0, not null-propagation (expr.out round block)
     _require_numeric(scope, "round", args[:1], cols[:1])
-    c = cols[0].cast("double")
+    c = _math_operand(scope, args[0], cols[0]).cast("double")
     if len(cols) > 1:
         if isinstance(args[1], A.Lit) and args[1].value is None:
             return F.round(c, 0)

@@ -62,22 +62,33 @@ def train_bpe(
     every merge iteration then runs on the distinct-word table — a
     pair-explode bounded by total symbol count over distinct words, one
     partial-agg shuffle, and a TakeOrdered(1) for the argmax (two driver
-    rows per iteration, never the table).  The symbol arrays re-derive
-    from the merge list per iteration (pure column ops — no Python in the
-    loop, no unbounded lineage: the word table is checkpointed once).
+    rows per iteration, never the table).  The symbol strings re-derive
+    from the merge list per iteration (pure column ops — no Python in
+    the loop), and every ``_CHECKPOINT_EVERY`` merges the applied rules
+    FOLD into the checkpointed symbol column — each iteration's plan
+    carries at most that many F.replace nodes, so plan-build time is
+    O(n_merges), not O(n_merges^2): a real 32k-merge vocabulary trains
+    with bounded plans (superseded checkpoints are released as the loop
+    advances).
 
     ``max_words`` caps the working vocabulary to the most frequent words
     (freq DESC, word ASC — deterministic); None disables the cap.
     """
+    from ..runtime.cache import release_plan_checkpoints
+
     words = _words_with_counts(df, text_col)
     if max_words is not None:
         words = words.orderBy(F.col("freq").desc(), F.col("word")).limit(max_words)
-    # one materialization: every iteration replans from this table
-    words = words.localCheckpoint(eager=False)
+    # the working table carries the folded symbol string; re-checkpointed
+    # every _CHECKPOINT_EVERY merges
+    base = words.withColumn("_sym", _sym_string(F.col("word"))).localCheckpoint(
+        eager=False
+    )
+    applied = 0  # merges already folded into the checkpointed _sym
 
     merges: list[tuple[str, str]] = []
     for _ in range(n_merges):
-        syms = _apply_merges_column(F.col("word"), merges)
+        syms = F.split(_replace_chain(F.col("_sym"), merges[applied:]), SEP)
         n = F.size(syms)
         pairs = F.zip_with(
             F.slice(syms, 1, F.greatest(n - 1, F.lit(0))),
@@ -85,7 +96,7 @@ def train_bpe(
             lambda a, b: F.concat_ws(" ", a, b),
         )
         top = (
-            words.select(F.explode(pairs).alias("pair"), "freq")
+            base.select(F.explode(pairs).alias("pair"), "freq")
             .groupBy("pair")
             .agg(F.sum("freq").alias("n"))
             .orderBy(F.col("n").desc(), F.col("pair").asc())
@@ -96,28 +107,52 @@ def train_bpe(
             break
         left, right = top[0]["pair"].split(" ", 1)
         merges.append((left, right))
+        if len(merges) - applied >= _CHECKPOINT_EVERY:
+            folded = base.withColumn(
+                "_sym", _replace_chain(F.col("_sym"), merges[applied:])
+            ).localCheckpoint(eager=False)
+            # materialize the fold NOW (lazy checkpoint + adjacent count =
+            # one job) — only then can the superseded blocks be released:
+            # the new checkpoint reads the old one's blocks while it runs
+            folded.count()
+            release_plan_checkpoints(base)
+            base = folded
+            applied = len(merges)
+    release_plan_checkpoints(base)
     return merges
+
+
+# symbol-string separator (regexp-free, injective since \x1f never occurs
+# in whitespace-split tokens); "abc" -> "a\x1fb\x1fc\x17"
+SEP = "\x1f"
+
+# fold applied merge rules into the checkpointed symbol column every this
+# many iterations: bounds every iteration's plan to <= this many
+# F.replace nodes (train_bpe docstring)
+_CHECKPOINT_EVERY = 64
+
+
+def _sym_string(word: "F.Column") -> "F.Column":
+    """Initial symbol string of a word: characters + EOW, SEP-joined."""
+    return F.concat(F.array_join(F.split(word, ""), SEP), F.lit(SEP + EOW))
+
+
+def _replace_chain(s: "F.Column", merges: list[tuple[str, str]]) -> "F.Column":
+    """Apply merge rules in rank order to a SEP-joined symbol string —
+    adjacent pair (l, r) merges into l||r: replace "l\\x1fr" with "lr".
+    One pass per rule mirrors the reference recipe's greedy left-to-right
+    scan: replace() substitutes left-to-right and a merged symbol can
+    immediately participate in later RULES (rank order), exactly like
+    the classic implementation."""
+    for l, r in merges:
+        s = F.replace(s, F.lit(l + SEP + r), F.lit(l + r))
+    return s
 
 
 def _apply_merges_column(word: "F.Column", merges: list[tuple[str, str]]) -> "F.Column":
     """Symbol array of a word after applying ``merges`` in rank order —
-    pure column ops: initial symbols are characters + EOW; each merge is
-    one pass replacing adjacent (l, r) with l||r.  Merge application uses
-    the string form with \\x1f separators (regexp-free, injective since
-    \\x1f never occurs in tokens)."""
-    SEP = "\x1f"
-    # "abc" -> "a\x1fb\x1fc\x17"
-    s = F.concat(
-        F.array_join(F.split(word, ""), SEP), F.lit(SEP + EOW)
-    )
-    for l, r in merges:
-        # adjacent pair (l, r) merges into l||r: replace "l\x1fr" with "lr".
-        # One pass per rule mirrors the reference recipe's greedy
-        # left-to-right scan: replace() substitutes left-to-right and a
-        # merged symbol can immediately participate in later RULES (rank
-        # order), exactly like the classic implementation.
-        s = F.replace(s, F.lit(l + SEP + r), F.lit(l + r))
-    return F.split(s, SEP)
+    pure column ops (see _sym_string/_replace_chain)."""
+    return F.split(_replace_chain(_sym_string(word), merges), SEP)
 
 
 def bpe_encode(

@@ -325,6 +325,19 @@ def _ev_tree(t, slots, acc_ix=frozenset(), acc_state=None):
                 return ("i", int(v), 0)
             return ("f", float(v), 0)
         op, lt, rt = t
+        if op in ("neg", "abs"):
+            # unary numeric nodes (numeric_uminus / numeric_abs): kind-
+            # and dscale-preserving, exact in the decimal domain; NaN
+            # passes through untouched (copy_negate/copy_abs never signal)
+            co = ev(lt)
+            if co is None:
+                return None
+            k, v, ds = co
+            if k == "n":
+                return ("n", v.copy_abs() if op == "abs" else v.copy_negate(), ds)
+            if k == "i":
+                return ("i", abs(v) if op == "abs" else -v, 0)
+            return ("f", abs(v) if op == "abs" else -v, 0)
         lo, ro = ev(lt), ev(rt)
         if lo is None or ro is None:
             return None

@@ -50,6 +50,38 @@ def test_bpe_encode_lowest_rank_first(spark, merges5):
     )
 
 
+def test_train_bpe_512_merges_bounded_plans(spark):
+    """512-merge smoke (VERDICT r8 next-round #8): the every-64-merge
+    symbol-column re-checkpoint keeps plan size bounded, so a real
+    vocabulary-scale merge count trains in time LINEAR in n_merges —
+    without it, iteration k replayed k F.replace nodes and the loop was
+    O(n^2) in plan-build alone.  Also pins prefix-stability across the
+    checkpoint boundary (greedy merges are deterministic)."""
+    import itertools
+    import time
+
+    # 400 distinct length-6 pseudo-words over a 16-letter alphabet:
+    # little prefix sharing, so fully collapsing them needs ~2400 rules —
+    # 512 merges never run dry (a 6-letter/len-4 corpus dried at 294)
+    import hashlib
+
+    words = sorted(
+        {hashlib.md5(f"w{i}".encode()).hexdigest()[:6] for i in range(420)}
+    )[:400]
+    text = " ".join(w for w in words for _ in range(2))
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    t0 = time.time()
+    merges = train_bpe(df, n_merges=512)
+    dt = time.time() - t0
+    assert len(merges) == 512
+    assert len(set(merges)) == 512  # no rule repeats
+    # prefix stability across the 64-merge checkpoint boundary
+    assert train_bpe(df, n_merges=100)[:100] == merges[:100]
+    # generous wall bound: the pre-fix quadratic plan growth blew far
+    # past this on the same corpus
+    assert dt < 420, f"512 merges took {dt:.0f}s — plan growth is back"
+
+
 def test_bpe_encode_handles_empty_and_unseen(spark, merges5):
     docs = spark.createDataFrame(
         [(1, ""), (2, "zzz")], "doc_id long, text string"

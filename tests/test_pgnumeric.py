@@ -263,16 +263,88 @@ class TestReduceFold:
         for marker in ("BatchEvalPython", "ArrowEvalPython"):
             assert marker not in plan
 
-    def test_reduce_nontree_body_keeps_bounded_lane(self, numgraph):
-        # acc inside a non-arithmetic leaf (a function call) is not
-        # tree-expressible: the fold stays on the JVM lanes and still
-        # answers (bounded exactness, documented)
+    def test_reduce_abs_wrapped_acc_int_lane(self, numgraph):
+        # abs(acc) over ints: since round 9 tree-expressible (('abs', c)
+        # node), int results stay on the exact JVM lanes
         age, g = numgraph
         rows = _out(
             age, g,
             "RETURN reduce(a = 0, x IN [1, -2, 3] | abs(a) + x) AS s",
         )
         assert rows == [("4",)]
+
+
+class TestUnaryNodesExact:
+    """Round 9 (VERDICT r8 next-round #7): fold STEP bodies whose root is
+    ``abs`` or unary minus — the two numeric functions the reference
+    evaluates exactly on NUMERIC (numeric_abs via age_abs agtype.c:10517,
+    numeric_uminus) — flatten into the Arrow fold tree as
+    ('abs'|'neg', child) nodes, so >38-digit intermediates survive.
+    abs() itself is now type-preserving on tagged values everywhere
+    (text-domain sign strip: exact at any width, pure JVM so it also
+    works inside HOF lambdas).  Residual bounded lane: fold roots that
+    are FLOAT-returning wrappers (floor/ceil/round — float in the
+    reference too) and nested-inner lambdas (COVERAGE.md)."""
+
+    BIG = int("9" * 40)
+
+    def test_reduce_abs_root_beyond_38_digits(self, numgraph):
+        age, g = numgraph
+        rows = _out(
+            age, g,
+            "MATCH (n:N) RETURN reduce(a = 0, x IN [-n.v, -n.v] | abs(a + x)) AS s",
+        )
+        # step 1: abs(0 + -BIG) = BIG (40 digits, exact); step 2:
+        # abs(BIG + -BIG) = 0 — exactness of the 40-digit intermediate is
+        # what makes the final 0 exact
+        assert rows == [("0::numeric",)]
+
+    def test_reduce_abs_root_accumulates_exact(self, numgraph):
+        age, g = numgraph
+        rows = _out(
+            age, g,
+            "MATCH (n:N) RETURN reduce(a = 0, x IN [n.v, n.v] | abs(a + x)) AS s",
+        )
+        assert rows == [(f"{2 * self.BIG}::numeric",)]
+
+    def test_reduce_abs_acc_leaf_times_elem(self, numgraph):
+        age, g = numgraph
+        rows = _out(
+            age, g,
+            "MATCH (n:N) RETURN reduce(a = -n.v, x IN [n.v] | abs(a) * x) AS p",
+        )
+        assert rows == [(f"{self.BIG * self.BIG}::numeric",)]
+
+    def test_reduce_neg_root_exact(self, numgraph):
+        age, g = numgraph
+        rows = _out(
+            age, g,
+            "MATCH (n:N) RETURN reduce(a = 0, x IN [n.v] | -(a - x)) AS s",
+        )
+        assert rows == [(f"{self.BIG}::numeric",)]
+
+    def test_abs_numeric_dscale_preserved(self, numgraph):
+        age, g = numgraph
+        rows = _out(age, g, "RETURN abs(-1.250::numeric) AS a")
+        assert rows == [("1.250::numeric",)]
+
+    def test_abs_type_preserving(self, numgraph):
+        age, g = numgraph
+        rows = _out(age, g, "RETURN abs(-7) AS i, abs(-7.5) AS f")
+        assert rows == [("7", "7.5")]
+
+    def test_abs_nan_numeric(self, numgraph):
+        age, g = numgraph
+        rows = _out(age, g, "RETURN abs(toFloat('NaN')::numeric) AS a")
+        assert rows == [("NaN::numeric",)]
+
+    def test_abs_in_lambda_projection_exact(self, numgraph):
+        age, g = numgraph
+        rows = _out(
+            age, g,
+            "MATCH (n:N) RETURN [x IN [n.v] | abs(0 - x * x)] AS l",
+        )
+        assert rows == [(f'[{self.BIG * self.BIG}::numeric]',)]
 
 
 class TestPredicateExact:

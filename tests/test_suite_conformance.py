@@ -27,10 +27,13 @@ DATA = os.path.join(os.path.dirname(__file__), "data")
 # arithmetic subtrees feeding non-arithmetic functions inside lambda
 # PREDICATES and list-comprehension PROJECTIONS (the _lambda_arith_pre
 # pre-pass; `toString(x*y)` reads the exact spliced __d,
-# tests/test_pgnumeric.py::TestProjectionNonTreeExact).  The bounded
-# DECIMAL(38,18) lane survives only inside reduce() STEP bodies whose
-# root is not an arithmetic tree (the accumulator is not element-aligned,
-# so no pre-projection exists — e.g. abs(acc + x)) and inside
+# tests/test_pgnumeric.py::TestProjectionNonTreeExact).  Since round 9
+# the fold tree also carries ('abs'|'neg') unary nodes (the two numeric
+# functions the reference computes exactly on NUMERIC), so abs(acc + x)
+# / -(acc - x) step bodies fold exactly at any width
+# (TestUnaryNodesExact).  The bounded DECIMAL(38,18) lane survives only
+# inside reduce() STEP bodies rooted at FLOAT-returning wrappers
+# (floor/ceil/round — float in the reference too) and inside
 # nested-inner lambdas (documented, COVERAGE.md).
 SKIPS = {
     "cypher_with": {
