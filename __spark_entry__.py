@@ -794,6 +794,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         .pack_sequences(_docs(s, d), max_tokens=512)
         .select("pack_id", "n_docs", "total_tokens")
     )
+    q["p_pack_sequential"] = lambda s, d: (  # deterministic: exact oracle
+        __import__("age_spark.pipeline.packing", fromlist=["pack_sequences_sequential"])
+        .pack_sequences_sequential(_docs(s, d), max_tokens=512, bucket_size=64)
+        .select("pack_id", "doc_ids", "n_docs", "total_tokens")
+    )
     q["p_minhash_decontaminate"] = lambda s, d: (  # md5 lane: exact twin
         __import__("age_spark.pipeline.dedup", fromlist=["minhash_decontaminate"])
         .minhash_decontaminate(
@@ -1643,6 +1648,37 @@ def oracle_sql() -> dict[str, str]:
         SELECT win_start, count(*) AS n, round(sum(value), 2) AS sum_value
         FROM rep GROUP BY win_start
     """
+
+    # deterministic bucketed greedy packing: the recursive CTE replays the
+    # same in-order scan (pack breaks BEFORE a row when the open pack is
+    # non-empty and would overflow; an over-budget doc packs alone)
+    O["p_pack_sequential"] = """
+        WITH RECURSIVE t AS (
+          SELECT doc_id,
+                 CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                      ELSE len(regexp_split_to_array(trim(text), '\\s+')) END
+                      AS BIGINT) AS nt,
+                 CAST(floor(doc_id / 64) AS BIGINT) AS b
+          FROM documents
+        ),
+        ord AS (
+          SELECT doc_id, nt, b,
+                 row_number() OVER (PARTITION BY b ORDER BY doc_id) AS rn
+          FROM t
+        ),
+        rec AS (
+          SELECT b, rn, doc_id, nt, nt AS acc, 0 AS k FROM ord WHERE rn = 1
+          UNION ALL
+          SELECT o.b, o.rn, o.doc_id, o.nt,
+                 CASE WHEN r.acc + o.nt > 512 THEN o.nt ELSE r.acc + o.nt END,
+                 CASE WHEN r.acc + o.nt > 512 THEN r.k + 1 ELSE r.k END
+          FROM rec r JOIN ord o ON o.b = r.b AND o.rn = r.rn + 1
+        )
+        SELECT 'b' || b || '-' || k AS pack_id,
+               list(doc_id ORDER BY rn) AS doc_ids,
+               count(*)::INT AS n_docs,
+               CAST(sum(nt) AS BIGINT) AS total_tokens
+        FROM rec GROUP BY b, k"""
 
     # ---- md5-lane dedup flagships: exact twins of the hash_fn="md5"
     # Spark entries (signatures, band buckets, and verdicts reproduce

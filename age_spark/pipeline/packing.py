@@ -112,3 +112,64 @@ def pack_sequences(
             )
 
     return toks.mapInPandas(pack, schema=PACK_SCHEMA)
+
+
+def pack_sequences_sequential(
+    docs: DataFrame,
+    max_tokens: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bucket_size: int = 1024,
+) -> DataFrame:
+    """DETERMINISTIC greedy packing: documents are bucketed by
+    ``id // bucket_size`` and packed WITHIN each bucket in id order — a
+    new pack starts whenever the running token total would exceed the
+    budget (an over-budget document therefore lands alone in its own
+    pack, and the next document starts fresh).  The result is a pure
+    function of (ids, token counts): identical across partitionings,
+    engines, and reruns — unlike ``pack_sequences``' partition-dependent
+    first-fit — so it carries an EXACT DuckDB oracle (a recursive CTE
+    replays the same greedy scan).  Fill ratio is slightly worse than
+    first-fit (no out-of-order fitting); that is the price of
+    reproducible shard manifests, which training pipelines usually want.
+
+    Scale shape: token counting stays JVM-side; ONE shuffle on the
+    bucket id; each bucket packs in a bounded Arrow kernel
+    (``bucket_size`` rows max), buckets in parallel."""
+    toks = docs.select(
+        F.col(id_col).cast("bigint").alias("_id"),
+        token_count(F.col(text_col)).cast("bigint").alias("_nt"),
+        F.floor(F.col(id_col).cast("bigint") / F.lit(bucket_size))
+        .cast("bigint")
+        .alias("_b"),
+    )
+
+    def pack(key, pdf):  # no type hints: applyInPandas infers eval type
+        b = int(key[0])
+        pdf = pdf.sort_values("_id")
+        rows: list[tuple] = []
+        cur: list[int] = []
+        tot = 0
+        k = 0
+
+        def close() -> None:
+            rows.append(
+                (f"b{b}-{k}", cur, len(cur), tot, tot / max_tokens)
+            )
+
+        for _id, nt in zip(pdf["_id"], pdf["_nt"]):
+            nt = int(nt)
+            if cur and tot + nt > max_tokens:
+                close()
+                k += 1
+                cur, tot = [], 0
+            cur.append(int(_id))
+            tot += nt
+        if cur:
+            close()
+        return pd.DataFrame(
+            rows,
+            columns=["pack_id", "doc_ids", "n_docs", "total_tokens", "fill_ratio"],
+        )
+
+    return toks.groupBy("_b").applyInPandas(pack, schema=PACK_SCHEMA)

@@ -47,6 +47,45 @@ def test_pack_sequences_token_totals(spark):
     assert packs.select(F.sum("total_tokens")).collect()[0][0] == total_tokens
 
 
+def test_pack_sequential_deterministic_and_greedy(spark):
+    """pack_sequences_sequential is a pure function of (ids, token
+    counts): identical across partitionings, packs in id order within
+    each bucket, breaks before overflow, over-budget docs pack alone."""
+    from age_spark.pipeline.packing import pack_sequences_sequential
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a b c"),          # 3 tokens
+            (1, "d e f g"),        # 4 -> pack 0: [0, 1] (7 <= 8)
+            (2, "h i j"),          # 3 -> would make 10 > 8: pack 1
+            (3, " ".join("x" * 1 for _ in range(20))),  # 20 oversize: alone
+            (4, "k l"),            # 2 -> new pack after oversize
+            (64, "m"),             # next bucket (bucket_size=64)
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.pack_id: (list(r.doc_ids), r.total_tokens)
+        for r in pack_sequences_sequential(
+            docs, max_tokens=8, bucket_size=64
+        ).collect()
+    }
+    assert out == {
+        "b0-0": ([0, 1], 7),
+        "b0-1": ([2], 3),
+        "b0-2": ([3], 20),
+        "b0-3": ([4], 2),
+        "b1-0": ([64], 1),
+    }
+    repart = {
+        r.pack_id: (list(r.doc_ids), r.total_tokens)
+        for r in pack_sequences_sequential(
+            docs.repartition(5), max_tokens=8, bucket_size=64
+        ).collect()
+    }
+    assert repart == out
+
+
 def test_stratified_sample_rates(spark):
     docs = _docs(spark).withColumn("stratum", F.col("doc_id") % 2)
     out = stratified_sample(docs, "stratum", {"0": 1.0, "1": 0.0}).cache()

@@ -49,6 +49,28 @@ def test_small_dims_broadcast(tpch):
     assert "Exchange" in plan
 
 
+def test_not_exists_compiles_to_anti_join(tpch):
+    """A top-level (NOT) EXISTS WHERE conjunct is a semi/anti join, not
+    the lifted distinct-aggregate + outer-join + filter plan — the
+    lifted build side fell out of broadcast at 10x and dragged
+    g_not_exists' scale growth to 3.41x (VERDICT r8 next-round #6)."""
+    age, g = tpch
+    plan = _plan(
+        age, g,
+        "MATCH (c:Customer) WHERE NOT EXISTS { MATCH (c)-[:PLACED]->(o:Order) } "
+        "RETURN count(*) AS n",
+    )
+    assert "LeftAnti" in plan
+    assert "LeftOuter" not in plan
+    semi = _plan(
+        age, g,
+        "MATCH (c:Customer) WHERE EXISTS { MATCH (c)-[:PLACED]->(o:Order) } "
+        "RETURN count(*) AS n",
+    )
+    assert "LeftSemi" in semi
+    assert "LeftOuter" not in semi
+
+
 def test_no_python_udf_in_cypher_plans(tpch):
     age, g = tpch
     plan = _plan(
