@@ -309,11 +309,24 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
         F.explode(word_shingles(F.col(text_col), k)).alias("s"),
     )
     if hash_fn == "md5":
-        inv = inv.select("id", F.substring(F.md5("s"), 1, (bits + 3) // 4).alias("h"))
+        # Parse the 16 hex digits as TWO integers up front (one conv for
+        # digits 1-15, one for digit 16) instead of 64 per-bit
+        # substring+conv parses: bit j of the per-digit formula — digit
+        # j//4+1's bit j%4 — is bit 4*(15-(j//4+1)) + j%4 of the 15-digit
+        # value, so the extraction becomes a plain shift.  Values are
+        # IDENTICAL to the per-digit formula (the DuckDB twin keeps it).
+        h = F.md5("s")
+        inv = inv.select(
+            "id",
+            F.conv(F.substring(h, 1, 15), 16, 10).cast("long").alias("h60"),
+            F.conv(F.substring(h, 16, 1), 16, 10).cast("long").alias("h4"),
+        )
 
         def bit(j: int) -> Column:
-            d = F.conv(F.substring(F.col("h"), j // 4 + 1, 1), 16, 10).cast("int")
-            return F.shiftright(d, j % 4).bitwiseAND(F.lit(1))
+            if j < 60:
+                shift = 4 * (15 - (j // 4 + 1)) + (j % 4)
+                return F.shiftright(F.col("h60"), shift).bitwiseAND(F.lit(1))
+            return F.shiftright(F.col("h4"), j % 4).bitwiseAND(F.lit(1))
     else:
         inv = inv.select("id", F.xxhash64("s").alias("h"))
 
