@@ -108,6 +108,9 @@ def range_join_bucketed(
     wide-interval residue pays the nested-loop price."""
     lo_bk = (F.col(right_lo) / bucket_width).cast("long")
     hi_bk = (F.col(right_hi) / bucket_width).cast("long")
+    # empty intervals (hi < lo) match nothing — drop them BEFORE the
+    # bucket sequence, which would otherwise throw on start > stop
+    right = right.filter(F.col(right_hi) >= F.col(right_lo))
     span_ok = (hi_bk - lo_bk) <= F.lit(max_span_buckets)
     narrow = right.filter(span_ok).withColumn("_bk", F.explode(F.sequence(lo_bk, hi_bk)))
     l = left.withColumn("_bk", (F.col(left_point) / bucket_width).cast("long"))

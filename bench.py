@@ -44,6 +44,9 @@ HEADLINE = [
     "e_type_agg",
     "e_sessionize",
     "e_tumbling",
+    # round 9: the rewritten point-in-interval join (wide-interval
+    # broadcast lane) earns a headline slot + a 10x proof below
+    "e_range_join",
 ]
 
 
@@ -345,11 +348,50 @@ def _scale_proof(spark, entry_mod, base_timings, base_rows=None):
         out[f"{name}_vs_sf0.1"] = ratio
         print(f"# sf1-proof {name}: {dt}s on 10x embeddings ({n} rows, "
               f"{ratio}x the sf0.1 time)", file=sys.stderr)
+    # range-join scale proof: 10x events with each replica's point space
+    # shifted far past the interval width, so the true match set grows
+    # exactly 10x and the bucket equi-join must scale with it
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    ev10 = ev.crossJoin(
+        spark.range(10).select(F.col("id").alias("_rep4"))
+    ).select(
+        (F.col("event_id") + F.col("_rep4") * SHIFT).alias("event_id"),
+        "event_type",
+        (F.col("value") + F.col("_rep4") * 1_000_000.0).alias("value"),
+    ).localCheckpoint(eager=True)
+
+    def _range10():
+        from age_spark.pipeline.events import range_join_bucketed
+
+        pt = F.floor(F.col("value") * 100).cast("long")
+        left = ev10.filter(F.col("event_type") == "purchase").select(
+            F.col("event_id").alias("lid"), pt.alias("p")
+        )
+        right = ev10.filter(F.col("event_type") == "click").select(
+            F.col("event_id").alias("rid"), pt.alias("lo"), (pt + 1500).alias("hi")
+        )
+        j = range_join_bucketed(left, right, "p", "lo", "hi", bucket_width=512)
+        return j.groupBy("rid").agg(
+            F.count(F.lit(1)).alias("n_in_range"), F.sum("p").alias("sum_points")
+        )
+
+    t0 = time.time()
+    n = _range10().count()
+    dt = round(time.time() - t0, 3)
+    out["e_range_join"] = dt
+    ratio = (
+        round(dt / base_timings["e_range_join"], 2)
+        if base_timings.get("e_range_join")
+        else None
+    )
+    out["e_range_join_vs_sf0.1"] = ratio
+    print(f"# sf1-proof e_range_join: {dt}s on 10x events ({n} rows, "
+          f"{ratio}x the sf0.1 time)", file=sys.stderr)
     out["note"] = (
-        "10x replicas of the sf0.1 graph, documents, and embeddings "
-        "tables: per-query growth factors above; sub-10x growth = per-hop "
-        "driver overhead and plan time amortize, joins and banded-LSH "
-        "scale with data"
+        "10x replicas of the sf0.1 graph, documents, embeddings, and "
+        "events tables: per-query growth factors above; sub-10x growth = "
+        "per-hop driver overhead and plan time amortize, joins and "
+        "banded-LSH scale with data"
     )
     return out
 
