@@ -127,6 +127,20 @@ else:
         assert not fails, f"{len(fails)} oracle mismatches:\n" + "\n".join(fails)
 
 
+def test_driver_window_contract():
+    """The driver's correctness gate reads only the FIRST 50 queries()
+    keys: every g_* entry must come first (whole SURVEY §2 surface gets
+    a row each round) and every slot-40..50 window entry must carry an
+    oracle — a window slot without one wastes a rotation round."""
+    keys = list(QUERIES)
+    n_graph = sum(1 for k in keys if k.startswith("g_"))
+    assert keys[:n_graph] == [k for k in keys if k.startswith("g_")]
+    window = keys[n_graph:50]
+    assert len(window) == 50 - n_graph
+    missing = [k for k in window if k not in ORACLES]
+    assert not missing, f"window entries without an oracle: {missing}"
+
+
 def test_rows_only_queries_run(spark):
     """Entries without an oracle still must run and return a DataFrame."""
     from concurrent.futures import ThreadPoolExecutor
