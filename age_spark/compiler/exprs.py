@@ -4055,11 +4055,111 @@ def _fn_abs(scope, args, cols):
     )
 
 
+def _exact_numeric_unary_text(d: Column, op: str) -> Column:
+    """Exact text-domain ceil/floor/round-half-away (op in 'ceil'|'floor'|
+    'round0') on a PG numeric text — arbitrary width, pure JVM (works
+    inside HOF lambdas).  The arbitrary-precision integer increment uses
+    the trailing-9s trick: '12999' splits into head '12' + nines, and
+    bumping the head's last digit while zeroing the nines carries exactly.
+    NULL when ``d`` is not plain digits (NaN/Infinity spellings, non-
+    numeric rows) so callers fall back to the float8 lane."""
+    from ..graph import let_column
+
+    def build(dcol: Column) -> Column:
+        ok = dcol.rlike(r"^-?[0-9]+(\.[0-9]+)?$")
+        neg = dcol.startswith("-")
+        mag = F.regexp_replace(dcol, "^-", "")
+        ip = F.regexp_extract(mag, r"^([0-9]+)", 1)
+        frac = F.regexp_extract(mag, r"\.([0-9]+)$", 1)
+        frac_nz = frac.rlike("[1-9]")
+        head = F.regexp_extract(ip, r"^([0-9]*?)9*$", 1)
+        zeros = F.repeat(F.lit("0"), F.length(ip) - F.length(head))
+        inc = F.when(
+            F.length(head) == 0, F.concat(F.lit("1"), zeros)
+        ).otherwise(
+            F.concat(
+                head.substr(F.lit(1), F.length(head) - 1),
+                F.translate(
+                    head.substr(F.length(head), F.lit(1)),
+                    "012345678",
+                    "123456789",
+                ),
+                zeros,
+            )
+        )
+        if op == "ceil":  # away from zero only for positive fractions
+            up = ~neg & frac_nz
+        elif op == "floor":
+            up = neg & frac_nz
+        else:  # round0: half away from zero (PG numeric_round at scale 0)
+            up = F.substring(frac, 1, 1) >= "5"  # '' compares false
+        txt = F.when(up, inc).otherwise(ip)
+        signed = F.when(
+            neg & ~txt.rlike("^0+$"), F.concat(F.lit("-"), txt)
+        ).otherwise(txt)
+        return F.when(ok, signed.cast("double"))
+
+    return let_column(d, build)
+
+
+def _dbl_ceil_floor(c: Column, op: str) -> Column:
+    """float8 ceil/floor that never leaves the double domain: Spark's
+    ceil/floor convert through LONG, which clamps |x| > 2^63 to
+    Long.Max/Min and turns NaN into 0.  At |x| >= 2^52 every double is
+    already integral, so the value passes through; NaN/Infinity too."""
+    c = c.cast("double")
+    passthrough = F.isnan(c) | (F.abs(c) >= F.lit(float(1 << 52)))
+    stepped = (F.ceil(c) if op == "ceil" else F.floor(c)).cast("double")
+    return F.when(passthrough, c).otherwise(stepped)
+
+
+def _exact_then_float(scope, a, c, op: str, jvm_fn) -> Column:
+    """ceil/floor/round parity for NUMERIC operands: the reference applies
+    numeric_ceil/floor/round EXACTLY on the numeric and only then converts
+    to float8 (age_ceil, agtype.c:10451-10496) — converting first loses
+    sub-float8 fractions (ceil(2.0000000000000000001::numeric) is 3.0
+    there, 2.0 through a double view).  NUMERIC rows run the exact
+    text-domain lane (arbitrary width); NaN/Infinity spellings and
+    int/float rows fall back to ``jvm_fn`` on the double view."""
+    from ..graph import _strip_nullability, is_tagged_type
+
+    dt = _operand_dtype(scope, a, c)
+    sdt = _strip_nullability(dt) if dt is not None else None
+    if sdt is None or not is_tagged_type(sdt):
+        return jvm_fn(c)
+    exact = (
+        _exact_numeric_unary_text(c.getField("__d"), op)
+        if op is not None
+        else F.lit(None).cast("double")
+    )
+    return F.when(
+        c.getField("__k") == 7,
+        F.coalesce(
+            exact,
+            jvm_fn(F.coalesce(c.getField("__i").cast("double"), c.getField("__n"))),
+        ),
+    )
+
+
+@fn("ceil")
+def _fn_ceil(scope, args, cols):
+    # AGE ceil/floor return FLOAT even for NUMERIC inputs, but compute
+    # numeric_ceil/numeric_floor BEFORE the float8 cast (_exact_then_float)
+    _require_numeric(scope, "ceil", args, cols)
+    return _exact_then_float(
+        scope, args[0], cols[0], "ceil", lambda c: _dbl_ceil_floor(c, "ceil")
+    )
+
+
+@fn("floor")
+def _fn_floor(scope, args, cols):
+    _require_numeric(scope, "floor", args, cols)
+    return _exact_then_float(
+        scope, args[0], cols[0], "floor", lambda c: _dbl_ceil_floor(c, "floor")
+    )
+
+
 for _name, _f in [
-    # AGE floor/ceil return FLOAT (PG float8 semantics, agtype.c:10496),
-    # Spark's return LONG — cast back
-    ("ceil", lambda c: F.ceil(c).cast("double")),
-    ("floor", lambda c: F.floor(c).cast("double")),
     # sqrt of a negative returns NULL in the reference (expr.out:718)
     ("sqrt", lambda c: F.when(c.cast("double") >= 0, F.sqrt(c))),
     ("age_sqrt", lambda c: F.when(c.cast("double") >= 0, F.sqrt(c))),
@@ -4123,14 +4223,43 @@ def _fn_sign(scope, args, cols):
 @fn("round")
 def _fn_round(scope, args, cols):
     # round always returns FLOAT (round(0) -> 0.0, round(7, 2) -> 7.0) and
-    # a NULL precision means 0, not null-propagation (expr.out round block)
+    # a NULL precision means 0, not null-propagation (expr.out round block).
+    # With a STATIC precision the NUMERIC lane rounds exactly before the
+    # float8 cast (numeric_round-then-float8, same order as ceil/floor —
+    # _exact_then_float); a dynamic precision column keeps the double view.
     _require_numeric(scope, "round", args[:1], cols[:1])
-    c = _math_operand(scope, args[0], cols[0]).cast("double")
-    if len(cols) > 1:
-        if isinstance(args[1], A.Lit) and args[1].value is None:
-            return F.round(c, 0)
-        return F.round(c, cols[1])
-    return F.round(c, 0)
+    prec = None
+    if len(cols) <= 1 or (isinstance(args[1], A.Lit) and args[1].value is None):
+        prec = 0
+    elif isinstance(args[1], A.Lit) and isinstance(args[1].value, int):
+        prec = int(args[1].value)
+    if prec == 0:
+        return _exact_then_float(
+            scope, args[0], cols[0], "round0",
+            lambda c: F.round(c.cast("double"), 0),
+        )
+    if prec is not None:
+        # static nonzero precision: NUMERIC rows round through a
+        # losslessly-castable DECIMAL(38,18) (guarded by the text shape —
+        # the cast itself would silently round wider fractions); rows
+        # outside the guard keep the double view (sub-ulp residual only)
+        from ..graph import _strip_nullability, is_tagged_type
+
+        dt = _operand_dtype(scope, args[0], cols[0])
+        sdt = _strip_nullability(dt) if dt is not None else None
+        if sdt is None or not is_tagged_type(sdt):
+            return F.round(cols[0].cast("double"), prec)
+        c = cols[0]
+        d = c.getField("__d")
+        exact = F.when(
+            d.rlike(r"^-?[0-9]{1,20}(\.[0-9]{1,18})?$"),
+            F.round(d.try_cast("decimal(38,18)"), prec).cast("double"),
+        )
+        dbl = F.coalesce(c.getField("__i").cast("double"), c.getField("__n"))
+        return F.when(
+            c.getField("__k") == 7, F.coalesce(exact, F.round(dbl, prec))
+        )
+    return F.round(_math_operand(scope, args[0], cols[0]).cast("double"), cols[1])
 
 
 @fn("pi")

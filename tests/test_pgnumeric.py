@@ -338,6 +338,36 @@ class TestUnaryNodesExact:
         rows = _out(age, g, "RETURN abs(toFloat('NaN')::numeric) AS a")
         assert rows == [("NaN::numeric",)]
 
+    def test_ceil_floor_round_numeric_before_float8(self, numgraph):
+        """age_ceil/age_floor/age_round apply the numeric_* function
+        EXACTLY and only then convert to float8 (agtype.c:10451-10563) —
+        the conversion-first double view loses sub-float8 fractions.
+        The text-domain lane (_exact_numeric_unary_text) carries the
+        arbitrary-precision carry: 129...9.00001 ceils across the 9-run."""
+        age, g = numgraph
+        rows = _out(
+            age, g,
+            "RETURN ceil(2.0000000000000000001::numeric) AS c, "
+            "floor(2.9999999999999999999::numeric) AS f, "
+            "round(2.4999999999999999999::numeric) AS r, "
+            "round(-2.5::numeric) AS n, "
+            "ceil(129999999999999999999.00001::numeric) AS k, "
+            "ceil(-0.3::numeric) AS z",
+        )
+        assert rows == [("3.0", "2.0", "2.0", "-3.0", "1.3e+20", "0.0")]
+
+    def test_ceil_floor_double_domain_safe(self, numgraph):
+        """The float8 lane never converts through LONG: huge doubles pass
+        through (they are already integral past 2^52) instead of clamping
+        to Long.Max, and NaN stays NaN instead of becoming 0."""
+        age, g = numgraph
+        rows = _out(
+            age, g,
+            "RETURN ceil(1e300) AS h, floor(-1e300) AS l, "
+            "ceil(toFloat('NaN')) AS n, ceil(toFloat('Infinity')) AS i",
+        )
+        assert rows == [("1e+300", "-1e+300", "NaN", "Infinity")]
+
     def test_abs_in_lambda_projection_exact(self, numgraph):
         age, g = numgraph
         rows = _out(
