@@ -17,7 +17,7 @@ from __future__ import annotations
 
 from typing import Optional
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -94,33 +94,78 @@ def range_join_bucketed(
     right_hi: str,
     bucket_width: int,
     max_span_buckets: int = 64,
+    levels: int = 1,
 ) -> DataFrame:
-    """Point-in-interval join (l.p BETWEEN r.lo AND r.hi) via bucketing:
-    each interval replicates into the buckets it overlaps, the join becomes
-    an equi-join on bucket id + a residual filter. Replication factor =
-    interval span / bucket_width, bounded by ``max_span_buckets``: intervals
-    spanning MORE buckets than the cap are routed through a separate
-    broadcast range-join lane instead of being replicated (or truncated) —
-    wide intervals are outliers by construction of the cap, so that side is
-    small, and if it ever were not, the broadcast build fails loudly rather
-    than dropping matches. This is the standard replacement for Spark's
-    O(|L|x|R|) BroadcastNestedLoopJoin on range predicates: only the rare
-    wide-interval residue pays the nested-loop price."""
-    lo_bk = (F.col(right_lo) / bucket_width).cast("long")
-    hi_bk = (F.col(right_hi) / bucket_width).cast("long")
+    """Point-in-interval join (l.p BETWEEN r.lo AND r.hi) via
+    MULTI-RESOLUTION bucketing: level k uses buckets of width
+    ``bucket_width * max_span_buckets**k``; every interval lands at the
+    smallest level where it spans at most ``max_span_buckets`` buckets and
+    replicates into just the buckets it overlaps there, so the per-row
+    replication factor is bounded by the cap at EVERY width — wide
+    intervals cost a coarser bucket, never an unbounded explode (and
+    never a silent truncation).  Each level is an equi-join on its bucket
+    id + the residual range filter; levels with no intervals collapse to
+    empty relations that AQE prunes at runtime, so the common all-narrow
+    case pays exactly one join.  Intervals spanning more than
+    ``max_span_buckets**levels`` base buckets ride a broadcast
+    theta-join residue — if such intervals were ever numerous the
+    broadcast build fails loudly rather than dropping matches (r8
+    silently truncated them).  ``levels`` defaults to 1 (single bucket
+    width + residue): each extra level multiplies the point side's
+    shuffle rows, so raise it only when wide intervals are expected to
+    be NUMEROUS — pick levels such that
+    ``bucket_width * max_span_buckets**levels`` exceeds the widest
+    common interval.  This is the scale-safe replacement for Spark's
+    O(|L|x|R|) BroadcastNestedLoopJoin on range predicates."""
     # empty intervals (hi < lo) match nothing — drop them BEFORE the
-    # bucket sequence, which would otherwise throw on start > stop
+    # bucket sequences, which would otherwise throw on start > stop
     right = right.filter(F.col(right_hi) >= F.col(right_lo))
-    span_ok = (hi_bk - lo_bk) <= F.lit(max_span_buckets)
-    narrow = right.filter(span_ok).withColumn("_bk", F.explode(F.sequence(lo_bk, hi_bk)))
-    l = left.withColumn("_bk", (F.col(left_point) / bucket_width).cast("long"))
     in_range = (F.col(left_point) >= F.col(right_lo)) & (
         F.col(left_point) <= F.col(right_hi)
     )
-    out = l.join(narrow, "_bk").filter(in_range).drop("_bk")
-    # Wide-interval lane: a broadcast theta-join over just the outliers.
-    # Kept lazy — when no interval exceeds the cap (the common case) the
-    # wide side is an empty relation and AQE prunes the join at runtime.
-    wide = right.filter(~span_ok)
-    out = out.unionByName(left.join(F.broadcast(wide), in_range))
-    return out
+
+    def bk(col: str, k: int) -> Column:
+        return (F.col(col) / F.lit(bucket_width * max_span_buckets**k)).cast("long")
+
+    # ONE equi-join on the composite (level, bucket) key: every interval
+    # explodes at ITS level only; every point contributes one key per
+    # level.  Folding the level into the key (instead of one join per
+    # level) keeps this a single shuffle stage — per-level joins cost a
+    # scheduling round-trip each even when AQE prunes their empty sides.
+    lvl = F.lit(None).cast("int")
+    for k in reversed(range(levels)):
+        fits = (bk(right_hi, k) - bk(right_lo, k)) <= F.lit(max_span_buckets)
+        lvl = F.when(fits, F.lit(k)).otherwise(lvl)
+    r = right.withColumn("_lv", lvl)
+    lo_bk = hi_bk = None
+    for k in range(levels):
+        at_k = F.col("_lv") == k
+        lo_bk = bk(right_lo, k) if lo_bk is None else F.when(at_k, bk(right_lo, k)).otherwise(lo_bk)
+        hi_bk = bk(right_hi, k) if hi_bk is None else F.when(at_k, bk(right_hi, k)).otherwise(hi_bk)
+    narrow = (
+        r.filter(F.col("_lv").isNotNull())
+        .withColumn("_bk", F.explode(F.sequence(lo_bk, hi_bk)))
+    )
+    if levels == 1:  # single width: the constant level adds nothing
+        l = left.withColumn("_bk", bk(left_point, 0))
+        out = l.join(narrow.drop("_lv"), "_bk").filter(in_range).drop("_bk")
+    else:
+        l = left.select(
+            "*",
+            F.explode(
+                F.array(*[
+                    F.struct(
+                        F.lit(k).alias("_lv"), bk(left_point, k).alias("_bk")
+                    )
+                    for k in range(levels)
+                ])
+            ).alias("_lb"),
+        ).select(
+            "*", F.col("_lb._lv").alias("_lv"), F.col("_lb._bk").alias("_bk")
+        ).drop("_lb")
+        out = l.join(narrow, ["_lv", "_bk"]).filter(in_range).drop("_lv", "_bk")
+    # astronomically-wide residue (> max_span_buckets**levels base
+    # buckets): broadcast theta-join, lazily empty in any realistic
+    # dataset (AQE prunes the empty side at runtime)
+    wide = r.filter(F.col("_lv").isNull()).drop("_lv")
+    return out.unionByName(left.join(F.broadcast(wide), in_range))
