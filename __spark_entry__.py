@@ -387,8 +387,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     )
 
-    # full BPE train (word-table merge loop) + encode; the iteration is
-    # not SQL-expressible, so rows-only with value-pinned pytests
+    # full BPE train (word-table merge loop) + encode; the TRAIN
+    # iteration is not SQL-expressible, so rows-only with value-pinned
+    # pytests
     def _bpe_encode(s, d):
         from age_spark.pipeline.bpe import bpe_encode, train_bpe
 
@@ -397,6 +398,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return bpe_encode(docs, merges).select("doc_id", "n_tokens")
 
     q["p_bpe_encode"] = _bpe_encode
+
+    # ENCODE with a fixed merge table IS SQL-expressible: a recursive CTE
+    # replays the same leftmost-lowest-rank merge loop per distinct word,
+    # so this entry carries an exact DuckDB twin (tokens byte-identical,
+    # EOW sentinel included)
+    def _bpe_encode_fixed(s, d):
+        from age_spark.pipeline.bpe import bpe_encode
+
+        return bpe_encode(_docs(s, d), _BPE_FIXED_MERGES).select(
+            "doc_id", "tokens", "n_tokens"
+        )
+
+    q["p_bpe_encode_fixed"] = _bpe_encode_fixed
 
     # ================= Cypher graph engine (oracled) =================
 
@@ -884,6 +898,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 # ---------------------------------------------------------------- oracles
+
+# fixed merge table for p_bpe_encode_fixed (trained once on sf0.01 with
+# train_bpe(n_merges=24) and frozen so the DuckDB twin can embed it);
+# \x17 is the end-of-word sentinel, ranks = list order
+_BPE_FIXED_MERGES = [
+    ("e", "r"), ("e", "\x17"), ("n", "\x17"), ("er", "\x17"), ("o", "w"),
+    ("ow", "\x17"), ("o", "r"), ("s", "t"), ("h", "\x17"), ("a", "t"),
+    ("l", "u"), ("i", "n"), ("a", "\x17"), ("g", "\x17"), ("y", "\x17"),
+    ("a", "r"), ("p", "ar"), ("t", "\x17"), ("j", "o"), ("jo", "in\x17"),
+    ("a", "s"), ("as", "h\x17"), ("h", "ash\x17"), ("r", "ow\x17"),
+]
 
 _MH_P = (1 << 31) - 1  # dedup._MERSENNE_P
 
@@ -1679,6 +1704,60 @@ def oracle_sql() -> dict[str, str]:
                count(*)::INT AS n_docs,
                CAST(sum(nt) AS BIGINT) AS total_tokens
         FROM rec GROUP BY b, k"""
+
+    # BPE encode with the frozen merge table: the recursive CTE replays
+    # bpe_encode's exact loop — per word, merge the LEFTMOST occurrence
+    # of the LOWEST-RANK adjacent pair, repeat until none applies.
+    # list_position over the rank-ordered pair keys IS the rank lookup
+    # (1-based, 0 = not a merge); struct sort (r, i) picks the step.
+    _mk_keys = ", ".join(
+        "'" + l + "\x1f" + r + "'" for l, r in _BPE_FIXED_MERGES
+    )
+    _bpe_best = (
+        "list_sort(list_filter(list_transform(range(1, len(s)), "
+        f"i -> {{'r': list_position([{_mk_keys}], s[i] || chr(31) || s[i+1]), 'i': i}}), "
+        "x -> x.r > 0))[1]"
+    )
+    O["p_bpe_encode_fixed"] = f"""
+        WITH RECURSIVE docs0 AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                             w -> w <> '') AS ws
+          FROM documents
+        ),
+        init AS (
+          SELECT w, list_concat(string_split(w, ''), [chr(23)]) AS s
+          FROM (SELECT DISTINCT unnest(ws) AS w FROM docs0)
+        ),
+        rec(w, s) AS (
+          SELECT w, s FROM init
+          UNION ALL
+          SELECT w, s[1:b.i-1] || [s[b.i] || s[b.i+1]] || s[b.i+2:]
+          FROM (SELECT w, s, {_bpe_best} AS b FROM rec) WHERE b IS NOT NULL
+        ),
+        fin AS (
+          SELECT w, s FROM (SELECT w, s, {_bpe_best} AS b FROM rec)
+          WHERE b IS NULL
+        ),
+        tok AS (
+          SELECT d.doc_id, u.wpos, t.tpos, t.tok
+          FROM docs0 d,
+               unnest(list_transform(range(1, len(d.ws) + 1),
+                                     i -> {{'wpos': i, 'word': d.ws[i]}})) AS uu(u),
+               fin f,
+               unnest(list_transform(range(1, len(f.s) + 1),
+                                     j -> {{'tpos': j, 'tok': f.s[j]}})) AS tt(t)
+          WHERE f.w = u.word
+        ),
+        agg AS (
+          SELECT doc_id, list(tok ORDER BY wpos, tpos) AS tokens,
+                 count(*)::INT AS n_tokens
+          FROM tok GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               coalesce(a.tokens, []) AS tokens,
+               coalesce(a.n_tokens, 0) AS n_tokens
+        FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id"""
 
     # ---- md5-lane dedup flagships: exact twins of the hash_fn="md5"
     # Spark entries (signatures, band buckets, and verdicts reproduce

@@ -34,3 +34,22 @@ def test_near_dedup_releases_caches(spark):
     final = {info.id() for info in sc._jsc.sc().getRDDStorageInfo()}
     assert final <= before, f"leaked cached RDDs: {sorted(final - before)}"
 
+
+def test_train_bpe_releases_checkpoints(spark):
+    """train_bpe's every-64-merge symbol-column re-checkpoint (round 9)
+    must release each superseded checkpoint as the loop advances and the
+    final one on return — training a large vocabulary in a long-lived
+    session pins nothing."""
+    from age_spark.pipeline.bpe import train_bpe
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"w{i}xyzq" for i in range(120)) * 2)],
+        "doc_id long, text string",
+    )
+    sc = spark.sparkContext
+    before = {info.id() for info in sc._jsc.sc().getRDDStorageInfo()}
+    merges = train_bpe(docs, n_merges=80)  # crosses the 64-merge fold
+    assert len(merges) == 80
+    after = {info.id() for info in sc._jsc.sc().getRDDStorageInfo()}
+    assert after <= before, f"leaked checkpoints: {sorted(after - before)}"
+
