@@ -1029,8 +1029,8 @@ def oracle_sql() -> dict[str, str]:
     # ---- pipeline
     O["p_text_features"] = (
         "WITH f AS (SELECT doc_id, text, length(text) AS n_chars, "
-        "CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE "
-        "len(regexp_split_to_array(trim(text), '\\s+')) END AS INT) AS n_tokens, "
+        "CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), "
+        "x -> x <> '')) AS INT) AS n_tokens, "
         "len(regexp_extract_all(text, '[A-Za-z]')) AS n_alpha, "
         "len(regexp_extract_all(lower(text), "
         "'\\b(the|and|of|to|in|is|that|for|with|was)\\b')) AS n_stop FROM documents), "
@@ -1567,8 +1567,8 @@ def oracle_sql() -> dict[str, str]:
     """
     O["p_length_curriculum"] = """
         WITH b AS (
-          SELECT CASE WHEN length(trim(text)) = 0 THEN 0
-                      ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n
+          SELECT len(list_filter(regexp_split_to_array(text, '\\s+'),
+                                 x -> x <> '')) AS n
           FROM documents
         ),
         lab AS (
@@ -1680,9 +1680,8 @@ def oracle_sql() -> dict[str, str]:
     O["p_pack_sequential"] = """
         WITH RECURSIVE t AS (
           SELECT doc_id,
-                 CAST(CASE WHEN length(trim(text)) = 0 THEN 0
-                      ELSE len(regexp_split_to_array(trim(text), '\\s+')) END
-                      AS BIGINT) AS nt,
+                 CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
+                                      x -> x <> '')) AS BIGINT) AS nt,
                  CAST(floor(doc_id / 64) AS BIGINT) AS b
           FROM documents
         ),

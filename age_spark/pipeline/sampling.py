@@ -186,10 +186,9 @@ def length_curriculum(
     Scale shape: map-only token count (same whitespace rule as
     quality_features), one small groupBy on the bucket id, corpus total
     via a lazy broadcast 1-row aggregate (no build-time job)."""
-    t = F.trim(F.col(text_col))
-    n_tok = F.when(F.length(t) == 0, F.lit(0)).otherwise(
-        F.size(F.split(t, r"\s+"))
-    ).cast("long")
+    from .text import token_count
+
+    n_tok = token_count(F.col(text_col)).cast("long")
     bucket = F.lit(len(boundaries)).cast("long")
     label = F.lit(f">={boundaries[-1]}")
     for i in reversed(range(len(boundaries))):

@@ -22,9 +22,12 @@ LANG_MARKERS = {
 
 
 def token_count(col: Column) -> Column:
-    """Whitespace token count. size(split(trim(s), '\\s+')); empty -> 0."""
-    t = F.trim(col)
-    return F.when(F.length(t) == 0, F.lit(0)).otherwise(F.size(F.split(t, r"\s+")))
+    """Whitespace token count — the count of NON-EMPTY runs, i.e. exactly
+    Python's ``str.split()``.  (The previous trim-then-split formula
+    counted 2 tokens for a tab-only string: Spark/DuckDB ``trim`` strips
+    spaces only, and splitting a leading/trailing-whitespace string on
+    ``\\s+`` yields empty edge tokens — hypothesis found it.)"""
+    return F.size(F.filter(F.split(col, r"\s+"), lambda x: x != F.lit("")))
 
 
 def bpe_ish_token_count(col: Column) -> Column:
