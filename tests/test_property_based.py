@@ -66,6 +66,56 @@ def test_range_join_matches_theta(spark, points, intervals, bucket_width, cap, l
 
 @settings(**_SLOW)
 @given(
+    lrows=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(-100, 100)), min_size=0, max_size=25
+    ),
+    rrows=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(-100, 100), st.integers(0, 99)),
+        min_size=0,
+        max_size=25,
+    ),
+    tolerance=st.sampled_from([None, 0, 7, 50]),
+)
+def test_asof_join_matches_reference(spark, lrows, rrows, tolerance):
+    """Backward as-of (latest right at-or-before each left row, per key,
+    within tolerance) equals a serial reference on any input — timestamp
+    ties between sides (<= takes the same-instant right row), keys with
+    no right rows, tolerance nulling.  Duplicate (key, ts) RIGHT rows
+    are deduped first: with several values at one instant the window's
+    pick among peers is undefined (as in any ASOF implementation)."""
+    from age_spark.pipeline.events import asof_join
+
+    rrows = list({(k, t): (k, t, v) for (k, t, v) in rrows}.values())
+    left = spark.createDataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(lrows)] or [(0, None, None)],
+        "id long, user_id int, ts long",
+    ).filter(F.col("ts").isNotNull())
+    right = spark.createDataFrame(
+        [(k, t, v) for (k, t, v) in rrows] or [(None, None, None)],
+        "user_id int, ts long, v int",
+    ).filter(F.col("ts").isNotNull())
+    got = {
+        r.id: (r.v_right, r.ts_right)
+        for r in asof_join(
+            left, right, on="ts", by="user_id", tolerance=tolerance
+        ).collect()
+    }
+    want = {}
+    for i, (k, t) in enumerate(lrows):
+        cand = [(rt, v) for (rk, rt, v) in rrows if rk == k and rt <= t]
+        if not cand:
+            want[i] = (None, None)
+            continue
+        rt, v = max(cand)
+        if tolerance is not None and t - rt > tolerance:
+            want[i] = (None, None)
+        else:
+            want[i] = (v, rt)
+    assert got == want
+
+
+@settings(**_SLOW)
+@given(
     texts=st.lists(
         st.text(alphabet="ab \t", min_size=0, max_size=30), min_size=0, max_size=25
     ),
