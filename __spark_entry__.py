@@ -873,10 +873,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # its wide-interval fix, e_sliding, split/curriculum/bigram/char-
     # decontaminate, ngram-jaccard, simhash) plus the two dedup flagships
     # whose oracles flipped from rows-only to exact md5 twins this round.
-    # Still waiting on a future window: p_vector_fns, p_tfidf_topk, and
-    # the r7-green tail (all green r7, unchanged since); rows-only
-    # entries (m_*, p_ann_*, p_bpe_encode, p_pca_project,
-    # p_cluster_balance, p_pack_sequences) rotate behind those.
+    # Round-10 window candidates, in priority order: the never-checked
+    # NEW oracles p_pack_sequential and p_bpe_encode_fixed, then
+    # p_vector_fns, p_tfidf_topk and the r7-green tail (green r7,
+    # unchanged since); rows-only entries (m_*, p_ann_*, p_bpe_encode,
+    # p_pca_project, p_cluster_balance, p_pack_sequences) rotate behind.
     window_pipeline = [
         "e_range_join",
         "e_sliding",
