@@ -4215,9 +4215,31 @@ def _fn_atan2(scope, args, cols):
 
 @fn("sign")
 def _fn_sign(scope, args, cols):
-    # age_sign returns an INTEGER (expr.out:6010-6026 prints 1/-1/0 bare)
+    # age_sign returns an INTEGER (expr.out:6010-6026 prints 1/-1/0 bare).
+    # NUMERIC rows decide from the text payload (numeric_sign order):
+    # magnitudes below the float8 denormal floor would otherwise collapse
+    # to 0 through the double view; NaN/Infinity spellings fall through.
+    from ..graph import _strip_nullability, is_tagged_type
+
     _require_numeric(scope, "sign", args, cols)
-    return F.signum(_math_operand(scope, args[0], cols[0])).cast("long")
+    c = cols[0]
+    dt = _operand_dtype(scope, args[0], c)
+    sdt = _strip_nullability(dt) if dt is not None else None
+    if sdt is not None and is_tagged_type(sdt):
+        d = c.getField("__d")
+        exact = F.when(
+            d.rlike(r"^-?[0-9]+(\.[0-9]+)?$"),
+            F.when(~d.rlike("[1-9]"), F.lit(0))
+            .when(d.startswith("-"), F.lit(-1))
+            .otherwise(F.lit(1))
+            .cast("long"),
+        )
+        dbl = F.coalesce(c.getField("__i").cast("double"), c.getField("__n"))
+        return F.when(
+            c.getField("__k") == 7,
+            F.coalesce(exact, F.signum(dbl).cast("long")),
+        )
+    return F.signum(c).cast("long")
 
 
 @fn("round")

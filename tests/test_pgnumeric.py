@@ -368,6 +368,17 @@ class TestUnaryNodesExact:
         )
         assert rows == [("1e+300", "-1e+300", "NaN", "Infinity")]
 
+    def test_sign_numeric_text_domain(self, numgraph):
+        """sign() on NUMERIC decides from the text payload: magnitudes
+        under the float8 denormal floor must not collapse to 0."""
+        age, g = numgraph
+        rows = _out(
+            age, g,
+            "RETURN sign(-2.5::numeric) AS a, sign(0.000::numeric) AS z, "
+            "sign(0.0000000000000000000001::numeric) AS t",
+        )
+        assert rows == [("-1", "0", "1")]
+
     def test_abs_in_lambda_projection_exact(self, numgraph):
         age, g = numgraph
         rows = _out(
