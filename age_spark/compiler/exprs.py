@@ -4027,14 +4027,26 @@ def _fn_abs(scope, args, cols):
     numeric_abs).  A tagged operand therefore returns a tagged result
     per row kind; the NUMERIC payload's abs is EXACT in the text domain
     (strip the sign — numeric_abs changes nothing else, and it is pure
-    JVM so it stays exact inside HOF lambdas too)."""
+    JVM so it stays exact inside HOF lambdas too).  abs(INT64_MIN)
+    errors "bigint out of range" like the reference (age_abs goes
+    through numeric_abs -> numeric_int8, which overflows) instead of
+    Spark's silent two's-complement wrap back to INT64_MIN."""
     from ..graph import TAGGED_TYPE, _strip_nullability, is_tagged_type
 
     _require_numeric(scope, "abs", args, cols)
     c = cols[0]
     dt = _operand_dtype(scope, args[0], c)
     sdt = _strip_nullability(dt) if dt is not None else None
+
+    def guarded_long_abs(lc):
+        return F.when(
+            lc == F.lit(-(1 << 63)).cast("long"),
+            F.raise_error(F.lit("bigint out of range")).cast("long"),
+        ).otherwise(F.abs(lc))
+
     if sdt is None or not is_tagged_type(sdt):
+        if isinstance(sdt, T.LongType):
+            return guarded_long_abs(c)
         return F.abs(c)
     fields = []
     for f in TAGGED_TYPE.fields:
@@ -4043,7 +4055,7 @@ def _fn_abs(scope, args, cols):
         elif f.name == "__n":
             fields.append(F.abs(c.getField("__n")).alias("__n"))
         elif f.name == "__i":
-            fields.append(F.abs(c.getField("__i")).alias("__i"))
+            fields.append(guarded_long_abs(c.getField("__i")).alias("__i"))
         elif f.name == "__d":
             fields.append(
                 F.regexp_replace(c.getField("__d"), "^-", "").alias("__d")

@@ -699,7 +699,15 @@ def char_decontaminate(
     without ever scanning an oversized reference in full — past
     ``broadcast_max_windows`` the hint is dropped and AQE picks the join
     strategy from runtime sizes (a too-big eval set degrades to a shuffle
-    instead of OOMing every executor)."""
+    instead of OOMing every executor).
+
+    NOT fully lazy: the size gate runs ONE eager Spark job at call time
+    (a single aggregate over ``reference.limit(cap + 1)`` — each doc is
+    >= 1 window, so the truncated char-sum only matters when the row
+    count already fits, in which case it is exact).  The probe scans at
+    most cap+1 rows, so letting the returned plan re-read the reference
+    lazily is cheaper than pinning a persist whose lifetime the caller
+    would have to manage."""
     norm = lambda c: F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
 
     def windows(c: Column, step: int) -> Column:
@@ -721,18 +729,25 @@ def char_decontaminate(
         F.col(id_col), F.explode(windows(F.col(text_col), stride)).alias("_w")
     )
     # Every-offset windows ~= total reference chars, so bound the window
-    # count in two capped steps: (1) a LocalLimit row probe (each doc is
-    # >= 1 window, so > cap rows is already too big without scanning
-    # further); (2) a char-sum over the now-bounded row set.
-    ref_small = (
-        reference.limit(broadcast_max_windows + 1).count() <= broadcast_max_windows
-        and (
-            reference.agg(
-                F.sum(F.greatest(F.length(norm(F.col(ref_text_col))) - window + 1, F.lit(1)))
-            ).collect()[0][0]
-            or 0
+    # count with ONE capped probe job: LocalLimit stops the scan past
+    # cap+1 rows (each doc is >= 1 window, so > cap rows is already too
+    # big), and when the count fits the limit kept every row, making the
+    # char-sum exact.
+    probe = (
+        reference.limit(broadcast_max_windows + 1)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.greatest(
+                    F.length(norm(F.col(ref_text_col))) - window + 1, F.lit(1)
+                )
+            ).alias("w"),
         )
-        <= broadcast_max_windows
+        .collect()[0]
+    )
+    ref_small = (
+        probe["n"] <= broadcast_max_windows
+        and (probe["w"] or 0) <= broadcast_max_windows
     )
     ref_side = ref_w.select(F.col("_w"), F.lit(True).alias("_hit"))
     if ref_small:

@@ -134,7 +134,9 @@ def range_join_bucketed(
     # scheduling round-trip each even when AQE prunes their empty sides.
     lvl = F.lit(None).cast("int")
     for k in reversed(range(levels)):
-        fits = (bk(right_hi, k) - bk(right_lo, k)) <= F.lit(max_span_buckets)
+        # strict <: a bucket-id diff of d means d+1 replicas, so the
+        # per-row replication is truly bounded by max_span_buckets
+        fits = (bk(right_hi, k) - bk(right_lo, k)) < F.lit(max_span_buckets)
         lvl = F.when(fits, F.lit(k)).otherwise(lvl)
     r = right.withColumn("_lv", lvl)
     lo_bk = hi_bk = None

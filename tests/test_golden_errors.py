@@ -64,3 +64,22 @@ def test_float_mod_zero_is_nan(g):
     v = age.cypher(graph, "RETURN 5.5 % 2 AS v").df.collect()[0][0]
     assert agtype_out(v) == "1.5"
 
+
+
+def test_abs_int64_min_overflows(g):
+    """abs(INT64_MIN) errors like the reference (age_abs ->
+    numeric_abs -> numeric_int8, which raises bigint-out-of-range) —
+    Spark's F.abs would silently wrap back to INT64_MIN (ADVICE r9).
+    A literal INT64_MIN parses fine (it is within range); only abs
+    overflows.  abs on the neighbouring value stays exact."""
+    age, graph = g
+    with pytest.raises(Exception, match="bigint out of range"):
+        age.cypher(
+            graph, "RETURN abs(-9223372036854775807 - 1) AS v"
+        ).df.collect()
+    v = age.cypher(
+        graph, "RETURN abs(-9223372036854775807) AS v"
+    ).df.collect()[0][0]
+    from age_spark.runtime.agvalue import agtype_out
+
+    assert agtype_out(v) == "9223372036854775807"
