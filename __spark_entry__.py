@@ -254,29 +254,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["e_range_join"] = _range_join
 
-    # batch sliding-window aggregation (1 h windows sliding 30 min): each
-    # event replicates into window_size/slide buckets map-side, then one
-    # window-keyed groupBy — the batch twin of streaming/sliding_counts
+    # batch sliding-window aggregation (1 h windows sliding 30 min):
+    # pipeline.events.sliding_aggregate replicates each event into
+    # window/slide buckets map-side, then one window-keyed groupBy —
+    # the batch twin of streaming/sliding_counts
     def _sliding(s, d):
+        from age_spark.pipeline.events import sliding_aggregate
+
         HOUR = 3_600_000_000_000  # ns
-        SLIDE = HOUR // 2
-        ev = _events(s, d)
-        # window starts covering ts: floor((ts - off)/slide)*slide for
-        # off in [0, window) step slide -> 2 replicas per event
-        starts = F.array(
-            *[
-                (F.floor((F.col("ts") - F.lit(k * SLIDE)) / F.lit(HOUR)) * HOUR
-                 + F.lit(k * SLIDE)).cast("long")
-                for k in range(2)
-            ]
-        )
-        return (
-            ev.select(F.explode(starts).alias("win_start"), "value")
-            .groupBy("win_start")
-            .agg(
+        return sliding_aggregate(
+            _events(s, d), "ts", HOUR, HOUR // 2,
+            [
                 F.count(F.lit(1)).alias("n"),
                 F.round(F.sum("value"), 2).alias("sum_value"),
-            )
+            ],
         )
 
     q["e_sliding"] = _sliding

@@ -171,3 +171,50 @@ def range_join_bucketed(
     # dataset (AQE prunes the empty side at runtime)
     wide = r.filter(F.col("_lv").isNull()).drop("_lv")
     return out.unionByName(left.join(F.broadcast(wide), in_range))
+
+
+def sliding_aggregate(
+    df: DataFrame,
+    ts_col: str,
+    window: int,
+    slide: int,
+    aggs: "list[Column]",
+    keys: "tuple[str, ...]" = (),
+    start_col: str = "win_start",
+) -> DataFrame:
+    """Batch sliding-window aggregation over an integer timestamp column
+    — the batch twin of streaming/stream.py sliding_counts (which rides
+    Spark's native ``F.window`` on an event-time column; this one works
+    on raw integer timestamps, e.g. epoch nanos).
+
+    Each row replicates MAP-SIDE into the ``window // slide`` windows
+    covering its timestamp (the window starts aligned to multiples of
+    ``slide``: start_k = floor((ts - k*slide) / window) * window +
+    k*slide for k in 0..n-1 — pairwise distinct, and ts - start_k lands
+    in [0, window) for every k), then ONE (``start_col``, *keys)-keyed
+    groupBy computes the aggregates.  Scale shape: a single shuffle
+    whose row count is input x replication factor, with map-side
+    partial aggregation collapsing it per (window, key) before the
+    exchange — no Python evaluation anywhere (plan-guarded in
+    tests/test_plans.py).
+
+    ``window`` must be a positive multiple of ``slide``.  ``aggs`` are
+    pre-aliased aggregate Columns evaluated over the replicated rows;
+    ``keys`` are extra grouping columns."""
+    if slide <= 0 or window <= 0 or window % slide != 0:
+        raise ValueError(
+            f"window ({window}) must be a positive multiple of slide ({slide})"
+        )
+    n = window // slide
+    starts = F.array(
+        *[
+            (
+                F.floor((F.col(ts_col) - F.lit(k * slide)) / F.lit(window))
+                * window
+                + F.lit(k * slide)
+            ).cast("long")
+            for k in range(n)
+        ]
+    )
+    rep = df.select(F.explode(starts).alias(start_col), "*")
+    return rep.groupBy(start_col, *keys).agg(*aggs)

@@ -588,3 +588,34 @@ def test_char_decontaminate_catches_offset_verbatim_run(spark):
     assert out[1] is True
     assert out[2] is True   # 35-char verbatim slice >= 24
     assert out[3] is False
+
+
+def test_sliding_aggregate(spark):
+    """sliding_aggregate vs the window-replication identity computed in
+    plain Python: every window start is a multiple of slide with
+    ws <= ts < ws + window (exactly window/slide starts per row, negative
+    timestamps included), aggregates grouped by (win_start, key)."""
+    from collections import defaultdict
+
+    from age_spark.pipeline.events import sliding_aggregate
+
+    W, S = 100, 25
+    rows = [(i, i * 37 % 1000 - 200, i % 3) for i in range(300)]
+    df = spark.createDataFrame(rows, "id long, ts long, k long")
+    got = {
+        (r.win_start, r.k): (r.n, r.s)
+        for r in sliding_aggregate(
+            df, "ts", W, S,
+            [F.count(F.lit(1)).alias("n"), F.sum("id").alias("s")],
+            keys=("k",),
+        ).collect()
+    }
+    want = defaultdict(lambda: [0, 0])
+    for i, ts, k in rows:
+        for m in range((ts - W) // S + 1, ts // S + 1):  # ts-W < m*S <= ts
+            want[(m * S, k)][0] += 1
+            want[(m * S, k)][1] += i
+    assert got == {kk: tuple(v) for kk, v in want.items()}
+
+    with pytest.raises(ValueError):
+        sliding_aggregate(df, "ts", 100, 33, [F.count(F.lit(1)).alias("n")])
