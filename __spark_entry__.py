@@ -856,34 +856,59 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return run
 
     # The driver's CORRECTNESS gate checks only the FIRST 50 keys of this
-    # dict (VERDICT r7 "What's wrong" #2).  Emit every SURVEY §2 graph
-    # entry (g_*) first so the whole §2 surface has a green driver row
-    # every round, then fill the remaining window slots with a rotating
-    # pipeline subset — round 9 (VERDICT r8 next-round #5): the nine
-    # oracled entries that never yet had a driver row (e_range_join with
-    # its wide-interval fix, e_sliding, split/curriculum/bigram/char-
-    # decontaminate, ngram-jaccard, simhash) plus the two dedup flagships
-    # whose oracles flipped from rows-only to exact md5 twins this round.
-    # Round-10 window candidates, in priority order: the never-checked
-    # NEW oracles p_pack_sequential and p_bpe_encode_fixed, then
-    # p_vector_fns, p_tfidf_topk and the r7-green tail (green r7,
-    # unchanged since); rows-only entries (m_*, p_ann_*, p_bpe_encode,
+    # dict (VERDICT r7 "What's wrong" #2).  Round 10 (VERDICT r9
+    # next-round #1): the window holds the 20 oracled pipeline entries
+    # with no green row since r7 — the two never-checked NEW exact
+    # oracles (p_pack_sequential, p_bpe_encode_fixed), p_vector_fns,
+    # p_tfidf_topk, and the r7-green tail — so that after this round
+    # EVERY oracled entry has a hard driver row within r8..r10.  That
+    # takes 20 slots, so 9 stable g_* entries rotate out for one round:
+    # each displaced entry was green in BOTH r8 and r9, its compiler path
+    # is unchanged this round, and it keeps replay/pytest coverage
+    # (generators/subgraph: test_loaders+replay; unwind/union/case/
+    # coalesce/keys/id-fns/string-preds: the ~3,700-statement reference
+    # replay).  Rows-only entries (m_*, p_ann_lsh/ivf, p_bpe_encode,
     # p_pca_project, p_cluster_balance, p_pack_sequences) rotate behind.
     window_pipeline = [
-        "e_range_join",
-        "e_sliding",
-        "p_split_assign",
-        "p_length_curriculum",
-        "p_bigram_logprob",
-        "p_char_decontaminate",
-        "p_ngram_jaccard",
-        "p_simhash_pairs",
-        "p_minhash_pairs",
-        "p_minhash_decontaminate",
-        "p_near_dedup",
+        "p_pack_sequential",
+        "p_bpe_encode_fixed",
+        "p_vector_fns",
+        "p_tfidf_topk",
+        "p_text_features",
+        "p_exact_dedup",
+        "p_embed_near_pairs",
+        "p_ann_topk",
+        "e_type_agg",
+        "e_latest_per_user",
+        "e_sessionize",
+        "e_tumbling",
+        "e_asof_join",
+        "p_stratified_cap",
+        "p_decontaminate",
+        "p_temperature_mixture",
+        "p_ngram_decontaminate",
+        "p_unigram_logprob",
+        "p_vocab_stats",
+        "p_bpe_pair_counts",
     ]
-    ordered = [k for k in q if k.startswith("g_")]
+    graph_rotate_out = [
+        "g_generators",
+        "g_subgraph",
+        "g_unwind",
+        "g_union",
+        "g_case",
+        "g_in_coalesce",
+        "g_keys",
+        "g_id_label_fns",
+        "g_string_pred",
+    ]
+    ordered = [
+        k for k in q
+        if k.startswith("g_") and k not in set(graph_rotate_out)
+    ]
     ordered += [k for k in window_pipeline if k in q]
+    assert len(ordered) == 50, len(ordered)
+    ordered += [k for k in graph_rotate_out if k in q]
     ordered += [k for k in q if k not in set(ordered)]
     assert len(ordered) == len(q)
     return {k: _with_nodbg(q[k]) for k in ordered}
