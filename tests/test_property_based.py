@@ -158,3 +158,180 @@ def test_pack_sequential_matches_python_reference(spark, texts, max_tokens, buck
         if cur:
             want[f"b{b}-{k}"] = (cur, tot)
     assert got == want
+
+
+# ---------------------------------------------------------------- dedup
+# The md5 lane (hash_fn="md5") makes the whole seeded-dedup family
+# Python-replicable: _hash60 is int(md5(s).hexdigest()[:15], 16), the
+# permutation coefficients are a seeded PRNG, and banding buckets hash the
+# '|'-joined band values.  These twins recompute the FULL pipeline
+# (normalize -> shingle -> sign/signature -> band -> verify) in plain
+# Python, so every assertion is exact — no probabilistic recall slack.
+
+import hashlib
+import re as _re
+from collections import defaultdict
+
+_P = (1 << 31) - 1
+
+# whitespace-noisy texts over a tiny vocab to force shingle collisions
+_word = st.sampled_from(["aa", "bb", "cc", "ripe", "Aa"])
+_sep = st.sampled_from([" ", "  ", "\t", " \n "])
+_text = st.builds(
+    lambda ws, seps: "".join(w + s for w, s in zip(ws, seps + [" "])),
+    st.lists(_word, min_size=0, max_size=6),
+    st.lists(_sep, min_size=6, max_size=6).map(list),
+)
+_corpus = st.lists(_text, min_size=0, max_size=8)
+
+
+def _py_norm(t):
+    # Spark's trim() strips SPACES only (not \t/\n), so a trailing tab
+    # survives as a trailing space after \s+ collapse — mirror exactly
+    return _re.sub(r"\s+", " ", t.strip(" ").lower())
+
+
+def _py_shingles(t, k):
+    toks = _py_norm(t).split(" ")
+    if len(toks) >= k:
+        return list(dict.fromkeys(
+            " ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)
+        ))
+    return [" ".join(toks)]
+
+
+def _py_h60(s):
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def _py_sig(shingles, coeffs):
+    hs = [_py_h60(s) % _P for s in shingles]
+    return [min((h * a + b) % _P for h in hs) for a, b in coeffs]
+
+
+def _py_lsh_pairs(sigs, bands, r):
+    buckets = defaultdict(list)
+    for i, sig in sigs.items():
+        for b in range(bands):
+            key = "|".join(str(x) for x in sig[b * r:(b + 1) * r] + [b])
+            buckets[(b, _py_h60(key))].append(i)
+    pairs = set()
+    for ids in buckets.values():
+        ids = sorted(ids)
+        pairs.update((a, b) for ai, a in enumerate(ids) for b in ids[ai + 1:])
+    return pairs
+
+
+def _mk_docs(spark, texts):
+    return spark.createDataFrame(
+        list(enumerate(texts)) or [(0, None)], "doc_id long, text string"
+    ).filter(F.col("text").isNotNull())
+
+
+@settings(**_SLOW)
+@given(texts=_corpus, threshold=st.sampled_from([0.25, 0.5, 1.0]))
+def test_minhash_pairs_match_python_twin(spark, texts, threshold):
+    """minhash_dedup_pairs (md5 lane) equals the full-pipeline Python
+    twin: identical signatures, identical LSH candidates, identical
+    estimated-Jaccard values — whitespace noise, case, empty texts and
+    duplicate docs included."""
+    from age_spark.pipeline.dedup import _perm_coeffs, minhash_dedup_pairs
+
+    NH, BANDS, K = 16, 8, 2
+    coeffs = _perm_coeffs(NH)
+    got = {
+        (r.id_a, r.id_b): r.est_jaccard
+        for r in minhash_dedup_pairs(
+            _mk_docs(spark, texts), num_hashes=NH, bands=BANDS, k=K,
+            threshold=threshold, hash_fn="md5",
+        ).collect()
+    }
+    sigs = {i: _py_sig(_py_shingles(t, K), coeffs) for i, t in enumerate(texts)}
+    want = {}
+    for a, b in _py_lsh_pairs(sigs, BANDS, NH // BANDS):
+        est = sum(x == y for x, y in zip(sigs[a], sigs[b])) / NH
+        if est >= threshold:
+            want[(a, b)] = est
+    assert set(got) == set(want)
+    for pair, est in want.items():
+        assert abs(got[pair] - round(est, 6)) < 2e-6, pair
+
+
+@settings(**_SLOW)
+@given(texts=_corpus, max_hamming=st.sampled_from([0, 3]))
+def test_simhash_pairs_match_exact_hamming(spark, texts, max_hamming):
+    """simhash_near_pairs (md5 lane) equals exact Hamming over the
+    Python-twin fingerprints.  With max_hamming <= 3 and 4 16-bit bands,
+    the pigeonhole guarantees EVERY such pair shares a band, so the
+    expected set is the full Hamming ball — recall exactly 1, no LSH
+    slack — and the fingerprints themselves must match the twin's
+    bit-by-bit construction (sign of +/-1 sums per md5 bit)."""
+    from age_spark.pipeline.dedup import simhash, simhash_near_pairs
+
+    K = 2
+    fps = {
+        r.id: r.simhash
+        for r in simhash(_mk_docs(spark, texts), k=K, hash_fn="md5").collect()
+    }
+
+    def py_fp(t):
+        sums = [0] * 64
+        for s in _py_shingles(t, K):
+            hx = hashlib.md5(s.encode()).hexdigest()
+            h60, h4 = int(hx[:15], 16), int(hx[15], 16)
+            for j in range(64):
+                if j < 60:
+                    bit = (h60 >> (4 * (15 - (j // 4 + 1)) + j % 4)) & 1
+                else:
+                    bit = (h4 >> (j % 4)) & 1
+                sums[j] += 1 if bit else -1
+        v = sum(1 << j for j in range(63) if sums[j] > 0)
+        return v - (1 << 63) if sums[63] > 0 else v
+
+    want_fps = {i: py_fp(t) for i, t in enumerate(texts)}
+    assert fps == want_fps
+
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in simhash_near_pairs(
+            _mk_docs(spark, texts), max_hamming=max_hamming, k=K, hash_fn="md5"
+        ).collect()
+    }
+    want = {}
+    ids = sorted(want_fps)
+    for ai, a in enumerate(ids):
+        for b in ids[ai + 1:]:
+            ham = bin((want_fps[a] ^ want_fps[b]) & ((1 << 64) - 1)).count("1")
+            if ham <= max_hamming:
+                want[(a, b)] = ham
+    assert got == want
+
+
+@settings(**_SLOW)
+@given(texts=_corpus, threshold=st.sampled_from([0.3, 0.6, 1.0]))
+def test_ngram_jaccard_matches_python_twin(spark, texts, threshold):
+    """ngram_jaccard_pairs (md5 lane) equals LSH-candidates intersected
+    with exact set Jaccard, both recomputed in Python: precision is
+    pinned at 1.0 (every returned jaccard is the true one) and the
+    operator's actual capture set is deterministic, not sampled."""
+    from age_spark.pipeline.dedup import _perm_coeffs, ngram_jaccard_pairs
+
+    NH, BANDS, K = 16, 8, 2
+    coeffs = _perm_coeffs(NH)
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(
+            _mk_docs(spark, texts), k=K, threshold=threshold,
+            num_hashes=NH, bands=BANDS, hash_fn="md5",
+        ).collect()
+    }
+    sh = {i: set(_py_shingles(t, K)) for i, t in enumerate(texts)}
+    sigs = {i: _py_sig(sorted(s), coeffs) for i, s in sh.items()}
+    want = {}
+    for a, b in _py_lsh_pairs(sigs, BANDS, NH // BANDS):
+        jac = len(sh[a] & sh[b]) / len(sh[a] | sh[b])
+        if jac >= threshold:
+            want[(a, b)] = jac
+    assert set(got) == set(want)
+    for pair, jac in want.items():
+        assert abs(got[pair] - round(jac, 6)) < 2e-6, pair
