@@ -804,6 +804,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         .pack_sequences_sequential(_docs(s, d), max_tokens=512, bucket_size=64)
         .select("pack_id", "doc_ids", "n_docs", "total_tokens")
     )
+
+    # first-fit packing is partition-dependent (pack memberships shift with
+    # the input split), but these aggregates are partition-INVARIANT and
+    # SQL-exact: every doc packed exactly once (slot count == distinct doc
+    # count == corpus count), token totals conserved through the
+    # mapInPandas kernel, and every pack within budget unless single-doc
+    # oversize — a hard driver row for the rows-only p_pack_sequences
+    # (VERDICT r9 next-round #9)
+    def _pack_invariants(s, d):
+        from age_spark.pipeline.packing import pack_sequences
+
+        packs = pack_sequences(_docs(s, d), max_tokens=512)
+        agg = packs.agg(
+            F.sum("n_docs").cast("long").alias("n_doc_slots"),
+            F.sum("total_tokens").cast("long").alias("total_tokens"),
+            (
+                F.min(
+                    F.when(
+                        (F.col("total_tokens") <= 512) | (F.col("n_docs") == 1), 1
+                    ).otherwise(0)
+                )
+                == 1
+            ).alias("caps_ok"),
+        )
+        dist = (
+            packs.select(F.explode("doc_ids").alias("_d"))
+            .agg(F.count_distinct("_d").cast("long").alias("n_distinct_docs"))
+        )
+        return agg.crossJoin(dist)
+
+    q["p_pack_invariants"] = _pack_invariants
     q["p_minhash_decontaminate"] = lambda s, d: (  # md5 lane: exact twin
         __import__("age_spark.pipeline.dedup", fromlist=["minhash_decontaminate"])
         .minhash_decontaminate(
@@ -890,6 +921,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p_unigram_logprob",
         "p_vocab_stats",
         "p_bpe_pair_counts",
+        "p_pack_invariants",
     ]
     graph_rotate_out = [
         "g_generators",
@@ -901,6 +933,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_keys",
         "g_id_label_fns",
         "g_string_pred",
+        "g_scalar_fns",
     ]
     ordered = [
         k for k in q
@@ -1720,6 +1753,17 @@ def oracle_sql() -> dict[str, str]:
                count(*)::INT AS n_docs,
                CAST(sum(nt) AS BIGINT) AS total_tokens
         FROM rec GROUP BY b, k"""
+
+    # partition-invariant twin of the partition-dependent first-fit
+    # packer: doc-partition + token-conservation + cap invariants
+    O["p_pack_invariants"] = """
+        SELECT CAST(count(*) AS BIGINT) AS n_doc_slots,
+               CAST(sum(CAST(len(list_filter(
+                   regexp_split_to_array(text, '\\s+'), x -> x <> ''))
+                   AS BIGINT)) AS BIGINT) AS total_tokens,
+               TRUE AS caps_ok,
+               CAST(count(*) AS BIGINT) AS n_distinct_docs
+        FROM documents"""
 
     # BPE encode with the frozen merge table: the recursive CTE replays
     # bpe_encode's exact loop — per word, merge the LEFTMOST occurrence
