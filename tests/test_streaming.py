@@ -65,6 +65,49 @@ def test_tumbling_counts_stream_matches_batch(spark, event_dir):
     assert got == expected and len(got) > 0
 
 
+def test_sliding_counts_stream_matches_batch(spark, event_dir):
+    from age_spark.streaming import sliding_counts
+
+    batch_src = with_event_time(spark.read.parquet(event_dir))
+    expected = {
+        r.window_start: r.n for r in sliding_counts(batch_src).collect()
+    }
+
+    schema = spark.read.parquet(event_dir).schema
+    stream = read_event_stream(spark, event_dir, schema=schema)
+    got_df = _run_stream(spark, sliding_counts(stream), "t_sliding")
+    got = {r.window_start: r.n for r in got_df.collect()}
+    assert got == expected and len(got) > 0
+
+
+def test_sliding_aggregate_matches_native_window(spark, event_dir):
+    """pipeline.events.sliding_aggregate (integer-domain map-side pane
+    replication) and Spark's native F.window sliding groupBy
+    (streaming/stream.py sliding_counts) are INDEPENDENT implementations
+    of the same pane semantics — they must agree bucket-for-bucket.
+    Compared in epoch micros via unix_micros so no tz conversion is
+    involved."""
+    from age_spark.pipeline.events import sliding_aggregate
+    from age_spark.streaming import sliding_counts
+
+    batch_src = with_event_time(spark.read.parquet(event_dir))
+    native = {
+        r.ws: r.n
+        for r in sliding_counts(batch_src, window="1 hour", slide="15 minutes")
+        .select(F.unix_micros("window_start").alias("ws"), "n")
+        .collect()
+    }
+    ints = batch_src.withColumn("ts_us", F.unix_micros(F.col("event_time")))
+    ours = {
+        r.win_start: r.n
+        for r in sliding_aggregate(
+            ints, "ts_us", 3_600_000_000, 900_000_000,
+            [F.count(F.lit(1)).alias("n")],
+        ).collect()
+    }
+    assert ours == native and len(ours) > 0
+
+
 def test_session_aggregate_stream_runs(spark, event_dir):
     schema = spark.read.parquet(event_dir).schema
     stream = read_event_stream(spark, event_dir, schema=schema)
