@@ -335,3 +335,41 @@ def test_ngram_jaccard_matches_python_twin(spark, texts, threshold):
     assert set(got) == set(want)
     for pair, jac in want.items():
         assert abs(got[pair] - round(jac, 6)) < 2e-6, pair
+
+
+@settings(**_SLOW)
+@given(
+    ts=st.lists(
+        st.integers(min_value=-10_000, max_value=10_000), min_size=0, max_size=40
+    ),
+    keys=st.lists(st.integers(0, 2), min_size=0, max_size=40),
+    slide=st.sampled_from([1, 7, 50]),
+    panes=st.sampled_from([1, 2, 4, 8]),
+)
+def test_sliding_aggregate_matches_pane_membership(spark, ts, keys, slide, panes):
+    """For ANY timestamps (negative included), slide, and pane count, the
+    map-side pane replication produces exactly the brute-force pane
+    membership: every window start is a multiple of slide, a row lands
+    in a window iff win_start <= ts < win_start + window, and per-key
+    counts match a pure-Python twin."""
+    from age_spark.pipeline.events import sliding_aggregate
+
+    window = slide * panes
+    n = min(len(ts), len(keys))
+    rows = [(i, ts[i], keys[i]) for i in range(n)]
+    df = spark.createDataFrame(
+        rows or [(0, None, None)], "id long, t long, k long"
+    ).filter(F.col("t").isNotNull())
+    got = {
+        (r.win_start, r.k): r.n
+        for r in sliding_aggregate(
+            df, "t", window, slide, [F.count(F.lit(1)).alias("n")], keys=("k",)
+        ).collect()
+    }
+    want: dict = {}
+    for _i, t, k in rows:
+        # brute force: every multiple of slide s with s <= t < s + window
+        lo = -(-(t - window + 1) // slide)  # ceil((t - window + 1) / slide)
+        for m in range(lo, t // slide + 1):
+            want[(m * slide, k)] = want.get((m * slide, k), 0) + 1
+    assert got == want
