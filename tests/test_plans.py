@@ -298,3 +298,35 @@ def test_sliding_aggregate_single_shuffle(spark):
     assert physical.count("Exchange") == 1, physical
     for marker in ("BatchEvalPython", "ArrowEvalPython", "PythonUDF", "MapInPandas"):
         assert marker not in physical, marker
+
+
+def test_media_decode_single_arrow_stage(spark):
+    """The media feature entries are blob-generation (pure JVM: sha2 +
+    concat + unhex — no Python) feeding ONE Arrow-batched decode kernel:
+    exactly one MapInPandas per plan, no row-wise Python eval, and no
+    Exchange (map-only — the binary column never shuffles)."""
+    from pyspark.sql import functions as F
+
+    from age_spark.pipeline.multimodal import (
+        attach_generated_ppm,
+        attach_generated_wav,
+        attach_generated_y4m,
+        audio_features,
+        extract_features,
+        video_frame_features,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").filter(
+        F.col("doc_id") < 50
+    )
+    for out in (
+        extract_features(attach_generated_ppm(docs), fake=False),
+        audio_features(attach_generated_wav(docs)),
+        video_frame_features(attach_generated_y4m(docs), every_n=2),
+    ):
+        plan = out._jdf.queryExecution().toString()
+        physical = plan[plan.index("== Physical Plan ==") :]
+        assert physical.count("MapInPandas") == 1, physical
+        assert physical.count("Exchange") == 0, physical
+        for marker in ("BatchEvalPython", "ArrowEvalPython", "PythonUDF"):
+            assert marker not in physical, marker
