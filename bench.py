@@ -387,6 +387,24 @@ def _scale_proof(spark, entry_mod, base_timings, base_rows=None):
     out["e_range_join_vs_sf0.1"] = ratio
     print(f"# sf1-proof e_range_join: {dt}s on 10x events ({n} rows, "
           f"{ratio}x the sf0.1 time)", file=sys.stderr)
+    # media-decode scale proof: REAL PPM decode through the Arrow kernel
+    # over the full corpus, then 10x — map-only (plan-guarded: one
+    # MapInPandas, zero Exchange), so growth should track the kernel's
+    # per-doc cost, not a shuffle
+    from age_spark.pipeline.multimodal import attach_generated_ppm, extract_features
+
+    t0 = time.time()
+    extract_features(attach_generated_ppm(docs), fake=False).count()
+    base_dt = round(time.time() - t0, 3)
+    out["m_media_decode_sf0.1"] = base_dt
+    t0 = time.time()
+    n = extract_features(attach_generated_ppm(docs10), fake=False).count()
+    dt = round(time.time() - t0, 3)
+    out["m_media_decode"] = dt
+    ratio = round(dt / base_dt, 2) if base_dt else None
+    out["m_media_decode_vs_sf0.1"] = ratio
+    print(f"# sf1-proof m_media_decode: {dt}s on 10x docs ({n} rows, "
+          f"{ratio}x the in-run sf0.1 decode)", file=sys.stderr)
     out["note"] = (
         "10x replicas of the sf0.1 graph, documents, embeddings, and "
         "events tables: per-query growth factors above; sub-10x growth = "
