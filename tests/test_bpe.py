@@ -78,8 +78,10 @@ def test_train_bpe_512_merges_bounded_plans(spark):
     # prefix stability across the 64-merge checkpoint boundary
     assert train_bpe(df, n_merges=100)[:100] == merges[:100]
     # generous wall bound: the pre-fix quadratic plan growth blew far
-    # past this on the same corpus
-    assert dt < 420, f"512 merges took {dt:.0f}s — plan growth is back"
+    # past this on the same corpus (the linear loop runs ~240s quiet;
+    # 600 tolerates shared-host/suite-overlap contention without losing
+    # the O(n^2) signal, which multiplies, not adds)
+    assert dt < 600, f"512 merges took {dt:.0f}s — plan growth is back"
 
 
 def test_bpe_encode_handles_empty_and_unseen(spark, merges5):
