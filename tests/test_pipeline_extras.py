@@ -619,3 +619,80 @@ def test_sliding_aggregate(spark):
 
     with pytest.raises(ValueError):
         sliding_aggregate(df, "ts", 100, 33, [F.count(F.lit(1)).alias("n")])
+
+
+def test_dsir_importance_weights(spark):
+    """DSIR weights vs a pure-Python twin (same md5 bucketing, add-one
+    smoothing, log-ratio sum); target-like docs must outrank unrelated
+    ones, and the result must be identical under repartitioning."""
+    import hashlib
+    import math
+    import re
+    from collections import Counter
+
+    from age_spark.pipeline.sampling import dsir_importance_weights
+
+    target_texts = [
+        "the model trains on clean data",
+        "clean data makes the model better",
+    ]
+    raw_texts = [
+        "the model trains on clean data",        # in-domain
+        "clean data makes the model better",     # in-domain
+        "zebra quokka visits purple volcanoes",  # out-of-domain
+        "one",                                   # < 2 tokens: drops out
+        "the model trains on clean data today",  # near-domain
+    ]
+    NB = 64
+
+    def toks(t):
+        return [w for w in re.split(r"\s+", t.strip().lower()) if w]
+
+    def feats(t):
+        ws = toks(t)
+        return [
+            int(hashlib.md5(f"{a} {b}".encode()).hexdigest()[:15], 16) % NB
+            for a, b in zip(ws, ws[1:])
+        ]
+
+    ct, cr = Counter(), Counter()
+    for t in target_texts:
+        ct.update(feats(t))
+    for t in raw_texts:
+        cr.update(feats(t))
+    nt, nr = sum(ct.values()), sum(cr.values())
+    want = {}
+    for i, t in enumerate(raw_texts):
+        fs = feats(t)
+        if not fs:
+            continue
+        w = sum(
+            math.log((ct[b] + 1) / (nt + NB)) - math.log((cr[b] + 1) / (nr + NB))
+            for b in fs
+        )
+        want[i] = (round(w, 4), len(fs))
+
+    raw = spark.createDataFrame(
+        list(enumerate(raw_texts)), "doc_id long, text string"
+    )
+    target = spark.createDataFrame(
+        list(enumerate(target_texts)), "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.dsir_weight, r.n_features)
+        for r in dsir_importance_weights(raw, target, n_buckets=NB).collect()
+    }
+    assert set(got) == set(want)
+    for i in want:
+        assert got[i][1] == want[i][1], i
+        assert abs(got[i][0] - want[i][0]) < 2e-4, (i, got[i], want[i])
+    # in-domain beats out-of-domain
+    assert got[0][0] > got[2][0] and got[1][0] > got[2][0]
+    # deterministic under repartitioning
+    again = {
+        r.doc_id: (r.dsir_weight, r.n_features)
+        for r in dsir_importance_weights(
+            raw.repartition(7), target.repartition(3), n_buckets=NB
+        ).collect()
+    }
+    assert again == got
