@@ -288,12 +288,13 @@ def dsir_importance_weights(
         .crossJoin(rc.agg(F.coalesce(F.sum("_c"), F.lit(0)).alias("_nr")))
     )
     B = F.lit(float(n_buckets))
-    # per-bucket log ratio over the union of observed buckets: a raw doc's
-    # bucket always sits in rc, but keep the union (full outer) so the
-    # table is the fitted model, not a corpus-relative slice
+    # per-bucket log ratio over the RAW-observed buckets: a raw doc's
+    # bucket always sits in rc, so target-only buckets are unreachable by
+    # scoring — a LEFT join keeps the table broadcastable (a full outer
+    # would force a sort-merge; Spark can't broadcast-hash full outer)
     lr = (
         rc.withColumnRenamed("_c", "_cr")
-        .join(tc.withColumnRenamed("_c", "_ct"), "_b", "full_outer")
+        .join(F.broadcast(tc.withColumnRenamed("_c", "_ct")), "_b", "left")
         .crossJoin(F.broadcast(stats))
         .select(
             "_b",

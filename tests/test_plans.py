@@ -330,3 +330,24 @@ def test_media_decode_single_arrow_stage(spark):
         assert physical.count("Exchange") == 0, physical
         for marker in ("BatchEvalPython", "ArrowEvalPython", "PythonUDF"):
             assert marker not in physical, marker
+
+
+def test_dsir_weights_broadcast_tables(spark):
+    """The fitted DSIR bucket-ratio table joins BROADCAST against the
+    corpus feature stream (bounded <= n_buckets rows); the corpus side
+    must never sort-merge against the model, and nothing evaluates in
+    Python."""
+    from pyspark.sql import functions as F
+
+    from age_spark.pipeline.sampling import dsir_importance_weights
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = dsir_importance_weights(
+        docs, docs.filter(F.col("doc_id") % 7 == 0), n_buckets=8192
+    )
+    plan = out._jdf.queryExecution().toString()
+    physical = plan[plan.index("== Physical Plan ==") :]
+    assert "BroadcastHashJoin" in physical, physical
+    assert "SortMergeJoin" not in physical, physical
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "PythonUDF", "MapInPandas"):
+        assert marker not in physical, marker
