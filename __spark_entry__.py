@@ -1033,6 +1033,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["p_dsir_weights"] = _dsir
 
+    # deterministic global shuffle: dense rank under the seeded md5 key
+    # (range-partitioned sort + per-partition offsets — no global window)
+    def _seeded_shuffle(s, d):
+        from age_spark.pipeline.sampling import seeded_shuffle
+
+        return seeded_shuffle(_docs(s, d), seed=42).select("doc_id", "shuffle_pos")
+
+    q["p_seeded_shuffle"] = _seeded_shuffle
+
     def _with_nodbg(fn):
         def run(s, d, fn=fn):
             _nodbg(s)
@@ -1042,7 +1051,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # The driver's CORRECTNESS gate checks only the FIRST 50 keys of this
     # dict (VERDICT r7 "What's wrong" #2).  Round 10 (VERDICT r9
-    # next-round #1): the window holds the 30 oracled pipeline entries
+    # next-round #1): the window holds the 31 oracled pipeline entries
     # with no green driver row since r7 — the two never-checked NEW exact
     # oracles (p_pack_sequential, p_bpe_encode_fixed), the NEW invariant
     # rows (p_pack_invariants, p_bpe_roundtrip, p_ivf/p_lsh/p_pca/
@@ -1052,7 +1061,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the REAL PPM/WAV/Y4M decode kernels), p_vector_fns, p_tfidf_topk,
     # the NEW DSIR importance-weight operator, and the r7-green tail —
     # so that after this round EVERY oracled entry has a hard driver row
-    # within r8..r10.  That takes 30 slots, so 19 stable g_* entries
+    # within r8..r10.  That takes 31 slots, so 20 stable g_* entries
     # rotate out for one round: each displaced
     # entry was green in BOTH r8 and r9, its compiler path is unchanged
     # this round, and it keeps replay/pytest coverage (generators/
@@ -1092,6 +1101,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p_pca_invariants",
         "p_cluster_invariants",
         "p_dsir_weights",
+        "p_seeded_shuffle",
     ]
     graph_rotate_out = [
         "g_generators",
@@ -1113,6 +1123,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_vertex_stats",
         "g_count_distinct",
         "g_path_value",
+        "g_orderby_limit",
     ]
     ordered = [
         k for k in q
@@ -2099,6 +2110,15 @@ def oracle_sql() -> dict[str, str]:
                CAST(count(*) AS BIGINT) AS n_features
         FROM rbg JOIN rc USING (b) LEFT JOIN tc USING (b) CROSS JOIN tot
         GROUP BY rbg.doc_id"""
+
+    # seeded deterministic shuffle: dense rank under the 60-bit md5 key
+    O["p_seeded_shuffle"] = """
+        SELECT doc_id,
+               CAST(row_number() OVER (
+                   ORDER BY ('0x' || substr(md5('42|' || doc_id::VARCHAR),
+                                            1, 15))::BIGINT,
+                            doc_id) - 1 AS BIGINT) AS shuffle_pos
+        FROM documents"""
 
     # BPE encode with the frozen merge table: the recursive CTE replays
     # bpe_encode's exact loop — per word, merge the LEFTMOST occurrence

@@ -321,3 +321,43 @@ def dsir_importance_weights(
             F.count(F.lit(1)).alias("n_features"),
         )
     )
+
+
+def seeded_shuffle(
+    df: DataFrame, seed: int = 42, id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic global shuffle for training-data serialization:
+    every row gets a dense 0-based ``shuffle_pos`` equal to its rank
+    under a seeded md5 hash of its id (ties broken by the id) — the
+    reproducible "shuffle once, stream in order" recipe a training run
+    needs so restarts and re-runs read the corpus in the same order.
+    A pure function of (id, seed): stable across partitionings, task
+    retries, and cluster sizes, and md5 keeps it engine-portable (the
+    dedup._hash60 rule, so an external SQL engine replays the order
+    byte-for-byte).  split_assign's ``shuffle_key`` is the sort-at-write
+    flavor of the same idea; this materializes the dense RANK for
+    pipelines that need explicit positions (sharding, resume offsets).
+
+    Scale shape: ONE range-partitioned sort on the 60-bit key (Spark's
+    orderBy = sampled bounds + range exchange + per-partition sort);
+    positions come from graph.dense_row_numbers — per-partition offsets
+    off a tiny counts action — so there is no global single-partition
+    window anywhere."""
+    from ..graph import DENSE_ROW_COL, dense_row_numbers
+
+    key = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "|", F.lit(str(int(seed))), F.col(id_col).cast("string")
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    ordered = df.orderBy(key.asc(), F.col(id_col).asc())
+    numbered, _n = dense_row_numbers(ordered)
+    return numbered.withColumnRenamed(DENSE_ROW_COL, "shuffle_pos")

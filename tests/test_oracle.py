@@ -131,7 +131,7 @@ def test_driver_window_contract():
     """The driver's correctness gate reads only the FIRST 50 queries()
     keys: graph entries lead the window, every window slot must carry an
     oracle (a slot without one wastes a rotation round), and any g_*
-    rotated out for the round (r10: 19 stable entries displaced so all 30
+    rotated out for the round (r10: 20 stable entries displaced so all 31
     never-rechecked oracled pipeline entries fit) must sit immediately
     after the window so they re-enter cheaply next round."""
     keys = list(QUERIES)

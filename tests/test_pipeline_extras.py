@@ -696,3 +696,40 @@ def test_dsir_importance_weights(spark):
         ).collect()
     }
     assert again == got
+
+
+def test_seeded_shuffle(spark):
+    """seeded_shuffle must produce the exact permutation a pure-Python
+    md5 sort produces, be a dense 0..n-1 assignment, be stable under
+    repartitioning, and change with the seed."""
+    import hashlib
+
+    from age_spark.pipeline.sampling import seeded_shuffle
+
+    ids = list(range(37))
+    df = spark.createDataFrame([(i, f"t{i}") for i in ids], "doc_id long, text string")
+
+    def py_order(seed):
+        keyed = sorted(
+            ids,
+            key=lambda i: (
+                int(hashlib.md5(f"{seed}|{i}".encode()).hexdigest()[:15], 16),
+                i,
+            ),
+        )
+        return {i: pos for pos, i in enumerate(keyed)}
+
+    got = {
+        r.doc_id: r.shuffle_pos for r in seeded_shuffle(df, seed=42).collect()
+    }
+    assert got == py_order(42)
+    assert sorted(got.values()) == list(range(len(ids)))
+    again = {
+        r.doc_id: r.shuffle_pos
+        for r in seeded_shuffle(df.repartition(7), seed=42).collect()
+    }
+    assert again == got
+    other = {
+        r.doc_id: r.shuffle_pos for r in seeded_shuffle(df, seed=43).collect()
+    }
+    assert other == py_order(43) and other != got
