@@ -117,6 +117,18 @@ class AgeSession:
         # delete_global_graphs()
         self.graphs: dict[str, Graph] = {}
         self.ggc: set[str] = set()
+        # Prepared-plan cache for PURE LAZY read queries (the PG plan-cache
+        # analogue): per-graph (weakly keyed — a dead snapshot drops its
+        # plans), keyed on (query text, graph._mutation_count) so in-place
+        # loads/DDL self-invalidate.  NEVER caches results: every action on
+        # a cached DataFrame recomputes from the base tables; eager-compile
+        # queries (writes, CALL procedures, deep VLE) are excluded by
+        # _plan_cacheable.  Bounded per graph.
+        import weakref
+
+        self._plan_cache: "weakref.WeakKeyDictionary[Graph, dict]" = (
+            weakref.WeakKeyDictionary()
+        )
 
     def close(self) -> None:
         """Undo the process-wide DataFrame-debugging disable from __init__:
@@ -168,6 +180,10 @@ class AgeSession:
             label, df, start_col=start_col, end_col=end_col,
             start_label=start_label, end_label=end_label, id_col=id_col,
         )
+        # user-supplied edge rows are not validated against the vertex
+        # tables (reference parity: age_load.c:653 packs graphids without
+        # an existence lookup) — disable integrity-based join pruning
+        graph.integrity = False
         return graph
 
     def load_vertices_from_csv(
@@ -368,6 +384,46 @@ class AgeSession:
         return ng
 
     # ---- query
+    @staticmethod
+    def _plan_cacheable(ast) -> bool:
+        """True when the compiled DataFrame is a PURE LAZY read plan —
+        safe to reuse as a prepared plan because every action recomputes
+        from the base tables.  Excluded: write clauses (snapshot side
+        effects), CALL procedures and the shortest-path functions (their
+        compilation runs eager BFS/iteration jobs whose localCheckpoints
+        would pin RESULTS, not plans), and VLE hops deeper than 4 (the
+        per-hop lazy-checkpoint regime materializes traversal state on
+        first action).  Conservative: anything unrecognized stays
+        uncached."""
+        from .cypher import ast as A
+        from .compiler.patterns import ast_strings
+
+        import dataclasses
+
+        for part in ast.parts:
+            for cl in part.clauses:
+                if isinstance(
+                    cl, (A.Create, A.SetClause, A.RemoveClause, A.Delete, A.Merge, A.CallProc)
+                ):
+                    return False
+        # deep/unbounded VLE anywhere (top-level patterns, EXISTS/COUNT
+        # subqueries, pattern predicates): generic walk over the AST
+        stack = [ast]
+        while stack:
+            x = stack.pop()
+            if isinstance(x, A.RelPattern):
+                if x.varlen is not None and (x.varlen[1] is None or x.varlen[1] > 4):
+                    return False
+            if dataclasses.is_dataclass(x) and not isinstance(x, type):
+                for f in dataclasses.fields(x):
+                    stack.append(getattr(x, f.name))
+            elif isinstance(x, (list, tuple)):
+                stack.extend(x)
+            elif isinstance(x, dict):
+                stack.extend(x.values())
+        # scalar shortest-path functions compile to eager BFS too
+        return not (ast_strings(ast) & {"shortest_path", "all_shortest_paths"})
+
     def cypher(self, graph: Graph, query: str, params: Optional[dict] = None) -> CypherResult:
         # EXPLAIN prefix (cypher_gram.y:376-423): return the Catalyst plan
         # as rows, like the reference surfaces PG's EXPLAIN output
@@ -388,11 +444,33 @@ class AgeSession:
             df = self.spark.createDataFrame(rows, "`QUERY PLAN` string")
             return CypherResult(df=df, graph=graph)
         ast = parse_cypher(query)
+        cache_key = None
+        if not params:
+            try:
+                per_graph = self._plan_cache.get(graph)
+            except TypeError:  # unhashable/weakref-less graph stand-ins
+                per_graph = None
+            else:
+                if self._plan_cacheable(ast):
+                    cache_key = (query, graph._mutation_count)
+                    if per_graph is not None:
+                        hit = per_graph.get(cache_key)
+                        if hit is not None:
+                            return CypherResult(df=hit, graph=graph)
         ctx = QueryContext(
             spark=self.spark, graph=graph, params=params,
             enable_containment=self.enable_containment, session=self,
         )
         df, ctx = compile_query(ctx, ast)
+        if cache_key is not None and ctx.graph is graph:
+            try:
+                per_graph = self._plan_cache.setdefault(graph, {})
+            except TypeError:
+                pass
+            else:
+                if len(per_graph) >= 128:
+                    per_graph.clear()
+                per_graph[cache_key] = df
         if self.mutable_graphs and ctx.graph is not graph:
             if len(df.columns) > 0:
                 # a write with RETURN executes NOW (the reference runs each

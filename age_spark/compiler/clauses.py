@@ -47,7 +47,7 @@ from .exprs import (
     contains_aggregate,
     dtype_of,
 )
-from .patterns import compile_match_patterns
+from .patterns import ast_strings, compile_match_patterns
 
 
 @dataclass
@@ -434,8 +434,13 @@ def _subquery_parts(ctx: QueryContext, st: State, node):
         seed = _unit_df(ctx)
 
     env_sub = Env({v: env.require(v) for v in shared})
+    # names observable past the sub-pattern: its own WHERE and RETURN items
+    # (everything else dies at the subquery boundary, so dead-node pruning
+    # is maximal here — EXISTS { (c)-[:X]->(o:Order) } needs no Order join)
+    sub_live = ast_strings(where) | ast_strings(getattr(node, "returns", None) or [])
     sub_df, sub_env, _ = compile_match_patterns(
-        ctx, seed if shared else None, env_sub, pats, lenient_relabel=True
+        ctx, seed if shared else None, env_sub, pats, lenient_relabel=True,
+        live=sub_live,
     )
     sub_st = State(sub_df, sub_env)
     if where is not None:
@@ -1154,10 +1159,13 @@ def _project_aggregate(ctx, df, env, items, aliases, order_by, distinct):
 # ---------------------------------------------------------------- clauses
 
 
-def compile_match(ctx: QueryContext, st: State, m: A.Match) -> State:
+def compile_match(ctx: QueryContext, st: State, m: A.Match,
+                  live: Optional[set] = None) -> State:
     if m.optional:
-        return _compile_optional_match(ctx, st, m)
-    df, env, mst = compile_match_patterns(ctx, st.df, st.env, m.patterns)
+        return _compile_optional_match(ctx, st, m, live=live)
+    if live is not None and m.where is not None:
+        live = live | ast_strings(m.where)
+    df, env, mst = compile_match_patterns(ctx, st.df, st.env, m.patterns, live=live)
     state = State(df, env)
     if m.where is not None:
         semi, anti, rest = _split_exists_conjuncts(m.where)
@@ -1183,7 +1191,8 @@ def compile_match(ctx: QueryContext, st: State, m: A.Match) -> State:
     return State(mst.df, state.env)
 
 
-def _compile_optional_match(ctx: QueryContext, st: State, m: A.Match) -> State:
+def _compile_optional_match(ctx: QueryContext, st: State, m: A.Match,
+                            live: Optional[set] = None) -> State:
     """OPTIONAL MATCH = LATERAL LEFT JOIN of the pattern
     (``transform_cypher_optional_match_clause``, ``cypher_clause.c:3995``).
 
@@ -1193,14 +1202,19 @@ def _compile_optional_match(ctx: QueryContext, st: State, m: A.Match) -> State:
     under recomputation."""
     if st.df is None:
         # no prior rows: plain MATCH but preserving zero-row -> still zero
-        return compile_match(ctx, st, A.Match(m.patterns, False, m.where))
+        return compile_match(ctx, st, A.Match(m.patterns, False, m.where), live=live)
     outer_vars = set(st.env.names())
     used = (pattern_vars(m.patterns) | (expr_vars(m.where) if m.where else set()))
     shared = sorted(v for v in used if v in outer_vars)
 
     seed = st.df.select(*[F.col(v) for v in shared]).distinct() if shared else None
     env_sub = Env({v: st.env.require(v) for v in shared})
-    sub_df, sub_env, mst = compile_match_patterns(ctx, seed, env_sub, m.patterns)
+    sub_live = None if live is None else (
+        live | (ast_strings(m.where) if m.where is not None else set())
+    )
+    sub_df, sub_env, mst = compile_match_patterns(
+        ctx, seed, env_sub, m.patterns, live=sub_live
+    )
     sub_state = State(sub_df, sub_env)
     if m.where is not None:
         sub_state, w = lift_subqueries(ctx, sub_state, m.where)
@@ -1299,10 +1313,24 @@ def compile_single(ctx: QueryContext, q: A.SingleQuery) -> tuple[DataFrame, Quer
     from ..runtime import mutate
 
     st = State(None, Env({}))
+    # Per-clause liveness for dead-node pruning: lives[i] = conservative
+    # set of names clauses AFTER i may reference (None = a later RETURN */
+    # WITH * keeps every binding observable -> pruning off).  ast_strings
+    # over-collects (aliases, literals, keys), which only costs pruning
+    # opportunities, never correctness.
+    lives: list[Optional[set]] = [None] * len(q.clauses)
+    acc: set = set()
+    star_later = False
+    for i in range(len(q.clauses) - 1, -1, -1):
+        cl = q.clauses[i]
+        lives[i] = None if star_later else set(acc)
+        if isinstance(cl, (A.Return, A.With)) and cl.star:
+            star_later = True
+        ast_strings(cl, acc)
     returned = False
     effectful = False
     after_optional = False
-    for clause in q.clauses:
+    for idx, clause in enumerate(q.clauses):
         if isinstance(clause, (A.Create, A.SetClause, A.RemoveClause, A.Delete, A.Merge)):
             effectful = True
         if isinstance(clause, A.Match):
@@ -1312,7 +1340,7 @@ def compile_single(ctx: QueryContext, q: A.SingleQuery) -> tuple[DataFrame, Quer
                 # invalid'); a WITH barrier resets the block
                 raise CompileError("MATCH cannot follow OPTIONAL MATCH")
             after_optional = after_optional or clause.optional
-            st = compile_match(ctx, st, clause)
+            st = compile_match(ctx, st, clause, live=lives[idx])
         elif isinstance(clause, A.Unwind):
             st = compile_unwind(ctx, st, clause)
         elif isinstance(clause, A.With):

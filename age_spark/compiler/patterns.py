@@ -65,6 +65,32 @@ def edge_struct() -> Column:
 _MISS = object()
 
 
+def ast_strings(obj, out: Optional[set] = None) -> set:
+    """Every string anywhere in an AST fragment (dataclass fields, lists,
+    tuples, dicts — including literals and keys).  The CONSERVATIVE
+    superset the dead-variable analysis treats as "referenced names":
+    over-collecting only disables the vertex-join pruning optimization,
+    never correctness."""
+    import dataclasses
+
+    if out is None:
+        out = set()
+    stack = [obj]
+    while stack:
+        x = stack.pop()
+        if isinstance(x, str):
+            out.add(x)
+        elif dataclasses.is_dataclass(x) and not isinstance(x, type):
+            for f in dataclasses.fields(x):
+                stack.append(getattr(x, f.name))
+        elif isinstance(x, (list, tuple, set, frozenset)):
+            stack.extend(x)
+        elif isinstance(x, dict):
+            stack.extend(x.keys())
+            stack.extend(x.values())
+    return out
+
+
 def _lit_tree(e):
     """Python value of a pure literal expression tree, or _MISS if any leaf
     is not a literal (variable/param/function constraints keep the
@@ -368,10 +394,21 @@ class MatchState:
     """Builds up one MATCH clause: df + env + bookkeeping for uniqueness."""
 
     def __init__(self, ctx: QueryContext, df: Optional[DataFrame], env: Env,
-                 lenient_relabel: bool = False):
+                 lenient_relabel: bool = False, live: Optional[set] = None):
         self.ctx = ctx
         self.df = df
         self.env = env
+        # Names that may be referenced after this pattern (conservative
+        # string superset; None = unknown -> no pruning).  A pattern node
+        # whose variable is anonymous or provably dead, carries no property
+        # constraint, sits in an unnamed path, and hangs off an edge hop
+        # does not need its vertex-table join: edge endpoints exist by the
+        # graph's referential-integrity invariant (Graph.integrity) and the
+        # label constraint is an id-bit filter (ids pack the label in the
+        # high ENTRY_ID_BITS..63 bits — the same arithmetic the bound-var
+        # label filter below already uses).  Dropping the join removes a
+        # whole scan + broadcast/shuffle per dead node at any scale.
+        self.live = live
         # predicate contexts (EXISTS((a:Company)), pattern-as-boolean) treat
         # a DIFFERENT label on a bound variable as a label-check filter;
         # a top-level MATCH errors (cypher_match.sql:334 vs
@@ -564,10 +601,51 @@ class MatchState:
         self.env = self.env.bind(Binding(name, VERTEX, tuple(node.labels), hidden=hidden))
         return name
 
+    # ----- dead-node pruning
+    def _node_prunable(self, path: A.PathPattern, node: A.NodePattern) -> bool:
+        """True when this pattern node's vertex-table join can be replaced
+        by an id-bit label filter on the adjacent edge endpoint: unnamed
+        path, no property constraint, graph integrity holds, and the
+        variable (if any) is anonymous or never referenced again (not in
+        the conservative `live` set, not already bound)."""
+        if self.live is None or path.var is not None:
+            return False
+        if node.props is not None:
+            return False
+        if not getattr(self.ctx.graph, "integrity", True):
+            return False
+        name = node.var
+        if name is None:
+            return True
+        if name in self.live:
+            return False
+        if self.env.get(name) is not None:
+            return False
+        return True
+
+    def _apply_label_bits(self, id_col: Column, labels: list[str]) -> None:
+        """Label constraint of a pruned node, as arithmetic on the packed
+        endpoint id — identical semantics to joining the label's vertex
+        scan, given referential integrity (same filter shape as the
+        bound-variable label filter, cypher_clause.c:5272)."""
+        if not labels:
+            return
+        meta = self.ctx.graph.meta
+        ids = [meta.labels[l].label_id for l in labels if l in meta.labels]
+        self.df = self.df.filter(
+            F.shiftright(id_col, ENTRY_ID_BITS).isin(ids) if ids else F.lit(False)
+        )
+
     # ----- edges
-    def bind_edge(self, rel: A.RelPattern, from_var: str, in_named_path: bool = False,
+    def bind_edge(self, rel: A.RelPattern, from_id: Optional[Column],
+                  in_named_path: bool = False,
                   to_pattern: Optional[A.NodePattern] = None) -> tuple[str, str]:
-        """Join one edge hop; returns (edge_var, dst_helper_col)."""
+        """Join one edge hop; returns (edge_var, dst_helper_col).
+
+        ``from_id``: id column of the hop's source — a vertex struct's id
+        field, a previous hop's destination helper, or None when the
+        source node was pruned as dead (the edge scan then anchors the
+        pattern itself; only fresh non-VLE scans take this path)."""
         self._check_varname(rel.var)
         name = rel.var or self.ctx.fresh()
         hidden = rel.var is None
@@ -597,7 +675,7 @@ class MatchState:
                     f"multiple types for variable `{name}` are not supported"
                 )
             e = F.col(name)
-            from_id = F.col(from_var).getField("id")
+            assert from_id is not None  # reuse hops never take the pruned-source path
             if rel.direction == "out":
                 self.df = self.df.filter(e.getField("start_id") == from_id)
                 dcol = e.getField("end_id")
@@ -626,25 +704,42 @@ class MatchState:
             self.edge_bindings.append(existing)
             return name, dst
         if rel.varlen is not None:
-            return self._bind_vle(rel, name, from_var, hidden, in_named_path,
+            return self._bind_vle(rel, name, from_id, hidden, in_named_path,
                                   to_pattern=to_pattern)
         scan = self._edge_scan(name, rel.types, rel.direction, rel.props)
         src, dst = f"_src_{name}", f"_dst_{name}"
-        self.df = self.df.join(scan, F.col(src) == F.col(from_var).getField("id"))
+        if from_id is None:
+            # pruned source node: the edge scan anchors the pattern (its
+            # source label filter, if any, is applied by the caller on the
+            # `src` helper).  With prior rows this is a genuine pattern
+            # product — cap the CartesianProduct task count like bind_node.
+            if self.df is None:
+                self.df = scan
+            else:
+                bound = 64
+                try:
+                    bound = int(
+                        self.df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+                    )
+                except Exception:
+                    pass
+                self.df = self.df.crossJoin(scan).coalesce(bound)
+        else:
+            self.df = self.df.join(scan, F.col(src) == from_id)
         self.helpers += [src, dst]
         b = Binding(name, EDGE, tuple(rel.types), hidden=hidden)
         self.env = self.env.bind(b)
         self.edge_bindings.append(b)
         return name, dst
 
-    def _bind_vle(self, rel: A.RelPattern, name: str, from_var: str, hidden: bool,
+    def _bind_vle(self, rel: A.RelPattern, name: str, from_id: Column, hidden: bool,
                   in_named_path: bool = False,
                   to_pattern: Optional[A.NodePattern] = None) -> tuple[str, str]:
         from ..runtime.vle import vle_pairs
 
         lo, hi = rel.varlen
         lo = 1 if lo is None and hi is not None else (lo if lo is not None else 1)
-        seeds = self.df.select(F.col(from_var).getField("id").alias("src")).distinct()
+        seeds = self.df.select(from_id.alias("src")).distinct()
         # anonymous [*..] outside a named path: nothing can read the edge
         # structs or interior nodes — traverse with edge ids only
         slim = hidden and not in_named_path
@@ -706,9 +801,7 @@ class MatchState:
             F.col("edges").alias(name),
             F.col("nodes").alias(f"_vnodes_{name}"),
         )
-        self.df = self.df.join(
-            pairs, F.col(f"_vsrc_{name}") == F.col(from_var).getField("id")
-        )
+        self.df = self.df.join(pairs, F.col(f"_vsrc_{name}") == from_id)
         self.helpers += [f"_vsrc_{name}", dst, f"_vnodes_{name}"]
         b = Binding(name, EDGE_LIST, tuple(rel.types), hidden=hidden)
         self.env = self.env.bind(b)
@@ -730,6 +823,13 @@ class MatchState:
                     self.df = self.df.filter(cond)
 
     def _uniq_cond(self, b1: Binding, b2: Binding) -> Optional[Column]:
+        # Edge ids pack the edge LABEL in the high bits, so two edges with
+        # disjoint declared type lists live in disjoint id spaces and the
+        # uniqueness qual is statically TRUE — skip the per-row comparison
+        # (a reused variable re-appends the SAME binding, whose type list
+        # intersects itself, so the decisive id(e) <> id(e) qual survives).
+        if b1.labels and b2.labels and not (set(b1.labels) & set(b2.labels)):
+            return None
         c1, c2 = F.col(b1.name), F.col(b2.name)
         if b1.kind == EDGE and b2.kind == EDGE:
             return c1.getField("id") != c2.getField("id")
@@ -802,9 +902,33 @@ def compile_match_patterns(
     env: Env,
     patterns: list[A.PathPattern],
     lenient_relabel: bool = False,
+    live: Optional[set] = None,
 ) -> tuple[DataFrame, Env, MatchState]:
-    """Compile a list of comma-separated path patterns into joins."""
-    st = MatchState(ctx, df, env, lenient_relabel=lenient_relabel)
+    """Compile a list of comma-separated path patterns into joins.
+
+    ``live``: conservative set of names that later clauses (or the
+    enclosing WHERE) may reference — enables dead-node vertex-join pruning
+    (None disables it).  Names referenced WITHIN the patterns themselves
+    (repeated element variables, property-constraint expressions, path
+    names) are added here so a node is only pruned when nothing at all can
+    observe it."""
+    if live is not None:
+        live = set(live)
+        seen_names: set[str] = set()
+        for p in patterns:
+            if p.var:
+                live.add(p.var)
+            for el in p.elements:
+                v = getattr(el, "var", None)
+                if v is not None:
+                    # second occurrence of a name inside this clause = a
+                    # join constraint — both occurrences must stay bound
+                    if v in seen_names:
+                        live.add(v)
+                    seen_names.add(v)
+                if getattr(el, "props", None) is not None:
+                    ast_strings(el.props, live)
+    st = MatchState(ctx, df, env, lenient_relabel=lenient_relabel, live=live)
     for path in patterns:
         start = len(st.edge_bindings)
         _compile_one_path(st, path)
@@ -831,18 +955,43 @@ def _compile_one_path(st: MatchState, path: A.PathPattern):
     elems = path.elements
     node_vars: list[str] = []
     edge_vars: list[tuple[str, str]] = []  # (name, kind)
-    cur = st.bind_node(elems[0])
-    node_vars.append(cur)
+    first: A.NodePattern = elems[0]
+    # Prune the path's FIRST vertex join when the node is dead: the first
+    # edge scan then anchors the pattern, with the node's label constraint
+    # as an id-bit filter on the edge's source helper.  Restricted to a
+    # fresh non-VLE first hop (VLE needs the seed set; a reused edge var
+    # filters an existing binding instead of scanning).
+    prune_first = (
+        len(elems) > 1
+        and elems[1].varlen is None
+        and (elems[1].var is None or st.env.get(elems[1].var) is None)
+        and st._node_prunable(path, first)
+    )
+    if prune_first:
+        cur_id: Optional[Column] = None
+    else:
+        cur = st.bind_node(first)
+        node_vars.append(cur)
+        cur_id = F.col(cur).getField("id")
     i = 1
     while i < len(elems):
         rel: A.RelPattern = elems[i]
         nxt: A.NodePattern = elems[i + 1]
-        ename, dst_col = st.bind_edge(rel, cur, in_named_path=path.var is not None,
+        ename, dst_col = st.bind_edge(rel, cur_id, in_named_path=path.var is not None,
                                       to_pattern=nxt)
+        if cur_id is None:
+            st._apply_label_bits(F.col(f"_src_{ename}"), first.labels)
         ekind = EDGE_LIST if rel.varlen is not None else EDGE
         edge_vars.append((ename, ekind))
-        cur = st.bind_node_at(nxt, dst_col)
-        node_vars.append(cur)
+        if st._node_prunable(path, nxt):
+            # dead destination: the arrival id (edge endpoint / VLE dst)
+            # exists by integrity — label check via id bits, no join
+            st._apply_label_bits(F.col(dst_col), nxt.labels)
+            cur_id = F.col(dst_col)
+        else:
+            cur = st.bind_node_at(nxt, dst_col)
+            node_vars.append(cur)
+            cur_id = F.col(cur).getField("id")
         i += 2
     if path.var is not None:
         _materialize_path(st, path.var, node_vars, edge_vars)

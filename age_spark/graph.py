@@ -1118,10 +1118,27 @@ class Graph:
         self.meta = meta
         self.vertex_dfs: dict[str, DataFrame] = dict(vertex_dfs or {})
         self.edge_dfs: dict[str, DataFrame] = dict(edge_dfs or {})
+        # Referential integrity of edge endpoints (every start_id/end_id
+        # exists in its label's vertex table) — the standard property-graph
+        # invariant: CREATE/MERGE only reference live vertices, DELETE
+        # without DETACH errors while edges remain, DETACH DELETE cascades,
+        # and subgraph extraction semi-joins edges on surviving endpoints.
+        # The pattern compiler uses it to replace vertex-table joins for
+        # label-only, otherwise-unreferenced pattern nodes with an id-bit
+        # label filter (ids pack the label in the high 16 bits).  FILE
+        # loaders clear it: a CSV edge row may reference an entry id that
+        # was never loaded, and the reference's loader does not validate
+        # endpoint existence either (age_load.c:653 packs the graphid
+        # directly), so pruning would change results on such graphs.
+        self.integrity = True
         # ids of the empty sentinel DataFrames create_v/elabel installs —
         # lets _append skip the replace-or-union decision without running a
         # Spark job (an isEmpty probe per label load was ~1s x 11 labels)
         self._sentinel_ids: set[int] = set()
+        # bumped on every IN-PLACE mutation (label DDL, loads) so caches
+        # keyed on (graph, _mutation_count) self-invalidate; snapshot()
+        # writes produce a NEW object and need no bump
+        self._mutation_count = 0
         # capped vertex-count probes (cap -> min(count, cap)), lazily
         # filled: broadcast-size gates only need "under the bound or not",
         # and the whole-graph bound answers for ANY label subset — one
@@ -1189,6 +1206,7 @@ class Graph:
             )
             self.vertex_dfs[label] = df
             self._sentinel_ids.add(id(df))
+            self._mutation_count += 1
         return meta
 
     def create_elabel(self, label: str) -> None:
@@ -1206,6 +1224,7 @@ class Graph:
             )
             self.edge_dfs[label] = df
             self._sentinel_ids.add(id(df))
+            self._mutation_count += 1
         return meta
 
     def drop_label(self, label: str) -> None:
@@ -1215,6 +1234,7 @@ class Graph:
         else:
             self.edge_dfs.pop(label, None)
         del self.meta.labels[label]
+        self._mutation_count += 1
         self._vcount_capped.clear()
 
     # ------------------------------------------------------------- loading
@@ -1232,6 +1252,7 @@ class Graph:
         df = _escape_reserved_props(df, VERTEX_RESERVED, consumed=(id_col,))
         packed = self._pack_ids(df, meta, id_col)
         self.vertex_dfs[label] = self._append(self.vertex_dfs.get(label), packed, VERTEX_RESERVED)
+        self._mutation_count += 1
         # in-place mutation: cached count probes are stale now (write paths
         # get a fresh dict via snapshot(); loads mutate this Graph directly,
         # and a stale under-bound answer would re-enable the size-gated VLE
@@ -1276,6 +1297,7 @@ class Graph:
             out = out.drop(*drop)
         packed = self._pack_ids(out, meta, id_col)
         self.edge_dfs[label] = self._append(self.edge_dfs.get(label), packed, EDGE_RESERVED)
+        self._mutation_count += 1
         self._vcount_capped.clear()  # same staleness rule as add_vertices
 
     def _pack_ids(self, df: DataFrame, meta, id_col: Optional[str]) -> DataFrame:
@@ -1461,6 +1483,7 @@ class Graph:
         if edge_dfs:
             e.update(edge_dfs)
         g = Graph(self.spark, self.meta, v, e)
+        g.integrity = self.integrity
         g._sentinel_ids = set(self._sentinel_ids)
         # scans over unchanged labels stay memoized (entries pin the exact
         # dfs they were built from, so swapped labels self-invalidate)

@@ -343,4 +343,8 @@ def load_edges_from_file(
     )
     loaded = df.select(F.col("_start"), F.col("_end"), *props)
     graph.add_edges(label, loaded, start_col="_start", end_col="_end")
+    # endpoint ENTRY ids are not checked against the vertex tables (the
+    # reference's loader doesn't either) — a dangling edge is possible, so
+    # the pattern compiler must not prune vertex joins on this graph
+    graph.integrity = False
     return graph

@@ -348,9 +348,23 @@ def shortest_path_pairs(
     # deterministic representative COULD differ under reversal).  Two
     # LocalLimit probes decide; they stop scanning at the cap.
     if slim and not (min_hops and min_hops > 0) and not _chosen:
+        # both LocalLimit probes in ONE marker-keyed job (they were two
+        # sequential driver round-trips; the fixed start-side cap covers
+        # the worst case 4 * probe + 8, so the swap decision is identical)
         _SWAP_PROBE = 4096
-        n_t = targets.limit(_SWAP_PROBE).count()
-        if n_t < _SWAP_PROBE and starts.limit(4 * n_t + 8).count() > 4 * n_t:
+        _probe_counts = {
+            r["_h"]: r["n"]
+            for r in targets.limit(_SWAP_PROBE)
+            .select(F.lit(0).alias("_h"))
+            .unionAll(
+                starts.limit(4 * _SWAP_PROBE + 8).select(F.lit(1).alias("_h"))
+            )
+            .groupBy("_h")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        n_t = _probe_counts.get(0, 0)
+        if n_t < _SWAP_PROBE and _probe_counts.get(1, 0) > 4 * n_t:
             rev = {"out": "in", "in": "out"}.get(direction, direction)
             sw = shortest_path_pairs(
                 graph, types=types, direction=rev,
@@ -620,43 +634,79 @@ def _sp_slim_bfs(
     n_visited = n_frontier
     npart = int(edges2.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
     edges_by_s = None  # pre-partitioned fallback, built only if ever needed
-    for hop in range(1, hard_max + 1):
-        visited = visited_parts[0]
-        for p in visited_parts[1:]:
-            visited = visited.unionByName(p)
-        # broadcast the small sides (guarded by the free counts off the
-        # cached checkpoints): the per-hop exchanges reduce to the one
-        # aggregation shuffle, and the (pruned, lazy) edge scan streams
-        # map-side — never shuffled.  Past the guard, shuffle against a
-        # once-partitioned edge table instead.
-        vs = F.broadcast(visited) if n_visited < _SP_BCAST_ROWS else visited
-        if n_frontier < _SP_BCAST_ROWS:
-            expanded = F.broadcast(frontier).join(
-                edges2, frontier["cur"] == edges2["_s"]
-            )
+    def _expand_fwd(fr, n_fr, visited, n_vis):
+        """One forward hop: (src, cur, cnt) successors of `fr` not yet
+        visited.  Broadcast the small sides (guarded by counts — for the
+        fused second hop, by the round-entry proxies, same rule as the
+        closure loop: a wrong guess costs one hop's plan shape, never
+        correctness); the (pruned, lazy) edge scan streams map-side.
+        Past the guard, shuffle against a once-partitioned edge table."""
+        nonlocal edges_by_s
+        if n_fr < _SP_BCAST_ROWS:
+            expanded = F.broadcast(fr).join(edges2, fr["cur"] == edges2["_s"])
         else:
             if edges_by_s is None:
                 edges_by_s = edges2.repartition(npart, "_s").localCheckpoint(eager=True)
-            expanded = frontier.join(edges_by_s, frontier["cur"] == edges_by_s["_s"])
+            expanded = fr.join(edges_by_s, fr["cur"] == edges_by_s["_s"])
         nxt = expanded.groupBy("src", F.col("_d").alias("cur")).agg(
             F.sum("cnt").alias("cnt")
         )
-        nxt = nxt.join(
+        vs = F.broadcast(visited) if n_vis < _SP_BCAST_ROWS else visited
+        return nxt.join(
             vs,
             (nxt["src"] == visited["src"]) & (nxt["cur"] == visited["vid"]),
             "left_anti",
-        ).localCheckpoint(eager=False)
-        n_frontier = nxt.count()  # materializes the lazy checkpoint
-        if n_frontier == 0:
-            break
-        n_visited += n_frontier
-        parts.append(
-            nxt.join(targets, nxt["cur"] == targets["_tgt"]).select(
-                "src", F.col("cur").alias("dst"), "cnt", F.lit(hop).alias("hops")
-            )
         )
-        visited_parts.append(nxt.select("src", F.col("cur").alias("vid")))
-        frontier = nxt
+
+    def _hits(fr, hop):
+        return fr.join(targets, fr["cur"] == targets["_tgt"]).select(
+            "src", F.col("cur").alias("dst"), "cnt", F.lit(hop).alias("hops")
+        )
+
+    # TWO hops per driver round (the closure-loop trick, VERDICT r9):
+    # hop 2k+1 rides as a LAZY checkpoint whose stage runs inside the
+    # round's single counting job, so the sequential scheduling rounds —
+    # the dominant BFS cost at local scale — halve without changing the
+    # per-hop joins that matter at 100 TB.  One marker-keyed aggregate
+    # returns both hop sizes in one action.
+    hop = 1
+    while hop <= hard_max:
+        visited = visited_parts[0]
+        for p in visited_parts[1:]:
+            visited = visited.unionByName(p)
+        s1 = _expand_fwd(frontier, n_frontier, visited, n_visited).localCheckpoint(
+            eager=False
+        )
+        if hop == hard_max:  # odd tail: single-hop round
+            if s1.isEmpty():
+                break
+            parts.append(_hits(s1, hop))
+            break
+        vis2 = visited.unionByName(s1.select("src", F.col("cur").alias("vid")))
+        s2 = _expand_fwd(s1, n_frontier, vis2, n_visited + n_frontier).localCheckpoint(
+            eager=False
+        )
+        counts = {
+            r["_h"]: r["n"]
+            for r in s1.select(F.lit(1).alias("_h"))
+            .unionAll(s2.select(F.lit(2).alias("_h")))
+            .groupBy("_h")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        n1, n2 = counts.get(1, 0), counts.get(2, 0)
+        if n1 == 0:
+            break
+        parts.append(_hits(s1, hop))
+        visited_parts.append(s1.select("src", F.col("cur").alias("vid")))
+        n_visited += n1
+        if n2 == 0:
+            break
+        parts.append(_hits(s2, hop + 1))
+        visited_parts.append(s2.select("src", F.col("cur").alias("vid")))
+        n_visited += n2
+        frontier, n_frontier = s2, n2
+        hop += 2
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
