@@ -38,10 +38,23 @@ def _graph(spark: SparkSession, sf_dir: str):
     return _GRAPH_CACHE[key]
 
 
-def _cypher(spark: SparkSession, sf_dir: str, q: str) -> DataFrame:
-    from age_spark import AgeSession
+_AGE_CACHE: dict = {}
 
-    return AgeSession(spark).cypher(_graph(spark, sf_dir), q).df
+
+def _age(spark: SparkSession):
+    # one AgeSession per SparkSession for the read-only Cypher entries, so
+    # its prepared-plan cache (pure lazy plans, never results) survives
+    # across calls; entries that create graphs keep their own sessions
+    key = id(spark)
+    if key not in _AGE_CACHE:
+        from age_spark import AgeSession
+
+        _AGE_CACHE[key] = AgeSession(spark)
+    return _AGE_CACHE[key]
+
+
+def _cypher(spark: SparkSession, sf_dir: str, q: str) -> DataFrame:
+    return _age(spark).cypher(_graph(spark, sf_dir), q).df
 
 
 def _docs(spark, sf_dir):

@@ -421,10 +421,25 @@ class AgeSession:
                 stack.extend(x)
             elif isinstance(x, dict):
                 stack.extend(x.values())
-        # scalar shortest-path functions compile to eager BFS too
-        return not (ast_strings(ast) & {"shortest_path", "all_shortest_paths"})
+        # scalar shortest-path functions compile to eager BFS; the GGC
+        # functions mutate/read session state AT COMPILE TIME
+        # (delete_global_graphs folds to a literal of "was it loaded",
+        # graph_stats/vertex_stats register the context) — a cache hit
+        # would skip the statement-time side effect (caught by the
+        # age_global_graph replay suite)
+        return not (
+            ast_strings(ast)
+            & {
+                "shortest_path",
+                "all_shortest_paths",
+                "graph_stats",
+                "vertex_stats",
+                "delete_global_graphs",
+            }
+        )
 
-    def cypher(self, graph: Graph, query: str, params: Optional[dict] = None) -> CypherResult:
+    def cypher(self, graph: Graph, query: str, params: Optional[dict] = None,
+               use_plan_cache: bool = True) -> CypherResult:
         # EXPLAIN prefix (cypher_gram.y:376-423): return the Catalyst plan
         # as rows, like the reference surfaces PG's EXPLAIN output
         stripped = query.lstrip()
@@ -445,7 +460,7 @@ class AgeSession:
             return CypherResult(df=df, graph=graph)
         ast = parse_cypher(query)
         cache_key = None
-        if not params:
+        if not params and use_plan_cache:
             try:
                 per_graph = self._plan_cache.get(graph)
             except TypeError:  # unhashable/weakref-less graph stand-ins
@@ -518,7 +533,9 @@ class AgeSession:
     def explain(self, graph: Graph, query: str, params: Optional[dict] = None) -> str:
         """EXPLAIN parity (cypher_gram.y:376-423): the physical plan is
         Catalyst's, so EXPLAIN is the DataFrame's formatted plan."""
-        res = self.cypher(graph, query, params)
+        # EXPLAIN must reflect the CURRENT compilation environment, not a
+        # previously cached (possibly executed) plan — bypass the plan cache
+        res = self.cypher(graph, query, params, use_plan_cache=False)
         return res.df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
             res.df._jdf.queryExecution(), "formatted"
         )

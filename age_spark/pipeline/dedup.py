@@ -47,12 +47,24 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 
 def word_shingles(col: Column, k: int = 3) -> Column:
-    """Distinct k-word shingles of the normalized text, as strings."""
-    toks = F.split(normalized(col), " ")
-    n = F.size(toks)
-    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
-    sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)))
-    return F.array_distinct(F.when(n >= k, sh).otherwise(F.array(F.concat_ws(" ", toks))))
+    """Distinct k-word shingles of the normalized text, as strings.
+
+    The token array is LET-BOUND (graph.let_column) so the
+    regexp-normalize + split of the whole document evaluates once per row
+    instead of once per mention (the un-bound tree mentioned it 4x: size,
+    sequence bound, per-shingle slice source, and the short-text
+    fallback — HOF subtrees skip codegen, so nothing CSE'd them)."""
+    from ..graph import let_column
+
+    def body(toks: Column) -> Column:
+        n = F.size(toks)
+        idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+        sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)))
+        return F.array_distinct(
+            F.when(n >= k, sh).otherwise(F.array(F.concat_ws(" ", toks)))
+        )
+
+    return let_column(F.split(normalized(col), " "), body)
 
 
 def ngram_jaccard_pairs(

@@ -29,13 +29,16 @@ def _trigrams(col):
     return _trgm_array(col)
 
 
-def _prefix_table(df: DataFrame, text_col: str, id_col: str, freq: DataFrame,
-                  threshold: float, out_id: str) -> DataFrame:
-    """(out_id, trigram) rows for each row's prefix under the global
-    rare-first order, plus the full trigram set for the verify step."""
+def _ordered_table(df: DataFrame, text_col: str, id_col: str, freq: DataFrame,
+                   out_id: str) -> DataFrame:
+    """(out_id, ordered ARRAY<trigram>) — each row's distinct trigram set
+    sorted rare-first under the global document-frequency order.  This is
+    the ONE aggregation per side: the prefix explode AND the verify arrays
+    both derive from it, so its exchange is computed once (AQE
+    ReusedExchange) instead of re-deriving trigram sets from raw text per
+    consumer (three passes per side before)."""
     tg = df.select(
         F.col(id_col).alias(out_id),
-        F.col(text_col).alias(f"{out_id}_text"),
         _trigrams(F.col(text_col)).alias("tg"),
     ).filter(F.size("tg") > 0)
     ex = tg.select(out_id, F.explode("tg").alias("t"))
@@ -43,13 +46,17 @@ def _prefix_table(df: DataFrame, text_col: str, id_col: str, freq: DataFrame,
     ranked = ex.join(F.broadcast(freq), ex.t == freq.tg_key).select(
         out_id, "t", "df_count"
     )
-    ordered = ranked.groupBy(out_id).agg(
+    return ranked.groupBy(out_id).agg(
         F.transform(
             F.array_sort(F.collect_list(F.struct("df_count", "t"))),
             lambda x: x.getField("t"),
         ).alias("ordered")
     )
-    # prefix length for Jaccard >= t: |T| - ceil(t*|T|) + 1
+
+
+def _prefix_rows(ordered: DataFrame, out_id: str, threshold: float) -> DataFrame:
+    """(out_id, trigram) rows for each row's prefix under the rare-first
+    order: |T| - ceil(t*|T|) + 1 trigrams (the prefix-filter theorem)."""
     n = F.size("ordered")
     plen = (n - F.ceil(F.lit(threshold) * n) + 1).cast("int")
     return ordered.select(
@@ -76,20 +83,18 @@ def trigram_similarity_join(
         .agg(F.count(F.lit(1)).alias("df_count"))
         .select(F.col("t").alias("tg_key"), "df_count")
     )
-    pl = _prefix_table(left, left_col, left_id, freq, threshold, "id_l")
-    pr = _prefix_table(right, right_col, right_id, freq, threshold, "id_r")
-    cand = pl.join(pr, "t").select("id_l", "id_r").distinct()
-    # verify on PRE-SORTED trigram arrays (one per doc), not raw texts — a
-    # doc appears in many candidate pairs and re-deriving its trigram set
-    # per pair dominated the verify stage (measured ~0.5 ms/pair)
-    lt = left.select(
-        F.col(left_id).alias("id_l"),
-        _trigrams(F.col(left_col)).alias("_ltg"),
-    )
-    rt = right.select(
-        F.col(right_id).alias("id_r"),
-        _trigrams(F.col(right_col)).alias("_rtg"),
-    )
+    ol = _ordered_table(left, left_col, left_id, freq, "id_l")
+    orr = _ordered_table(right, right_col, right_id, freq, "id_r")
+    cand = _prefix_rows(ol, "id_l", threshold).join(
+        _prefix_rows(orr, "id_r", threshold), "t"
+    ).select("id_l", "id_r").distinct()
+    # verify on the SAME per-doc ordered arrays (array_intersect/size are
+    # order-insensitive, so the rare-first reorder of the distinct trigram
+    # set changes nothing) — one aggregation per side feeds both the
+    # prefix explode and the verify join, instead of re-deriving trigram
+    # sets from raw text per consumer
+    lt = ol.select("id_l", F.col("ordered").alias("_ltg"))
+    rt = orr.select("id_r", F.col("ordered").alias("_rtg"))
     inter = F.size(F.array_intersect(F.col("_ltg"), F.col("_rtg")))
     union = F.size("_ltg") + F.size("_rtg") - inter
     # float4 ratio like pg_trgm cnt_sml_similarity (the trigram_similarity

@@ -256,14 +256,21 @@ def dsir_importance_weights(
         )
 
     def bigrams(a):
-        return F.when(
-            F.size(a) >= 2,
-            F.zip_with(
-                F.slice(a, 1, F.size(a) - 1),
-                F.slice(a, 2, F.size(a) - 1),
-                lambda x, y: F.concat_ws(" ", x, y),
-            ),
-        ).otherwise(F.array().cast("array<string>"))
+        # let-bound (graph.let_column): the token-array subtree is
+        # referenced 5x here and would re-evaluate per mention un-bound
+        from ..graph import let_column
+
+        def _bg(arr):
+            return F.when(
+                F.size(arr) >= 2,
+                F.zip_with(
+                    F.slice(arr, 1, F.size(arr) - 1),
+                    F.slice(arr, 2, F.size(arr) - 1),
+                    lambda x, y: F.concat_ws(" ", x, y),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+
+        return let_column(a, _bg)
 
     def bucket(bg):
         # 60-bit md5 prefix (positive, so % == pmod), DuckDB-replayable as

@@ -191,56 +191,74 @@ def repetition_signals(df: DataFrame, text_col: str = "text", id_col: str = "doc
     per-document arrays, no explode, no shuffle: at 100 TB this stays a
     map-only scan.  The top-bigram count walks the SORTED bigram array
     once with an (prev, run, best) aggregate state."""
+    from ..graph import let_column
+
     t = F.col(text_col)
     lines = F.filter(
         F.transform(F.split(t, r"\n"), lambda x: F.trim(x)),
         lambda x: F.length(x) > 0,
     )
-    n_lines = F.size(lines)
-    dup_line_ratio = F.when(
-        n_lines > 0,
-        F.round(1.0 - F.size(F.array_distinct(lines)).cast("double") / n_lines, 6),
-    ).otherwise(F.lit(0.0))
 
-    words = F.filter(
-        F.split(F.lower(t), r"[^a-z0-9]+"), lambda w: F.length(w) > 0
+    def words_to_bigrams(words: Column) -> Column:
+        nw = F.size(words)
+        return F.zip_with(
+            F.slice(words, 1, F.greatest(nw - 1, F.lit(0))),
+            F.when(nw >= 2, F.slice(words, 2, nw - 1)).otherwise(
+                F.array().cast("array<string>")
+            ),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+
+    # LET-bind the shared array subtrees (graph.let_column): the un-bound
+    # trees re-evaluated the line split 3x, the word split ~5x, and the
+    # bigram zip_with ~4x per row (HOF subtrees skip codegen, so nothing
+    # CSE'd them) — values are identical, only the evaluation count drops
+    bigrams = let_column(
+        F.filter(F.split(F.lower(t), r"[^a-z0-9]+"), lambda w: F.length(w) > 0),
+        words_to_bigrams,
     )
-    nw = F.size(words)
-    bigrams = F.zip_with(
-        F.slice(words, 1, F.greatest(nw - 1, F.lit(0))),
-        F.when(nw >= 2, F.slice(words, 2, nw - 1)).otherwise(F.array().cast("array<string>")),
-        lambda a, b: F.concat(a, F.lit(" "), b),
-    )
-    sorted_b = F.array_sort(bigrams)
-    best = F.aggregate(
-        sorted_b,
-        F.struct(
-            F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
-        ),
-        lambda acc, x: F.struct(
-            x.alias("prev"),
-            F.when(x == acc.getField("prev"), acc.getField("run") + 1)
-            .otherwise(F.lit(1))
-            .alias("run"),
-            F.greatest(
-                acc.getField("best"),
-                F.when(x == acc.getField("prev"), acc.getField("run") + 1).otherwise(
-                    F.lit(1)
-                ),
-            ).alias("best"),
-        ),
-        lambda acc: acc.getField("best"),
-    )
-    top_bigram_ratio = F.when(
-        F.size(bigrams) > 0,
-        F.round(best.cast("double") / F.size(bigrams), 6),
-    ).otherwise(F.lit(0.0))
+
+    def dup_ratio_of(lines: Column) -> Column:
+        n_lines = F.size(lines)
+        return F.when(
+            n_lines > 0,
+            F.round(
+                1.0 - F.size(F.array_distinct(lines)).cast("double") / n_lines, 6
+            ),
+        ).otherwise(F.lit(0.0))
+
+    def top_ratio_of(bigrams: Column) -> Column:
+        sorted_b = F.array_sort(bigrams)
+        best = F.aggregate(
+            sorted_b,
+            F.struct(
+                F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+            ),
+            lambda acc, x: F.struct(
+                x.alias("prev"),
+                F.when(x == acc.getField("prev"), acc.getField("run") + 1)
+                .otherwise(F.lit(1))
+                .alias("run"),
+                F.greatest(
+                    acc.getField("best"),
+                    F.when(x == acc.getField("prev"), acc.getField("run") + 1).otherwise(
+                        F.lit(1)
+                    ),
+                ).alias("best"),
+            ),
+            lambda acc: acc.getField("best"),
+        )
+        return F.when(
+            F.size(bigrams) > 0,
+            F.round(best.cast("double") / F.size(bigrams), 6),
+        ).otherwise(F.lit(0.0))
+
     return df.select(
         F.col(id_col),
-        F.coalesce(n_lines, F.lit(0)).alias("n_lines"),
-        dup_line_ratio.alias("dup_line_ratio"),
+        F.coalesce(F.size(lines), F.lit(0)).alias("n_lines"),
+        let_column(lines, dup_ratio_of).alias("dup_line_ratio"),
         F.coalesce(F.size(bigrams), F.lit(0)).alias("n_bigrams"),
-        top_bigram_ratio.alias("top_bigram_ratio"),
+        let_column(bigrams, top_ratio_of).alias("top_bigram_ratio"),
     )
 
 
@@ -261,26 +279,36 @@ def chunk_documents(
     any scale."""
     if overlap >= max_tokens:
         raise ValueError("overlap must be smaller than max_tokens")
+    from ..graph import let_column
+
     stride = max_tokens - overlap
-    toks = F.split(F.col(text_col), " ")
-    n = F.size(toks)
-    n_chunks = (
-        F.lit(1)
-        + F.ceil(F.greatest(n - max_tokens, F.lit(0)) / F.lit(stride)).cast("int")
+
+    # LET-bind the token array: the un-bound tree embedded the full-text
+    # split inside the per-chunk lambda, re-splitting the document once
+    # PER CHUNK (O(chunks x doc length) — HOFs skip codegen, nothing
+    # CSE'd it); bound, it evaluates once per row.  Values identical.
+    def chunks_of(toks: Column) -> Column:
+        n = F.size(toks)
+        n_chunks = (
+            F.lit(1)
+            + F.ceil(F.greatest(n - max_tokens, F.lit(0)) / F.lit(stride)).cast("int")
+        )
+        return F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.struct(
+                i.cast("bigint").alias("chunk_id"),
+                F.array_join(
+                    F.slice(toks, i * stride + 1, max_tokens), " "
+                ).alias("chunk_text"),
+                F.least(n - i * stride, F.lit(max_tokens))
+                .cast("bigint")
+                .alias("n_tokens"),
+            ),
+        )
+
+    return df.select(
+        F.col(id_col), F.inline(let_column(F.split(F.col(text_col), " "), chunks_of))
     )
-    chunks = F.transform(
-        F.sequence(F.lit(0), n_chunks - 1),
-        lambda i: F.struct(
-            i.cast("bigint").alias("chunk_id"),
-            F.array_join(
-                F.slice(toks, i * stride + 1, max_tokens), " "
-            ).alias("chunk_text"),
-            F.least(n - i * stride, F.lit(max_tokens))
-            .cast("bigint")
-            .alias("n_tokens"),
-        ),
-    )
-    return df.select(F.col(id_col), F.inline(chunks))
 
 
 def tfidf_topk(
@@ -359,14 +387,22 @@ def bpe_pair_counts(
     shifted slices — map-side, no posexplode self-join), then one
     pair-keyed groupBy with partial aggregation; the top-N is a
     TakeOrderedAndProject bounded by ``top_n``, never a full sort."""
-    toks = F.split(
-        F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "), " "
-    )
-    n = F.size(toks)
-    pairs = F.zip_with(
-        F.slice(toks, 1, F.greatest(n - 1, F.lit(0))),
-        F.slice(toks, 2, F.greatest(n - 1, F.lit(0))),
-        lambda a, b: F.concat_ws(" ", a, b),
+    from ..graph import let_column
+
+    def pairs_of(toks: Column) -> Column:
+        n = F.size(toks)
+        return F.zip_with(
+            F.slice(toks, 1, F.greatest(n - 1, F.lit(0))),
+            F.slice(toks, 2, F.greatest(n - 1, F.lit(0))),
+            lambda a, b: F.concat_ws(" ", a, b),
+        )
+
+    # let-bound token array: the split evaluated 4x per row un-bound
+    pairs = let_column(
+        F.split(
+            F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "), " "
+        ),
+        pairs_of,
     )
     return (
         df.select(F.explode(pairs).alias("pair"))
@@ -456,14 +492,21 @@ def bigram_logprob(
         )
 
     def bigrams(a):
-        return F.when(
-            F.size(a) >= 2,
-            F.zip_with(
-                F.slice(a, 1, F.size(a) - 1),
-                F.slice(a, 2, F.size(a) - 1),
-                lambda x, y: F.concat_ws(" ", x, y),
-            ),
-        ).otherwise(F.array().cast("array<string>"))
+        # let-bound (graph.let_column): the token-array subtree is
+        # referenced 5x here and would re-evaluate per mention un-bound
+        from ..graph import let_column
+
+        def _bg(arr):
+            return F.when(
+                F.size(arr) >= 2,
+                F.zip_with(
+                    F.slice(arr, 1, F.size(arr) - 1),
+                    F.slice(arr, 2, F.size(arr) - 1),
+                    lambda x, y: F.concat_ws(" ", x, y),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+
+        return let_column(a, _bg)
 
     fit = ref if ref is not None else df
     ref_toks = fit.select(F.explode(toks_arr(F.col(text_col))).alias("_tok"))
