@@ -418,6 +418,10 @@ class MatchState:
         # for these (cypher_match.sql:360 valid-reuse block); a variable
         # first introduced in this same clause may not repeat (:225-228)
         self._initial_names = set(env.bindings)
+        # True when this MATCH started from prior-clause rows (df given):
+        # those rows may repeat any column value, so per-variable id
+        # uniqueness proofs (the VLE seed-distinct elision) are off
+        self._seeded_from_input = df is not None
         self.edge_bindings: list[Binding] = []  # for edge-uniqueness quals
         self.helpers: list[str] = []  # helper cols to drop at clause end
         self.deferred_props: list[tuple[str, A.Expr]] = []  # (var, props) post-join quals
@@ -739,7 +743,18 @@ class MatchState:
 
         lo, hi = rel.varlen
         lo = 1 if lo is None and hi is not None else (lo if lo is not None else 1)
-        seeds = self.df.select(from_id.alias("src")).distinct()
+        # Seed-distinct elision (guide §2.4: a distinct on already-unique
+        # data is a wasted exchange): when this pattern started with no
+        # input rows and has bound exactly ONE variable (the seed node's
+        # filtered vertex scan — no edges, no cross joins), from_id values
+        # are vertex ids of a single scan, unique by construction, and the
+        # traversal can skip its seed dedup shuffle outright.
+        seeds_unique = (
+            not self._seeded_from_input
+            and not self.edge_bindings
+            and len(self.env.bindings) == 1
+        )
+        seeds = self.df.select(from_id.alias("src"))
         # anonymous [*..] outside a named path: nothing can read the edge
         # structs or interior nodes — traverse with edge ids only
         slim = hidden and not in_named_path
@@ -793,6 +808,7 @@ class MatchState:
             slim=slim,
             edge_filter=edge_filter,
             targets=targets,
+            seeds_unique=seeds_unique,
         )
         dst = f"_dst_{name}"
         pairs = pairs.select(

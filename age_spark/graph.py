@@ -1144,6 +1144,11 @@ class Graph:
         # and the whole-graph bound answers for ANY label subset — one
         # LocalLimit job per snapshot instead of one per gated query
         self._vcount_capped: dict[int, int] = {}
+        # shortest-path direction-swap probe memo (vle.py): capped endpoint
+        # counts keyed on (mutation_count, endpoint-plan semanticHash)
+        # pairs — same metadata-gate discipline as _vcount_capped; in-place
+        # mutations change the key, snapshot() starts a fresh dict
+        self._sp_probe_memo: dict[tuple, dict[int, int]] = {}
         # memoized unified scans, keyed by (kind, label names); each entry
         # also pins the exact per-label DataFrames it was built from, so a
         # hit is only served when every underlying df is IDENTICALLY the

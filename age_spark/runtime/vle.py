@@ -96,6 +96,7 @@ def vle_pairs(
     slim: bool = False,
     edge_filter=None,
     targets: Optional[DataFrame] = None,
+    seeds_unique: bool = False,
 ) -> DataFrame:
     """All (src, dst, edges, nodes, hops) paths with hop count in
     [min_hops, max_hops]. ``nodes`` holds the interior vertices (between the
@@ -161,6 +162,11 @@ def vle_pairs(
         and _pruning_small_enough(graph, targets)
     ):
         rev = edges.select(F.col("_d").alias("_rs"), F.col("_s").alias("_rd"))
+        # the base level keeps its distinct even for provably-unique label
+        # scans: the Aggregate both dedups AND gives Catalyst a small size
+        # estimate for the closure union, which keeps the per-hop continue
+        # semi-join broadcast in the initial plan (measured: eliding it
+        # flipped that join to SortMergeJoin + a frontier exchange)
         level = targets.select(F.col("_tv").alias("_pv")).distinct()
         dist_leq = [level]
         for _ in range(max_hops - 1):
@@ -174,8 +180,12 @@ def vle_pairs(
             level = nxt_level
 
     if seeds is None:
+        # a whole-graph vertex scan's ids are unique by construction
         seeds = graph.scan_vertices(None).select(F.col("id").alias("src"))
-    seeds = seeds.distinct()
+    elif not seeds_unique:
+        # duplicate seed rows would multiply every emitted path (and the
+        # caller's join-back) — dedup unless the caller proved uniqueness
+        seeds = seeds.distinct()
 
     vprops = graph.vertex_property_schema(None)
     vertex_dt_ddl = _vertex_ddl(graph)
@@ -301,6 +311,7 @@ def shortest_path_pairs(
     starts_df: Optional[DataFrame] = None,
     targets_df: Optional[DataFrame] = None,
     _chosen: bool = False,
+    _n_starts: Optional[int] = None,
 ) -> DataFrame:
     """Unweighted shortest path(s) between vertex sets — BFS with early stop.
 
@@ -350,19 +361,34 @@ def shortest_path_pairs(
     if slim and not (min_hops and min_hops > 0) and not _chosen:
         # both LocalLimit probes in ONE marker-keyed job (they were two
         # sequential driver round-trips; the fixed start-side cap covers
-        # the worst case 4 * probe + 8, so the swap decision is identical)
+        # the worst case 4 * probe + 8, so the swap decision is identical).
+        # The capped counts are memoized per Graph like _vcount_capped
+        # (keyed on the endpoint plans' semanticHash + _mutation_count, so
+        # in-place loads/DDL self-invalidate and snapshot() writes start
+        # fresh): a metadata gate, not a result — repeated calls over the
+        # same snapshot skip the probe job entirely.
         _SWAP_PROBE = 4096
-        _probe_counts = {
-            r["_h"]: r["n"]
-            for r in targets.limit(_SWAP_PROBE)
-            .select(F.lit(0).alias("_h"))
-            .unionAll(
-                starts.limit(4 * _SWAP_PROBE + 8).select(F.lit(1).alias("_h"))
-            )
-            .groupBy("_h")
-            .agg(F.count(F.lit(1)).alias("n"))
-            .collect()
-        }
+        _memo_key = (
+            graph._mutation_count,
+            targets.semanticHash(),
+            starts.semanticHash(),
+        )
+        _probe_counts = graph._sp_probe_memo.get(_memo_key)
+        if _probe_counts is None:
+            _probe_counts = {
+                r["_h"]: r["n"]
+                for r in targets.limit(_SWAP_PROBE)
+                .select(F.lit(0).alias("_h"))
+                .unionAll(
+                    starts.limit(4 * _SWAP_PROBE + 8).select(F.lit(1).alias("_h"))
+                )
+                .groupBy("_h")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            }
+            graph._sp_probe_memo[_memo_key] = _probe_counts
+            while len(graph._sp_probe_memo) > 32:
+                graph._sp_probe_memo.pop(next(iter(graph._sp_probe_memo)))
         n_t = _probe_counts.get(0, 0)
         if n_t < _SWAP_PROBE and _probe_counts.get(1, 0) > 4 * n_t:
             rev = {"out": "in", "in": "out"}.get(direction, direction)
@@ -373,6 +399,7 @@ def shortest_path_pairs(
                 starts_df=targets.select(F.col("_tgt").alias("id")),
                 targets_df=starts.select(F.col("src").alias("id")),
                 _chosen=True,
+                _n_starts=n_t,
             )
             return sw.select(
                 F.col("dst").alias("src"), F.col("src").alias("dst"),
@@ -444,8 +471,14 @@ def shortest_path_pairs(
     reach0 = targets.select(F.col("_tgt").alias("_rv")).localCheckpoint(eager=False)
     reach_parts = [reach0]
     bfront = reach0
-    n_bfront = reach0.count()
-    n_reach = n_bfront
+    if _chosen:
+        # swapped run: the closure loop below runs zero rounds, so its
+        # seed counters are never read — skip the counting job (the lazy
+        # checkpoint materializes inside the first hit join's job instead)
+        n_bfront = n_reach = 0
+    else:
+        n_bfront = reach0.count()
+        n_reach = n_bfront
     def _expand_back(front, n_front, reach, n_reach):
         """One backward hop: predecessors of `front` not yet in `reach`.
         The frontier/reached sets are usually tiny next to the edge table:
@@ -527,7 +560,8 @@ def shortest_path_pairs(
         # per-hop hit joins rather than re-filtering the vertex scan
         targets_cached = reach0.select(F.col("_rv").alias("_tgt"))
         return _sp_slim_bfs(
-            starts, targets_cached, edges, edge_dt, vddl, hard_max, all_paths
+            starts, targets_cached, edges, edge_dt, vddl, hard_max, all_paths,
+            n_starts=_n_starts,
         )
 
     frontier = starts.distinct().select(
@@ -606,7 +640,8 @@ def shortest_path_pairs(
 
 
 def _sp_slim_bfs(
-    starts, targets, edges, edge_dt, vddl, hard_max: int, all_paths: bool
+    starts, targets, edges, edge_dt, vddl, hard_max: int, all_paths: bool,
+    n_starts: Optional[int] = None,
 ) -> DataFrame:
     """Slim BFS: the caller reads only (src, dst, hops), so the state is
     VERTEX-level — (src, cur, path_count) with a sum-aggregated expansion —
@@ -630,7 +665,10 @@ def _sp_slim_bfs(
             "src", F.col("cur").alias("dst"), "cnt", F.lit(0).alias("hops")
         )
     ]
-    n_frontier = frontier.count()
+    # the swapped caller already knows the exact (distinct, probe-measured)
+    # start count — skip the counting job; the lazy checkpoint then
+    # materializes inside the first round's counting job
+    n_frontier = frontier.count() if n_starts is None else n_starts
     n_visited = n_frontier
     npart = int(edges2.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
     edges_by_s = None  # pre-partitioned fallback, built only if ever needed

