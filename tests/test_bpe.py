@@ -50,7 +50,7 @@ def test_bpe_encode_lowest_rank_first(spark, merges5):
     )
 
 
-def test_train_bpe_512_merges_bounded_plans(spark):
+def test_train_bpe_512_merges_bounded_plans(spark, monkeypatch):
     """512-merge smoke (VERDICT r8 next-round #8): the every-64-merge
     symbol-column re-checkpoint keeps plan size bounded, so a real
     vocabulary-scale merge count trains in time LINEAR in n_merges —
@@ -65,23 +65,44 @@ def test_train_bpe_512_merges_bounded_plans(spark):
     # 512 merges never run dry (a 6-letter/len-4 corpus dried at 294)
     import hashlib
 
+    from age_spark.pipeline import bpe as bpe_mod
+
     words = sorted(
         {hashlib.md5(f"w{i}".encode()).hexdigest()[:6] for i in range(420)}
     )[:400]
     text = " ".join(w for w in words for _ in range(2))
     df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+
+    # deterministic plan-boundedness guard (machine-speed-immune): no
+    # _replace_chain call may ever carry more than one checkpoint
+    # window's worth of pending rules — the exact invariant whose loss
+    # made iteration k replay k replace nodes
+    real_chain = bpe_mod._replace_chain
+    seen = {"max_rules": 0, "folds": 0}
+
+    def spy(s, pending):
+        seen["max_rules"] = max(seen["max_rules"], len(pending))
+        if len(pending) == bpe_mod._CHECKPOINT_EVERY:
+            seen["folds"] += 1
+        return real_chain(s, pending)
+
+    monkeypatch.setattr(bpe_mod, "_replace_chain", spy)
     t0 = time.time()
     merges = train_bpe(df, n_merges=512)
     dt = time.time() - t0
+    monkeypatch.setattr(bpe_mod, "_replace_chain", real_chain)
+    assert seen["max_rules"] <= bpe_mod._CHECKPOINT_EVERY
+    assert seen["folds"] >= 512 // bpe_mod._CHECKPOINT_EVERY  # folds ran
     assert len(merges) == 512
     assert len(set(merges)) == 512  # no rule repeats
     # prefix stability across the 64-merge checkpoint boundary
     assert train_bpe(df, n_merges=100)[:100] == merges[:100]
-    # generous wall bound: the pre-fix quadratic plan growth blew far
-    # past this on the same corpus (the linear loop runs ~240s quiet;
-    # 600 tolerates shared-host/suite-overlap contention without losing
-    # the O(n^2) signal, which multiplies, not adds)
-    assert dt < 600, f"512 merges took {dt:.0f}s — plan growth is back"
+    # wall BACKSTOP only — the deterministic guard above is the primary
+    # signal.  The linear loop runs ~240s quiet but this sandbox's speed
+    # swings 14x between windows (a 600s bound flaked at calibration
+    # ~0.25); the pre-fix quadratic growth multiplies per-iteration plan
+    # build ~256x at 512 merges, so 1800s still separates cleanly
+    assert dt < 1800, f"512 merges took {dt:.0f}s — plan growth is back"
 
 
 def test_bpe_encode_handles_empty_and_unseen(spark, merges5):
