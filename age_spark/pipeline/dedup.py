@@ -170,20 +170,45 @@ def minhash_signatures(
     codegen'd hash-aggregate with map-side partial combine; the shuffle
     carries one row of num_hashes longs per doc. (A nested
     transform-in-transform formulation computed 64 full hash passes per
-    row in interpreted eval.)"""
-    base = (
-        _hash60(F.col("s")) if hash_fn == "md5" else F.abs(F.xxhash64("s"))
-    ) % _MERSENNE_P
+    row in interpreted eval.)
+
+    The wide expression trees (shingle explode, base hash, the
+    num_hashes-permutation aggregate list) are memoized per parameter set
+    (exprcache.memo_cols): they cost hundreds of py4j round trips to
+    build — measured ~1.3 s per call, over half the query's wall — and
+    depend only on the scalar arguments."""
+    from .exprcache import memo_cols
+
+    shingle_c, base_c = memo_cols(
+        ("mh_base", text_col, k, hash_fn),
+        lambda: [
+            F.explode(word_shingles(F.col(text_col), k)).alias("s"),
+            (
+                (
+                    _hash60(F.col("s")) if hash_fn == "md5"
+                    else F.abs(F.xxhash64("s"))
+                ) % _MERSENNE_P
+            ).alias("h"),
+        ],
+    )
     inv = _spread(df).select(
-        F.col(id_col).alias("id"),
-        F.explode(word_shingles(F.col(text_col), k)).alias("s"),
-    ).select("id", base.alias("h"))
-    aggs = [
-        F.min((F.col("h") * a + b) % _MERSENNE_P).alias(f"m{i}")
-        for i, (a, b) in enumerate(_perm_coeffs(num_hashes))
-    ]
+        F.col(id_col).alias("id"), shingle_c
+    ).select("id", base_c)
+    aggs = memo_cols(
+        ("mh_aggs", num_hashes),
+        lambda: [
+            F.min((F.col("h") * a + b) % _MERSENNE_P).alias(f"m{i}")
+            for i, (a, b) in enumerate(_perm_coeffs(num_hashes))
+        ],
+    )
     wide = inv.groupBy("id").agg(*aggs)
-    return wide.select("id", F.array(*[F.col(f"m{i}") for i in range(num_hashes)]).alias("sig"))
+    sig_c = memo_cols(
+        ("mh_sig", num_hashes),
+        lambda: [
+            F.array(*[F.col(f"m{i}") for i in range(num_hashes)]).alias("sig")
+        ],
+    )[0]
+    return wide.select("id", sig_c)
 
 
 def _band_buckets(
@@ -197,7 +222,10 @@ def _band_buckets(
     formulation here fell back to interpreted eval and was ~40x slower).
     ``hash_fn="md5"`` buckets on md5 over the '|'-joined band values so
     DuckDB reproduces the buckets exactly (concat_ws renders BIGINTs the
-    same decimal way on both engines)."""
+    same decimal way on both engines).  The bands*r-wide explode tree is
+    memoized per parameter set (exprcache.memo_cols — py4j build cost)."""
+    from .exprcache import memo_cols
+
     r = num_hashes // bands
 
     def bucket(b: int) -> Column:
@@ -206,11 +234,18 @@ def _band_buckets(
             return _hash60(F.concat_ws("|", *parts, F.lit(b)))
         return F.xxhash64(*parts, F.lit(b))
 
-    bb = F.array(*[
-        F.struct(F.lit(b).alias("band"), bucket(b).alias("bucket"))
-        for b in range(bands)
-    ])
-    return sig.select("id", F.explode(bb).alias("bb")).select(
+    explode_c = memo_cols(
+        ("mh_bb", num_hashes, bands, hash_fn),
+        lambda: [
+            F.explode(
+                F.array(*[
+                    F.struct(F.lit(b).alias("band"), bucket(b).alias("bucket"))
+                    for b in range(bands)
+                ])
+            ).alias("bb")
+        ],
+    )[0]
+    return sig.select("id", explode_c).select(
         "id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
 
@@ -222,17 +257,22 @@ def minhash_lsh_candidates(
     """LSH banding: split the signature into `bands` rows of r hashes; docs
     sharing any (band, band-hash) bucket become candidate pairs. The only
     shuffle is the self-join keyed on the band bucket."""
+    from .exprcache import memo_cols
+
     sig = minhash_signatures(df, text_col, id_col, num_hashes, k, hash_fn)
     banded = _band_buckets(sig, num_hashes, bands, hash_fn)
     a = banded.alias("a")
     b = banded.alias("b")
-    return (
-        a.join(
-            b,
+    cond_c = memo_cols(
+        ("mh_cand_cond",),
+        lambda: [
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
+            & (F.col("a.id") < F.col("b.id"))
+        ],
+    )[0]
+    return (
+        a.join(b, cond_c)
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
@@ -257,6 +297,8 @@ def minhash_dedup_pairs(
     use when the result is iterated over (``near_dedup``'s component
     loop). The caller owns ``out.unpersist()``; a persisted DataFrame is
     pinned in Spark's CacheManager until then (not released by GC)."""
+    from .exprcache import memo_cols
+
     sig = minhash_signatures(df, text_col, id_col, num_hashes, k, hash_fn)
     if materialize:
         sig = sig.persist()
@@ -264,25 +306,32 @@ def minhash_dedup_pairs(
         banded = _band_buckets(sig, num_hashes, bands, hash_fn)
         a = banded.alias("a")
         b = banded.alias("b")
-        cand = (
-            a.join(
-                b,
+        cond_c, est_c = memo_cols(
+            ("mh_pair_exprs", num_hashes),
+            lambda: [
                 (F.col("a.band") == F.col("b.band"))
                 & (F.col("a.bucket") == F.col("b.bucket"))
                 & (F.col("a.id") < F.col("b.id")),
-            )
+                (
+                    F.size(
+                        F.filter(
+                            F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+                            lambda z: z,
+                        )
+                    )
+                    / F.lit(num_hashes)
+                ),
+            ],
+        )
+        cand = (
+            a.join(b, cond_c)
             .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
             .distinct()
         )
         sa = sig.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
         sb = sig.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
-        est = (
-            cand.join(sa, "id_a").join(sb, "id_b")
-            .withColumn(
-                "est_jaccard",
-                F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda z: z))
-                / F.lit(num_hashes),
-            )
+        est = cand.join(sa, "id_a").join(sb, "id_b").withColumn(
+            "est_jaccard", est_c
         )
         out = est.filter(F.col("est_jaccard") >= threshold).select(
             "id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard")
@@ -313,13 +362,20 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     ``hash_fn="md5"`` draws bit j from hex digit j//4 of the shingle's md5
     (engine-portable: DuckDB computes the identical bit with
     ``(('0x'||substr(md5(s), j/4+1, 1))::INT >> (j%4)) & 1``), giving the
-    fingerprints an exact cross-engine oracle."""
+    fingerprints an exact cross-engine oracle.
+
+    The wide trees (shingle explode, hash projection, the `bits`
+    sum-aggregates, the fingerprint fold) are memoized per parameter set
+    (exprcache.memo_cols — their py4j build cost measured ~1 s per call)."""
     from functools import reduce
 
-    inv = _spread(df).select(
-        F.col(id_col).alias("id"),
-        F.explode(word_shingles(F.col(text_col), k)).alias("s"),
-    )
+    from .exprcache import memo_cols
+
+    shingle_c = memo_cols(
+        ("sh_shingles", text_col, k),
+        lambda: [F.explode(word_shingles(F.col(text_col), k)).alias("s")],
+    )[0]
+    inv = _spread(df).select(F.col(id_col).alias("id"), shingle_c)
     if hash_fn == "md5":
         # Parse the 16 hex digits as TWO integers up front (one conv for
         # digits 1-15, one for digit 16) instead of 64 per-bit
@@ -327,12 +383,14 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
         # j//4+1's bit j%4 — is bit 4*(15-(j//4+1)) + j%4 of the 15-digit
         # value, so the extraction becomes a plain shift.  Values are
         # IDENTICAL to the per-digit formula (the DuckDB twin keeps it).
-        h = F.md5("s")
-        inv = inv.select(
-            "id",
-            F.conv(F.substring(h, 1, 15), 16, 10).cast("long").alias("h60"),
-            F.conv(F.substring(h, 16, 1), 16, 10).cast("long").alias("h4"),
-        )
+        def build_h() -> list[Column]:
+            h = F.md5("s")
+            return [
+                F.conv(F.substring(h, 1, 15), 16, 10).cast("long").alias("h60"),
+                F.conv(F.substring(h, 16, 1), 16, 10).cast("long").alias("h4"),
+            ]
+
+        inv = inv.select("id", *memo_cols(("sh_h", hash_fn), build_h))
 
         def bit(j: int) -> Column:
             if j < 60:
@@ -340,24 +398,36 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                 return F.shiftright(F.col("h60"), shift).bitwiseAND(F.lit(1))
             return F.shiftright(F.col("h4"), j % 4).bitwiseAND(F.lit(1))
     else:
-        inv = inv.select("id", F.xxhash64("s").alias("h"))
+        inv = inv.select(
+            "id",
+            *memo_cols(
+                ("sh_h", hash_fn), lambda: [F.xxhash64("s").alias("h")]
+            ),
+        )
 
         def bit(j: int) -> Column:
             return F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1))
 
-    aggs = [
-        F.sum(F.when(bit(j) == 1, 1).otherwise(-1)).alias(f"s{j}")
-        for j in range(bits)
-    ]
+    aggs = memo_cols(
+        ("sh_aggs", bits, hash_fn),
+        lambda: [
+            F.sum(F.when(bit(j) == 1, 1).otherwise(-1)).alias(f"s{j}")
+            for j in range(bits)
+        ],
+    )
     wide = inv.groupBy("id").agg(*aggs)
-    bit_cols = []
-    for j in range(bits):
-        weight = (1 << j) if j < 63 else -(1 << 63)
-        bit_cols.append(
-            F.when(F.col(f"s{j}") > 0, F.lit(weight).cast("long")).otherwise(F.lit(0).cast("long"))
-        )
-    fp = reduce(lambda a, b: a.bitwiseOR(b), bit_cols)
-    return wide.select("id", fp.alias("simhash"))
+
+    def build_fp() -> list[Column]:
+        bit_cols = []
+        for j in range(bits):
+            weight = (1 << j) if j < 63 else -(1 << 63)
+            bit_cols.append(
+                F.when(F.col(f"s{j}") > 0, F.lit(weight).cast("long"))
+                .otherwise(F.lit(0).cast("long"))
+            )
+        return [reduce(lambda a, b: a.bitwiseOR(b), bit_cols).alias("simhash")]
+
+    return wide.select("id", memo_cols(("sh_fp", bits), build_fp)[0])
 
 
 def simhash_near_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
@@ -366,27 +436,36 @@ def simhash_near_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc
     """Near-dup pairs by SimHash Hamming distance. Candidate generation by
     16-bit band equality (any of 4 bands equal -> candidate), then exact
     popcount verification."""
+    from .exprcache import memo_cols
+
     fps = simhash(df, text_col, id_col, 64, k, hash_fn)
-    banded = fps.select(
-        "id", "simhash",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.shiftright(F.col("simhash"), b * 16)
-                        .bitwiseAND(F.lit(0xFFFF))
-                        .alias("chunk"),
-                    )
-                    for b in range(4)
-                ]
-            )
-        ).alias("bb"),
-    ).select("id", "simhash", F.col("bb.band").alias("band"), F.col("bb.chunk").alias("chunk"))
+    explode_c, cond_c = memo_cols(
+        ("sh_pair_exprs",),
+        lambda: [
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            F.shiftright(F.col("simhash"), b * 16)
+                            .bitwiseAND(F.lit(0xFFFF))
+                            .alias("chunk"),
+                        )
+                        for b in range(4)
+                    ]
+                )
+            ).alias("bb"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.id") < F.col("b.id")),
+        ],
+    )
+    banded = fps.select("id", "simhash", explode_c).select(
+        "id", "simhash", F.col("bb.band").alias("band"), F.col("bb.chunk").alias("chunk")
+    )
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
-        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.chunk") == F.col("b.chunk"))
-               & (F.col("a.id") < F.col("b.id")))
+        a.join(b, cond_c)
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
                 F.col("a.simhash").alias("h_a"), F.col("b.simhash").alias("h_b"))
         .distinct()

@@ -29,6 +29,17 @@ def _trigrams(col):
     return _trgm_array(col)
 
 
+def _trigrams_of(col_name: str):
+    """Memoized trigram tree over a NAMED column (exprcache: the tree is a
+    pure function of the column name; rebuilding it costs ~15 py4j round
+    trips and this module builds it four times per join call)."""
+    from .exprcache import memo_cols
+
+    return memo_cols(
+        ("fz_trgm", col_name), lambda: [_trigrams(F.col(col_name))]
+    )[0]
+
+
 def _ordered_table(df: DataFrame, text_col: str, id_col: str, freq: DataFrame,
                    out_id: str) -> DataFrame:
     """(out_id, ordered ARRAY<trigram>) — each row's distinct trigram set
@@ -39,7 +50,7 @@ def _ordered_table(df: DataFrame, text_col: str, id_col: str, freq: DataFrame,
     consumer (three passes per side before)."""
     tg = df.select(
         F.col(id_col).alias(out_id),
-        _trigrams(F.col(text_col)).alias("tg"),
+        _trigrams_of(text_col).alias("tg"),
     ).filter(F.size("tg") > 0)
     ex = tg.select(out_id, F.explode("tg").alias("t"))
     # the frequency table is trigram-vocabulary-sized (tiny) — broadcast
@@ -75,8 +86,8 @@ def trigram_similarity_join(
 ) -> DataFrame:
     """All (id_l, id_r, sim) pairs with trigram Jaccard >= threshold —
     EXACT (recall and precision 1.0 vs the brute-force cross join)."""
-    l_tg = left.select(F.explode(_trigrams(F.col(left_col))).alias("t"))
-    r_tg = right.select(F.explode(_trigrams(F.col(right_col))).alias("t"))
+    l_tg = left.select(F.explode(_trigrams_of(left_col)).alias("t"))
+    r_tg = right.select(F.explode(_trigrams_of(right_col)).alias("t"))
     freq = (
         l_tg.unionAll(r_tg)
         .groupBy("t")
