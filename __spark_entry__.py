@@ -57,15 +57,31 @@ def _cypher(spark: SparkSession, sf_dir: str, q: str) -> DataFrame:
     return _age(spark).cypher(_graph(spark, sf_dir), q).df
 
 
+# base-table DataFrame handles memoized per (session, dir) like _graph:
+# a DataFrame is a lazy PLAN over the parquet files — every action on it
+# re-reads them — but constructing one costs a ~0.12 s driver round trip
+# (footer/schema read) that a dozen headline entries paid on every call
+_DF_CACHE: dict = {}
+
+
 def _docs(spark, sf_dir):
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    key = (id(spark), sf_dir, "documents")
+    if key not in _DF_CACHE:
+        _DF_CACHE[key] = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return _DF_CACHE[key]
 
 
 def _emb(spark, sf_dir):
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    key = (id(spark), sf_dir, "embeddings")
+    if key not in _DF_CACHE:
+        _DF_CACHE[key] = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return _DF_CACHE[key]
 
 
 def _events(spark, sf_dir):
+    key = (id(spark), sf_dir, "events")
+    if key in _DF_CACHE:
+        return _DF_CACHE[key]
     # events.ts is parquet TIMESTAMP (physical NANOS or MICROS depending on
     # generator); normalize to epoch-ns LongType regardless (matches the
     # reference's temporal model — epoch integers, agtype.c:10924)
@@ -79,6 +95,7 @@ def _events(spark, sf_dir):
         # same parquet regardless of host timezone
         spark.conf.set("spark.sql.session.timeZone", "UTC")
         df = df.withColumn("ts", F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000))
+    _DF_CACHE[key] = df
     return df
 
 

@@ -23,16 +23,38 @@ def normalized(col: Column) -> Column:
     return F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
 
 
+_SPREAD_MEMO: "weakref.WeakKeyDictionary" = None
+
+
 def _spread(df: DataFrame) -> DataFrame:
     """Ensure the input uses the cluster: a single small parquet file scans
     as ONE partition, serializing the whole shingle/hash pipeline onto one
     core. The round-robin repartition is a shuffle of the raw docs — cheap
     relative to the 50x row blowup the shingle explode adds after it. On a
-    real multi-file 100 TB table this is a no-op."""
+    real multi-file 100 TB table this is a no-op.
+
+    The ``df.rdd.getNumPartitions()`` probe costs ~0.1 s of driver time, so
+    the decision is memoized per DataFrame HANDLE (weak-keyed: entries die
+    with the handle; a fresh handle over the same files re-probes).  The
+    probe depends only on the handle's plan, which is immutable."""
+    global _SPREAD_MEMO
+    import weakref
+
+    if _SPREAD_MEMO is None:
+        _SPREAD_MEMO = weakref.WeakKeyDictionary()
+    try:
+        return _SPREAD_MEMO[df]
+    except (KeyError, TypeError):
+        pass
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < max(2, target // 2):
-        return df.repartition(target)
-    return df
+    out = df.repartition(target) if (
+        df.rdd.getNumPartitions() < max(2, target // 2)
+    ) else df
+    try:
+        _SPREAD_MEMO[df] = out
+    except TypeError:
+        pass
+    return out
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
