@@ -11,10 +11,12 @@ LEAST frequent trigrams, so no stop-trigram ('th ', 'he ') hot keys, and
 the candidate set shrinks as t rises.  A final JVM-side
 ``trigram_similarity`` verify keeps precision exact too.
 
-Shuffle profile at 100 TB: one explode+count for the frequency table
-(broadcast to both sides), one groupBy per side to order trigrams, one
-equi-join on prefix trigrams, one verify join — all keyed on trigrams or
-ids, never on raw text length.
+Shuffle profile at 100 TB: one explode+count for the frequency table,
+folded into a single ~1 MB vocabulary map (the trigram alphabet bounds it
+at ~50k entries) and broadcast to both sides; rare-first ordering is then
+MAP-SIDE per row (element_at + in-row array_sort — no per-side exchange
+of exploded trigram occurrences); one equi-join on prefix trigrams, one
+verify join on ids — never a shuffle keyed on raw text length.
 """
 
 from __future__ import annotations
@@ -40,28 +42,47 @@ def _trigrams_of(col_name: str):
     )[0]
 
 
-def _ordered_table(df: DataFrame, text_col: str, id_col: str, freq: DataFrame,
+def _freq_map(freq: DataFrame) -> DataFrame:
+    """The document-frequency table folded into ONE map row.  The trigram
+    vocabulary is bounded by construction — pg_trgm trigrams are 3 chars
+    over the lowercased [a-z0-9 ] alphabet, ≲50k distinct values — so the
+    single-row fold and its broadcast stay ~1 MB at ANY corpus size."""
+    return freq.agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("tg_key", "df_count"))
+        ).alias("_fm")
+    )
+
+
+def _ordered_table(df: DataFrame, text_col: str, id_col: str, freq_map: DataFrame,
                    out_id: str) -> DataFrame:
     """(out_id, ordered ARRAY<trigram>) — each row's distinct trigram set
-    sorted rare-first under the global document-frequency order.  This is
-    the ONE aggregation per side: the prefix explode AND the verify arrays
-    both derive from it, so its exchange is computed once (AQE
-    ReusedExchange) instead of re-deriving trigram sets from raw text per
-    consumer (three passes per side before)."""
+    sorted rare-first under the global document-frequency order.
+
+    MAP-SIDE: the df_count lookup is an ``element_at`` against the
+    broadcast vocabulary map and the rare-first order is an in-row
+    ``array_sort`` over (df_count, trigram) structs — the same comparator
+    the previous explode → broadcast-freq join → groupBy(doc)
+    collect_list shape produced, with that per-side exchange of every
+    exploded trigram occurrence removed outright (guide §2.4).  Every
+    trigram is present in the map (it was built from both sides' distinct
+    trigram sets), so the lookup never misses."""
     tg = df.select(
         F.col(id_col).alias(out_id),
         _trigrams_of(text_col).alias("tg"),
     ).filter(F.size("tg") > 0)
-    ex = tg.select(out_id, F.explode("tg").alias("t"))
-    # the frequency table is trigram-vocabulary-sized (tiny) — broadcast
-    ranked = ex.join(F.broadcast(freq), ex.t == freq.tg_key).select(
-        out_id, "t", "df_count"
-    )
-    return ranked.groupBy(out_id).agg(
+    ranked = F.array_sort(
         F.transform(
-            F.array_sort(F.collect_list(F.struct("df_count", "t"))),
-            lambda x: x.getField("t"),
-        ).alias("ordered")
+            "tg",
+            lambda x: F.struct(
+                F.element_at(F.col("_fm"), x).alias("df_count"),
+                x.alias("t"),
+            ),
+        )
+    )
+    return tg.crossJoin(F.broadcast(freq_map)).select(
+        out_id,
+        F.transform(ranked, lambda s: s.getField("t")).alias("ordered"),
     )
 
 
@@ -94,8 +115,9 @@ def trigram_similarity_join(
         .agg(F.count(F.lit(1)).alias("df_count"))
         .select(F.col("t").alias("tg_key"), "df_count")
     )
-    ol = _ordered_table(left, left_col, left_id, freq, "id_l")
-    orr = _ordered_table(right, right_col, right_id, freq, "id_r")
+    fm = _freq_map(freq)
+    ol = _ordered_table(left, left_col, left_id, fm, "id_l")
+    orr = _ordered_table(right, right_col, right_id, fm, "id_r")
     cand = _prefix_rows(ol, "id_l", threshold).join(
         _prefix_rows(orr, "id_r", threshold), "t"
     ).select("id_l", "id_r").distinct()
