@@ -85,9 +85,18 @@ def connected_components(
 ) -> DataFrame:
     """Weakly-connected components by min-id label propagation: each vertex
     adopts the smallest component id among itself and its neighbors until a
-    fixpoint. Iterations are bounded by the graph diameter; each is one
-    shuffle (neighbor-min aggregate). Returns (id, component) where
-    component = min vertex id in the component."""
+    fixpoint. Hops are bounded by the graph diameter; each is one shuffle
+    (neighbor-min aggregate). Returns (id, component) where component =
+    min vertex id in the component.
+
+    Driver rounds are HALVED by running TWO hops per round (the BFS
+    round-halving trick, OPTIMIZATION_r10 §4): the first hop stays pure
+    lineage inside the round's single checkpoint job, so each round costs
+    one checkpoint job + one convergence count instead of two of each.
+    The two-hop fixpoint test is sound because min-propagation is
+    MONOTONE (labels never increase): state_{k} == state_{k+2} pointwise
+    forces state_{k+1} equal too.  An odd ``max_iterations`` rounds up to
+    the next even hop budget (a bound, not a semantic)."""
     sym = edges.select(
         F.col("start_id").alias("a"), F.col("end_id").alias("b")
     ).unionByName(
@@ -96,20 +105,28 @@ def connected_components(
     from .runtime.cache import release_plan_checkpoints
 
     state = vertices.select("id").distinct().withColumn("component", F.col("id"))
-    prev_checkpointed = None  # the superseded iteration's pinned blocks
+    prev_checkpointed = None  # the superseded round's pinned blocks
 
-    for _ in range(max_iterations):
+    def hop(s: DataFrame) -> DataFrame:
         neigh = (
-            state.join(sym, state["id"] == sym["a"])
+            s.join(sym, s["id"] == sym["a"])
             .select(F.col("b").alias("id"), F.col("component"))
             .groupBy("id")
             .agg(F.min("component").alias("n_comp"))
         )
-        nxt = state.join(neigh, "id", "left").select(
-            "id", F.least(F.col("component"), F.coalesce(F.col("n_comp"), F.col("component"))).alias("component")
-        ).localCheckpoint(eager=True)  # the convergence count below reads it
-        # immediately, so eager costs nothing extra and rules out lazy-
-        # checkpoint block loss under memory pressure
+        return s.join(neigh, "id", "left").select(
+            "id",
+            F.least(
+                F.col("component"),
+                F.coalesce(F.col("n_comp"), F.col("component")),
+            ).alias("component"),
+        )
+
+    for _ in range((max_iterations + 1) // 2):
+        nxt = hop(hop(state)).localCheckpoint(eager=True)
+        # eager: the convergence count below reads it immediately, so eager
+        # costs nothing extra and rules out lazy-checkpoint block loss
+        # under memory pressure
         changed = (
             nxt.alias("n")
             .join(state.alias("s"), "id")
@@ -119,8 +136,8 @@ def connected_components(
         )
         # nxt and the convergence check are both materialized, so the
         # superseded state's checkpoint blocks are dead — release them now
-        # (they are NOT auto-freed; a 20-iteration run would otherwise pin
-        # 20 copies of the vertex set for the life of the session)
+        # (they are NOT auto-freed; a long run would otherwise pin every
+        # round's copy of the vertex set for the life of the session)
         if prev_checkpointed is not None:
             release_plan_checkpoints(prev_checkpointed)
         prev_checkpointed = nxt
