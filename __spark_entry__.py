@@ -29,8 +29,15 @@ from pyspark.sql import functions as F
 _GRAPH_CACHE: dict = {}
 
 
+def _skey(spark: SparkSession) -> tuple:
+    # id(spark) alone can alias: a stopped, garbage-collected session's id
+    # can be reused by CPython for a NEW session, which would serve handles
+    # bound to a dead JVM (ADVICE r10) — the applicationId disambiguates
+    return (id(spark), spark.sparkContext.applicationId)
+
+
 def _graph(spark: SparkSession, sf_dir: str):
-    key = (id(spark), sf_dir)
+    key = (_skey(spark), sf_dir)
     if key not in _GRAPH_CACHE:
         from age_spark.demo import build_tpch_graph
 
@@ -45,7 +52,7 @@ def _age(spark: SparkSession):
     # one AgeSession per SparkSession for the read-only Cypher entries, so
     # its prepared-plan cache (pure lazy plans, never results) survives
     # across calls; entries that create graphs keep their own sessions
-    key = id(spark)
+    key = _skey(spark)
     if key not in _AGE_CACHE:
         from age_spark import AgeSession
 
@@ -65,22 +72,27 @@ _DF_CACHE: dict = {}
 
 
 def _docs(spark, sf_dir):
-    key = (id(spark), sf_dir, "documents")
+    key = (_skey(spark), sf_dir, "documents")
     if key not in _DF_CACHE:
         _DF_CACHE[key] = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return _DF_CACHE[key]
 
 
 def _emb(spark, sf_dir):
-    key = (id(spark), sf_dir, "embeddings")
+    key = (_skey(spark), sf_dir, "embeddings")
     if key not in _DF_CACHE:
         _DF_CACHE[key] = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return _DF_CACHE[key]
 
 
 def _events(spark, sf_dir):
-    key = (id(spark), sf_dir, "events")
+    key = (_skey(spark), sf_dir, "events")
     if key in _DF_CACHE:
+        # the cached plan's epoch-ns cast is only correct under UTC; the
+        # first call pinned the session zone, but the handle is LAZY — a
+        # later zone change would evaluate it differently, so re-assert
+        # the conf on every hit (ADVICE r10)
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
         return _DF_CACHE[key]
     # events.ts is parquet TIMESTAMP (physical NANOS or MICROS depending on
     # generator); normalize to epoch-ns LongType regardless (matches the

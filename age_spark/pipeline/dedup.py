@@ -43,7 +43,11 @@ def _spread(df: DataFrame) -> DataFrame:
     if _SPREAD_MEMO is None:
         _SPREAD_MEMO = weakref.WeakKeyDictionary()
     try:
-        return _SPREAD_MEMO[df]
+        hit = _SPREAD_MEMO[df]
+        # the no-repartition decision is stored as None (a sentinel), not
+        # as df itself: storing the weak KEY as its own strong VALUE would
+        # keep the entry alive forever and defeat the weak keying
+        return df if hit is None else hit
     except (KeyError, TypeError):
         pass
     target = df.sparkSession.sparkContext.defaultParallelism
@@ -51,7 +55,7 @@ def _spread(df: DataFrame) -> DataFrame:
         df.rdd.getNumPartitions() < max(2, target // 2)
     ) else df
     try:
-        _SPREAD_MEMO[df] = out
+        _SPREAD_MEMO[df] = None if out is df else out
     except TypeError:
         pass
     return out

@@ -106,7 +106,15 @@ def trigram_similarity_join(
     right_id: str = "doc_id",
 ) -> DataFrame:
     """All (id_l, id_r, sim) pairs with trigram Jaccard >= threshold —
-    EXACT (recall and precision 1.0 vs the brute-force cross join)."""
+    EXACT (recall and precision 1.0 vs the brute-force cross join).
+
+    Contract: ids must be UNIQUE per side (the standard doc-table shape).
+    The map-side ordered-array build intentionally carries one row per
+    INPUT row rather than re-aggregating by id — a duplicated id would
+    fan out through the prefix/verify joins and emit its pair once per
+    copy.  Deduplicating here would reintroduce the per-side exchange of
+    every trigram row that the map-side restructure removed (ADVICE r10:
+    documented as out of contract rather than re-shuffled)."""
     l_tg = left.select(F.explode(_trigrams_of(left_col)).alias("t"))
     r_tg = right.select(F.explode(_trigrams_of(right_col)).alias("t"))
     freq = (
