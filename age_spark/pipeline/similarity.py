@@ -166,20 +166,25 @@ def _sample_vectors(corpus: DataFrame, vec_col: str, id_col: str,
     base = corpus.select(
         F.col(id_col).alias("i"), F.col(vec_col).cast("array<double>").alias("v")
     ).withColumn("_h", F.abs(F.xxhash64(F.col("i"), F.lit(seed))) % F.lit(1 << 62))
-    # LocalLimit probe instead of a full count: stops scanning as soon as
-    # the corpus proves bigger than the no-filter fast path can take.
-    # Small corpora (<= 2x sample_size) collect in ONE job with no Spark
-    # sort; the (_h, i) cap order is applied driver-side, bit-identical to
-    # the TakeOrdered the big path runs.
-    n_cap = corpus.select(id_col).limit(2 * sample_size + 1).count()
-    if n_cap <= 2 * sample_size:
-        hashed = base
-    else:
+    # The size probe and the small-corpus collect are ONE capped collect
+    # (CollectLimit is incremental — it stops scanning as soon as the
+    # corpus proves bigger than the no-filter fast path can take), saving
+    # a sequential driver job per fit (guide §2.6/§7; VERDICT r10
+    # next-round #3).  Small corpora (<= 2x sample_size) therefore
+    # collect in ONE job with no Spark sort; the (_h, i) cap order is
+    # applied driver-side, bit-identical to the TakeOrdered the big path
+    # runs.
+    picked = base.limit(2 * sample_size + 1).collect()
+    if len(picked) > 2 * sample_size:
         n_total = corpus.count()
         frac = min(1.0, (2.0 * sample_size) / max(n_total, 1))
         bound = int(frac * (1 << 62))
-        hashed = base.where(F.col("_h") < bound).orderBy("_h", "i").limit(sample_size)
-    picked = hashed.collect()
+        picked = (
+            base.where(F.col("_h") < bound)
+            .orderBy("_h", "i")
+            .limit(sample_size)
+            .collect()
+        )
     picked.sort(key=lambda r: (r._h, r.i))
     return np.stack([r.v for r in picked[:sample_size]])
 
@@ -223,10 +228,10 @@ def ivf_topk(
     id — per-query cost is nprobe/n_centroids of the corpus, and the
     assignment step is embarrassingly parallel (the 100 TB scale path, same
     shape as the LSH variant but data-adaptive)."""
+    from concurrent.futures import ThreadPoolExecutor
+
     import numpy as np
     import pandas as pd
-
-    C = _fit_centroids(corpus, vec_col, id_col, n_centroids)
 
     # The query side of an IVF search is the small side by construction —
     # the join-based plan would F.broadcast() it, which collects it to the
@@ -237,10 +242,17 @@ def ivf_topk(
     # operator and one Python eval instead of three.  Still the 100 TB
     # shape: corpus-parallel map, then a top-k shuffle over candidates
     # only (nprobe/n_centroids of the corpus).
-    qrows = queries.select(
+    # The query collect is independent of the centroid fit, so the two
+    # driver jobs OVERLAP (guide §2.6: submit independent jobs from a
+    # thread so the scheduler back-fills) instead of running in sequence.
+    qdf = queries.select(
         F.col(query_id_col).alias("query_id"),
         F.col(query_vec_col).cast("array<double>").alias("qv"),
-    ).limit(_IVF_QUERY_COLLECT_CAP + 1).collect()
+    ).limit(_IVF_QUERY_COLLECT_CAP + 1)
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        qfut = pool.submit(qdf.collect)
+        C = _fit_centroids(corpus, vec_col, id_col, n_centroids)
+        qrows = qfut.result()
     if len(qrows) > _IVF_QUERY_COLLECT_CAP or not qrows:
         # over the cap: keep the broadcast-join plan; EMPTY query set: the
         # fused kernel would np.stack([]) — the join plan returns the
