@@ -529,12 +529,31 @@ def shortest_path_pairs(
         # s1 and s2 are each distinct and mutually disjoint (s2 anti-joins
         # reach ∪ s1), so the union needs no extra dedup shuffle
         step = s1.unionByName(s2).localCheckpoint(eager=False)
-        n_bfront = step.count()  # materializes the lazy checkpoint
+        # count + drain probe in ONE job (the _sp_slim_bfs trick): marker 2
+        # is non-empty iff some reached vertex has a predecessor edge — if
+        # not, the next round is provably empty and its checkpoint plans
+        # (each an edge pass at AQE plan time) are never built
+        cprobe = (
+            step.join(edges_thin, step["_rv"] == edges_thin["_d"], "left_semi")
+            .select(F.lit(2).alias("_h"))
+            .limit(1)
+        )
+        ccounts = {
+            r["_h"]: r["n"]
+            for r in step.select(F.lit(1).alias("_h"))
+            .unionAll(cprobe)
+            .groupBy("_h")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        n_bfront = ccounts.get(1, 0)
         if n_bfront == 0:
             break
         n_reach += n_bfront
         reach_parts.append(step)
         bfront = step
+        if ccounts.get(2, 0) == 0:
+            break
     if _chosen:
         # swapped run: the targets here are the ORIGINAL (large) start
         # set, whose backward closure approaches the whole graph — a
@@ -724,10 +743,25 @@ def _sp_slim_bfs(
         s2 = _expand_fwd(s1, n_frontier, vis2, n_visited + n_frontier).localCheckpoint(
             eager=False
         )
+        # Drain probe, fused into the round's one counting job: marker 3
+        # is non-empty iff s2's frontier has ANY outgoing edge — when it
+        # does not, the next round's expansion is provably empty, so its
+        # two checkpoint plans (whose AQE stage materialization costs a
+        # full edge pass each, paid at PLAN time) are never built.  The
+        # probe is a LocalLimit(1) branch riding s2's already-materialized
+        # blocks: continuing rounds short-circuit per partition; the drain
+        # round pays one bounded pass INSTEAD of the two it used to spend
+        # discovering emptiness the slow way.
+        probe = (
+            s2.join(edges2, s2["cur"] == edges2["_s"], "left_semi")
+            .select(F.lit(3).alias("_h"))
+            .limit(1)
+        )
         counts = {
             r["_h"]: r["n"]
             for r in s1.select(F.lit(1).alias("_h"))
             .unionAll(s2.select(F.lit(2).alias("_h")))
+            .unionAll(probe)
             .groupBy("_h")
             .agg(F.count(F.lit(1)).alias("n"))
             .collect()
@@ -745,6 +779,10 @@ def _sp_slim_bfs(
         n_visited += n2
         frontier, n_frontier = s2, n2
         hop += 2
+        if counts.get(3, 0) == 0:
+            # no frontier vertex has an outgoing edge: the next round's
+            # s1 is empty before its anti-join — stop without planning it
+            break
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
