@@ -173,6 +173,106 @@ def range_join_bucketed(
     return out.unionByName(left.join(F.broadcast(wide), in_range))
 
 
+def range_join_count_sum(
+    left: DataFrame,
+    right: DataFrame,
+    left_point: str,
+    right_lo: str,
+    right_hi: str,
+    bucket_width: int,
+    right_id: str,
+    max_span_buckets: int = 64,
+) -> DataFrame:
+    """Per-interval COUNT and SUM of matching points — the aggregation
+    pushdown of ``range_join_bucketed`` + ``groupBy(right_id)`` (guide
+    §1.2/§8: don't materialize rows you only aggregate).  Returns
+    (``right_id``, n_in_range BIGINT, sum_points BIGINT) for intervals
+    with at least one match (inner-join semantics, identical to
+    aggregating the pairs).
+
+    Shape: the point side aggregates ONCE per bucket (cnt, sum); an
+    interval's interior buckets — every bucket strictly between
+    bucket(lo) and bucket(hi), whose points are provably all inside
+    [lo, hi] because the bucket map is monotone — consume those
+    per-bucket aggregates wholesale, so only the (at most two) EDGE
+    buckets ever touch raw point rows with the residual range check.
+    The pairs formulation evaluates |matches| joined rows; this
+    evaluates |intervals| x (2 x bucket occupancy) + |intervals| x
+    span interior-bucket lookups — at 100 TB the difference between
+    output-proportional and input-proportional work when matches are
+    dense.  Exactness: counts and sums are BIGINT partial sums over a
+    disjoint partition of the match set (interior vs edge), so the
+    result is bit-identical to aggregating the pairs.
+
+    Intervals spanning more than ``max_span_buckets`` buckets ride the
+    same broadcast theta-join residue as ``range_join_bucketed`` (loud
+    fail if ever numerous, never a silent truncation)."""
+    right = right.filter(F.col(right_hi) >= F.col(right_lo))
+
+    def bk(col: str) -> Column:
+        return (F.col(col) / F.lit(bucket_width)).cast("long")
+
+    pts = left.select(F.col(left_point).alias("_p"), bk(left_point).alias("_bk"))
+    # one small shuffle: (bucket, cnt, sum) — bounded by the occupied
+    # bucket count, not the point count
+    pts_agg = pts.groupBy("_bk").agg(
+        F.count(F.lit(1)).alias("_cnt"), F.sum("_p").alias("_sum")
+    )
+
+    span_ok = (bk(right_hi) - bk(right_lo)) < F.lit(max_span_buckets)
+    narrow = right.filter(span_ok).select(
+        F.col(right_id), F.col(right_lo), F.col(right_hi),
+        bk(right_lo).alias("_blo"), bk(right_hi).alias("_bhi"),
+    )
+
+    # interior buckets: strictly between the edge buckets -> every point
+    # there is strictly inside (lo, hi) by monotonicity of bk
+    interior = (
+        narrow.filter(F.col("_bhi") - F.col("_blo") >= 2)
+        .select(
+            right_id,
+            F.explode(
+                F.sequence(F.col("_blo") + 1, F.col("_bhi") - 1)
+            ).alias("_bk"),
+        )
+        .join(pts_agg, "_bk")
+        .select(right_id, "_cnt", "_sum")
+    )
+    # edge buckets (bucket(lo) and bucket(hi), deduped when equal):
+    # raw-point join with the residual range check
+    edges = (
+        narrow.select(
+            right_id, right_lo, right_hi,
+            F.explode(
+                F.array_distinct(F.array(F.col("_blo"), F.col("_bhi")))
+            ).alias("_bk"),
+        )
+        .join(pts, "_bk")
+        .filter((F.col("_p") >= F.col(right_lo)) & (F.col("_p") <= F.col(right_hi)))
+        .groupBy(right_id)
+        .agg(F.count(F.lit(1)).alias("_cnt"), F.sum("_p").alias("_sum"))
+    )
+    # astronomically-wide residue: broadcast theta-join against the raw
+    # points (same loud-fail contract as range_join_bucketed)
+    wide = (
+        left.select(F.col(left_point).alias("_p"))
+        .join(
+            F.broadcast(right.filter(~span_ok).select(right_id, right_lo, right_hi)),
+            (F.col("_p") >= F.col(right_lo)) & (F.col("_p") <= F.col(right_hi)),
+        )
+        .groupBy(right_id)
+        .agg(F.count(F.lit(1)).alias("_cnt"), F.sum("_p").alias("_sum"))
+    )
+    return (
+        interior.unionByName(edges).unionByName(wide)
+        .groupBy(right_id)
+        .agg(
+            F.sum("_cnt").alias("n_in_range"),
+            F.sum("_sum").alias("sum_points"),
+        )
+    )
+
+
 def sliding_aggregate(
     df: DataFrame,
     ts_col: str,

@@ -301,6 +301,52 @@ def test_range_join_bucketed_wide_intervals(spark):
     assert sum(1 for _, rid in got if rid == 0) == 200
 
 
+def test_range_join_count_sum_matches_pairs_agg(spark):
+    """The aggregation-pushdown range join must equal
+    range_join_bucketed + groupBy bit-for-bit, across bucket widths
+    (pure performance knob), including: single-bucket intervals,
+    interior-only coverage, empty (hi < lo) intervals, negative points
+    (truncation-vs-floor bucketing), duplicate points, and the
+    wide-interval broadcast residue."""
+    from age_spark.pipeline.events import range_join_bucketed, range_join_count_sum
+
+    left = spark.createDataFrame(
+        [(i, (i * 97) % 4000 - 200) for i in range(300)]
+        + [(1000 + i, 42) for i in range(5)],  # duplicate points
+        "id long, p long",
+    )
+    right = spark.createDataFrame(
+        [
+            (0, -100, 4000),   # wide: broadcast residue at cap 4
+            (1, 40, 44),       # single bucket (width 8)
+            (2, 10, 20),       # narrow
+            (3, 3500, 3600),   # spans > cap -> residue at cap 4
+            (4, 500, 400),     # empty (hi < lo): matches nothing
+            (5, -150, -50),    # negative range
+            (6, 0, 31),        # interior + edges
+        ],
+        "rid long, lo long, hi long",
+    )
+    want = {
+        (r.rid, r.n, r.s)
+        for r in range_join_bucketed(
+            left, right, "p", "lo", "hi", bucket_width=8, max_span_buckets=4
+        )
+        .groupBy("rid")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("p").alias("s"))
+        .collect()
+    }
+    for width in (8, 32, 512):
+        got = {
+            (r.rid, r.n_in_range, r.sum_points)
+            for r in range_join_count_sum(
+                left, right, "p", "lo", "hi",
+                bucket_width=width, right_id="rid", max_span_buckets=4,
+            ).collect()
+        }
+        assert got == want, f"width {width}"
+
+
 def test_redact_pii(spark):
     """PII scrub (emails / IPv4 / intl phone): tokens replace matches,
     counts come from the original text; patterns are RE2/Java-common so
