@@ -20,20 +20,43 @@ from .api import AgeSession
 from .graph import Graph
 
 
+# The generator's schemas are deterministic and identical across every SF
+# dir (pinned by tests/test_loaders.py::test_tpch_schemas_match_embedded),
+# so the reader skips per-table footer inference — ~0.8 s of driver-side
+# JVM round trips per session even when issued concurrently (guide §5).
+# A drifted file fails loudly at the first action (the vectorized reader
+# rejects incompatible physical types), never silently.
+TPCH_SCHEMAS = {
+    "region": "r_regionkey int, r_name string",
+    "nation": "n_nationkey int, n_name string, n_regionkey int",
+    "customer": (
+        "c_custkey bigint, c_name string, c_nationkey int, "
+        "c_acctbal double, c_mktsegment string"
+    ),
+    "supplier": "s_suppkey bigint, s_name string, s_nationkey int, s_acctbal double",
+    "part": (
+        "p_partkey bigint, p_name string, p_brand string, p_type string, "
+        "p_size int, p_retailprice double"
+    ),
+    "orders": (
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp_ntz, o_orderpriority string"
+    ),
+    "lineitem": (
+        "l_orderkey bigint, l_partkey bigint, l_suppkey bigint, "
+        "l_linenumber int, l_quantity double, l_extendedprice double, "
+        "l_discount double, l_tax double, l_returnflag string, "
+        "l_linestatus string, l_shipdate timestamp_ntz"
+    ),
+}
+
+
 def build_tpch_graph(spark: SparkSession, sf_dir: str) -> Graph:
     age = AgeSession(spark)
     g = age.create_graph("tpch")
 
-    # parquet footer/schema reads are independent driver-side JVM calls
-    # (~0.4s each); issue them concurrently
-    from concurrent.futures import ThreadPoolExecutor
-
-    names = ["region", "nation", "customer", "supplier", "part", "orders", "lineitem"]
-    with ThreadPoolExecutor(max_workers=len(names)) as ex:
-        tables = dict(
-            zip(names, ex.map(lambda n: spark.read.parquet(f"{sf_dir}/{n}.parquet"), names))
-        )
-    read = tables.__getitem__
+    def read(n: str):
+        return spark.read.schema(TPCH_SCHEMAS[n]).parquet(f"{sf_dir}/{n}.parquet")
 
     region = read("region").select(
         F.col("r_regionkey").alias("rk"), F.col("r_name").alias("name")

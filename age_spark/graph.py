@@ -1049,6 +1049,24 @@ def _strip_nullability(dt: T.DataType) -> T.DataType:
     return dt
 
 
+# The per-label empty sentinel DataFrame is immutable and schema-fixed, so
+# ONE per (session, kind) serves every label of every graph —
+# createDataFrame([]) costs a ~40 ms py4j/JVM round trip, and a TPC-H-shaped
+# build used to pay it 11 times (guide §5: the driver should do almost no
+# work).  Keyed on applicationId too so a recycled session id can never
+# serve a handle bound to a dead JVM.
+_EMPTY_SENTINEL_CACHE: dict = {}
+
+
+def _shared_empty_sentinel(spark, kind: str, schema: T.StructType) -> DataFrame:
+    key = (id(spark), spark.sparkContext.applicationId, kind)
+    df = _EMPTY_SENTINEL_CACHE.get(key)
+    if df is None:
+        df = spark.createDataFrame([], schema)
+        _EMPTY_SENTINEL_CACHE[key] = df
+    return df
+
+
 def _escape_reserved_props(df: DataFrame, reserved, consumed=()) -> Column:
     """Rename reserved-named PROPERTY columns of a source DataFrame to their
     escaped storage names before the structural columns are added. Columns
@@ -1206,8 +1224,10 @@ class Graph:
     def create_vlabel(self, label: str) -> None:
         meta = self.meta.create_label(label, VERTEX_KIND)
         if label not in self.vertex_dfs:
-            df = self.spark.createDataFrame(
-                [], T.StructType([T.StructField("id", T.LongType(), False)])
+            df = _shared_empty_sentinel(
+                self.spark,
+                "v",
+                T.StructType([T.StructField("id", T.LongType(), False)]),
             )
             self.vertex_dfs[label] = df
             self._sentinel_ids.add(id(df))
@@ -1217,8 +1237,9 @@ class Graph:
     def create_elabel(self, label: str) -> None:
         meta = self.meta.create_label(label, EDGE_KIND)
         if label not in self.edge_dfs:
-            df = self.spark.createDataFrame(
-                [],
+            df = _shared_empty_sentinel(
+                self.spark,
+                "e",
                 T.StructType(
                     [
                         T.StructField("id", T.LongType(), False),
@@ -1283,24 +1304,45 @@ class Graph:
         out = _escape_reserved_props(
             df, EDGE_RESERVED, consumed=(id_col, start_col, end_col)
         )
-        if start_label is not None:
-            sid = self.meta.label(start_label).label_id
-            out = out.withColumn(
-                "start_id", (F.lit(sid).cast("long") * F.lit(1 << ENTRY_ID_BITS) + F.col(start_col).cast("long"))
+        # ONE select instead of a withColumn/drop chain: each withColumn
+        # is a full analysis round trip (~30 ms of driver latency), and a
+        # load paid up to six of them (guide §5).  The ordered-dict
+        # construction reproduces withColumn's placement exactly: replace
+        # in place when the target name exists, append otherwise, then
+        # drop the consumed source columns.
+        exprs: dict = {c: F.col(c) for c in out.columns}
+
+        def _endpoint(alias: str, src: str, lbl: Optional[str]) -> None:
+            if lbl is not None:
+                lid = self.meta.label(lbl).label_id
+                e = F.lit(lid).cast("long") * F.lit(1 << ENTRY_ID_BITS) + F.col(
+                    src
+                ).cast("long")
+            elif src != alias:
+                e = F.col(src).cast("long")
+            else:
+                return
+            exprs[alias] = e
+            if src != alias:
+                exprs.pop(src, None)
+
+        _endpoint("start_id", start_col, start_label)
+        _endpoint("end_id", end_col, end_label)
+        if id_col is not None:
+            meta.bump_lazy(
+                lambda df=df, c=id_col: df.agg(F.max(F.col(c).cast("long"))).first()[0]
             )
-        elif start_col != "start_id":
-            out = out.withColumn("start_id", F.col(start_col).cast("long"))
-        if end_label is not None:
-            eid = self.meta.label(end_label).label_id
-            out = out.withColumn(
-                "end_id", (F.lit(eid).cast("long") * F.lit(1 << ENTRY_ID_BITS) + F.col(end_col).cast("long"))
-            )
-        elif end_col != "end_id":
-            out = out.withColumn("end_id", F.col(end_col).cast("long"))
-        drop = [c for c in (start_col, end_col) if c not in ("start_id", "end_id")]
-        if drop:
-            out = out.drop(*drop)
-        packed = self._pack_ids(out, meta, id_col)
+            shift = F.lit(meta.label_id).cast("long") * F.lit(1 << ENTRY_ID_BITS)
+            packed_id = shift + (
+                exprs[id_col] if id_col in exprs else F.col(id_col)
+            ).cast("long")
+            if id_col != "id":
+                exprs.pop(id_col, None)
+            exprs["id"] = packed_id
+            packed = out.select(*[e.alias(n) for n, e in exprs.items()])
+        else:
+            staged = out.select(*[e.alias(n) for n, e in exprs.items()])
+            packed = self._pack_ids(staged, meta, None)
         self.edge_dfs[label] = self._append(self.edge_dfs.get(label), packed, EDGE_RESERVED)
         self._mutation_count += 1
         self._vcount_capped.clear()  # same staleness rule as add_vertices
@@ -1309,10 +1351,16 @@ class Graph:
         shift = F.lit(meta.label_id).cast("long") * F.lit(1 << ENTRY_ID_BITS)
         if id_col is not None:
             meta.bump_lazy(lambda df=df, c=id_col: df.agg(F.max(F.col(c).cast("long"))).first()[0])
-            out = df.withColumn("id", shift + F.col(id_col).cast("long"))
-            if id_col != "id":
-                out = out.drop(id_col)
-            return out
+            # one select (withColumn + drop cost an analysis round trip
+            # each, guide §5); placement matches withColumn exactly —
+            # id replaces in place when id_col == "id", else appends
+            packed = (shift + F.col(id_col).cast("long")).alias("id")
+            if id_col == "id":
+                return df.select(
+                    *[packed if c == "id" else F.col(c) for c in df.columns]
+                )
+            kept = [F.col(c) for c in df.columns if c != id_col]
+            return df.select(*kept, packed)
         # Allocate from the per-label sequence and number rows densely —
         # entirely JVM-side (an RDD zipWithIndex would serialize every row
         # through the Python workers). Per-partition positions come from a

@@ -105,6 +105,57 @@ def test_train_bpe_512_merges_bounded_plans(spark, monkeypatch):
     assert dt < 1800, f"512 merges took {dt:.0f}s — plan growth is back"
 
 
+def _reference_train(word_freqs, n_merges):
+    """Pure-Python classic BPE (Sennrich et al. 2016): one merge at a
+    time, count DESC / pair-string ASC tie-break — the ground truth the
+    batched Spark loop must reproduce exactly."""
+    syms = {w: list(w) + [EOW] for w in word_freqs}
+    merges = []
+    for _ in range(n_merges):
+        counts = {}
+        for w, f in word_freqs.items():
+            s = syms[w]
+            for i in range(len(s) - 1):
+                counts[(s[i], s[i + 1])] = counts.get((s[i], s[i + 1]), 0) + f
+        if not counts:
+            break
+        best = min(counts, key=lambda p: (-counts[p], p[0] + " " + p[1]))
+        merges.append(best)
+        l, r = best
+        for w in word_freqs:
+            s = syms[w]
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == l and s[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            syms[w] = out
+    return merges
+
+
+def test_train_bpe_batched_rounds_match_sequential(spark):
+    """The top-K batched driver rounds (pipeline.bpe._safe_merge_batch)
+    must reproduce the EXACT one-merge-at-a-time sequence, including
+    cascades (merged symbols re-entering next round), ties, and the
+    interaction stop.  Natural-language-shaped fixture with both
+    independent high-count pairs (batchable) and cascading chains."""
+    import collections
+
+    words = (
+        ["the"] * 50 + ["then"] * 20 + ["quick"] * 30 + ["brown"] * 30
+        + ["fox"] * 25 + ["jumps"] * 15 + ["over"] * 40 + ["lazy"] * 10
+        + ["dog"] * 35 + ["than"] * 8 + ["that"] * 28 + ["this"] * 22
+    )
+    wf = collections.Counter(words)
+    df = spark.createDataFrame([(1, " ".join(words))], "doc_id long, text string")
+    got = train_bpe(df, n_merges=40)
+    want = _reference_train(dict(wf), 40)
+    assert got == want
+
+
 def test_bpe_encode_handles_empty_and_unseen(spark, merges5):
     docs = spark.createDataFrame(
         [(1, ""), (2, "zzz")], "doc_id long, text string"

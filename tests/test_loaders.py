@@ -179,3 +179,23 @@ def test_load_as_agtype_containers(spark, tmp_path):
     assert got[1][0] == 3
     assert got[2][1] == 1
     assert got[3][0] == 5
+
+
+def test_tpch_schemas_match_embedded(spark):
+    """demo.build_tpch_graph reads with embedded schemas (skipping footer
+    inference, guide §5); this pins them against the actual files on every
+    SF dir so generator drift is caught here, not at bench time."""
+    import os
+
+    from age_spark.demo import TPCH_SCHEMAS
+
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        base = f"/root/testdata/{sf}"
+        if not os.path.isdir(base):
+            continue
+        for name, ddl in TPCH_SCHEMAS.items():
+            inferred = spark.read.parquet(f"{base}/{name}.parquet").schema
+            declared = spark.read.schema(ddl).parquet(
+                f"{base}/{name}.parquet"
+            ).schema
+            assert inferred == declared, (sf, name, inferred, declared)
