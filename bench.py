@@ -361,7 +361,9 @@ def _scale_proof(spark, entry_mod, base_timings, base_rows=None):
     ).localCheckpoint(eager=True)
 
     def _range10():
-        from age_spark.pipeline.events import range_join_bucketed
+        # mirrors the r11 e_range_join entry exactly (aggregation-pushdown
+        # operator, width 32) so the 10x ratio divides like for like
+        from age_spark.pipeline.events import range_join_count_sum
 
         pt = F.floor(F.col("value") * 100).cast("long")
         left = ev10.filter(F.col("event_type") == "purchase").select(
@@ -370,9 +372,8 @@ def _scale_proof(spark, entry_mod, base_timings, base_rows=None):
         right = ev10.filter(F.col("event_type") == "click").select(
             F.col("event_id").alias("rid"), pt.alias("lo"), (pt + 1500).alias("hi")
         )
-        j = range_join_bucketed(left, right, "p", "lo", "hi", bucket_width=512)
-        return j.groupBy("rid").agg(
-            F.count(F.lit(1)).alias("n_in_range"), F.sum("p").alias("sum_points")
+        return range_join_count_sum(
+            left, right, "p", "lo", "hi", bucket_width=32, right_id="rid"
         )
 
     t0 = time.time()
