@@ -312,6 +312,8 @@ def shortest_path_pairs(
     targets_df: Optional[DataFrame] = None,
     _chosen: bool = False,
     _n_starts: Optional[int] = None,
+    _starts_unique: bool = False,
+    _targets_unique: bool = False,
 ) -> DataFrame:
     """Unweighted shortest path(s) between vertex sets — BFS with early stop.
 
@@ -340,14 +342,24 @@ def shortest_path_pairs(
     enclosing MATCH rows.
     """
     vscan = graph.scan_vertices(None)
+    # endpoint sets sourced from the vertex scan are unique by
+    # construction (ids ARE the scan's key), so their dedup exchanges are
+    # statically elidable — the §2.4 distinct-on-unique-data class the
+    # r10 VLE seed elision opened.  Caller-supplied endpoint DataFrames
+    # (the scalar shortest_path(a, b) shape: ids from MATCH rows) keep
+    # the distinct unless the recursion proved uniqueness (_*_unique).
+    starts_unique = _starts_unique or starts_df is None
+    targets_unique = _targets_unique or targets_df is None
     if starts_df is not None:
         starts = starts_df.select(F.col("id").alias("src"))
     else:
         starts = vscan.filter(start_filter(vscan)).select(F.col("id").alias("src"))
     if targets_df is not None:
-        targets = targets_df.select(F.col("id").alias("_tgt")).distinct()
+        targets = targets_df.select(F.col("id").alias("_tgt"))
     else:
-        targets = vscan.filter(end_filter(vscan)).select(F.col("id").alias("_tgt")).distinct()
+        targets = vscan.filter(end_filter(vscan)).select(F.col("id").alias("_tgt"))
+    if not targets_unique:
+        targets = targets.distinct()
     # Direction choice by endpoint cardinality (slim counting shapes only):
     # BFS state is |sources| x reachable-vertices, so traversing FROM the
     # smaller endpoint set over reversed edges and swapping (src, dst) at
@@ -400,6 +412,9 @@ def shortest_path_pairs(
                 targets_df=starts.select(F.col("src").alias("id")),
                 _chosen=True,
                 _n_starts=n_t,
+                # uniqueness proofs swap with the endpoints
+                _starts_unique=targets_unique,
+                _targets_unique=starts_unique,
             )
             return sw.select(
                 F.col("dst").alias("src"), F.col("src").alias("dst"),
@@ -580,7 +595,7 @@ def shortest_path_pairs(
         targets_cached = reach0.select(F.col("_rv").alias("_tgt"))
         return _sp_slim_bfs(
             starts, targets_cached, edges, edge_dt, vddl, hard_max, all_paths,
-            n_starts=_n_starts,
+            n_starts=_n_starts, starts_unique=starts_unique,
         )
 
     frontier = starts.distinct().select(
@@ -660,7 +675,7 @@ def shortest_path_pairs(
 
 def _sp_slim_bfs(
     starts, targets, edges, edge_dt, vddl, hard_max: int, all_paths: bool,
-    n_starts: Optional[int] = None,
+    n_starts: Optional[int] = None, starts_unique: bool = False,
 ) -> DataFrame:
     """Slim BFS: the caller reads only (src, dst, hops), so the state is
     VERTEX-level — (src, cur, path_count) with a sum-aggregated expansion —
@@ -671,7 +686,9 @@ def _sp_slim_bfs(
     one anti-join shuffle per hop — the shape that scales: frontier size is
     bounded by |V| x |sources|, not by path multiplicity."""
     edges2 = edges.select("_s", "_d")
-    frontier = starts.distinct().select(
+    # label-scan start sets are unique by construction — the dedup
+    # exchange is elided when the caller proved it (§2.4)
+    frontier = (starts if starts_unique else starts.distinct()).select(
         F.col("src"), F.col("src").alias("cur"), F.lit(1).cast("long").alias("cnt")
     ).localCheckpoint(eager=False)  # materialized by the count below
     # visited = lazy union of the per-hop frontiers: each is per-(src, cur)
