@@ -547,9 +547,18 @@ def shortest_path_pairs(
         # count + drain probe in ONE job (the _sp_slim_bfs trick): marker 2
         # is non-empty iff some reached vertex has a predecessor edge — if
         # not, the next round is provably empty and its checkpoint plans
-        # (each an edge pass at AQE plan time) are never built
+        # (each an edge pass at AQE plan time) are never built.
+        # Orientation: STREAM the edges and hash the (small, materialized)
+        # step side — step-semi-edges would build a hash table over the
+        # whole edge table before LocalLimit could fire (measured ~2x the
+        # cost at sf0.1), while edges-semi-step short-circuits at the first
+        # matching edge in continuing rounds.  Emptiness is equivalent:
+        # an edge into step exists iff a step vertex has a predecessor.
+        # No broadcast hint — step's blocks are materialized, so AQE sizes
+        # the build side at runtime (an oversized step degrades to a
+        # shuffle instead of a driver-killing broadcast).
         cprobe = (
-            step.join(edges_thin, step["_rv"] == edges_thin["_d"], "left_semi")
+            edges_thin.join(step, edges_thin["_d"] == step["_rv"], "left_semi")
             .select(F.lit(2).alias("_h"))
             .limit(1)
         )
@@ -751,6 +760,15 @@ def _sp_slim_bfs(
         s1 = _expand_fwd(frontier, n_frontier, visited, n_visited).localCheckpoint(
             eager=False
         )
+        # NOTE (measured, negative): fusing s1+s2 into ONE marker-split
+        # checkpointed union per round looked like a driver-round saving
+        # but was 4-6x SLOWER — without s1's own checkpoint, every
+        # broadcast-exchange build over the lazy s1 subtree (s2's frontier
+        # side, the vis2 anti-join side, the union branch) re-runs s1's
+        # whole expansion INCLUDING its edge-table pass; broadcast builds
+        # do not reuse the inner shuffle exchange across branches.  The
+        # per-hop checkpoint is load-bearing: it pins each hop's edge pass
+        # to exactly one execution.
         if hop == hard_max:  # odd tail: single-hop round
             if s1.isEmpty():
                 break
@@ -765,12 +783,17 @@ def _sp_slim_bfs(
         # does not, the next round's expansion is provably empty, so its
         # two checkpoint plans (whose AQE stage materialization costs a
         # full edge pass each, paid at PLAN time) are never built.  The
-        # probe is a LocalLimit(1) branch riding s2's already-materialized
-        # blocks: continuing rounds short-circuit per partition; the drain
-        # round pays one bounded pass INSTEAD of the two it used to spend
-        # discovering emptiness the slow way.
+        # probe is a LocalLimit(1) branch: continuing rounds short-circuit
+        # at the first frontier-sourced edge; the drain round pays one
+        # bounded pass INSTEAD of the two it used to spend discovering
+        # emptiness the slow way.  Orientation: STREAM the edges and hash
+        # the (small, materialized) s2 side — s2-semi-edges would build a
+        # hash table over the whole edge table before LocalLimit could
+        # fire (measured ~2x the cost at sf0.1).  Emptiness is
+        # equivalent: an edge out of s2 exists iff s2 can expand.  No
+        # broadcast hint — AQE sizes the build side from s2's blocks.
         probe = (
-            s2.join(edges2, s2["cur"] == edges2["_s"], "left_semi")
+            edges2.join(s2, edges2["_s"] == s2["cur"], "left_semi")
             .select(F.lit(3).alias("_h"))
             .limit(1)
         )
