@@ -483,15 +483,35 @@ def shortest_path_pairs(
     # so each checkpoint+count pair costs ONE job instead of two — at ~20
     # sequential hops the saved short jobs are a measurable slice of SP
     # wall time
-    reach0 = targets.select(F.col("_tgt").alias("_rv")).localCheckpoint(eager=False)
-    reach_parts = [reach0]
-    bfront = reach0
+    ep_fused = None
     if _chosen:
-        # swapped run: the closure loop below runs zero rounds, so its
-        # seed counters are never read — skip the counting job (the lazy
-        # checkpoint materializes inside the first hit join's job instead)
+        # Swapped run: the closure loop below runs zero rounds, so the
+        # targets checkpoint's only consumer is the per-hop hit join, and
+        # the starts side would otherwise pay its own frontier checkpoint
+        # inside _sp_slim_bfs.  The two endpoint projections are
+        # INDEPENDENT (no cross-dependence — unlike the s1/s2 hops, whose
+        # fusion re-ran the inner edge pass), so materialize both in ONE
+        # plan-time job via a marker-keyed union and read each side back
+        # as marker-filtered blocks: one driver-blocking checkpoint
+        # planning instead of two, zero recompute (post-checkpoint
+        # filters are block scans).  Seed counters are never read in this
+        # lane — skip the counting job too.
+        ep_fused = (
+            starts.select(F.lit(1).alias("_m"), F.col("src").alias("_id"))
+            .unionByName(
+                targets.select(F.lit(0).alias("_m"), F.col("_tgt").alias("_id"))
+            )
+            .localCheckpoint(eager=False)
+        )
+        starts = ep_fused.filter(F.col("_m") == 1).select(F.col("_id").alias("src"))
+        reach0 = ep_fused.filter(F.col("_m") == 0).select(F.col("_id").alias("_rv"))
+        reach_parts = [reach0]
+        bfront = reach0
         n_bfront = n_reach = 0
     else:
+        reach0 = targets.select(F.col("_tgt").alias("_rv")).localCheckpoint(eager=False)
+        reach_parts = [reach0]
+        bfront = reach0
         n_bfront = reach0.count()
         n_reach = n_bfront
     def _expand_back(front, n_front, reach, n_reach):
@@ -605,6 +625,7 @@ def shortest_path_pairs(
         return _sp_slim_bfs(
             starts, targets_cached, edges, edge_dt, vddl, hard_max, all_paths,
             n_starts=_n_starts, starts_unique=starts_unique,
+            starts_materialized=ep_fused is not None,
         )
 
     frontier = starts.distinct().select(
@@ -685,6 +706,7 @@ def shortest_path_pairs(
 def _sp_slim_bfs(
     starts, targets, edges, edge_dt, vddl, hard_max: int, all_paths: bool,
     n_starts: Optional[int] = None, starts_unique: bool = False,
+    starts_materialized: bool = False,
 ) -> DataFrame:
     """Slim BFS: the caller reads only (src, dst, hops), so the state is
     VERTEX-level — (src, cur, path_count) with a sum-aggregated expansion —
@@ -699,7 +721,12 @@ def _sp_slim_bfs(
     # exchange is elided when the caller proved it (§2.4)
     frontier = (starts if starts_unique else starts.distinct()).select(
         F.col("src"), F.col("src").alias("cur"), F.lit(1).cast("long").alias("cnt")
-    ).localCheckpoint(eager=False)  # materialized by the count below
+    )
+    if not starts_materialized:
+        # materialized by the count below; when the caller already fused
+        # the starts into an endpoint checkpoint, consumers re-project the
+        # marker-filtered blocks instead (a block scan, not a recompute)
+        frontier = frontier.localCheckpoint(eager=False)
     # visited = lazy union of the per-hop frontiers: each is per-(src, cur)
     # distinct by construction (groupBy) and anti-joined against everything
     # before it, so the pieces are disjoint — no dedup, no extra
