@@ -273,9 +273,31 @@ def vle_pairs(
             if max_hops is None or hard_max > 4:
                 nxt = nxt.localCheckpoint(eager=False)
             if max_hops is None:
-                # unbounded: stop when the frontier drains
-                if nxt.isEmpty():
-                    frontier = nxt
+                # Unbounded: stop when the frontier drains, and ALSO probe
+                # whether any frontier vertex has an outgoing edge at all —
+                # when none does, the next hop's expansion is provably
+                # empty BEFORE its isomorphism filter, so its checkpoint
+                # plan (a full edge pass at AQE plan time) is never built.
+                # Both branches are LocalLimit(1) probes riding the
+                # just-materialized checkpoint blocks in ONE job (the BFS
+                # drain-probe trick); the edges STREAM against the small
+                # frontier hash, so continuing hops short-circuit at the
+                # first frontier-sourced edge.  The probe ignores edge
+                # isomorphism (a superset test): probe-empty soundly
+                # implies the next hop is empty; probe-nonempty just
+                # continues, exactly like the old isEmpty loop.
+                nonempty = nxt.select(F.lit(1).alias("_h")).limit(1)
+                eprobe = (
+                    edges.join(nxt, edges["_s"] == nxt["cur"], "left_semi")
+                    .select(F.lit(2).alias("_h"))
+                    .limit(1)
+                )
+                flags = {
+                    r["_h"]
+                    for r in nonempty.unionAll(eprobe).distinct().collect()
+                }
+                frontier = nxt
+                if 1 not in flags or 2 not in flags:
                     break
         frontier = nxt
 
